@@ -1,10 +1,15 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query exercises engine operators from benthos_spark (SURVEY.md §2
+inventory) and has a DuckDB oracle producing identical column names and
+values.  Cross-engine determinism rules used throughout:
+
+- double aggregates go through DECIMAL (exact) and cast to double last;
+- hashes are md5 / sha2 / portable polynomial folds (identical in both
+  engines) rather than engine-specific hash functions;
+- every ranking has a total order (ties broken by a unique key);
+- doubles produced by identical IEEE operation sequences compare
+  bit-for-bit, so folds are written left-to-right in both engines.
 """
 
 from __future__ import annotations
@@ -12,27 +17,860 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+# ---------------------------------------------------------------- helpers
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:  # events.parquet stores TIMESTAMP(NANOS) — read as long, convert
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(
+                F.expr("ts div 1000")))
+    return df
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+# DuckDB SQL fragments mirroring benthos_spark.llm.text portable hashes.
+def _sql_char_hash(expr: str) -> str:
+    return ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split({expr}, ''), "
+            "c -> CAST(ascii(c) AS BIGINT))), (a,b) -> (a*31+b) % 1000000007)")
+
+
+def _sql_toks(expr: str) -> str:
+    return f"string_split_regex(trim({expr}), '\\s+')"
+
+
+def _sql_hex12(expr: str) -> str:
+    """md5-derived 48-bit bucket hash == operators.filters.portable_hash."""
+    return ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split(substr(md5({expr}), 1, 12), ''), "
+            "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+            "(a,b) -> a*16+b)")
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Left-to-right double fold == llm.similarity.dot."""
+    return ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip({a}, {b}), p -> p[1]*p[2])), "
+            "(x,y) -> x+y)")
+
+
+def _sql_norm(a: str) -> str:
+    return ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({a}, v -> v*v)), (x,y) -> x+y))")
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ================================================================
+# 1. Flagship: pricing summary (TPC-H Q1 shape) — groupBy + 8 aggs.
+#    Exercises: mapping projection + windowed fold aggregation
+#    (SURVEY §2.5 batch-policy aggregation; Bloblang .sum()/.fold()).
+# ================================================================
+
+@_register("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty, price = _dec(F.col("l_quantity")), _dec(F.col("l_extendedprice"))
+    disc, tax = _dec(F.col("l_discount")), _dec(F.col("l_tax"))
+    n = F.count("*")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+                 F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+                 (F.sum(qty).cast("double") / n).alias("avg_qty"),
+                 (F.sum(price).cast("double") / n).alias("avg_price"),
+                 (F.sum(disc).cast("double") / n).alias("avg_disc"),
+                 n.alias("count_order")))
+
+
+# ================================================================
+# 2. filter processor (lib/processor/filter.go) — predicate pushdown.
+# ================================================================
+
+@_register("filter_predicate", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_discount > 0.05 AND l_quantity < 10
+  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+""")
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators import filter_op
+    li = _t(spark, sf_dir, "lineitem")
+    return filter_op(
+        li, (F.col("l_discount") > 0.05) & (F.col("l_quantity") < 10)
+        & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ================================================================
+# 3. bounds_check processor (lib/processor/bounds_check.go).
+# ================================================================
+
+@_register("bounds_check", oracle="""
+SELECT doc_id, n_chars FROM documents WHERE n_chars >= 150 AND n_chars <= 400
+""")
+def bounds_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators import bounds_check
+    docs = _t(spark, sf_dir, "documents")
+    return bounds_check(docs, F.col("n_chars"), 150, 400).select("doc_id", "n_chars")
+
+
+# ================================================================
+# 4. hash_sample processor (lib/processor/hash_sample.go) —
+#    deterministic hash-range retain via the portable bucket hash.
+# ================================================================
+
+@_register("hash_sample", oracle=f"""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE {_sql_hex12("CAST(o_orderkey AS VARCHAR)")} % 10000 < 1000
+""")
+def hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators import hash_sample
+    orders = _t(spark, sf_dir, "orders")
+    return hash_sample(orders, F.col("o_orderkey"), 0.0, 10.0) \
+        .select("o_orderkey", "o_totalprice")
+
+
+# ================================================================
+# 5. dedupe processor (lib/processor/dedupe.go) — first-wins by key
+#    with an explicit deterministic order.
+# ================================================================
+
+@_register("dedupe_first_wins", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+QUALIFY row_number() OVER (PARTITION BY l_orderkey
+    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+             l_extendedprice) = 1
+""")
+def dedupe_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    # "first" needs a total order — exactly the determinism point the
+    # engine dedupe documents.
+    from benthos_spark.operators import dedupe
+    li = _t(spark, sf_dir, "lineitem")
+    return dedupe(li, ["l_orderkey"],
+                  order_by=[F.col("l_linenumber"), F.col("l_partkey"),
+                            F.col("l_suppkey"), F.col("l_quantity"),
+                            F.col("l_extendedprice")]) \
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# ================================================================
+# 6. switch processor (lib/processor/switch.go) — first-match-wins
+#    CASE routing compiled to one projection.
+# ================================================================
+
+@_register("switch_routing", oracle="""
+SELECT route, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM (
+  SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice > 200000 THEN 'big_f'
+              WHEN o_orderstatus = 'F' THEN 'small_f'
+              WHEN o_totalprice > 200000 THEN 'big_other'
+              ELSE 'rest' END AS route, o_totalprice
+  FROM orders) t
+GROUP BY route
+""")
+def switch_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators import switch_case
+    orders = _t(spark, sf_dir, "orders")
+    route = switch_case([
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000),
+         F.lit("big_f")),
+        (F.col("o_orderstatus") == "F", F.lit("small_f")),
+        (F.col("o_totalprice") > 200000, F.lit("big_other")),
+        (None, F.lit("rest")),
+    ], alias="route")
+    return (orders.select(route, "o_totalprice")
+            .groupBy("route")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total")))
+
+
+# ================================================================
+# 7. group_by_value processor (lib/processor/group_by_value.go).
+# ================================================================
+
+@_register("group_by_value", oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+""")
+def group_by_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total")))
+
+
+# ================================================================
+# 8. split processor (lib/processor/split.go) — deterministic
+#    re-batching into fixed-size batches.
+# ================================================================
+
+@_register("split_batches", oracle="""
+SELECT batch_id, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM (SELECT (row_number() OVER (ORDER BY o_orderkey) - 1) // 100
+             AS batch_id, o_orderkey
+      FROM orders) t
+GROUP BY batch_id
+""")
+def split_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators import split_batches
+    orders = _t(spark, sf_dir, "orders")
+    batched = split_batches(orders, 100, [F.col("o_orderkey")])
+    return (batched.groupBy("batch_id")
+            .agg(F.count("*").alias("n"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+# ================================================================
+# 9. select_parts processor (lib/processor/select_parts.go) — keep
+#    parts 0 and 2 of each batch (batch = orders per customer).
+# ================================================================
+
+@_register("select_parts", oracle="""
+SELECT o_custkey, part_index, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1
+         AS part_index
+  FROM orders) t
+WHERE part_index IN (0, 2)
+""")
+def select_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators import select_parts
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    parts = orders.withColumn("part_index", F.row_number().over(w) - 1)
+    return select_parts(parts, [0, 2]).select("o_custkey", "part_index",
+                                              "o_orderkey")
+
+
+# ================================================================
+# 10. archive processor (lib/processor/archive.go) — batch → one part.
+# ================================================================
+
+@_register("archive_lines", oracle="""
+SELECT source, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       AS archived
+FROM documents GROUP BY source
+""")
+def archive_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators import archive_join
+    docs = _t(spark, sf_dir, "documents")
+    return archive_join(docs, ["source"], F.col("doc_id").cast("string"),
+                        F.col("doc_id"), delimiter=",")
+
+
+# ================================================================
+# 11. unarchive processor (lib/processor/unarchive.go) — one part →
+#     many, position preserved (posexplode).
+# ================================================================
+
+@_register("unarchive_explode", oracle=f"""
+WITH t AS (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents
+           WHERE doc_id < 20),
+u AS (SELECT doc_id,
+             unnest(list_transform(range(0, len(toks)),
+                    i -> struct_pack(part_index := i,
+                                     content := toks[i+1]))) AS s
+      FROM t)
+SELECT doc_id, CAST(s.part_index AS INTEGER) AS part_index,
+       s.content AS content
+FROM u
+""")
+def unarchive_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators import unarchive_explode
+    from benthos_spark.llm.text import tokens
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return unarchive_explode(docs, tokens(F.col("text"))) \
+        .select("doc_id", "part_index", "content")
+
+
+# ================================================================
+# 12. merge_json processor (lib/processor/merge_json.go) — fold JSON
+#     docs of a batch into one object, later parts win.
+# ================================================================
+
+@_register("merge_json_last_wins", oracle="""
+SELECT user_id, arg_max(json_extract_string(props, '$.k'), event_id) AS last_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+""")
+def merge_json_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators import merge_json
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("doc", F.from_json("props", "map<string,string>"))
+    merged = merge_json(parsed, ["user_id"], F.col("doc"), F.col("event_id"))
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return (merged.join(counts, "user_id")
+            .select("user_id", F.element_at("merged", "k").alias("last_k"),
+                    "n_events"))
+
+
+# ================================================================
+# 13. sequence.sharded_join input (lib/input/sequence.go:142) — the
+#     reference's out-of-core full-outer join → one shuffle join.
+# ================================================================
+
+@_register("sharded_join_full_outer", oracle="""
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_acctbal AS acctbal, o.n_orders
+FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0) c
+FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+                 WHERE o_custkey % 2 = 0 GROUP BY o_custkey) o
+ON c.c_custkey = o.o_custkey
+""")
+def sharded_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators import sharded_join
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 3 == 0)
+            .select("c_custkey", "c_acctbal"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_custkey") % 2 == 0)
+              .groupBy("o_custkey").agg(F.count("*").alias("n_orders")))
+    joined = sharded_join(cust, orders,
+                          on=cust.c_custkey == orders.o_custkey,
+                          how="full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"), "n_orders")
+
+
+# ================================================================
+# 14. cache/sql lookup enrichment (lib/processor/cache.go, sql.go) —
+#     broadcast dimension joins (customer ⋈ nation ⋈ region).
+# ================================================================
+
+@_register("lookup_join_enrich", oracle="""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""")
+def lookup_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators import cache_lookup_join
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    enriched = cache_lookup_join(
+        cache_lookup_join(cust, nation,
+                          on=cust.c_nationkey == nation.n_nationkey,
+                          how="inner"),
+        region, on=F.col("n_regionkey") == region.r_regionkey, how="inner")
+    return (enriched.groupBy("r_name", "n_name")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_bal")))
+
+
+# ================================================================
+# 15. batch policy / tumbling event-time window (SURVEY §2.5).
+# ================================================================
+
+@_register("window_tumbling", oracle="""
+SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.streaming import tumbling_window_agg
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        ev, "ts", "5 minutes", ["event_type"],
+        [F.count("*").alias("n"),
+         F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+          .alias("total_value")])
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "event_type", "n", "total_value")
+
+
+# ================================================================
+# 16. top-k per group (Window) — the reference expresses this as
+#     group_by + sort + select_parts; here one window function.
+# ================================================================
+
+@_register("topk_per_group", oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+WHERE rnk <= 3
+""")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+              .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (orders.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk"))
+
+
+# ================================================================
+# 17. Bloblang mapping projection (SURVEY §2.1): JSON path extraction,
+#     string ops, arithmetic, coalesce — compiled to one select.
+# ================================================================
+
+@_register("bloblang_mapping", oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       upper(event_type) AS type_upper,
+       substr(event_type, 1, 3) AS type_prefix,
+       CAST(CAST(value AS DECIMAL(18,6)) * 2 + 1 AS DOUBLE) AS value_scaled,
+       COALESCE(NULLIF(event_type, 'click'), 'was_click') AS type_or_default
+FROM events WHERE event_id < 2000
+""")
+def bloblang_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.functions import (coalesce_or, lowercase,  # noqa: F401
+                                         uppercase)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        uppercase(F.col("event_type")).alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        (F.col("value").cast("decimal(18,6)") * 2 + 1).cast("double")
+         .alias("value_scaled"),
+        coalesce_or(F.nullif(F.col("event_type"), F.lit("click")),
+                    F.lit("was_click")).alias("type_or_default"))
+
+
+# ================================================================
+# 18. String methods sweep (methods_strings.go §2.1.4).
+# ================================================================
+
+@_register("string_methods", oracle="""
+SELECT doc_id,
+       upper(text) AS up, lower(text) AS lo,
+       CAST(length(text) AS BIGINT) AS n_char,
+       reverse(text) AS rev,
+       substr(text, 1, 10) AS head10,
+       replace(text, 'data', 'DATA') AS replaced,
+       md5(text) AS h_md5, sha256(text) AS h_sha256,
+       to_base64(CAST(text AS BLOB)) AS b64,
+       CASE WHEN text LIKE 'the %' THEN TRUE ELSE FALSE END AS has_pfx,
+       CAST(strpos(text, 'spark') - 1 AS INTEGER) AS idx_spark
+FROM documents WHERE doc_id < 100
+""")
+def string_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.functions import (encode_base64, hash_md5, hash_sha256,
+                                         has_prefix, index_of, length,
+                                         lowercase, replace, reverse_str,
+                                         uppercase)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        uppercase(t).alias("up"), lowercase(t).alias("lo"),
+        length(t).cast("long").alias("n_char"),
+        reverse_str(t).alias("rev"),
+        F.substring(t, 1, 10).alias("head10"),
+        replace(t, "data", "DATA").alias("replaced"),
+        hash_md5(t).alias("h_md5"), hash_sha256(t).alias("h_sha256"),
+        encode_base64(t).alias("b64"),
+        has_prefix(t, "the ").alias("has_pfx"),
+        index_of(t, "spark").cast("int").alias("idx_spark"))
+
+
+# ================================================================
+# 19. Structured (array) methods sweep (methods_structured.go §2.1.5).
+# ================================================================
+
+@_register("structured_methods", oracle=f"""
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+       array_to_string(list_sort(toks)[1:3], ' ') AS first3_sorted,
+       CAST(len(list_filter(toks, t -> length(t) > 4)) AS INTEGER) AS n_long,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+            (a,b) -> a+b) AS BIGINT) AS sum_len
+FROM (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents) t
+WHERE doc_id < 100
+""")
+def structured_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.functions import (filter_arr, fold, join, size,
+                                         slice_arr, sort_arr, unique)
+    from benthos_spark.llm.text import tokens
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        size(toks).alias("n_tokens"),
+        size(unique(toks)).alias("n_distinct"),
+        join(slice_arr(sort_arr(toks), 0, 3), " ").alias("first3_sorted"),
+        size(filter_arr(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        fold(toks, F.lit(0).cast("long"),
+             lambda acc, t: acc + F.length(t).cast("long")).alias("sum_len"))
+
+
+# ================================================================
+# 20. Timestamp methods (methods_strings.go:1126-1441) incl. Go
+#     layout / strftime translation.
+# ================================================================
+
+@_register("timestamp_methods", oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS day,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS go_layout,
+       CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+       CAST(year(ts) AS INTEGER) AS y,
+       CAST(month(ts) AS INTEGER) AS m,
+       CAST(hour(ts) AS INTEGER) AS h
+FROM events WHERE event_id < 2000
+""")
+def timestamp_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.functions import (format_timestamp,
+                                         format_timestamp_strftime,
+                                         format_timestamp_unix)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        format_timestamp_strftime(ts, "%Y-%m-%d").alias("day"),
+        format_timestamp(ts, "2006-01-02 15:04:05").alias("go_layout"),
+        format_timestamp_unix(ts).alias("unix_s"),
+        F.year(ts).cast("int").alias("y"),
+        F.month(ts).cast("int").alias("m"),
+        F.hour(ts).cast("int").alias("h"))
+
+
+# ================================================================
+# 21. try/catch error protocol (lib/processor/{try,catch}.go) over
+#     the _error column.
+# ================================================================
+
+@_register("try_catch_errors", oracle="""
+SELECT event_id,
+       CASE WHEN event_id % 10 = 0 THEN -1
+            ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+       CASE WHEN event_id % 10 = 0 THEN TRUE ELSE FALSE END AS recovered
+FROM events WHERE event_id < 3000
+""")
+def try_catch_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.datamodel import with_error
+    from benthos_spark.plans import catch_stage
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    # corrupt every 10th payload, then parse under the error protocol
+    msgs = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit("not json"))
+         .otherwise(F.col("props")).alias("content"),
+        F.lit(None).cast("string").alias("_error"))
+    parsed = msgs.withColumn(
+        "k", F.get_json_object("content", "$.k").cast("long"))
+    flagged = with_error(parsed, F.col("k").isNull(), "parse failed")
+    flagged = flagged.withColumn("recovered", F.col("_error").isNotNull())
+    recovered = catch_stage(flagged,
+                            lambda bad: bad.withColumn("k", F.lit(-1).cast("long")))
+    return recovered.select("event_id", "k", "recovered")
+
+
+# ================================================================
+# 22. LLM op: exact dedup (content-hash groupBy).
+# ================================================================
+
+@_register("dedup_exact", oracle="""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.dedup import exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+# ================================================================
+# 23. LLM op: n-gram Jaccard near-dup pairs (shingle inverted index).
+# ================================================================
+
+@_register("dedup_ngram_jaccard", oracle=f"""
+WITH t AS (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents),
+s AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(0, len(toks) - 2),
+                    i -> {_sql_hex12("array_to_string(toks[(i+1):(i+3)], ' ')")})
+               ELSE [{_sql_hex12("array_to_string(toks, ' ')")}] END) AS sh
+      FROM t),
+e AS (SELECT doc_id, unnest(sh) AS sh1, len(sh) AS n_sh FROM s),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+             COUNT(*) AS common
+      FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+       AS jaccard
+FROM p
+WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) >= 0.8
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.dedup import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+# ================================================================
+# 24. LLM op: MinHash + banded LSH candidate pairs (the 100 TB
+#     near-dup path: candidates only, never all-pairs).
+# ================================================================
+
+def _sql_minhash_bands(bands: int = 4, rows: int = 4) -> str:
+    from benthos_spark.llm.dedup import MINHASH_PERMS
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, h -> (h * {a} + {b}) % 1000000007))"
+        for a, b in MINHASH_PERMS)
+    band_keys = ", ".join(
+        f"array_to_string(list_transform(sig[{i * rows + 1}:{i * rows + rows}], "
+        "x -> CAST(x AS VARCHAR)), '-')"
+        for i in range(bands))
+    return f"""
+WITH t AS (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents),
+s AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(0, len(toks) - 2),
+                    i -> {_sql_hex12("array_to_string(toks[(i+1):(i+3)], ' ')")})
+               ELSE [{_sql_hex12("array_to_string(toks, ' ')")}] END) AS sh
+      FROM t),
+sig AS (SELECT doc_id, [{sig_terms}] AS sig FROM s),
+banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key,
+                  unnest(range(0, {bands})) AS band
+           FROM sig)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
+@_register("dedup_minhash_lsh", oracle=_sql_minhash_bands())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.dedup import minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, bands=4)
+
+
+# ================================================================
+# 25. LLM op: SimHash duplicate groups (hamming-0 buckets).
+# ================================================================
+
+def _sql_simhash(bits: int = 32) -> str:
+    votes = []
+    for j in range(bits):
+        votes.append(
+            "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(hs, h -> CASE WHEN (h >> {j}) % 2 = 1 "
+            "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
+            f"(a,b) -> a+b) > 0 THEN CAST({2 ** j} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END")
+    simhash_expr = " + ".join(votes)
+    return f"""
+WITH t AS (SELECT doc_id,
+                  list_transform({_sql_toks("text")},
+                                 tok -> {_sql_hex12("tok")}) AS hs
+           FROM documents)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM (SELECT doc_id, {simhash_expr} AS simhash FROM t) s
+GROUP BY simhash HAVING COUNT(*) > 1
+"""
+
+
+@_register("dedup_simhash", oracle=_sql_simhash())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.dedup import simhash_dup_groups
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dup_groups(docs)
+
+
+# ================================================================
+# 26. LLM op: embedding-cosine near-dup pairs.
+# ================================================================
+
+_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@_register("embedding_near_dup", oracle=f"""
+WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_sql_dot("a.e", "b.e")} / ({_sql_norm("a.e")} * {_sql_norm("b.e")}), 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round({_sql_dot("a.e", "b.e")} / ({_sql_norm("a.e")} * {_sql_norm("b.e")}), 6) >= 0.3
+""")
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.dedup import embedding_near_dup_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3)
+
+
+# ================================================================
+# 27. LLM op: brute-force cosine top-k similarity search.
+# ================================================================
+
+@_register("similarity_topk", oracle=f"""
+WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         round({_sql_dot("v.e", "q.qe")} / ({_sql_norm("v.e")} * {_sql_norm("q.qe")}), 6) AS cos
+  FROM v CROSS JOIN q WHERE v.vec_id != q.query_id)
+SELECT query_id, vec_id, cos, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored) t
+WHERE rnk <= 10
+""")
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.similarity import brute_force_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, queries, k=10, exclude_self=True)
+    return out.select("query_id", "vec_id", "cos", "rank")
+
+
+# ================================================================
+# 28. LLM op: text analysis (token counts, quality, lang-id).
+# ================================================================
+
+@_register("text_analysis", oracle=f"""
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+       AS INTEGER) AS n_bpe_ish,
+  CAST(len(list_filter(lower_toks, t -> t IN ('the','a','an','of','to','and',
+      'in','is','it','that','for','on','with','as','at','by'))) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+FROM (SELECT doc_id, text, {_sql_toks("text")} AS toks,
+             list_transform({_sql_toks("text")}, t -> lower(t)) AS lower_toks
+      FROM documents) t
+""")
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.text import (bpe_ish_token_count, stopword_ratio,
+                                        token_count)
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_ish"),
+        stopword_ratio(t).alias("stopword_ratio"))
+
+
+# ================================================================
+# 29. LLM op: document fingerprint (order-sensitive rolling hash).
+# ================================================================
+
+@_register("doc_fingerprint", oracle=f"""
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform({_sql_toks("text")}, tok -> {_sql_char_hash("tok")})),
+      (a,b) -> (a*131+b) % 1000000007) AS fingerprint
+FROM documents
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.text import fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ================================================================
+# 30. Sessionization (session_window, batch mode) — beyond-reference
+#     streaming upgrade, oracle via lag/cumsum gap sessionization.
+# ================================================================
+
+@_register("sessionize", oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - COALESCE(lag(ts) OVER w, ts) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g)
+SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_no
+""")
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.streaming import session_agg
+    ev = _t(spark, sf_dir, "events")
+    out = session_agg(ev, "ts", "30 minutes", ["user_id"],
+                      [F.count("*").alias("n_events")])
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+        "n_events")
+
+
+# ================================================================
+# 31. Multimodal feature extraction (mapInPandas plumbing; decode is
+#     a deterministic stub — no SQL oracle, rows-only check).
+# ================================================================
+
+@_register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.multimodal import extract_features, fake_media_table
+    media = fake_media_table(spark, n=256)
+    return extract_features(media)
+
+
+# ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 (driver smoke check)."""
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

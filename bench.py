@@ -1,0 +1,77 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through the noop sink so the full plan executes
+(count() would let Catalyst prune projections; collect() would measure
+driver transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "filter_predicate",
+    "dedupe_first_wins",
+    "switch_routing",
+    "lookup_join_enrich",
+    "sharded_join_full_outer",
+    "window_tumbling",
+    "topk_per_group",
+    "bloblang_mapping",
+    "string_methods",
+    "sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "similarity_topk",
+    "text_analysis",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from benthos_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + file listing once, outside the timed region
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

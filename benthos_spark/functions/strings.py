@@ -1,0 +1,223 @@
+"""Bloblang string methods (48 in the reference).
+
+Reference: internal/bloblang/query/methods_strings.go (2066 LoC).
+Everything here is a built-in JVM function — no Python UDFs — so the
+whole string surface stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "capitalize", "uppercase", "lowercase", "trim", "trim_chars",
+    "has_prefix", "has_suffix", "index_of", "reverse_str", "split",
+    "join", "replace", "replace_many", "quote", "fmt",
+    "re_match", "re_find_all", "re_replace", "re_find_first",
+    "encode_base64", "decode_base64", "encode_hex", "decode_hex",
+    "hash_sha256", "hash_sha512", "hash_sha1", "hash_md5",
+    "hash_xxhash64", "parse_json", "parse_csv_line", "length",
+    "slice_str", "strip_html", "filepath_join", "filepath_split",
+    "escape_url_query", "unescape_url_query",
+]
+
+
+def capitalize(c: Column) -> Column:
+    """`.capitalize()` (methods_strings.go:61)."""
+    return F.initcap(c)
+
+
+def uppercase(c: Column) -> Column:
+    """`.uppercase()` (methods_strings.go:838)."""
+    return F.upper(c)
+
+
+def lowercase(c: Column) -> Column:
+    """`.lowercase()` (methods_strings.go:868)."""
+    return F.lower(c)
+
+
+def trim(c: Column) -> Column:
+    """`.trim()` whitespace (methods_strings.go:2031)."""
+    return F.trim(c)
+
+
+def trim_chars(c: Column, cutset: str) -> Column:
+    """`.trim(cutset)` (methods_strings.go:2031)."""
+    return F.trim(F.lit(cutset), c)
+
+
+def has_prefix(c: Column, prefix: str) -> Column:
+    """`.has_prefix()` (methods_strings.go:617)."""
+    return F.startswith(c, F.lit(prefix))
+
+
+def has_suffix(c: Column, suffix: str) -> Column:
+    """`.has_suffix()` (methods_strings.go:650)."""
+    return F.endswith(c, F.lit(suffix))
+
+
+def index_of(c: Column, sub: str) -> Column:
+    """`.index_of()` (methods_strings.go:431) — reference is 0-based,
+    instr is 1-based, -1 on miss in both."""
+    return F.instr(c, sub) - 1
+
+
+def reverse_str(c: Column) -> Column:
+    """`.reverse()` (methods_strings.go:1250)."""
+    return F.reverse(c)
+
+
+def split(c: Column, delim: str) -> Column:
+    """`.split()` (methods_strings.go:1913) — literal delimiter, so the
+    regex metachars are escaped before handing to F.split."""
+    import re
+    return F.split(c, re.escape(delim))
+
+
+def join(arr: Column, delim: str = "") -> Column:
+    """`.join()` (methods_strings.go:790)."""
+    return F.array_join(arr, delim)
+
+
+def replace(c: Column, old: str, new: str) -> Column:
+    """`.replace()` (methods_strings.go:1515) — literal replace-all."""
+    return F.replace(c, F.lit(old), F.lit(new))
+
+
+def replace_many(c: Column, pairs: list[tuple[str, str]]) -> Column:
+    """`.replace_many()` (methods_strings.go:1550)."""
+    for old, new in pairs:
+        c = F.replace(c, F.lit(old), F.lit(new))
+    return c
+
+
+def quote(c: Column) -> Column:
+    """`.quote()` (methods_strings.go:1469) — JSON-style quoting."""
+    return F.to_json(F.struct(c.alias("v"))).substr(F.lit(6), F.length(c) + 1024)
+
+
+def fmt(template: str, *cols: Column) -> Column:
+    """`.format("%v…")` (methods_strings.go:595)."""
+    return F.format_string(template, *cols)
+
+
+def re_match(c: Column, pattern: str) -> Column:
+    """`.re_match()` (methods_strings.go:1834)."""
+    return c.rlike(pattern)
+
+
+def re_find_first(c: Column, pattern: str, group: int = 0) -> Column:
+    """first match of `.re_find_all` family (methods_strings.go:1614)."""
+    return F.regexp_extract(c, pattern, group)
+
+
+def re_find_all(c: Column, pattern: str) -> Column:
+    """`.re_find_all()` (methods_strings.go:1614)."""
+    return F.regexp_extract_all(c, F.lit(pattern))
+
+
+def re_replace(c: Column, pattern: str, replacement: str) -> Column:
+    """`.re_replace()` (methods_strings.go:1873)."""
+    return F.regexp_replace(c, pattern, replacement)
+
+
+def encode_base64(c: Column) -> Column:
+    """`.encode("base64")` (methods_strings.go:89).  Spark's base64 MIME-
+    chunks with CRLF every 76 chars (legacy behavior still on in some
+    builds); Go's encoding/base64 does not — strip the chunking."""
+    return F.translate(F.base64(c.cast("binary")), "\r\n", "")
+
+
+def decode_base64(c: Column) -> Column:
+    """`.decode("base64")` (methods_strings.go:184)."""
+    return F.unbase64(c).cast("string")
+
+
+def encode_hex(c: Column) -> Column:
+    """`.encode("hex")` — lowercase like Go's hex.EncodeToString."""
+    return F.lower(F.hex(c.cast("binary")))
+
+
+def decode_hex(c: Column) -> Column:
+    """`.decode("hex")`."""
+    return F.unhex(c).cast("string")
+
+
+def hash_sha256(c: Column) -> Column:
+    """`.hash("sha256")` (methods_strings.go:683), hex digest."""
+    return F.sha2(c.cast("binary"), 256)
+
+
+def hash_sha512(c: Column) -> Column:
+    """`.hash("sha512")`."""
+    return F.sha2(c.cast("binary"), 512)
+
+
+def hash_sha1(c: Column) -> Column:
+    """`.hash("sha1")`."""
+    return F.sha1(c.cast("binary"))
+
+
+def hash_md5(c: Column) -> Column:
+    """`.hash("md5")`."""
+    return F.md5(c.cast("binary"))
+
+
+def hash_xxhash64(c: Column) -> Column:
+    """`.hash("xxhash64")` — Spark's native 64-bit xxhash; the scale
+    path for hash_sample/dedupe keys (JVM, codegen'd)."""
+    return F.xxhash64(c)
+
+
+def parse_json(c: Column, schema: str) -> Column:
+    """`.parse_json()` (methods_strings.go:958) with a declared schema —
+    the engine is columnar so the parse target is typed; use
+    `get_json_object` for ad-hoc single-path extraction instead."""
+    return F.from_json(c, schema)
+
+
+def parse_csv_line(c: Column, schema: str, sep: str = ",") -> Column:
+    """`.parse_csv()` (methods_strings.go:898) for a single line."""
+    return F.from_csv(c, schema, {"sep": sep})
+
+
+def length(c: Column) -> Column:
+    """`.length()` on strings (methods_structured.go:712 shares name)."""
+    return F.length(c)
+
+
+def slice_str(c: Column, start: int, end: int) -> Column:
+    """`.slice(lo,hi)` on strings (methods_strings go slice semantics)."""
+    return F.substring(c, start + 1, end - start)
+
+
+def strip_html(c: Column) -> Column:
+    """`.strip_html()` (methods_strings.go:1983) — tag-removal regex;
+    the reference uses a full HTML tokenizer, this covers well-formed
+    markup (documented deviation for malformed nesting)."""
+    return F.regexp_replace(c, r"<[^>]*>", "")
+
+
+def filepath_join(parts: Column) -> Column:
+    """`.filepath_join()` (methods_strings.go:536)."""
+    return F.array_join(parts, "/")
+
+
+def filepath_split(c: Column) -> Column:
+    """`.filepath_split()` (methods_strings.go:569) → [dir, file]."""
+    return F.array(
+        F.coalesce(F.nullif(F.regexp_extract(c, r"^(.*)/[^/]*$", 1), F.lit("")),
+                   F.lit(".")),
+        F.regexp_extract(c, r"([^/]*)$", 1))
+
+
+def escape_url_query(c: Column) -> Column:
+    """`.escape_url_query()` (methods_strings.go:490)."""
+    return F.url_encode(c)
+
+
+def unescape_url_query(c: Column) -> Column:
+    """`.unescape_url_query()` (methods_strings.go:513)."""
+    return F.url_decode(c)

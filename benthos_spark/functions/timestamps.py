@@ -1,0 +1,118 @@
+"""Timestamp parse/format methods, including Go-layout translation.
+
+Reference: internal/bloblang/query/methods_strings.go:1126-1441
+(`parse_timestamp_unix`, `parse_timestamp`, `parse_timestamp_strptime`,
+`format_timestamp`, `format_timestamp_strftime`, `format_timestamp_unix`,
+`format_timestamp_unix_nano`).
+
+Bloblang has NO native timestamp type (SURVEY §1.2) — timestamps are
+strings/numbers plus these methods.  This engine upgrades to Spark's
+native TimestampType; the methods below are the bridge, including
+translating Go reference layouts ("2006-01-02 15:04:05") and strftime
+patterns ("%Y-%m-%d") to Spark's Java DateTimeFormatter patterns.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "go_layout_to_java", "strftime_to_java", "parse_timestamp",
+    "parse_timestamp_strptime", "parse_timestamp_unix",
+    "format_timestamp", "format_timestamp_strftime",
+    "format_timestamp_unix", "format_timestamp_unix_nano",
+]
+
+# Go reference-time layout fragments → Java DateTimeFormatter pattern.
+# Ordered longest-first so e.g. "2006" wins over "06".
+_GO_TO_JAVA = [
+    ("2006", "yyyy"), ("01", "MM"), ("02", "dd"), ("15", "HH"),
+    ("03", "hh"), ("04", "mm"), ("05", "ss"), ("06", "yy"),
+    ("Jan", "MMM"), ("January", "MMMM"), ("Mon", "EEE"), ("Monday", "EEEE"),
+    ("PM", "a"), ("pm", "a"), (".000000000", ".SSSSSSSSS"),
+    (".000000", ".SSSSSS"), (".000", ".SSS"), ("-07:00", "XXX"),
+    ("-0700", "Z"), ("Z07:00", "XXX"), ("Z0700", "XX"), ("MST", "zzz"),
+    ("1", "M"), ("2", "d"), ("3", "h"),
+]
+
+_STRFTIME_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS",
+    "%j": "DDD", "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM",
+    "%p": "a", "%z": "Z", "%Z": "zzz", "%%": "%",
+}
+
+
+def go_layout_to_java(layout: str) -> str:
+    """Translate a Go reference layout to a Java pattern.  Covers the
+    layouts in the reference docs/tests; unrecognized literal runs are
+    quoted so DateTimeFormatter treats them verbatim."""
+    out: list[str] = []
+    i = 0
+    while i < len(layout):
+        for go, java in _GO_TO_JAVA:
+            if layout.startswith(go, i):
+                out.append(java)
+                i += len(go)
+                break
+        else:
+            ch = layout[i]
+            out.append("''" if ch == "'" else
+                       (f"'{ch}'" if ch.isalpha() else ch))
+            i += 1
+    return "".join(out)
+
+
+def strftime_to_java(pattern: str) -> str:
+    """Translate a strptime/strftime pattern to a Java pattern."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        if pattern[i] == "%" and i + 1 < len(pattern):
+            tok = pattern[i:i + 2]
+            out.append(_STRFTIME_TO_JAVA.get(tok, tok))
+            i += 2
+        else:
+            ch = pattern[i]
+            out.append("''" if ch == "'" else
+                       (f"'{ch}'" if ch.isalpha() else ch))
+            i += 1
+    return "".join(out)
+
+
+def parse_timestamp(c: Column, go_layout: str) -> Column:
+    """`.parse_timestamp(layout)` (methods_strings.go:1173)."""
+    return F.try_to_timestamp(c, F.lit(go_layout_to_java(go_layout)))
+
+
+def parse_timestamp_strptime(c: Column, pattern: str) -> Column:
+    """`.parse_timestamp_strptime(fmt)` (methods_strings.go:1211)."""
+    return F.try_to_timestamp(c, F.lit(strftime_to_java(pattern)))
+
+
+def parse_timestamp_unix(c: Column) -> Column:
+    """`.parse_timestamp_unix()` (methods_strings.go:1126)."""
+    return F.timestamp_seconds(c.cast("long"))
+
+
+def format_timestamp(c: Column, go_layout: str) -> Column:
+    """`.format_timestamp(layout)` (methods_strings.go:1293)."""
+    return F.date_format(c, go_layout_to_java(go_layout))
+
+
+def format_timestamp_strftime(c: Column, pattern: str) -> Column:
+    """`.format_timestamp_strftime(fmt)` (methods_strings.go:1362)."""
+    return F.date_format(c, strftime_to_java(pattern))
+
+
+def format_timestamp_unix(c: Column) -> Column:
+    """`.format_timestamp_unix()` (methods_strings.go:1413)."""
+    return F.unix_timestamp(c)
+
+
+def format_timestamp_unix_nano(c: Column) -> Column:
+    """`.format_timestamp_unix_nano()` (methods_strings.go:1441)."""
+    return F.unix_micros(c) * 1000

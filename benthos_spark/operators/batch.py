@@ -1,0 +1,69 @@
+"""Batch-shape operators: archive / unarchive / merge_json.
+
+Reference: lib/processor/{archive,unarchive,merge_json}.go.  A Benthos
+"batch" maps to a group key here (batch_id or any grouping column); the
+batch-shape ops are aggregations/explodes over that key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def archive_join(df: DataFrame, group: list[str], value: Column,
+                 order_by: Column, delimiter: str = "\n",
+                 alias: str = "archived") -> DataFrame:
+    """`archive` with format `lines`/`concat` (lib/processor/archive.go:27):
+    collapse each batch into one part joining payloads with a delimiter.
+    Deterministic via sort over (order_by, value) pairs — partial
+    aggregation (map-side combine) applies since collect_list is
+    shuffle-combined per group."""
+    pair = F.struct(order_by.alias("o"), value.alias("v"))
+    return df.groupBy(*group).agg(
+        F.array_join(F.sort_array(F.collect_list(pair)).getField("v"),
+                     delimiter).alias(alias))
+
+
+def archive_json_array(df: DataFrame, group: list[str], value: Column,
+                       order_by: Column, alias: str = "archived") -> DataFrame:
+    """`archive` format `json_array`: batch → one JSON array payload."""
+    pair = F.struct(order_by.alias("o"), value.alias("v"))
+    return df.groupBy(*group).agg(
+        F.to_json(F.sort_array(F.collect_list(pair)).getField("v")).alias(alias))
+
+
+def unarchive_explode(df: DataFrame, parts: Column,
+                      alias: str = "content",
+                      index_alias: str = "part_index") -> DataFrame:
+    """`unarchive` (lib/processor/unarchive.go:26): one part → many.
+    `parts` is an array column (e.g. F.split for `lines`,
+    from_json(array<...>) for `json_array`); posexplode keeps the part
+    index like the reference's ordered part list."""
+    exploded = df.select("*", F.posexplode(parts).alias(index_alias, alias))
+    return exploded
+
+
+def merge_json(df: DataFrame, group: list[str], doc: Column,
+               order_by: Column, alias: str = "merged") -> DataFrame:
+    """`merge_json` (lib/processor/merge_json.go:18): fold all JSON docs of
+    a batch into one object; later parts win on key collision, matching
+    the reference's gabs merge order.
+
+    Ordered collect via a window (sort_array can't order structs holding
+    maps); one shuffle on the group key, then a JVM-side fold."""
+    from pyspark.sql.window import Window
+    w_order = Window.partitionBy(*group).orderBy(order_by)
+    w_full = w_order.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)
+    collected = (df.withColumn("__docs", F.collect_list(doc).over(w_full))
+                   .withColumn("__rn", F.row_number().over(w_order))
+                   .filter(F.col("__rn") == 1))
+    merged = F.aggregate(
+        F.col("__docs"),
+        F.create_map().cast("map<string,string>"),
+        lambda acc, m: F.map_concat(
+            F.map_filter(acc, lambda k, _v: ~F.array_contains(F.map_keys(m), k)),
+            m),
+    )
+    return collected.select(*group, merged.alias(alias))

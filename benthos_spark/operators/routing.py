@@ -1,0 +1,94 @@
+"""Routing / control-flow operators.
+
+Reference: lib/processor/{switch,group_by,group_by_value,split,
+select_parts,insert_part}.go.  Pure-mapping switches compile to CASE
+expressions (one projection, no branching); processor-bearing switches
+compile to filtered branch unions (see plans.branch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def switch_case(cases: list[tuple[Column | None, Column]],
+                alias: str = "case") -> Column:
+    """`switch` with pure-mapping cases (lib/processor/switch.go:27):
+    first matching check wins, like the reference's case scan.  A `None`
+    check is the default (fallthrough) case."""
+    expr = None
+    default = None
+    for check, value in cases:
+        if check is None:
+            default = value
+            continue
+        expr = F.when(check, value) if expr is None else expr.when(check, value)
+    if expr is None:
+        expr = default if default is not None else F.lit(None)
+    elif default is not None:
+        expr = expr.otherwise(default)
+    return expr.alias(alias)
+
+
+def switch_branches(df: DataFrame,
+                    cases: list[tuple[Column | None, Callable[[DataFrame], DataFrame]]],
+                    ) -> DataFrame:
+    """`switch` with processor-bearing cases: route each row to the first
+    matching case's sub-pipeline, union the results.  Each branch is a
+    filtered view of the same scan, so Catalyst reuses the exchange."""
+    remaining = F.lit(True)
+    branches = []
+    for check, pipeline in cases:
+        if check is None:
+            branches.append(pipeline(df.filter(remaining)))
+        else:
+            branches.append(pipeline(df.filter(remaining & check)))
+            remaining = remaining & ~check
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
+
+
+def group_by_value(df: DataFrame, value: Column | str) -> DataFrame:
+    """`group_by_value` (lib/processor/group_by_value.go:22): re-group the
+    stream by an interpolated value (e.g. kafka key).  In Spark this is a
+    hash repartition — downstream per-group operators then run without a
+    second shuffle."""
+    col = F.col(value) if isinstance(value, str) else value
+    return df.repartition(col)
+
+
+def split_batches(df: DataFrame, size: int, order_by: list[Column],
+                  batch_col: str = "batch_id",
+                  index_col: str = "part_index") -> DataFrame:
+    """`split` (lib/processor/split.go:17): re-batch parts into batches of
+    `size`.  Needs a global order to be deterministic; the reference gets
+    ordering for free from single-node sequencing, we pin it explicitly.
+
+    Scale note: global row_number serializes into one partition — fine
+    for batch-shaping of grouped data, but at 100 TB use a per-key split
+    (partitionBy in the window) instead of a global one.
+    """
+    w = Window.orderBy(*order_by)
+    rn = F.row_number().over(w) - 1
+    return (df.withColumn(batch_col, F.floor(rn / size).cast("long"))
+              .withColumn(index_col, (rn % size).cast("int")))
+
+
+def select_parts(df: DataFrame, indexes: list[int],
+                 index_col: str = "part_index") -> DataFrame:
+    """`select_parts` (lib/processor/select_parts.go:17): keep only the
+    given part indexes of each batch (negative = from end unsupported in
+    v1; reference supports it via len arithmetic)."""
+    return df.filter(F.col(index_col).isin(indexes))
+
+
+def insert_part(df: DataFrame, part: DataFrame) -> DataFrame:
+    """`insert_part` (lib/processor/insert_part.go:19): union a literal
+    part into every batch (index bookkeeping left to caller)."""
+    return df.unionByName(part, allowMissingColumns=True)
