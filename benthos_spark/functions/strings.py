@@ -113,9 +113,11 @@ def re_find_first(c: Column, pattern: str, group: int = 0) -> Column:
     return F.regexp_extract(c, pattern, group)
 
 
-def re_find_all(c: Column, pattern: str) -> Column:
-    """`.re_find_all()` (methods_strings.go:1614)."""
-    return F.regexp_extract_all(c, F.lit(pattern))
+def re_find_all(c: Column, pattern: str, group: int = 0) -> Column:
+    """`.re_find_all()` (methods_strings.go:1614) — full matches by
+    default (Spark's idx defaults to capture group 1, which errors on
+    group-less patterns)."""
+    return F.regexp_extract_all(c, F.lit(pattern), F.lit(group))
 
 
 def re_replace(c: Column, pattern: str, replacement: str) -> Column:

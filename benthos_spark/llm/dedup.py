@@ -140,10 +140,19 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
 
     Scale: the join key is a shingle hash — high cardinality, well
     spread; stop-shingle removal (df filter on document frequency)
-    is the standard guard for pathological corpora."""
-    sh = df.select(F.col(id_col),
-                   F.explode(shingle_hashes(F.col(text), n)).alias("sh"),
-                   F.size(shingle_hashes(F.col(text), n)).alias("n_sh"))
+    is the standard guard for pathological corpora.
+
+    The repartition is a materialization barrier (as in
+    minhash_lsh_pairs): without it Catalyst inlines the shingle-hash
+    subtree into explode(), size(), and BOTH sides of the self-join —
+    4× recompute of an interpreted higher-order fold (measured 9×
+    slower at sf0.01).  With it, the self-join reuses one exchange."""
+    hashed = df.select(F.col(id_col),
+                       shingle_hashes(F.col(text), n).alias("__sh")) \
+               .repartition(id_col)
+    sh = hashed.select(F.col(id_col),
+                       F.explode("__sh").alias("sh"),
+                       F.size("__sh").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))

@@ -14,11 +14,22 @@ execution) and then hands Catalyst ONE fused DAG.
 from __future__ import annotations
 
 from collections.abc import Callable
-from graphlib import TopologicalSorter
+from graphlib import CycleError, TopologicalSorter
 
 from pyspark.sql import DataFrame
 
 Transform = Callable[[DataFrame], DataFrame]
+
+
+def topo_sort(deps: dict[str, list[str]]) -> list[str]:
+    """Topological order of a name → upstream-names graph; raises
+    ValueError on circular dependencies with the same wording intent as
+    the reference (workflow_branch_map.go:296 'circular dependency')."""
+    try:
+        return list(TopologicalSorter(
+            {name: set(d) for name, d in deps.items()}).static_order())
+    except CycleError as e:
+        raise ValueError(f"workflow: circular dependency (cycle): {e}") from e
 
 
 def workflow(df: DataFrame,
@@ -28,9 +39,8 @@ def workflow(df: DataFrame,
     ``branches``: name → (list of upstream branch names, transform).
     Raises on cycles like the reference (workflow_branch_map.go:296).
     """
-    ts = TopologicalSorter({name: set(deps)
-                            for name, (deps, _) in branches.items()})
-    for name in ts.static_order():  # raises CycleError on circularity
+    for name in topo_sort({name: deps
+                           for name, (deps, _) in branches.items()}):
         if name not in branches:
             raise KeyError(f"workflow branch '{name}' referenced but not defined")
         _, transform = branches[name]

@@ -9,5 +9,5 @@ superset: event-time windows + watermarks + session windows.
 
 from benthos_spark.streaming.windows import (  # noqa: F401
     batch_policy_window, dedupe_within_watermark, session_agg,
-    sliding_window_agg, tumbling_window_agg,
+    sliding_window_agg, stateful_counter, tumbling_window_agg,
 )

@@ -1,0 +1,108 @@
+"""LLM-pipeline operator tests: dedup family, similarity, text analysis."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from benthos_spark.llm.dedup import (embedding_near_dup_pairs, exact_dedup,
+                                     minhash_lsh_pairs, ngram_jaccard_pairs,
+                                     simhash_dup_groups, word_shingles)
+from benthos_spark.llm.similarity import brute_force_topk, cosine
+from benthos_spark.llm.text import (fingerprint, lang_id, quality_score,
+                                    stopword_ratio, token_count)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),        # near dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "el rapido zorro marron salta sobre el perro y la casa de la madre"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id INT, text STRING")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(docs_df(spark)).collect()
+    got = {r.doc_id: r.n_copies for r in out}
+    assert got[1] == 2          # doc 2 collapsed into doc 1 (min id wins)
+    assert 2 not in got
+    assert got[3] == 1 and got[4] == 1
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",)], "text STRING")
+    got = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()[0].s
+    assert got == ["a b"]       # shorter than n → whole doc as one shingle
+
+
+def test_ngram_jaccard_finds_near_dups_only(spark):
+    out = ngram_jaccard_pairs(docs_df(spark), threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidates(spark):
+    out = minhash_lsh_pairs(docs_df(spark)).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs            # identical docs always collide
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_groups_exact_dups(spark):
+    out = simhash_dup_groups(docs_df(spark)).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].keep_id == 1
+
+
+def test_cosine_and_topk(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>")
+    got = emb.filter("vec_id = 1").select(
+        cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0)))
+        .alias("c")).collect()[0].c
+    assert math.isclose(got, 1.0)
+
+    q = emb.filter("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, q, k=2, exclude_self=True).collect()
+    ranked = [(r.vec_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [(2, 1), (3, 2)]
+
+
+def test_embedding_near_dup_pairs(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.0, 1.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+
+def test_text_analysis(spark):
+    df = docs_df(spark)
+    row = df.filter("doc_id = 1").select(
+        token_count(F.col("text")).alias("n"),
+        stopword_ratio(F.col("text")).alias("sw"),
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang")).collect()[0]
+    assert row.n == 9
+    assert math.isclose(row.sw, 2 / 9)   # 'the' twice
+    assert row.q == 1.0
+    assert row.lang == "en"
+    es = df.filter("doc_id = 5").select(
+        lang_id(F.col("text")).alias("lang")).collect()[0]
+    assert es.lang == "es"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c",), ("c b a",)], "text STRING")
+    got = [r.f for r in
+           df.select(fingerprint(F.col("text")).alias("f")).collect()]
+    assert got[0] != got[1]        # reordering changes the fingerprint
