@@ -483,6 +483,43 @@ def bloblang_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 17b. Compiled Bloblang mapping (SURVEY §2.1, §3.2): the reference's
+#      query language parsed + compiled to ONE Spark projection —
+#      if/else, match, let vars, root-reads, method chains, string
+#      concat `+`, and a `root = deleted()` row filter.
+# ================================================================
+
+@_register("bloblang_compiled", oracle="""
+SELECT event_id,
+       upper(event_type) AS etype,
+       CASE WHEN value < 0.3 THEN 'low'
+            WHEN value < 0.7 THEN 'mid' ELSE 'high' END AS band,
+       CASE event_type WHEN 'click' THEN 'c'
+                       WHEN 'view' THEN 'v' ELSE 'x' END AS route,
+       value * 2 + 1 AS scaled,
+       event_type || '_' || CAST(user_id AS VARCHAR) AS label,
+       upper(event_type) || '!' AS etype_bang
+FROM events
+WHERE event_id % 7 <> 0 AND event_id < 5000
+""")
+def bloblang_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.bloblang import map_text
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    return map_text(ev, """
+# reference grammar: mapping_parser.go:51-65; compiled per SURVEY §3.2
+let scaled = this.value * 2 + 1
+root.event_id = this.event_id
+root.etype = this.event_type.uppercase()
+root.band = if this.value < 0.3 { "low" } else if this.value < 0.7 { "mid" } else { "high" }
+root.route = match this.event_type { "click" => "c", "view" => "v", _ => "x" }
+root.scaled = $scaled
+root.label = this.event_type + "_" + this.user_id.string()
+root.etype_bang = root.etype + "!"
+root = if this.event_id % 7 == 0 { deleted() }
+""")
+
+
+# ================================================================
 # 18. String methods sweep (methods_strings.go §2.1.4).
 # ================================================================
 

@@ -1,0 +1,708 @@
+"""Compile Bloblang ASTs to Spark Column expressions.
+
+Reference execution model: mapping/executor.go:116-213 interprets a
+closure tree per part.  Here each statement compiles once into Column
+expressions over the input row (`this`), previously assigned output
+fields (`root.*`), `let` variables (inlined), and the `meta` map; the
+whole mapping becomes ONE projection that Catalyst optimizes.
+
+Semantics notes (deviations documented):
+- `+` compiles to numeric addition unless either operand is a string
+  literal or a known-string method result, in which case it's concat
+  (the reference decides number-vs-string at runtime per value —
+  arithmetic.go:134-222; a columnar engine decides per column type).
+- `deleted()` (type_helpers.go:75) is supported as `root = deleted()`
+  inside/as an if expression → compiled to a row filter.
+- `nothing()` keeps the previous value of the assignment target.
+- `throw(msg)` compiles to raise_error (fails the query, not the part;
+  use .catch for the error-column protocol).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from benthos_spark.bloblang import ast
+from benthos_spark.bloblang.parser import parse_mapping
+from benthos_spark.datamodel import ERROR_COL, META_COL
+from benthos_spark.functions import timestamps as ts_fns
+
+
+class BloblangCompileError(ValueError):
+    pass
+
+
+_DELETED = object()   # sentinel compile result for deleted()
+_NOTHING = object()   # sentinel compile result for nothing()
+
+
+@dataclass
+class Scope:
+    """Name resolution for one mapping execution."""
+    this_col: Column | None            # None → row mode (top-level columns)
+    root_fields: dict                  # nested dict path → Column
+    variables: dict[str, Column] = dc_field(default_factory=dict)
+    this_override: Column | None = None  # lambda rebinding (map_each etc.)
+    named_bindings: dict[str, Column] = dc_field(default_factory=dict)
+
+    def child(self, this_override: Column | None = None,
+              named: dict[str, Column] | None = None) -> "Scope":
+        return Scope(self.this_col, self.root_fields, self.variables,
+                     this_override if this_override is not None
+                     else self.this_override,
+                     named or self.named_bindings)
+
+
+def _dig(col: Column, path: list[str]) -> Column:
+    return reduce(lambda c, seg: c[seg], path, col)
+
+
+def _resolve_this(scope: Scope, path: list[str]) -> Column:
+    if scope.this_override is not None:
+        return _dig(scope.this_override, path)
+    if scope.this_col is not None:
+        return _dig(scope.this_col, path)
+    if not path:
+        raise BloblangCompileError(
+            "bare `this` needs a struct context (row mode has no single "
+            "document column); assign fields explicitly or use `root = this` "
+            "which maps to the identity projection")
+    return _dig(F.col(path[0]), path[1:])
+
+
+def _root_lookup(scope: Scope, path: list[str]) -> Column:
+    node: object = scope.root_fields
+    for i, seg in enumerate(path):
+        if isinstance(node, dict):
+            if seg not in node:
+                raise BloblangCompileError(
+                    f"root.{'.'.join(path)} read before assignment "
+                    "(executor.go evaluates statements in order)")
+            node = node[seg]
+        elif isinstance(node, Column):
+            return _dig(node, path[i:])
+        else:
+            raise BloblangCompileError(f"root.{'.'.join(path)}: not a field")
+    if isinstance(node, dict):
+        return _tree_to_struct(node)
+    return node
+
+
+def _tree_to_struct(tree: dict) -> Column:
+    fields = []
+    for name, val in tree.items():
+        col = _tree_to_struct(val) if isinstance(val, dict) else val
+        fields.append(col.alias(name))
+    return F.struct(*fields)
+
+
+# ---------------------------------------------------------------- literals
+
+def _lit(value) -> Column:
+    if value is None:
+        return F.lit(None)
+    return F.lit(value)
+
+
+def _lit_arg(node: ast.Node, what: str):
+    """Extract a python literal argument (parse-time constant, like the
+    reference's function args)."""
+    if isinstance(node, ast.Literal):
+        return node.value
+    if isinstance(node, ast.Unary) and node.op == "-" and \
+            isinstance(node.operand, ast.Literal):
+        return -node.operand.value
+    raise BloblangCompileError(f"{what} requires a literal argument")
+
+
+# ---------------------------------------------------------------- compile
+
+def compile_expr(node: ast.Node, scope: Scope) -> Column:
+    out = _compile(node, scope)
+    if out is _DELETED or out is _NOTHING:
+        raise BloblangCompileError(
+            "deleted()/nothing() only valid as an assignment value")
+    return out
+
+
+def _compile(node: ast.Node, scope: Scope):
+    if isinstance(node, ast.Literal):
+        return _lit(node.value)
+    if isinstance(node, ast.ArrayLit):
+        return F.array(*[compile_expr(i, scope) for i in node.items])
+    if isinstance(node, ast.ObjectLit):
+        fields = []
+        for k, v in node.entries:
+            key = _lit_arg(k, "object key")
+            fields.append(compile_expr(v, scope).alias(str(key)))
+        return F.struct(*fields)
+    if isinstance(node, ast.Context):
+        if node.path and node.path[0] in scope.named_bindings:
+            return _dig(scope.named_bindings[node.path[0]], node.path[1:])
+        return _resolve_this(scope, node.path)
+    if isinstance(node, ast.RootRef):
+        return _root_lookup(scope, node.path)
+    if isinstance(node, ast.VarRef):
+        if node.name not in scope.variables:
+            raise BloblangCompileError(f"unknown variable ${node.name}")
+        return scope.variables[node.name]
+    if isinstance(node, ast.Unary):
+        operand = compile_expr(node.operand, scope)
+        return (~operand) if node.op == "!" else (-operand)
+    if isinstance(node, ast.Binary):
+        return _compile_binary(node, scope)
+    if isinstance(node, ast.IfExpr):
+        return _compile_if(node, scope)
+    if isinstance(node, ast.MatchExpr):
+        return _compile_match(node, scope)
+    if isinstance(node, ast.FuncCall):
+        return _compile_func(node, scope)
+    if isinstance(node, ast.Method):
+        return _compile_method(node, scope)
+    if isinstance(node, ast.FieldAccess):
+        target = compile_expr(node.target, scope)
+        return target[node.name]
+    raise BloblangCompileError(f"cannot compile node {node!r}")
+
+
+def _is_stringish(node: ast.Node) -> bool:
+    if isinstance(node, ast.Literal):
+        return isinstance(node.value, str)
+    if isinstance(node, ast.Method):
+        return node.name in ("string", "uppercase", "lowercase", "trim",
+                             "capitalize", "reverse", "join", "format",
+                             "replace", "re_replace", "encode", "decode",
+                             "hash", "strip_html", "format_timestamp",
+                             "format_timestamp_strftime")
+    if isinstance(node, ast.Binary) and node.op == "+":
+        return _is_stringish(node.left) or _is_stringish(node.right)
+    return False
+
+
+def _compile_binary(node: ast.Binary, scope: Scope) -> Column:
+    op = node.op
+    lhs = compile_expr(node.left, scope)
+    rhs = compile_expr(node.right, scope)
+    if op == "+":
+        if _is_stringish(node.left) or _is_stringish(node.right):
+            return F.concat(lhs.cast("string"), rhs.cast("string"))
+        return lhs + rhs
+    if op == "-":
+        return lhs - rhs
+    if op == "*":
+        return lhs * rhs
+    if op == "/":
+        return lhs / rhs
+    if op == "%":
+        return lhs % rhs
+    if op == "==":
+        return lhs == rhs
+    if op == "!=":
+        return lhs != rhs
+    if op == ">":
+        return lhs > rhs
+    if op == "<":
+        return lhs < rhs
+    if op == ">=":
+        return lhs >= rhs
+    if op == "<=":
+        return lhs <= rhs
+    if op == "&&":
+        return lhs & rhs
+    if op == "||":
+        return lhs | rhs
+    if op == "|":  # coalesce pipe (ArithmeticPipe)
+        return F.coalesce(lhs, rhs)
+    raise BloblangCompileError(f"unknown operator {op}")
+
+
+def _compile_if(node: ast.IfExpr, scope: Scope) -> Column:
+    expr = None
+    for cond, val in node.branches:
+        c = compile_expr(cond, scope)
+        v = compile_expr(val, scope)
+        expr = F.when(c, v) if expr is None else expr.when(c, v)
+    if node.otherwise is not None:
+        expr = expr.otherwise(compile_expr(node.otherwise, scope))
+    return expr
+
+
+def _compile_match(node: ast.MatchExpr, scope: Scope) -> Column:
+    subject = compile_expr(node.subject, scope) if node.subject is not None \
+        else None
+    child = scope.child(this_override=subject) if subject is not None else scope
+    expr = None
+    default = None
+    for pat, val in node.cases:
+        v = compile_expr(val, child)
+        if pat is None:
+            default = v
+            continue
+        if isinstance(pat, ast.Literal) and subject is not None:
+            cond = subject == _lit(pat.value)
+        else:
+            cond = compile_expr(pat, child)
+        expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+    if expr is None:
+        return default if default is not None else F.lit(None)
+    return expr.otherwise(default) if default is not None else expr
+
+
+# ---------------------------------------------------------------- functions
+
+def _compile_func(node: ast.FuncCall, scope: Scope):
+    name, args = node.name, node.args
+
+    def arg_col(i):
+        return compile_expr(args[i], scope)
+
+    if name == "deleted":
+        return _DELETED
+    if name == "nothing":
+        return _NOTHING
+    if name == "content":
+        return F.col("content")
+    if name == "json":
+        if not args:
+            return _resolve_this(scope, [])
+        path = str(_lit_arg(args[0], "json path"))
+        return _resolve_this(scope, path.split("."))
+    if name == "meta":
+        if not args:
+            return F.col(META_COL)
+        return F.col(META_COL)[str(_lit_arg(args[0], "meta key"))]
+    if name == "root_meta":
+        return _compile_func(ast.FuncCall("meta", args), scope)
+    if name == "error":
+        return F.col(ERROR_COL)
+    if name == "errored":
+        return F.col(ERROR_COL).isNotNull()
+    if name == "uuid_v4":
+        return F.expr("uuid()")
+    if name == "now":
+        return F.current_timestamp()
+    if name == "timestamp_unix":
+        return F.unix_timestamp(F.current_timestamp())
+    if name == "timestamp_unix_nano":
+        return F.unix_micros(F.current_timestamp()) * 1000
+    if name == "hostname":
+        import socket
+        return F.lit(socket.gethostname())
+    if name == "env":
+        import os
+        return F.lit(os.environ.get(str(_lit_arg(args[0], "env var"))))
+    if name == "random_int":
+        seed = _lit_arg(args[0], "random_int seed") if args else 0
+        return (F.rand(int(seed)) * (2 ** 31 - 1)).cast("long")
+    if name == "range":
+        start, stop = arg_col(0), arg_col(1)
+        step = arg_col(2) if len(args) > 2 else F.lit(1)
+        return F.filter(F.sequence(start, stop, step), lambda x: x != stop)
+    if name == "throw":
+        return F.raise_error(arg_col(0))
+    if name == "batch_index":
+        return F.col("part_index")
+    if name == "batch_size":
+        from pyspark.sql.window import Window
+        return F.count("*").over(Window.partitionBy("batch_id"))
+    if name == "count":
+        raise BloblangCompileError(
+            "count(): global arrival-order counters are non-deterministic "
+            "on a distributed engine (documented deviation, SURVEY §7); "
+            "use batch_index()/uuid_v4() or a stateful counter")
+    raise BloblangCompileError(f"unknown function {name}()")
+
+
+# ---------------------------------------------------------------- methods
+
+def _go_bool(v) -> bool:
+    return bool(v)
+
+
+def _compile_method(node: ast.Method, scope: Scope) -> Column:
+    import re as _re
+
+    name, args = node.name, node.args
+    target = compile_expr(node.target, scope)
+
+    def arg_col(i):
+        return compile_expr(args[i], scope)
+
+    def arg_lit(i, what="argument"):
+        return _lit_arg(args[i], f".{name}() {what}")
+
+    def lam1(i):
+        """Compile args[i] with `this` rebound to the lambda element."""
+        def fn(x):
+            return compile_expr(args[i], scope.child(this_override=x))
+        return fn
+
+    # --- general (methods.go) ---
+    if name == "or":
+        return F.coalesce(target, arg_col(0))
+    if name == "catch":
+        return F.coalesce(target, arg_col(0))
+    if name == "not_null":
+        return F.when(target.isNotNull(), target).otherwise(
+            F.raise_error(F.lit("value is null")))
+    if name == "type":
+        return F.typeof(target)
+    if name == "get":
+        path = str(arg_lit(0, "path"))
+        return _dig(target, path.split("."))
+    if name == "exists":
+        path = str(arg_lit(0, "path"))
+        return _dig(target, path.split(".")).isNotNull()
+    if name == "from":
+        raise BloblangCompileError(
+            ".from(i): cross-part reads map to window functions over "
+            "batch_id — use operators.batch helpers (documented)")
+    if name == "apply":
+        raise BloblangCompileError(
+            ".apply(): named maps are deferred in v1 (SURVEY §2.1.1)")
+    # --- coercions ---
+    if name == "number":
+        return target.try_cast("double")
+    if name == "bool":
+        return target.try_cast("boolean")
+    if name == "string":
+        return target.cast("string")
+    if name == "bytes":
+        return target.cast("binary")
+    if name == "timestamp" or name == "ts_parse" or name == "parse_timestamp":
+        return ts_fns.parse_timestamp(target, str(arg_lit(0, "layout"))) \
+            if args else F.to_timestamp(target)
+    # --- numbers (methods_numbers.go) ---
+    if name == "abs":
+        return F.abs(target)
+    if name == "ceil":
+        return F.ceil(target)
+    if name == "floor":
+        return F.floor(target)
+    if name == "round":
+        return F.round(target, int(arg_lit(0)) if args else 0)
+    if name == "log":
+        return F.log(F.lit(2.718281828459045), target)
+    if name == "log10":
+        return F.log10(target)
+    if name == "max":
+        return F.array_max(target)
+    if name == "min":
+        return F.array_min(target)
+    # --- strings (methods_strings.go) ---
+    if name == "capitalize":
+        return F.initcap(target)
+    if name == "uppercase":
+        return F.upper(target)
+    if name == "lowercase":
+        return F.lower(target)
+    if name == "trim":
+        return F.trim(F.lit(str(arg_lit(0))), target) if args else F.trim(target)
+    if name == "has_prefix":
+        return F.startswith(target, arg_col(0))
+    if name == "has_suffix":
+        return F.endswith(target, arg_col(0))
+    if name == "contains":
+        # string containment OR array membership (methods_structured.go:190)
+        if isinstance(args[0], ast.Literal) and \
+                isinstance(args[0].value, str):
+            return F.contains(target, arg_col(0))
+        return F.array_contains(target, arg_col(0))
+    if name == "index_of":
+        return F.instr(target, str(arg_lit(0, "substring"))) - 1
+    if name == "reverse":
+        return F.reverse(target)
+    if name == "split":
+        return F.split(target, _re.escape(str(arg_lit(0, "delimiter"))))
+    if name == "join":
+        return F.array_join(target, str(arg_lit(0, "delimiter")) if args else "")
+    if name == "replace":
+        return F.replace(target, arg_col(0), arg_col(1))
+    if name == "re_match":
+        return target.rlike(str(arg_lit(0, "pattern")))
+    if name == "re_find_all":
+        return F.regexp_extract_all(target, F.lit(str(arg_lit(0, "pattern"))),
+                                    F.lit(0))
+    if name == "re_replace":
+        return F.regexp_replace(target, str(arg_lit(0, "pattern")),
+                                str(arg_lit(1, "replacement")))
+    if name == "length":
+        # strings AND arrays share .length() in Bloblang
+        if _is_stringish(node.target):
+            return F.length(target)
+        return F.size(target)
+    if name == "slice":
+        lo = int(arg_lit(0))
+        hi = int(arg_lit(1)) if len(args) > 1 else None
+        if _is_stringish(node.target):
+            return F.substring(target, lo + 1,
+                               (hi - lo) if hi is not None else (1 << 30))
+        return F.slice(target, lo + 1, (hi - lo) if hi is not None else (1 << 30))
+    if name == "format":
+        return F.format_string(str(arg_lit(0, "template")),
+                               *[arg_col(i) for i in range(1, len(args))])
+    if name == "quote":
+        j = F.to_json(F.struct(target.cast("string").alias("v")))
+        return j.substr(F.lit(6), F.length(j) - 6)  # strip {"v": and }
+    if name == "encode":
+        codec = str(arg_lit(0, "codec"))
+        if codec == "base64":
+            return F.translate(F.base64(target.cast("binary")), "\r\n", "")
+        if codec == "hex":
+            return F.lower(F.hex(target.cast("binary")))
+        raise BloblangCompileError(f"encode codec {codec!r} unsupported")
+    if name == "decode":
+        codec = str(arg_lit(0, "codec"))
+        if codec == "base64":
+            return F.unbase64(target).cast("string")
+        if codec == "hex":
+            return F.unhex(target).cast("string")
+        raise BloblangCompileError(f"decode codec {codec!r} unsupported")
+    if name == "hash":
+        alg = str(arg_lit(0, "algorithm"))
+        if alg == "sha256":
+            return F.sha2(target.cast("binary"), 256)
+        if alg == "sha512":
+            return F.sha2(target.cast("binary"), 512)
+        if alg == "sha1":
+            return F.sha1(target.cast("binary"))
+        if alg == "md5":
+            return F.md5(target.cast("binary"))
+        if alg == "xxhash64":
+            return F.xxhash64(target).cast("string")
+        raise BloblangCompileError(f"hash algorithm {alg!r} unsupported")
+    if name == "strip_html":
+        return F.regexp_replace(target, r"<[^>]*>", "")
+    if name == "parse_json":
+        if args:
+            return F.from_json(target, str(arg_lit(0, "schema")))
+        raise BloblangCompileError(
+            ".parse_json() needs a schema argument in the columnar engine "
+            "(schema-on-read; use get/json() for ad-hoc paths)")
+    if name == "parse_timestamp_strptime":
+        return ts_fns.parse_timestamp_strptime(target, str(arg_lit(0)))
+    if name == "parse_timestamp_unix":
+        return ts_fns.parse_timestamp_unix(target)
+    if name == "format_timestamp":
+        return ts_fns.format_timestamp(target, str(arg_lit(0, "layout")))
+    if name == "format_timestamp_strftime":
+        return ts_fns.format_timestamp_strftime(target, str(arg_lit(0)))
+    if name == "format_timestamp_unix":
+        return ts_fns.format_timestamp_unix(target)
+    if name == "format_timestamp_unix_nano":
+        return ts_fns.format_timestamp_unix_nano(target)
+    # --- structured (methods_structured.go) ---
+    if name == "all":
+        return F.forall(target, lam1(0))
+    if name == "any":
+        return F.exists(target, lam1(0))
+    if name == "append":
+        return F.concat(target, F.array(*[arg_col(i) for i in range(len(args))]))
+    if name == "enumerated":
+        return F.transform(target, lambda x, i: F.struct(
+            i.alias("index"), x.alias("value")))
+    if name == "filter":
+        return F.filter(target, lam1(0))
+    if name == "flatten":
+        return F.flatten(target)
+    if name == "fold":
+        init = arg_col(0)
+
+        def fold_fn(acc, x):
+            bound = scope.child(named={"tally": acc, "value": x})
+            return compile_expr(args[1], bound)
+        return F.aggregate(target, init, fold_fn)
+    if name == "index":
+        i = int(arg_lit(0, "index"))
+        return F.element_at(target, i + 1 if i >= 0 else i)
+    if name == "keys":
+        return F.map_keys(target)
+    if name == "values":
+        return F.map_values(target)
+    if name == "key_values":
+        return F.map_entries(target)
+    if name == "map_each":
+        return F.transform(target, lam1(0))
+    if name == "map_each_key":
+        return F.transform_keys(target, lambda k, _v: compile_expr(
+            args[0], scope.child(this_override=k)))
+    if name == "merge":
+        other = arg_col(0)
+        return F.map_concat(
+            F.map_filter(target,
+                         lambda k, _: ~F.array_contains(F.map_keys(other), k)),
+            other)
+    if name == "not_empty":
+        return F.when(F.size(target) > 0, target).otherwise(
+            F.raise_error(F.lit("value is empty")))
+    if name == "sort":
+        return F.sort_array(target)
+    if name == "sum":
+        return F.aggregate(target, F.lit(0.0),
+                           lambda acc, x: acc + x.cast("double"))
+    if name == "unique":
+        return F.array_distinct(target)
+    if name == "without":
+        return target.dropFields(*[str(_lit_arg(a, "field"))
+                                   for a in args])
+    if name == "collapse":
+        raise BloblangCompileError(
+            ".collapse(): dot-keyed flattening is schema-dependent; "
+            "deferred (SURVEY §2.1.5)")
+    raise BloblangCompileError(f"unknown method .{name}()")
+
+
+# ---------------------------------------------------------------- executor
+
+class MappingExec:
+    """A compiled mapping: callable DataFrame → DataFrame.
+
+    Output columns = top-level root fields (nested assignments become
+    struct columns).  `root = this` starts from the identity projection.
+    Rows deleted via `root = deleted()` branches are filtered out.
+    """
+
+    def __init__(self, mapping: ast.Mapping, src: str = ""):
+        self.mapping = mapping
+        self.src = src
+
+    def apply(self, df: DataFrame, this: Column | None = None) -> DataFrame:
+        scope = Scope(this_col=this, root_fields={})
+        meta_updates: list[tuple[str | None, Column]] = []
+        drop_cond: Column | None = None
+        identity_base = False
+
+        for stmt in self.mapping.statements:
+            if isinstance(stmt, ast.LetAssign):
+                scope.variables[stmt.name] = compile_expr(stmt.value, scope)
+            elif isinstance(stmt, ast.MetaAssign):
+                meta_updates.append(
+                    (stmt.key, compile_expr(stmt.value, scope)))
+            elif isinstance(stmt, ast.RootAssign):
+                drop_here, value = self._root_value(stmt, scope, df, this)
+                if drop_here is not None:
+                    drop_cond = drop_here if drop_cond is None \
+                        else (drop_cond | drop_here)
+                if value is None:
+                    continue
+                if not stmt.path:
+                    if value == "__identity__":
+                        identity_base = True
+                        scope.root_fields.clear()
+                        for c in df.columns:
+                            scope.root_fields[c] = F.col(c)
+                    else:
+                        raise BloblangCompileError(
+                            "whole-document `root = <expr>` supports `this` "
+                            "(identity) in v1; assign fields explicitly")
+                else:
+                    tree = scope.root_fields
+                    for seg in stmt.path[:-1]:
+                        tree = tree.setdefault(seg, {})
+                        if isinstance(tree, Column):
+                            raise BloblangCompileError(
+                                f"root.{'.'.join(stmt.path)} under a non-object")
+                    if value is _DELETED_FIELD:
+                        tree.pop(stmt.path[-1], None)
+                    else:
+                        tree[stmt.path[-1]] = value
+            else:  # pragma: no cover
+                raise BloblangCompileError(f"unknown statement {stmt!r}")
+
+        out = df
+        if drop_cond is not None:
+            out = out.filter(~F.coalesce(drop_cond, F.lit(False)))
+        cols = []
+        for name, val in scope.root_fields.items():
+            col = _tree_to_struct(val) if isinstance(val, dict) else val
+            cols.append(col.alias(name))
+        if not cols:
+            raise BloblangCompileError("mapping assigns no root fields")
+        for key, val in meta_updates:
+            # meta updates ride along as extra output columns in row mode
+            cols.append(val.cast("string").alias(f"meta_{key or 'root'}"))
+        _ = identity_base
+        return out.select(*cols)
+
+    def _root_value(self, stmt: ast.RootAssign, scope: Scope,
+                    df: DataFrame, this: Column | None):
+        """Returns (drop_condition_or_None, value).  value may be the
+        _DELETED_FIELD sentinel (field removal), '__identity__', or a
+        Column; None value means statement fully handled (pure delete)."""
+        node = stmt.value
+        if isinstance(node, ast.FuncCall) and node.name == "deleted":
+            if not stmt.path:
+                return F.lit(True), None
+            return None, _DELETED_FIELD
+        if isinstance(node, ast.Context) and not node.path and not stmt.path:
+            return None, "__identity__"
+        if isinstance(node, ast.IfExpr) and not stmt.path:
+            # if cond { deleted() } else { this } — filter pattern
+            drop = None
+            keep_identity = False
+            for cond, val in node.branches:
+                if isinstance(val, ast.FuncCall) and val.name == "deleted":
+                    c = compile_expr(cond, scope)
+                    drop = c if drop is None else (drop | c)
+                elif isinstance(val, ast.Context) and not val.path:
+                    keep_identity = True
+                else:
+                    raise BloblangCompileError(
+                        "whole-root if supports deleted()/this branches in v1")
+            ow = node.otherwise
+            if ow is not None:
+                if isinstance(ow, ast.FuncCall) and ow.name == "deleted":
+                    raise BloblangCompileError(
+                        "unconditional otherwise-delete: invert the condition")
+                if isinstance(ow, ast.Context) and not ow.path:
+                    keep_identity = True
+            # no-else if yields nothing for non-matching rows → assignment
+            # skipped (mapping/executor.go:177-180); identity only when a
+            # branch explicitly assigns `this`
+            return drop, ("__identity__" if keep_identity else None)
+        # nothing() in if-branches: keep previous value of the target
+        if isinstance(node, ast.IfExpr) and stmt.path:
+            prior: Column | None
+            try:
+                prior = _root_lookup(scope, stmt.path)
+            except BloblangCompileError:
+                prior = F.lit(None)
+            expr = None
+            for cond, val in node.branches:
+                c = compile_expr(cond, scope)
+                if isinstance(val, ast.FuncCall) and val.name == "nothing":
+                    v = prior
+                else:
+                    v = compile_expr(val, scope)
+                expr = F.when(c, v) if expr is None else expr.when(c, v)
+            ow = node.otherwise
+            if ow is None:
+                expr = expr.otherwise(prior)
+            elif isinstance(ow, ast.FuncCall) and ow.name == "nothing":
+                expr = expr.otherwise(prior)
+            else:
+                expr = expr.otherwise(compile_expr(ow, scope))
+            return None, expr
+        return None, compile_expr(node, scope)
+
+
+_DELETED_FIELD = object()
+
+
+def compile_mapping(src: str) -> MappingExec:
+    """Parse + compile a Bloblang mapping (ParseMapping,
+    mapping_parser.go:21 → one Spark projection)."""
+    return MappingExec(parse_mapping(src), src)
+
+
+def map_text(df: DataFrame, src: str, this: Column | None = None) -> DataFrame:
+    """One-shot: apply a Bloblang mapping to a DataFrame.
+
+    Row mode (this=None): `this.foo` reads column `foo`.
+    Document mode: pass `this=F.from_json(F.col('content'), schema)`.
+    """
+    return compile_mapping(src).apply(df, this=this)

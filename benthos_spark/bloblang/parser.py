@@ -1,0 +1,470 @@
+"""Bloblang parser: tokenizer + recursive descent.
+
+Reference grammar: internal/bloblang/parser/{mapping_parser.go:51-65,
+query_parser.go, query_arithmetic_parser.go (precedence climbing),
+query_expression_parser.go (if/match), query_literal_parser.go,
+query_function_parser.go (functions, methods, dot chains)}.  The
+reference uses hand-rolled parser combinators (parser/combinators.go);
+this is an equivalent hand-rolled recursive-descent parser producing
+the AST in bloblang/ast.py.
+
+Supported surface (v1): root/meta/let assignments, literals, arrays,
+objects, `this`/`root`/`$var`/relative paths, function calls, method
+chains, field access, arithmetic/comparison/boolean/coalesce operators,
+unary !/-, if and match expressions, comments, quoted path segments.
+Named maps (`map x {}`) and `import` are deliberately deferred.
+"""
+
+from __future__ import annotations
+
+import re
+
+from benthos_spark.bloblang import ast
+
+
+class BloblangParseError(ValueError):
+    def __init__(self, msg: str, line: int, col: int):
+        super().__init__(f"line {line}:{col}: {msg}")
+        self.line = line
+        self.col = col
+
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>[ \t\r]+)
+  | (?P<comment>\#[^\n]*)
+  | (?P<newline>\n)
+  | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<string>"(?:\\.|[^"\\])*")
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>==|!=|>=|<=|&&|\|\||=>|[-+*/%=<>!|.,:()\[\]{}_])
+""", re.VERBOSE)
+
+_KEYWORDS = {"root", "meta", "let", "if", "else", "match", "true", "false",
+             "null", "this", "not_used_map", "import"}
+
+
+class _Tok:
+    __slots__ = ("kind", "text", "line", "col")
+
+    def __init__(self, kind: str, text: str, line: int, col: int):
+        self.kind = kind
+        self.text = text
+        self.line = line
+        self.col = col
+
+    def __repr__(self):  # pragma: no cover
+        return f"Tok({self.kind},{self.text!r})"
+
+
+def _tokenize(src: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    line, col, i = 1, 1, 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise BloblangParseError(f"unexpected character {src[i]!r}", line, col)
+        kind = m.lastgroup
+        text = m.group()
+        if kind == "newline":
+            toks.append(_Tok("NEWLINE", "\n", line, col))
+            line += 1
+            col = 1
+        else:
+            if kind not in ("ws", "comment"):
+                toks.append(_Tok(kind.upper(), text, line, col))
+            col += len(text)
+        i = m.end()
+    toks.append(_Tok("EOF", "", line, col))
+    return toks
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return (body.replace(r"\"", '"').replace(r"\n", "\n")
+                .replace(r"\t", "\t").replace(r"\\", "\\"))
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _tokenize(src)
+        self.pos = 0
+        self.depth = 0  # bracket depth; newlines are soft when > 0
+
+    # ---- token plumbing ----
+
+    def peek(self, skip_nl: bool | None = None) -> _Tok:
+        skip = self.depth > 0 if skip_nl is None else skip_nl
+        p = self.pos
+        while skip and self.toks[p].kind == "NEWLINE":
+            p += 1
+        return self.toks[p]
+
+    def next(self, skip_nl: bool | None = None) -> _Tok:
+        skip = self.depth > 0 if skip_nl is None else skip_nl
+        while skip and self.toks[self.pos].kind == "NEWLINE":
+            self.pos += 1
+        tok = self.toks[self.pos]
+        self.pos += 1
+        return tok
+
+    def expect(self, kind: str, text: str | None = None,
+               skip_nl: bool | None = None) -> _Tok:
+        tok = self.next(skip_nl)
+        if tok.kind != kind or (text is not None and tok.text != text):
+            want = text or kind
+            raise BloblangParseError(
+                f"expected {want!r}, found {tok.text!r}", tok.line, tok.col)
+        return tok
+
+    def accept(self, kind: str, text: str | None = None) -> _Tok | None:
+        tok = self.peek()
+        if tok.kind == kind and (text is None or tok.text == text):
+            return self.next()
+        return None
+
+    def _err(self, msg: str) -> BloblangParseError:
+        tok = self.peek()
+        return BloblangParseError(msg + f" (found {tok.text!r})",
+                                  tok.line, tok.col)
+
+    # ---- statements (mapping_parser.go:51-65) ----
+
+    def parse_mapping(self) -> ast.Mapping:
+        stmts: list[ast.Statement] = []
+        while True:
+            while self.accept("NEWLINE"):
+                pass
+            if self.peek(skip_nl=False).kind == "EOF":
+                break
+            stmts.append(self.parse_statement())
+            tok = self.peek(skip_nl=False)
+            if tok.kind not in ("NEWLINE", "EOF"):
+                raise BloblangParseError(
+                    f"expected end of statement, found {tok.text!r}",
+                    tok.line, tok.col)
+        return ast.Mapping(stmts)
+
+    def parse_statement(self) -> ast.Statement:
+        tok = self.peek()
+        if tok.kind == "IDENT" and tok.text == "root":
+            self.next()
+            path = self._parse_path_tail()
+            self.expect("OP", "=")
+            return ast.RootAssign(path, self.parse_expr())
+        if tok.kind == "IDENT" and tok.text == "meta":
+            self.next()
+            key = None
+            nxt = self.peek()
+            if nxt.kind == "IDENT":
+                key = self.next().text
+            elif nxt.kind == "STRING":
+                key = _unquote(self.next().text)
+            self.expect("OP", "=")
+            return ast.MetaAssign(key, self.parse_expr())
+        if tok.kind == "IDENT" and tok.text == "let":
+            self.next()
+            name = self.expect("IDENT").text
+            self.expect("OP", "=")
+            return ast.LetAssign(name, self.parse_expr())
+        raise BloblangParseError(
+            f"expected 'root', 'meta' or 'let' statement, found {tok.text!r}",
+            tok.line, tok.col)
+
+    def _parse_path_tail(self) -> list[str]:
+        path: list[str] = []
+        while self.accept("OP", "."):
+            seg = self.next()
+            if seg.kind == "IDENT":
+                path.append(seg.text)
+            elif seg.kind == "STRING":
+                path.append(_unquote(seg.text))
+            else:
+                raise BloblangParseError(
+                    f"expected path segment, found {seg.text!r}",
+                    seg.line, seg.col)
+        return path
+
+    # ---- expressions: precedence climbing ----
+    # (query_arithmetic_parser.go; pipe lowest, then ||, &&, comparisons,
+    #  additive, multiplicative — matching the reference's resolution)
+
+    def parse_expr(self) -> ast.Node:
+        return self._parse_pipe()
+
+    def _parse_pipe(self) -> ast.Node:
+        left = self._parse_or()
+        while self.accept("OP", "|"):
+            left = ast.Binary("|", left, self._parse_or())
+        return left
+
+    def _parse_or(self) -> ast.Node:
+        left = self._parse_and()
+        while self.accept("OP", "||"):
+            left = ast.Binary("||", left, self._parse_and())
+        return left
+
+    def _parse_and(self) -> ast.Node:
+        left = self._parse_cmp()
+        while self.accept("OP", "&&"):
+            left = ast.Binary("&&", left, self._parse_cmp())
+        return left
+
+    def _parse_cmp(self) -> ast.Node:
+        left = self._parse_add()
+        while True:
+            tok = self.peek()
+            if tok.kind == "OP" and tok.text in ("==", "!=", ">", "<", ">=", "<="):
+                self.next()
+                left = ast.Binary(tok.text, left, self._parse_add())
+            else:
+                return left
+
+    def _parse_add(self) -> ast.Node:
+        left = self._parse_mul()
+        while True:
+            tok = self.peek()
+            if tok.kind == "OP" and tok.text in ("+", "-"):
+                self.next()
+                left = ast.Binary(tok.text, left, self._parse_mul())
+            else:
+                return left
+
+    def _parse_mul(self) -> ast.Node:
+        left = self._parse_unary()
+        while True:
+            tok = self.peek()
+            if tok.kind == "OP" and tok.text in ("*", "/", "%"):
+                self.next()
+                left = ast.Binary(tok.text, left, self._parse_unary())
+            else:
+                return left
+
+    def _parse_unary(self) -> ast.Node:
+        tok = self.peek()
+        if tok.kind == "OP" and tok.text == "!":
+            self.next()
+            return ast.Unary("!", self._parse_unary())
+        if tok.kind == "OP" and tok.text == "-":
+            self.next()
+            return ast.Unary("-", self._parse_unary())
+        return self._parse_postfix()
+
+    def _parse_postfix(self) -> ast.Node:
+        node = self._parse_primary()
+        while True:
+            if self.accept("OP", "."):
+                seg = self.next()
+                if seg.kind not in ("IDENT", "STRING"):
+                    raise BloblangParseError(
+                        f"expected field or method name, found {seg.text!r}",
+                        seg.line, seg.col)
+                name = _unquote(seg.text) if seg.kind == "STRING" else seg.text
+                if self.peek(skip_nl=False).kind == "OP" and \
+                        self.peek(skip_nl=False).text == "(":
+                    node = ast.Method(node, name, self._parse_args())
+                else:
+                    node = ast.FieldAccess(node, name)
+            else:
+                return node
+
+    def _parse_args(self) -> list[ast.Node]:
+        self.expect("OP", "(")
+        self.depth += 1
+        args: list[ast.Node] = []
+        if not (self.peek().kind == "OP" and self.peek().text == ")"):
+            args.append(self.parse_expr())
+            while self.accept("OP", ","):
+                args.append(self.parse_expr())
+        self.depth -= 1
+        self.expect("OP", ")", skip_nl=True)
+        return args
+
+    def _parse_primary(self) -> ast.Node:
+        tok = self.peek()
+        if tok.kind == "NUMBER":
+            self.next()
+            text = tok.text
+            return ast.Literal(float(text) if ("." in text or "e" in text
+                                               or "E" in text) else int(text))
+        if tok.kind == "STRING":
+            self.next()
+            return ast.Literal(_unquote(tok.text))
+        if tok.kind == "VAR":
+            self.next()
+            return ast.VarRef(tok.text[1:])
+        if tok.kind == "OP" and tok.text == "(":
+            self.next()
+            self.depth += 1
+            inner = self.parse_expr()
+            self.depth -= 1
+            self.expect("OP", ")", skip_nl=True)
+            return inner
+        if tok.kind == "OP" and tok.text == "[":
+            return self._parse_array()
+        if tok.kind == "OP" and tok.text == "{":
+            return self._parse_object()
+        if tok.kind == "IDENT":
+            return self._parse_ident()
+        raise self._err("expected expression")
+
+    def _parse_array(self) -> ast.Node:
+        self.expect("OP", "[")
+        self.depth += 1
+        items: list[ast.Node] = []
+        if not (self.peek().kind == "OP" and self.peek().text == "]"):
+            items.append(self.parse_expr())
+            while self.accept("OP", ","):
+                if self.peek().kind == "OP" and self.peek().text == "]":
+                    break  # trailing comma
+                items.append(self.parse_expr())
+        self.depth -= 1
+        self.expect("OP", "]", skip_nl=True)
+        return ast.ArrayLit(items)
+
+    def _parse_object(self) -> ast.Node:
+        self.expect("OP", "{")
+        self.depth += 1
+        entries: list[tuple[ast.Node, ast.Node]] = []
+        if not (self.peek().kind == "OP" and self.peek().text == "}"):
+            entries.append(self._parse_object_entry())
+            while self.accept("OP", ","):
+                if self.peek().kind == "OP" and self.peek().text == "}":
+                    break
+                entries.append(self._parse_object_entry())
+        self.depth -= 1
+        self.expect("OP", "}", skip_nl=True)
+        return ast.ObjectLit(entries)
+
+    def _parse_object_entry(self) -> tuple[ast.Node, ast.Node]:
+        keytok = self.peek()
+        if keytok.kind == "STRING":
+            self.next()
+            key: ast.Node = ast.Literal(_unquote(keytok.text))
+        elif keytok.kind == "IDENT":
+            self.next()
+            key = ast.Literal(keytok.text)
+        else:
+            raise self._err("expected object key")
+        self.expect("OP", ":")
+        return key, self.parse_expr()
+
+    def _parse_ident(self) -> ast.Node:
+        tok = self.next()
+        name = tok.text
+        if name == "true":
+            return ast.Literal(True)
+        if name == "false":
+            return ast.Literal(False)
+        if name == "null":
+            return ast.Literal(None)
+        if name == "if":
+            return self._parse_if()
+        if name == "match":
+            return self._parse_match()
+        if name == "this":
+            return ast.Context(self._peek_path_tail())
+        if name == "root":
+            return ast.RootRef(self._peek_path_tail())
+        # function call?
+        nxt = self.peek(skip_nl=False)
+        if nxt.kind == "OP" and nxt.text == "(":
+            return ast.FuncCall(name, self._parse_args())
+        # bare relative path == this.<name>[.more] — but a bare ident
+        # followed by '.' could also be method chain on the field; the
+        # postfix loop handles that, so just return the head here.
+        return ast.Context([name])
+
+    def _peek_path_tail(self) -> list[str]:
+        """Path tail after this/root, but stop before method calls:
+        `this.foo.bar.uppercase()` — foo.bar is path, uppercase() is a
+        method handled by the postfix loop."""
+        path: list[str] = []
+        while True:
+            save = self.pos
+            if not self.accept("OP", "."):
+                return path
+            seg = self.peek(skip_nl=False)
+            if seg.kind not in ("IDENT", "STRING"):
+                self.pos = save
+                return path
+            after = self.toks[self.pos + 1] if self.pos + 1 < len(self.toks) else None
+            if after is not None and after.kind == "OP" and after.text == "(":
+                self.pos = save  # it's a method call — leave for postfix
+                return path
+            self.next()
+            path.append(_unquote(seg.text) if seg.kind == "STRING" else seg.text)
+
+    def _parse_if(self) -> ast.Node:
+        branches: list[tuple[ast.Node, ast.Node]] = []
+        cond = self.parse_expr()
+        val = self._parse_block()
+        branches.append((cond, val))
+        otherwise = None
+        while True:
+            save = self.pos
+            if self.accept("IDENT", "else"):
+                if self.accept("IDENT", "if"):
+                    c = self.parse_expr()
+                    v = self._parse_block()
+                    branches.append((c, v))
+                    continue
+                otherwise = self._parse_block()
+                break
+            self.pos = save
+            break
+        return ast.IfExpr(branches, otherwise)
+
+    def _parse_block(self) -> ast.Node:
+        self.expect("OP", "{", skip_nl=True)
+        self.depth += 1
+        val = self.parse_expr()
+        self.depth -= 1
+        self.expect("OP", "}", skip_nl=True)
+        return val
+
+    def _parse_match(self) -> ast.Node:
+        subject = None
+        nxt = self.peek()
+        if not (nxt.kind == "OP" and nxt.text == "{"):
+            subject = self.parse_expr()
+        self.expect("OP", "{", skip_nl=True)
+        self.depth += 1
+        cases: list[tuple[ast.Node | None, ast.Node]] = []
+        while True:
+            nxt = self.peek()
+            if nxt.kind == "OP" and nxt.text == "}":
+                break
+            if nxt.text == "_" and nxt.kind in ("IDENT", "OP"):
+                self.next()
+                pat: ast.Node | None = None
+            else:
+                pat = self.parse_expr()
+            self.expect("OP", "=>")
+            val = self.parse_expr()
+            cases.append((pat, val))
+            if not self.accept("OP", ","):
+                break
+        self.depth -= 1
+        self.expect("OP", "}", skip_nl=True)
+        return ast.MatchExpr(subject, cases)
+
+
+def parse_mapping(src: str) -> ast.Mapping:
+    """Parse a Bloblang mapping into an AST (ParseMapping,
+    mapping_parser.go:21)."""
+    return _Parser(src).parse_mapping()
+
+
+def parse_query(src: str) -> ast.Node:
+    """Parse a single query expression (benthos blobl-style)."""
+    p = _Parser(src)
+    node = p.parse_expr()
+    tok = p.peek(skip_nl=False)
+    while tok.kind == "NEWLINE":
+        p.next(skip_nl=False)
+        tok = p.peek(skip_nl=False)
+    if tok.kind != "EOF":
+        raise BloblangParseError(f"trailing input {tok.text!r}",
+                                 tok.line, tok.col)
+    return node

@@ -1,0 +1,282 @@
+"""Bloblang parser + compiler tests.
+
+Golden-case style mirrors the reference's table-driven parser/executor
+tests (internal/bloblang/mapping/executor_test.go,
+parser/mapping_parser_test.go) — inputs and expected outputs written
+fresh for this engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.bloblang import (BloblangParseError, compile_mapping,
+                                    map_text, parse_mapping)
+from benthos_spark.bloblang.compiler import BloblangCompileError
+
+
+def rows(spark, data, schema):
+    return spark.createDataFrame(data, schema)
+
+
+# ---- parser ----
+
+def test_parse_statements():
+    m = parse_mapping("""
+# a comment
+root.out = this.foo
+let x = 5
+meta topic = "t"
+root.nested.deep = $x + 1
+""")
+    kinds = [type(s).__name__ for s in m.statements]
+    assert kinds == ["RootAssign", "LetAssign", "MetaAssign", "RootAssign"]
+
+
+def test_parse_errors_have_position():
+    with pytest.raises(BloblangParseError, match=r"line \d+:\d+"):
+        parse_mapping("root.x = ")
+    with pytest.raises(BloblangParseError):
+        parse_mapping("bogus statement here")
+
+
+# ---- mapping execution: projection ----
+
+def test_basic_projection(spark):
+    df = rows(spark, [(1, "ab"), (2, "cd")], "id INT, s STRING")
+    out = map_text(df, """
+root.ident = this.id
+root.up = this.s.uppercase()
+root.twice = this.id * 2
+""")
+    got = {r.ident: (r.up, r.twice) for r in out.collect()}
+    assert got == {1: ("AB", 2), 2: ("CD", 4)}
+
+
+def test_arithmetic_and_precedence(spark):
+    df = rows(spark, [(10,)], "v INT")
+    out = map_text(df, "root.r = this.v + 2 * 3 - 1")
+    assert out.collect()[0].r == 15
+
+
+def test_string_concat_plus(spark):
+    df = rows(spark, [("x",)], "s STRING")
+    out = map_text(df, 'root.r = "pre_" + this.s + "_post"')
+    assert out.collect()[0].r == "pre_x_post"
+
+
+def test_coalesce_pipe_and_or_method(spark):
+    df = rows(spark, [(None, 5)], "a INT, b INT")
+    out = map_text(df, """
+root.p = this.a | this.b
+root.o = this.a.or(99)
+""")
+    r = out.collect()[0]
+    assert (r.p, r.o) == (5, 99)
+
+
+def test_if_else_chain(spark):
+    df = rows(spark, [(1,), (5,), (20,)], "v INT")
+    out = map_text(df, """
+root.v = this.v
+root.band = if this.v < 3 { "low" } else if this.v < 10 { "mid" } else { "high" }
+""")
+    got = {r.v: r.band for r in out.collect()}
+    assert got == {1: "low", 5: "mid", 20: "high"}
+
+
+def test_match_literal_and_default(spark):
+    df = rows(spark, [("a",), ("b",), ("z",)], "k STRING")
+    out = map_text(df, """
+root.k = this.k
+root.m = match this.k {
+  "a" => "alpha",
+  "b" => "beta",
+  _ => "other",
+}
+""")
+    got = {r.k: r.m for r in out.collect()}
+    assert got == {"a": "alpha", "b": "beta", "z": "other"}
+
+
+def test_match_bool_cases_rebind_this(spark):
+    df = rows(spark, [(2,), (7,)], "v INT")
+    out = map_text(df, """
+root.v = this.v
+root.m = match this.v { this < 5 => "small", _ => "big" }
+""")
+    got = {r.v: r.m for r in out.collect()}
+    assert got == {2: "small", 7: "big"}
+
+
+def test_let_variables_inline(spark):
+    df = rows(spark, [(3,)], "v INT")
+    out = map_text(df, """
+let double = this.v * 2
+root.a = $double
+root.b = $double + 1
+""")
+    r = out.collect()[0]
+    assert (r.a, r.b) == (6, 7)
+
+
+def test_root_reads_prior_assignment(spark):
+    df = rows(spark, [(4,)], "v INT")
+    out = map_text(df, """
+root.a = this.v + 1
+root.b = root.a * 10
+""")
+    r = out.collect()[0]
+    assert (r.a, r.b) == (5, 50)
+
+
+def test_nested_root_builds_struct(spark):
+    df = rows(spark, [(1, "x")], "id INT, s STRING")
+    out = map_text(df, """
+root.doc.id = this.id
+root.doc.name = this.s
+root.flat = this.id
+""")
+    r = out.collect()[0]
+    assert r.doc.asDict() == {"id": 1, "name": "x"}
+    assert r.flat == 1
+
+
+def test_root_deleted_filters_rows(spark):
+    df = rows(spark, [(1,), (2,), (3,)], "v INT")
+    out = map_text(df, """
+root = if this.v == 2 { deleted() }
+root.v = this.v
+""")
+    assert sorted(r.v for r in out.collect()) == [1, 3]
+
+
+def test_field_deleted_removes_column(spark):
+    df = rows(spark, [(1, "x")], "id INT, s STRING")
+    out = map_text(df, """
+root = this
+root.s = deleted()
+""")
+    assert out.columns == ["id"]
+
+
+def test_nothing_keeps_previous(spark):
+    df = rows(spark, [(1,), (9,)], "v INT")
+    out = map_text(df, """
+root.x = this.v * 100
+root.x = if this.v > 5 { nothing() } else { -1 }
+""")
+    got = sorted((r.v if False else None, r.x) for r in out.collect())
+    xs = sorted(r.x for r in out.collect())
+    assert xs == [-1, 900]
+    _ = got
+
+
+def test_identity_root_then_override(spark):
+    df = rows(spark, [(1, "a")], "id INT, s STRING")
+    out = map_text(df, """
+root = this
+root.extra = this.id + 100
+""")
+    r = out.collect()[0]
+    assert (r.id, r.s, r.extra) == (1, "a", 101)
+
+
+def test_array_object_literals_and_methods(spark):
+    df = rows(spark, [(2,)], "v INT")
+    out = map_text(df, """
+root.arr = [this.v, this.v * 2, 9].sort()
+root.obj = {"a": this.v, "b": "lit"}
+root.total = [1, 2, 3].sum()
+root.evens = [1, 2, 3, 4].filter(this % 2 == 0)
+root.mapped = [1, 2].map_each(this + 10)
+""")
+    r = out.collect()[0]
+    assert r.arr == [2, 4, 9]
+    assert r.obj.asDict() == {"a": 2, "b": "lit"}
+    assert r.total == 6.0
+    assert r.evens == [2, 4]
+    assert r.mapped == [11, 12]
+
+
+def test_fold_tally_value(spark):
+    df = rows(spark, [(0,)], "z INT")
+    out = map_text(df, "root.s = [1, 2, 3, 4].fold(0, tally + value)")
+    assert out.collect()[0].s == 10
+
+
+def test_string_method_chain(spark):
+    df = rows(spark, [(" Hello World ",)], "s STRING")
+    out = map_text(df, 'root.r = this.s.trim().lowercase().replace("world", "benthos")')
+    assert out.collect()[0].r == "hello benthos"
+
+
+def test_hash_encode_methods(spark):
+    import hashlib
+    df = rows(spark, [("data",)], "s STRING")
+    out = map_text(df, """
+root.h = this.s.hash("sha256")
+root.b = this.s.encode("base64")
+""")
+    r = out.collect()[0]
+    assert r.h == hashlib.sha256(b"data").hexdigest()
+    assert r.b == "ZGF0YQ=="
+
+
+def test_timestamp_methods_via_mapping(spark):
+    df = rows(spark, [("2024-03-05 06:07:08",)], "t STRING")
+    out = map_text(df, """
+root.parsed = this.t.parse_timestamp("2006-01-02 15:04:05")
+root.day = this.t.parse_timestamp("2006-01-02 15:04:05").format_timestamp_strftime("%Y-%m-%d")
+root.unix = this.t.parse_timestamp("2006-01-02 15:04:05").format_timestamp_unix()
+""")
+    r = out.collect()[0]
+    assert str(r.parsed) == "2024-03-05 06:07:08"
+    assert r.day == "2024-03-05"
+    assert r.unix == 1709618828
+
+
+def test_number_coercion_and_catch(spark):
+    df = rows(spark, [("5.5",), ("bad",)], "s STRING")
+    out = map_text(df, 'root.n = this.s.number().catch(-1)')
+    assert sorted(r.n for r in out.collect()) == [-1.0, 5.5]
+
+
+def test_meta_assignment_rides_along(spark):
+    df = rows(spark, [(1,)], "id INT")
+    out = map_text(df, """
+root.id = this.id
+meta topic = "events_" + this.id.string()
+""")
+    r = out.collect()[0]
+    assert r.meta_topic == "events_1"
+
+
+def test_document_mode_with_json_content(spark):
+    df = rows(spark, [('{"user":{"name":"ann","score":3}}',)],
+              "content STRING")
+    this = F.from_json(F.col("content"),
+                       "user STRUCT<name STRING, score INT>")
+    out = map_text(df, """
+root.who = this.user.name.uppercase()
+root.bumped = this.user.score + 1
+""", this=this)
+    r = out.collect()[0]
+    assert (r.who, r.bumped) == ("ANN", 4)
+
+
+def test_unknown_function_and_method_errors():
+    with pytest.raises(BloblangCompileError, match="unknown function"):
+        compile_mapping("root.x = wat()").apply(None)
+    with pytest.raises(BloblangCompileError, match="unknown method"):
+        compile_mapping("root.x = this.a.wat()").apply(None)
+
+
+def test_count_documented_deviation():
+    with pytest.raises(BloblangCompileError, match="non-deterministic"):
+        compile_mapping('root.x = count("c")').apply(None)
+
+
+def test_variable_unknown_error():
+    with pytest.raises(BloblangCompileError, match=r"unknown variable \$y"):
+        compile_mapping("root.x = $y").apply(None)
