@@ -520,6 +520,47 @@ root = if this.event_id % 7 == 0 { deleted() }
 
 
 # ================================================================
+# 17c. YAML config front-end (SURVEY §3.1): `benthos -c config.yaml`
+#      → one Catalyst plan (input → processors → output).
+# ================================================================
+
+@_register("yaml_config_stream", oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS lane,
+       upper(o_orderpriority) AS prio
+FROM orders
+WHERE o_orderstatus = 'O' AND o_orderkey % 10 <> 0
+""")
+def yaml_config_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.stream import run_stream
+    return run_stream(spark, f"""
+input:
+  file:
+    paths: ["{sf_dir}/orders.parquet"]
+pipeline:
+  processors:
+    - filter: this.o_orderstatus == "O"
+    - bloblang: |
+        root = this
+        root = if this.o_orderkey % 10 == 0 {{ deleted() }}
+    - switch:
+        - check: this.o_totalprice > 200000
+          processors:
+            - bloblang: |
+                root.o_orderkey = this.o_orderkey
+                root.lane = "big"
+                root.prio = this.o_orderpriority.uppercase()
+        - processors:
+            - bloblang: |
+                root.o_orderkey = this.o_orderkey
+                root.lane = "small"
+                root.prio = this.o_orderpriority.uppercase()
+output:
+  memory: {{}}
+""")
+
+
+# ================================================================
 # 18. String methods sweep (methods_strings.go §2.1.4).
 # ================================================================
 

@@ -1,0 +1,205 @@
+"""YAML config front-end: a Benthos-shaped config → one Spark plan.
+
+Reference lifecycle (SURVEY §3.1): `benthos -c config.yaml` →
+readConfig (lib/config/config.go:22-31) → stream.New builds
+input → buffer → pipeline → output (lib/stream/type.go:141-182) wired
+by Go channels.  Here the same config shape compiles to a single
+DataFrame DAG: input → transformations → sink, optimized end-to-end by
+Catalyst; acks/retries/checkpoints are Structured Streaming's.
+
+Supported config surface (v1 — the analytics-relevant core):
+
+    input:
+      file: {paths: [p], format: parquet|csv|lines, header: bool}
+      generate: {count: N, mapping: "<bloblang>"}
+      broker: {inputs: [<input>, ...]}           # fan-in union
+    pipeline:
+      processors:
+        - bloblang: "<mapping>"
+        - filter: "<bloblang bool query>"        # legacy condition form
+        - bounds_check: {field: col|query, min: n, max: n}
+        - sample: {retain: pct, seed: n}
+        - hash_sample: {field: col, retain_min: pct, retain_max: pct}
+        - dedupe: {key: [cols], order_by: [cols]}
+        - split: {size: n, order_by: [cols]}
+        - select_parts: {parts: [i, ...]}
+        - switch: [{check: "<bool>", processors: [...]}, ...]
+        - group_by_value: {value: col}
+    output:
+      memory: {}                                  # return the DataFrame
+      file: {path: dir, format: parquet|csv}
+      stdout: {}                                  # console/show
+      drop: {}
+
+Unknown sections raise with the component name, mirroring the
+reference's config lint (internal/docs, run.go:194-200).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import yaml
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from benthos_spark.bloblang import map_text
+from benthos_spark.bloblang.compiler import Scope, compile_expr
+from benthos_spark.bloblang.parser import parse_query
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def compile_condition(src: str) -> Column:
+    """Compile a Bloblang boolean query (condition form,
+    lib/condition/bloblang.go:18) to a row-mode Column."""
+    node = parse_query(src)
+    return compile_expr(node, Scope(this_col=None, root_fields={}))
+
+
+def load_config(text_or_path: str) -> dict:
+    """Parse a YAML config (readConfig, lib/config/config.go)."""
+    if "\n" not in text_or_path and text_or_path.endswith((".yaml", ".yml")):
+        with open(text_or_path) as fh:
+            return yaml.safe_load(fh)
+    return yaml.safe_load(text_or_path)
+
+
+# ---------------------------------------------------------------- inputs
+
+def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
+    if not isinstance(conf, dict) or len(conf) != 1:
+        raise ConfigError(f"input: expected one component, got {conf!r}")
+    (kind, spec), = conf.items()
+    spec = spec or {}
+    if kind == "file":
+        paths = spec.get("paths") or [spec["path"]]
+        fmt = spec.get("format", "parquet")
+        if fmt == "parquet":
+            return spark.read.parquet(*paths)
+        if fmt == "csv":
+            return (spark.read.option("header", spec.get("header", True))
+                    .option("sep", spec.get("delimiter", ","))
+                    .csv(paths))
+        if fmt == "lines":
+            from benthos_spark.sources.files import read_file_lines
+            return read_file_lines(spark, paths[0])
+        raise ConfigError(f"input.file.format {fmt!r} unsupported")
+    if kind == "generate":
+        from benthos_spark.sources.generate import generate
+        df = generate(spark, int(spec.get("count", 0)))
+        mapping = spec.get("mapping")
+        return map_text(df, mapping) if mapping else df
+    if kind == "broker":
+        dfs = [_build_input(spark, c) for c in spec["inputs"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+    raise ConfigError(f"unknown input type {kind!r} "
+                      "(supported: file, generate, broker)")
+
+
+# ---------------------------------------------------------------- processors
+
+def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
+    from benthos_spark.operators import (bounds_check, dedupe, hash_sample,
+                                         sample, select_parts, split_batches)
+    from benthos_spark.operators.routing import switch_branches
+
+    if isinstance(conf, dict) and len(conf) == 1:
+        (kind, spec), = conf.items()
+    else:
+        raise ConfigError(f"processor: expected one component, got {conf!r}")
+    spec = {} if spec is None else spec
+
+    if kind == "bloblang":
+        return map_text(df, str(spec))
+    if kind == "filter":
+        return df.filter(compile_condition(str(spec)))
+    if kind == "bounds_check":
+        fld = compile_condition(str(spec["field"]))
+        return bounds_check(df, fld, int(spec.get("min", 0)),
+                            int(spec.get("max", 2 ** 31 - 1)))
+    if kind == "sample":
+        return sample(df, float(spec["retain"]) / 100.0,
+                      seed=int(spec.get("seed", 0)))
+    if kind == "hash_sample":
+        return hash_sample(df, F.col(spec["field"]),
+                           float(spec.get("retain_min", 0.0)),
+                           float(spec.get("retain_max", 10.0)))
+    if kind == "dedupe":
+        order = [F.col(c) for c in spec.get("order_by", [])] or None
+        return dedupe(df, list(spec["key"]), order_by=order)
+    if kind == "split":
+        return split_batches(df, int(spec["size"]),
+                             [F.col(c) for c in spec["order_by"]])
+    if kind == "select_parts":
+        return select_parts(df, [int(i) for i in spec["parts"]])
+    if kind == "switch":
+        cases = []
+        for case in spec:
+            check = case.get("check")
+            cond = compile_condition(str(check)) if check else None
+            procs = case.get("processors", [])
+
+            def pipeline(d, procs=procs):
+                for p in procs:
+                    d = _apply_processor(d, p)
+                return d
+            cases.append((cond, pipeline))
+        return switch_branches(df, cases)
+    if kind == "group_by_value":
+        from benthos_spark.operators import group_by_value
+        return group_by_value(df, spec["value"])
+    raise ConfigError(f"unknown processor type {kind!r}")
+
+
+# ---------------------------------------------------------------- outputs
+
+def _run_output(df: DataFrame, conf: dict | None):
+    conf = conf or {"memory": {}}
+    if not isinstance(conf, dict) or len(conf) != 1:
+        raise ConfigError(f"output: expected one component, got {conf!r}")
+    (kind, spec), = conf.items()
+    spec = spec or {}
+    if kind == "memory":
+        return df
+    if kind == "file":
+        fmt = spec.get("format", "parquet")
+        writer = df.write.mode(spec.get("mode", "overwrite"))
+        if part := spec.get("partition_by"):
+            writer = writer.partitionBy(*part)
+        writer.format(fmt).save(spec["path"])
+        return df
+    if kind == "stdout":
+        df.show(int(spec.get("limit", 20)), truncate=False)
+        return df
+    if kind == "drop":
+        df.write.format("noop").mode("overwrite").save()
+        return df
+    raise ConfigError(f"unknown output type {kind!r}")
+
+
+# ---------------------------------------------------------------- stream
+
+def build_stream(spark: SparkSession, config: dict | str) -> DataFrame:
+    """Build the config's logical plan WITHOUT executing the sink —
+    the `benthos echo`/lint analogue is `df.explain()` on this."""
+    conf = load_config(config) if isinstance(config, str) else config
+    if "input" not in conf:
+        raise ConfigError("config needs an `input` section")
+    df = _build_input(spark, conf["input"])
+    for proc in (conf.get("pipeline") or {}).get("processors", []):
+        df = _apply_processor(df, proc)
+    return df
+
+
+def run_stream(spark: SparkSession, config: dict | str) -> DataFrame:
+    """`benthos -c config.yaml` analogue: build and execute the stream;
+    returns the result DataFrame (post-pipeline)."""
+    conf = load_config(config) if isinstance(config, str) else config
+    df = build_stream(spark, conf)
+    return _run_output(df, conf.get("output"))
