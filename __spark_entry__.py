@@ -939,6 +939,270 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+# ================================================================
+# 32. parse_log syslog RFC3164 (lib/processor/parse_log.go:244) —
+#     regexp_extract bundle, whole-stage codegen.
+# ================================================================
+
+_SYSLOG_RE = (r"^(?:<(\d+)>)?([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
+              r"(\S+) ([^:\[\s]+)(?:\[(\d+)\])?: (.*)$")
+
+
+@_register("parse_log_syslog", oracle=f"""
+WITH lines AS (
+  SELECT event_id,
+         '<13>Feb  5 10:20:30 host' || CAST(user_id AS VARCHAR)
+         || ' app' || CAST(event_id % 5 AS VARCHAR)
+         || '[' || CAST(event_id % 100 AS VARCHAR) || ']: event '
+         || event_type AS line
+  FROM events WHERE event_id < 3000)
+SELECT event_id,
+       CAST(regexp_extract(line, '{_SYSLOG_RE}', 1) AS INTEGER) AS priority,
+       regexp_extract(line, '{_SYSLOG_RE}', 3) AS hostname,
+       regexp_extract(line, '{_SYSLOG_RE}', 4) AS appname,
+       CAST(regexp_extract(line, '{_SYSLOG_RE}', 5) AS INTEGER) AS procid,
+       regexp_extract(line, '{_SYSLOG_RE}', 6) AS message
+FROM lines
+""")
+def parse_log_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.parsing import parse_syslog_rfc3164
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    lines = ev.select(
+        "event_id",
+        F.concat(F.lit("<13>Feb  5 10:20:30 host"),
+                 F.col("user_id").cast("string"),
+                 F.lit(" app"), (F.col("event_id") % 5).cast("string"),
+                 F.lit("["), (F.col("event_id") % 100).cast("string"),
+                 F.lit("]: event "), F.col("event_type")).alias("line"))
+    parsed = parse_syslog_rfc3164(lines, F.col("line"))
+    return parsed.select(
+        "event_id", F.col("log.priority").alias("priority"),
+        F.col("log.hostname").alias("hostname"),
+        F.col("log.appname").alias("appname"),
+        F.col("log.procid").alias("procid"),
+        F.col("log.message").alias("message"))
+
+
+# ================================================================
+# 33. grok processor (lib/processor/grok.go:24) — %{PAT:name} refs
+#     compiled to one regex; same compiled pattern drives the oracle.
+# ================================================================
+
+def _grok_oracle() -> str:
+    from benthos_spark.operators.parsing import grok_compile
+    pattern, _ = grok_compile("%{WORD:src} chars=%{INT:n} lang=%{WORD:lg}")
+    return f"""
+WITH lines AS (
+  SELECT doc_id, source || ' chars=' || CAST(n_chars AS VARCHAR)
+         || ' lang=' || lang AS line
+  FROM documents)
+SELECT doc_id,
+       regexp_extract(line, '{pattern}', 1) AS src,
+       CAST(regexp_extract(line, '{pattern}', 2) AS BIGINT) AS n,
+       regexp_extract(line, '{pattern}', 3) AS lg
+FROM lines
+"""
+
+
+@_register("grok_extract", oracle=_grok_oracle())
+def grok_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.parsing import grok
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(" chars="),
+                 F.col("n_chars").cast("string"),
+                 F.lit(" lang="), F.col("lang")).alias("line"))
+    out = grok(lines, F.col("line"),
+               "%{WORD:src} chars=%{INT:n} lang=%{WORD:lg}")
+    return out.select("doc_id", "src", F.col("n").cast("long").alias("n"),
+                      "lg")
+
+
+# ================================================================
+# 34. jmespath processor (lib/processor/jmespath.go:19) — pandas UDF
+#     (no Spark primitive); canonical JSON output for comparability.
+# ================================================================
+
+@_register("jmespath_transform", oracle="""
+SELECT event_id,
+       '{"kk":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}'
+       AS result
+FROM events WHERE event_id < 2000
+""")
+def jmespath_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.parsing import jmespath_transform
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return jmespath_transform(ev, F.col("props"), "{kk: k}") \
+        .select("event_id", "result")
+
+
+# ================================================================
+# 35. compress/decompress processors (lib/processor/compress.go:24,
+#     decompress.go:26) — roundtrip identity is the correctness check
+#     (DuckDB has no zlib, so the oracle asserts the invariant).
+# ================================================================
+
+@_register("compress_roundtrip", oracle="""
+SELECT doc_id, TRUE AS gzip_ok, TRUE AS zlib_ok, TRUE AS bz2_ok
+FROM documents WHERE doc_id < 200
+""")
+def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.codec import compress, decompress_str
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        (decompress_str(compress(t, "gzip"), "gzip") == t).alias("gzip_ok"),
+        (decompress_str(compress(t, "zlib"), "zlib") == t).alias("zlib_ok"),
+        (decompress_str(compress(t, "bz2"), "bz2") == t).alias("bz2_ok"))
+
+
+# ================================================================
+# 36. Sliding (hopping) window — the upgrade the reference docs
+#     promise "eventually" (windowed_processing.md:7).  dur=2×slide →
+#     each event lands in exactly two epoch-aligned windows.
+# ================================================================
+
+@_register("window_sliding", oracle="""
+SELECT CAST(ws AS BIGINT) AS window_start, event_type, COUNT(*) AS n
+FROM (SELECT event_type,
+             unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+                     CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)])
+             AS ws
+      FROM events) t
+GROUP BY ws, event_type
+""")
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.streaming import sliding_window_agg
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_window_agg(ev, "ts", "10 minutes", "5 minutes",
+                             ["event_type"], [F.count("*").alias("n")])
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "event_type", "n")
+
+
+# ================================================================
+# 37. Text quality + language-ID (llm.text; Gopher/C4-style filters).
+# ================================================================
+
+_SQL_STOP = "('the','a','an','of','to','and','in','is','it','that','for','on','with','as','at','by')"
+# SQL-quoted: '' is an escaped single quote inside the DuckDB literal
+_SQL_PUNCT = """[^.,;:!?''"()\\[\\]{}-]"""
+
+
+def _langid_oracle() -> str:
+    from benthos_spark.llm.text import _LANG_MARKERS
+    score = {}
+    for lang, words in sorted(_LANG_MARKERS.items()):
+        inlist = ",".join(f"'{w}'" for w in words)
+        score[lang] = (f"len(list_filter(lower_toks, t -> t IN ({inlist})))")
+    best = f"greatest({', '.join(score.values())})"
+    case = "CASE "
+    for lang in sorted(_LANG_MARKERS):  # first-match = de<en<es<fr priority
+        case += f"WHEN {best} > 0 AND {score[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return f"""
+WITH t AS (SELECT doc_id, text, {_sql_toks("text")} AS toks,
+                  list_transform({_sql_toks("text")}, t -> lower(t)) AS lower_toks
+           FROM documents),
+m AS (SELECT doc_id, text, toks, lower_toks,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(lower_toks, t -> t IN {_SQL_STOP}))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS sw,
+             CAST(length(regexp_replace(text, '{_SQL_PUNCT}', '', 'g'))
+                  AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct
+      FROM t)
+SELECT doc_id,
+       round(0.4 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.4 * (CASE WHEN sw >= 0.01 AND sw <= 0.6 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END), 6) AS quality,
+       {case} AS lang_guess
+FROM m
+"""
+
+
+@_register("text_quality_langid", oracle=_langid_oracle())
+def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.text import lang_id, quality_score
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_guess"))
+
+
+# ================================================================
+# 38. Batch functions batch_index()/batch_size()/.from(0)/.from_all()
+#     (functions.go:153,168; methods.go:155,196) — batch = events per
+#     user, ordered by event_id (pinned total order, SURVEY §7c).
+# ================================================================
+
+@_register("batch_functions", oracle="""
+SELECT event_id,
+       CAST(row_number() OVER w - 1 AS INTEGER) AS batch_index,
+       COUNT(*) OVER (PARTITION BY user_id) AS batch_size,
+       first_value(event_type) OVER w AS from_first,
+       list_sort(list(event_type) OVER (PARTITION BY user_id)) AS from_all_types
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+""")
+def batch_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    w_all = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        (F.row_number().over(w) - 1).alias("batch_index"),
+        F.count("*").over(w_all).alias("batch_size"),
+        F.first("event_type").over(w).alias("from_first"),
+        F.sort_array(F.collect_list("event_type").over(w_all))
+         .alias("from_all_types"))
+
+
+# ================================================================
+# 39. LSH-bucketed approximate top-k (the 100 TB similarity path:
+#     each query scans only its hyperplane bucket).
+# ================================================================
+
+_LSH_PLANES = [[((i * 67 + j * 31) % 7) - 3.0 for j in range(64)]
+               for i in range(4)]
+
+
+def _lsh_oracle() -> str:
+    bits = []
+    for i, plane in enumerate(_LSH_PLANES):
+        lit = "[" + ", ".join(str(float(x)) for x in plane) + "]"
+        bits.append(f"(CASE WHEN {_sql_dot('e', lit)} > 0 "
+                    f"THEN {2 ** i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings),
+b AS (SELECT vec_id, e, {bucket} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round({_sql_dot("b.e", "q.qe")} / ({_sql_norm("b.e")} * {_sql_norm("q.qe")}), 6) AS cos
+  FROM b JOIN q ON b.bucket = q.bucket)
+SELECT query_id, vec_id, cos, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored) t
+WHERE rnk <= 5
+"""
+
+
+@_register("similarity_lsh_topk", oracle=_lsh_oracle())
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.similarity import lsh_bucketed_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_bucketed_topk(emb, queries, _LSH_PLANES, k=5)
+    return out.select("query_id", "vec_id", "cos", "rank")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -29,6 +29,8 @@ HEADLINE = [
     "window_tumbling",
     "topk_per_group",
     "bloblang_mapping",
+    "bloblang_compiled",
+    "yaml_config_stream",
     "string_methods",
     "sessionize",
     "dedup_exact",

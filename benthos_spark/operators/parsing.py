@@ -1,0 +1,189 @@
+"""Structured-extraction processors: grok, parse_log, jmespath,
+jsonschema.
+
+Reference: lib/processor/{grok.go:24, parse_log.go:20,
+jmespath.go:19, jsonschema.go:22}.  grok/parse_log compile to
+regexp_extract bundles (JVM codegen — the hot path stays in Tungsten);
+jmespath/jsonschema have no Spark primitive and use Arrow-batched
+pandas UDFs (the documented slow path, SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- grok
+
+# The standard public grok base patterns (the subset the reference's
+# vjeantet/grok library ships); %{NAME:field} compiles to a named
+# regex group bundle evaluated with regexp_extract per field.
+GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "HOSTNAME": r"[A-Za-z0-9][A-Za-z0-9\-._]*",
+    "USER": r"[A-Za-z0-9._-]+",
+    "TIMESTAMP_ISO8601":
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+    "SYSLOGTIMESTAMP": r"[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_compile(expression: str) -> tuple[str, list[str]]:
+    """Compile a grok expression to (regex-with-groups, field names).
+    Unnamed pattern refs match without capturing, like the reference."""
+    fields: list[str] = []
+    out: list[str] = []
+    pos = 0
+    for m in _GROK_REF.finditer(expression):
+        out.append(re.escape(expression[pos:m.start()]))
+        pat, name = m.group(1), m.group(2)
+        if pat not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{pat}}}")
+        if name:
+            fields.append(name)
+            out.append(f"({GROK_PATTERNS[pat]})")
+        else:
+            out.append(f"(?:{GROK_PATTERNS[pat]})")
+        pos = m.end()
+    out.append(re.escape(expression[pos:]))
+    return "".join(out), fields
+
+
+def grok(df: DataFrame, source: Column, expression: str,
+         prefix: str = "") -> DataFrame:
+    """`grok` processor (lib/processor/grok.go:24): extract named
+    fields into columns.  One regex, N regexp_extract group pulls —
+    Catalyst CSEs the shared pattern; stays in whole-stage codegen."""
+    pattern, fields = grok_compile(expression)
+    cols = [F.regexp_extract(source, pattern, i + 1).alias(prefix + name)
+            for i, name in enumerate(fields)]
+    return df.select("*", *cols)
+
+
+# ---------------------------------------------------------------- syslog
+
+# RFC3164: "<PRI>Mmm dd HH:MM:SS host tag[pid]: msg"
+_RFC3164 = (r"^(?:<(\d+)>)?([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
+            r"(\S+) ([^:\[\s]+)(?:\[(\d+)\])?: (.*)$")
+
+
+def parse_syslog_rfc3164(df: DataFrame, source: Column,
+                         alias: str = "log") -> DataFrame:
+    """`parse_log` with format syslog_rfc3164 (lib/processor/
+    parse_log.go:244): line → struct<priority,timestamp,hostname,
+    appname,procid,message> (field names mirror the reference's
+    output document)."""
+    out = F.struct(
+        F.regexp_extract(source, _RFC3164, 1).try_cast("int").alias("priority"),
+        F.regexp_extract(source, _RFC3164, 2).alias("timestamp"),
+        F.regexp_extract(source, _RFC3164, 3).alias("hostname"),
+        F.regexp_extract(source, _RFC3164, 4).alias("appname"),
+        F.regexp_extract(source, _RFC3164, 5).try_cast("int").alias("procid"),
+        F.regexp_extract(source, _RFC3164, 6).alias("message"),
+    )
+    return df.withColumn(alias, out)
+
+
+# RFC5424: "<PRI>VER TIMESTAMP HOST APP PROCID MSGID [SD] MSG"
+_RFC5424 = (r"^<(\d+)>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) "
+            r"(?:(\[.*?\])|-)\s*(.*)$")
+
+
+def parse_syslog_rfc5424(df: DataFrame, source: Column,
+                         alias: str = "log") -> DataFrame:
+    """`parse_log` with format syslog_rfc5424 (parse_log.go:29-31)."""
+    out = F.struct(
+        F.regexp_extract(source, _RFC5424, 1).try_cast("int").alias("priority"),
+        F.regexp_extract(source, _RFC5424, 2).try_cast("int").alias("version"),
+        F.regexp_extract(source, _RFC5424, 3).alias("timestamp"),
+        F.regexp_extract(source, _RFC5424, 4).alias("hostname"),
+        F.regexp_extract(source, _RFC5424, 5).alias("appname"),
+        F.regexp_extract(source, _RFC5424, 6).alias("procid"),
+        F.regexp_extract(source, _RFC5424, 7).alias("msgid"),
+        F.regexp_extract(source, _RFC5424, 8).alias("structured_data"),
+        F.regexp_extract(source, _RFC5424, 9).alias("message"),
+    )
+    return df.withColumn(alias, out)
+
+
+# ---------------------------------------------------------------- jmespath
+
+def jmespath_transform(df: DataFrame, source: Column, expression: str,
+                       alias: str = "result") -> DataFrame:
+    """`jmespath` processor (lib/processor/jmespath.go:19): evaluate a
+    JMESPath expression against each JSON payload.
+
+    No Spark primitive exists; runs as an Arrow-batched pandas UDF
+    (≈10-100× a row-at-a-time UDF, still the slow path vs Columns —
+    prefer the Bloblang compiler when the query is expressible)."""
+    import jmespath as _jp
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    compiled = _jp.compile(expression)
+
+    _ = pd  # imported for executors; annotation-free signature below
+    # (module-level `from __future__ import annotations` turns hints into
+    # strings pandas_udf can't resolve at decoration time)
+
+    @pandas_udf("string")
+    def op(payloads):
+        import json
+
+        def one(p):
+            if p is None:
+                return None
+            try:
+                out = compiled.search(json.loads(p))
+                return None if out is None else json.dumps(
+                    out, separators=(",", ":"), sort_keys=True)
+            except (ValueError, TypeError):
+                return None
+        return payloads.map(one)
+
+    return df.withColumn(alias, op(source))
+
+
+# ---------------------------------------------------------------- jsonschema
+
+def jsonschema_validate(df: DataFrame, source: Column, schema: dict,
+                        error_col: str = "_error") -> DataFrame:
+    """`json_schema` processor (lib/processor/jsonschema.go:22):
+    validate payloads; failures set the error column (error-column
+    protocol, SURVEY §2.2) instead of dropping rows."""
+    import json
+
+    import jsonschema as _js
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    validator = _js.Draft7Validator(schema)
+
+    @pandas_udf("string")
+    def op(payloads):
+        def one(p):
+            if p is None:
+                return "document is null"
+            try:
+                errs = sorted(validator.iter_errors(json.loads(p)),
+                              key=lambda e: e.json_path)
+            except ValueError as e:
+                return f"invalid JSON: {e}"
+            return errs[0].message if errs else None
+        return payloads.map(one)
+
+    err = op(source)
+    prior = F.col(error_col) if error_col in df.columns \
+        else F.lit(None).cast("string")
+    return df.withColumn(error_col, F.coalesce(prior, err))

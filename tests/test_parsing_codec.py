@@ -1,0 +1,94 @@
+"""grok / parse_log / jmespath / jsonschema / compress tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.operators.codec import compress, decompress_str
+from benthos_spark.operators.parsing import (grok, grok_compile,
+                                             jmespath_transform,
+                                             jsonschema_validate,
+                                             parse_syslog_rfc3164,
+                                             parse_syslog_rfc5424)
+
+
+def test_grok_compile():
+    pattern, fields = grok_compile("%{WORD:user} did %{INT:n} things")
+    assert fields == ["user", "n"]
+    import re
+    m = re.match(pattern, "ann did 42 things")
+    assert m.groups() == ("ann", "42")
+
+
+def test_grok_unknown_pattern():
+    with pytest.raises(ValueError, match="unknown grok pattern"):
+        grok_compile("%{NOPE:x}")
+
+
+def test_grok_unnamed_no_capture(spark):
+    df = spark.createDataFrame([("abc 12",)], "s STRING")
+    out = grok(df, F.col("s"), "%{WORD} %{INT:num}").collect()[0]
+    assert out.num == "12"
+    assert "WORD" not in out.asDict()
+
+
+def test_parse_syslog_rfc3164(spark):
+    line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed"
+    df = spark.createDataFrame([(line,)], "s STRING")
+    log = parse_syslog_rfc3164(df, F.col("s")).collect()[0].log
+    assert log.priority == 34
+    assert log.timestamp == "Oct 11 22:14:15"
+    assert log.hostname == "mymachine"
+    assert log.appname == "su"
+    assert log.procid == 230
+    assert log.message == "'su root' failed"
+
+
+def test_parse_syslog_rfc5424(spark):
+    line = ('<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog '
+            '1024 ID47 [exampleSDID@32473 iut="3"] An application event')
+    df = spark.createDataFrame([(line,)], "s STRING")
+    log = parse_syslog_rfc5424(df, F.col("s")).collect()[0].log
+    assert log.priority == 165 and log.version == 1
+    assert log.hostname == "mymachine.example.com"
+    assert log.appname == "evntslog"
+    assert log.msgid == "ID47"
+    assert log.structured_data.startswith("[exampleSDID")
+    assert log.message == "An application event"
+
+
+def test_jmespath(spark):
+    df = spark.createDataFrame(
+        [('{"a": {"b": [1, 2, 3]}}',), ("not json",), (None,)], "p STRING")
+    out = jmespath_transform(df, F.col("p"), "a.b[1]")
+    got = [r.result for r in out.collect()]
+    assert got == ["2", None, None]
+
+
+def test_jsonschema_validate_sets_error(spark):
+    schema = {"type": "object", "properties": {"n": {"type": "integer"}},
+              "required": ["n"]}
+    df = spark.createDataFrame(
+        [('{"n": 1}',), ('{"x": 2}',), ("nope",)], "p STRING")
+    out = jsonschema_validate(df, F.col("p"), schema)
+    got = [(r.p, r._error is None) for r in out.collect()]
+    assert got == [('{"n": 1}', True), ('{"x": 2}', False), ("nope", False)]
+
+
+@pytest.mark.parametrize("alg", ["gzip", "zlib", "bz2", "lzma"])
+def test_compress_roundtrip(spark, alg):
+    df = spark.createDataFrame([("hello world " * 20,), ("",)], "s STRING")
+    out = df.select(
+        F.col("s"),
+        decompress_str(compress(F.col("s"), alg), alg).alias("rt"),
+        F.length(compress(F.col("s"), alg)).alias("clen"))
+    for r in out.collect():
+        assert r.rt == r.s
+    big = out.filter(F.length("s") > 0).collect()[0]
+    assert big.clen < len(big.s)  # actually compressed
+
+
+def test_compress_unknown_algorithm():
+    with pytest.raises(ValueError, match="unsupported"):
+        compress(F.lit("x"), "brotli")
