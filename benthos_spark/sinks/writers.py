@@ -1,0 +1,74 @@
+"""Single-destination writers.
+
+Reference: lib/output/{file.go:25, aws_s3.go:17, hdfs.go:15,
+kafka.go:21, stdout.go:20}.  Path interpolation (`${! meta("x") }`
+in the reference) maps to `partitionBy` — the engine writes one
+directory tree per key instead of interpolating per-message paths,
+which is the scalable equivalent (no per-record file handles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_file(df: DataFrame, path: str, fmt: str = "parquet",
+               mode: str = "overwrite",
+               partition_by: list[str] | None = None, **options) -> None:
+    """`file`/`files`/object-store outputs: one call covers local, s3a://,
+    gs://, abfss://, hdfs:// — the URI scheme picks the connector."""
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def write_console(df: DataFrame, limit: int = 20) -> None:
+    """`stdout` output (lib/output/stdout.go:20)."""
+    df.show(limit, truncate=False)
+
+
+def _to_kafka_frame(df: DataFrame, key: str | None,
+                    value_cols: list[str] | None) -> DataFrame:
+    cols = value_cols or [c for c in df.columns if c != key]
+    value = F.to_json(F.struct(*cols)).alias("value")
+    if key is not None:
+        return df.select(F.col(key).cast("string").alias("key"), value)
+    return df.select(value)
+
+
+def write_kafka(df: DataFrame, brokers: str, topic: str,
+                key: str | None = None,
+                value_cols: list[str] | None = None) -> None:
+    """`kafka` output (lib/output/kafka.go:21): rows → JSON messages.
+    The reference's partitioner/key config maps to the kafka `key`
+    column; needs the spark-sql-kafka package on the cluster (gated —
+    not present in this container)."""
+    (_to_kafka_frame(df, key, value_cols).write.format("kafka")
+     .option("kafka.bootstrap.servers", brokers)
+     .option("topic", topic).save())
+
+
+def write_stream_file(df: DataFrame, path: str, checkpoint: str,
+                      fmt: str = "parquet", available_now: bool = False,
+                      partition_by: list[str] | None = None):
+    """Streaming file sink with checkpointed exactly-once file commits
+    (the upgrade over the reference's at-least-once ack chain,
+    SURVEY §2.5)."""
+    w = (df.writeStream.format(fmt).outputMode("append")
+         .option("path", path).option("checkpointLocation", checkpoint))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def write_stream_kafka(df: DataFrame, brokers: str, topic: str,
+                       checkpoint: str, key: str | None = None):
+    """Streaming kafka sink (gated on the kafka package)."""
+    return (_to_kafka_frame(df, key, None).writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint).start())

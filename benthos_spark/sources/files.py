@@ -34,6 +34,84 @@ def read_file_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_stream_files(spark: SparkSession, path: str, schema,
+                      fmt: str = "parquet",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming file input — the watch-directory mode of the file
+    sources.  `max_files_per_trigger` is the `rate_limit` analogue
+    (lib/processor/rate_limit.go:18 → source-side throttling,
+    SURVEY §2.2 batch-shape table)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def read_kafka(spark: SparkSession, brokers: str, topics: str,
+               starting_offsets: str = "earliest",
+               streaming: bool = True) -> DataFrame:
+    """`kafka`/`kafka_balanced` input (lib/input/kafka.go:31,
+    kafka_balanced.go:17).  Message metadata (topic/partition/offset/
+    key/timestamp — the reference's metadata fields) lands in the
+    `meta` map; payload in `content`.  Needs the spark-sql-kafka
+    package (gated — not in this container)."""
+    reader = (spark.readStream if streaming else spark.read) \
+        .format("kafka") \
+        .option("kafka.bootstrap.servers", brokers) \
+        .option("subscribe", topics) \
+        .option("startingOffsets", starting_offsets)
+    df = reader.load()
+    return df.select(
+        F.lit(0).cast("long").alias("batch_id"),
+        F.lit(0).cast("int").alias("part_index"),
+        F.col("value").cast("string").alias("content"),
+        F.create_map(
+            F.lit("kafka_topic"), F.col("topic"),
+            F.lit("kafka_partition"), F.col("partition").cast("string"),
+            F.lit("kafka_offset"), F.col("offset").cast("string"),
+            F.lit("kafka_key"), F.col("key").cast("string"),
+            F.lit("kafka_timestamp_unix"),
+            F.unix_timestamp(F.col("timestamp")).cast("string"),
+        ).alias("meta"),
+        F.lit(None).cast("string").alias("_error"),
+    )
+
+
+def sequence(spark: SparkSession, readers: list) -> DataFrame:
+    """`sequence` input (lib/input/sequence.go:24): sources consumed in
+    order.  Batch union preserves per-source ordering guarantees the
+    same way (each input's rows are complete before semantics depend on
+    the next — order within the union is positional via a source tag)."""
+    dfs = []
+    for i, df in enumerate(readers):
+        dfs.append(df.withColumn("__seq_source", F.lit(i)))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def read_until(df: DataFrame, stop: F.Column, include_last: bool = True):
+    """`read_until` input wrapper (lib/input/read_until.go:26): consume
+    until a condition fires.  Batch: rows up to (and optionally
+    including) the first stop-row in a pinned order are kept — the
+    caller supplies a monotonically ordered frame; streaming: combine
+    with Trigger.AvailableNow + this filter."""
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.monotonically_increasing_id()) \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hit = F.max(F.when(stop, F.lit(1)).otherwise(F.lit(0))).over(w)
+    fired_before = F.max(
+        F.when(F.lag(stop.cast("int"), 1, 0).over(
+            Window.orderBy(F.monotonically_increasing_id())) == 1,
+            F.lit(1)).otherwise(F.lit(0))).over(w)
+    if include_last:
+        return df.withColumn("__hit", fired_before).filter(
+            F.col("__hit") == 0).drop("__hit")
+    return df.withColumn("__hit", hit).filter(F.col("__hit") == 0) \
+             .drop("__hit")
+
+
 def read_csv(spark: SparkSession, path: str, header: bool = True,
              delimiter: str = ",", schema=None) -> DataFrame:
     """`csv` input (lib/input/csv.go:25, fields csv.go:77-80):

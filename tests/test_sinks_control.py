@@ -1,0 +1,137 @@
+"""Sink routing (broker/switch/DLQ), control-flow processors, and
+source wrappers."""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.operators.control import (apply_resource, for_each,
+                                             log_stage, metric_observe, noop,
+                                             register_resource,
+                                             subprocess_map, while_loop)
+from benthos_spark.sinks import (fan_out, partition_routes, switch_output,
+                                 with_dead_letter, write_file)
+from benthos_spark.sources.files import read_until, sequence
+
+
+def test_fan_out_delivers_to_all(spark):
+    df = spark.range(5)
+    got = []
+    fan_out(df, [lambda d: got.append(d.count()),
+                 lambda d: got.append(d.agg(F.sum("id")).collect()[0][0])])
+    assert got == [5, 10]
+
+
+def test_switch_output_first_match_and_default(spark):
+    df = spark.range(10)
+    buckets = {}
+    switch_output(df, [
+        (F.col("id") < 3, lambda d: buckets.setdefault(
+            "small", sorted(r.id for r in d.collect()))),
+        (F.col("id") < 6, lambda d: buckets.setdefault(
+            "mid", sorted(r.id for r in d.collect()))),
+        (None, lambda d: buckets.setdefault(
+            "rest", sorted(r.id for r in d.collect()))),
+    ])
+    assert buckets == {"small": [0, 1, 2], "mid": [3, 4, 5],
+                       "rest": [6, 7, 8, 9]}
+
+
+def test_partition_routes_disjoint_and_complete(spark):
+    df = spark.range(100)
+    routes = partition_routes(df, 3, F.col("id"))
+    ids = [sorted(r.id for r in route.collect()) for route in routes]
+    allids = sorted(i for part in ids for i in part)
+    assert allids == list(range(100))
+    assert all(len(part) > 10 for part in ids)  # roughly balanced
+
+
+def test_with_dead_letter_splits_on_error(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "boom"), (3, None)], "id INT, _error STRING")
+    dlq = []
+    clean = with_dead_letter(df, lambda d: dlq.extend(
+        r.id for r in d.collect()))
+    assert sorted(r.id for r in clean.collect()) == [1, 3]
+    assert dlq == [2]
+
+
+def test_while_loop_bounded(spark):
+    df = spark.range(1, 5).select(F.col("id").cast("double").alias("v"))
+    out = while_loop(
+        df,
+        check=lambda d: d.agg(F.max("v")).collect()[0][0] > 1.0,
+        body=lambda d: d.select((F.col("v") / 2).alias("v")),
+    )
+    assert out.agg(F.max("v")).collect()[0][0] <= 1.0
+    with pytest.raises(RuntimeError, match="max_loops"):
+        while_loop(df, check=lambda d: True,
+                   body=lambda d: d, max_loops=3)
+
+
+def test_resource_registry(spark):
+    register_resource("double_v", lambda d: d.select((F.col("id") * 2).alias("id")))
+    out = apply_resource(spark.range(3), "double_v")
+    assert sorted(r.id for r in out.collect()) == [0, 2, 4]
+    with pytest.raises(KeyError):
+        apply_resource(spark.range(1), "nope")
+
+
+def test_noop_and_for_each(spark):
+    df = spark.range(3)
+    assert noop(df) is df
+    out = for_each(df, lambda d: d.withColumn("a", F.lit(1)),
+                   lambda d: d.withColumn("b", F.col("a") + 1))
+    assert out.columns == ["id", "a", "b"]
+
+
+def test_subprocess_map_cat(spark):
+    df = spark.createDataFrame([("hello",), ("world",)], "content STRING")
+    out = subprocess_map(df, [sys.executable, "-u", "-c",
+                              "import sys\nfor line in sys.stdin: "
+                              "print(line.strip().upper(), flush=True)"])
+    got = sorted(r.content for r in out.collect())
+    assert got == ["HELLO", "WORLD"]
+
+
+def test_log_and_metric_stages(spark):
+    df = spark.range(4)
+    assert log_stage(df, "checkpoint", count=True) is df
+    observed = metric_observe(df, "total_ids", F.col("id"))
+    assert observed.count() == 4  # action flushes the observation
+
+
+def test_sequence_tags_sources(spark):
+    a = spark.range(2)
+    b = spark.range(2).select((F.col("id") + 10).alias("id"))
+    out = sequence(spark, [a, b])
+    got = sorted((r["__seq_source"], r["id"]) for r in out.collect())
+    assert got == [(0, 0), (0, 1), (1, 10), (1, 11)]
+
+
+def test_read_until_stops_at_condition(spark):
+    df = spark.range(10).coalesce(1)
+    out = read_until(df, F.col("id") == 4)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3, 4]
+    out2 = read_until(df, F.col("id") == 4, include_last=False)
+    assert sorted(r.id for r in out2.collect()) == [0, 1, 2, 3]
+
+
+def test_write_file_partitioned(spark):
+    tmp = tempfile.mkdtemp(prefix="bs_sink")
+    try:
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "id INT, tag STRING")
+        write_file(df, f"{tmp}/out", partition_by=["tag"])
+        back = spark.read.parquet(f"{tmp}/out")
+        assert back.count() == 3
+        import os
+        assert sorted(d for d in os.listdir(f"{tmp}/out")
+                      if d.startswith("tag=")) == ["tag=a", "tag=b"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
