@@ -183,6 +183,21 @@ def _is_stringish(node: ast.Node) -> bool:
     return False
 
 
+_ARRAYISH_METHODS = {"split", "re_find_all", "sort", "unique", "filter",
+                     "map_each", "append", "flatten", "enumerated", "keys",
+                     "values", "key_values", "range"}
+
+
+def _is_arrayish(node: ast.Node) -> bool:
+    if isinstance(node, ast.ArrayLit):
+        return True
+    if isinstance(node, ast.Method):
+        return node.name in _ARRAYISH_METHODS
+    if isinstance(node, ast.FuncCall):
+        return node.name == "range"
+    return False
+
+
 def _compile_binary(node: ast.Binary, scope: Scope) -> Column:
     op = node.op
     lhs = compile_expr(node.left, scope)
@@ -431,17 +446,23 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.regexp_replace(target, str(arg_lit(0, "pattern")),
                                 str(arg_lit(1, "replacement")))
     if name == "length":
-        # strings AND arrays share .length() in Bloblang
-        if _is_stringish(node.target):
-            return F.length(target)
+        # strings AND arrays share .length() in Bloblang; the static
+        # compiler picks by shape — arrays only when provably array-ish
+        # (plain fields default to string length; use .size() for
+        # array columns read straight from fields)
+        if _is_arrayish(node.target):
+            return F.size(target)
+        return F.length(target)
+    if name == "size":
         return F.size(target)
     if name == "slice":
         lo = int(arg_lit(0))
         hi = int(arg_lit(1)) if len(args) > 1 else None
-        if _is_stringish(node.target):
-            return F.substring(target, lo + 1,
-                               (hi - lo) if hi is not None else (1 << 30))
-        return F.slice(target, lo + 1, (hi - lo) if hi is not None else (1 << 30))
+        if _is_arrayish(node.target):
+            return F.slice(target, lo + 1,
+                           (hi - lo) if hi is not None else (1 << 30))
+        return F.substring(target, lo + 1,
+                           (hi - lo) if hi is not None else (1 << 30))
     if name == "format":
         return F.format_string(str(arg_lit(0, "template")),
                                *[arg_col(i) for i in range(1, len(args))])
@@ -570,7 +591,10 @@ class MappingExec:
         self.mapping = mapping
         self.src = src
 
-    def apply(self, df: DataFrame, this: Column | None = None) -> DataFrame:
+    def apply(self, df: DataFrame, this: Column | None = None,
+              keep: tuple[str, ...] = ()) -> DataFrame:
+        """``keep``: input columns passed through unchanged (e.g. batch
+        bookkeeping) unless the mapping assigns the same name."""
         scope = Scope(this_col=this, root_fields={})
         meta_updates: list[tuple[str | None, Column]] = []
         drop_cond: Column | None = None
@@ -616,11 +640,12 @@ class MappingExec:
         out = df
         if drop_cond is not None:
             out = out.filter(~F.coalesce(drop_cond, F.lit(False)))
-        cols = []
+        cols = [F.col(k) for k in keep
+                if k in df.columns and k not in scope.root_fields]
         for name, val in scope.root_fields.items():
             col = _tree_to_struct(val) if isinstance(val, dict) else val
             cols.append(col.alias(name))
-        if not cols:
+        if not scope.root_fields and not meta_updates:
             raise BloblangCompileError("mapping assigns no root fields")
         for key, val in meta_updates:
             # meta updates ride along as extra output columns in row mode

@@ -77,6 +77,14 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
     if kind == "file":
         paths = spec.get("paths") or [spec["path"]]
         fmt = spec.get("format", "parquet")
+        if spec.get("stream"):
+            # watch-directory streaming mode; schema required (schema
+            # inference would be an extra listing pass per trigger)
+            reader = spark.readStream.schema(spec["schema"])
+            if "max_files_per_trigger" in spec:
+                reader = reader.option("maxFilesPerTrigger",
+                                       int(spec["max_files_per_trigger"]))
+            return reader.format(fmt).load(paths[0])
         if fmt == "parquet":
             return spark.read.parquet(*paths)
         if fmt == "csv":
@@ -154,6 +162,31 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
     if kind == "group_by_value":
         from benthos_spark.operators import group_by_value
         return group_by_value(df, spec["value"])
+    if kind == "window":
+        # batch policy (lib/message/batch/policy.go) as an event-time
+        # window; aggs: {name: "count"} | {name: "sum:col"} | min/max/avg
+        from benthos_spark.streaming import (sliding_window_agg,
+                                             tumbling_window_agg)
+        aggs = []
+        for name, expr in (spec.get("aggs") or {"n": "count"}).items():
+            if expr == "count":
+                aggs.append(F.count("*").alias(name))
+            else:
+                fn_name, _, col = expr.partition(":")
+                fn = {"sum": F.sum, "min": F.min, "max": F.max,
+                      "avg": F.avg, "collect": F.collect_list}.get(fn_name)
+                if fn is None or not col:
+                    raise ConfigError(
+                        f"window agg {expr!r}: use count|sum:col|min:col|"
+                        "max:col|avg:col|collect:col")
+                aggs.append(fn(col).alias(name))
+        keys = [str(k) for k in spec.get("keys", [])]
+        if "slide" in spec:
+            return sliding_window_agg(df, spec["ts"], spec["duration"],
+                                      spec["slide"], keys, aggs,
+                                      watermark=spec.get("watermark"))
+        return tumbling_window_agg(df, spec["ts"], spec["duration"], keys,
+                                   aggs, watermark=spec.get("watermark"))
     raise ConfigError(f"unknown processor type {kind!r}")
 
 
@@ -166,9 +199,23 @@ def _run_output(df: DataFrame, conf: dict | None):
     (kind, spec), = conf.items()
     spec = spec or {}
     if kind == "memory":
+        if df.isStreaming:
+            name = spec.get("name", "stream_out")
+            q = (df.writeStream.format("memory").queryName(name)
+                 .outputMode(spec.get("output_mode", "append"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(int(spec.get("timeout", 300)))
+            return df.sparkSession.sql(f"SELECT * FROM {name}")
         return df
     if kind == "file":
         fmt = spec.get("format", "parquet")
+        if df.isStreaming:
+            from benthos_spark.sinks.writers import write_stream_file
+            q = write_stream_file(df, spec["path"], spec["checkpoint"],
+                                  fmt=fmt, available_now=True,
+                                  partition_by=spec.get("partition_by"))
+            q.awaitTermination(int(spec.get("timeout", 300)))
+            return df
         writer = df.write.mode(spec.get("mode", "overwrite"))
         if part := spec.get("partition_by"):
             writer = writer.partitionBy(*part)

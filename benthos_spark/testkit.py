@@ -1,0 +1,136 @@
+"""YAML golden-case test runner — the `benthos test` analogue.
+
+Reference schema (lib/service/test/case.go:51-61): a test file holds
+cases `{name, target_processors | target_mapping, input_batch,
+output_batches}`; input parts are `{content | json_content, metadata}`
+(case.go:16-19); output assertions per part: content_equals,
+json_equals, json_contains, metadata_equals, bloblang
+(condition.go:43-73).
+
+This runner replays the same file shape against the Spark engine: the
+input batch becomes a message DataFrame (datamodel.rows_to_messages),
+`target_mapping` compiles through the Bloblang compiler in document
+mode, `target_processors` runs the stream.py processor chain, and
+assertions check collected output parts in order.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import yaml
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CaseResult:
+    name: str
+    ok: bool
+    message: str = ""
+
+
+def _input_df(spark: SparkSession, parts: list[dict]):
+    from benthos_spark.datamodel import rows_to_messages
+    rows = []
+    for part in parts:
+        content = part.get("content")
+        if content is None and "json_content" in part:
+            content = json.dumps(part["json_content"], sort_keys=True)
+        rows.append({"content": content,
+                     "meta": part.get("metadata") or {}})
+    return rows_to_messages(spark, rows)
+
+
+def _apply_target(spark, df, case: dict):
+    if "target_mapping" in case:
+        from benthos_spark.bloblang import compile_mapping
+        schema = case.get("content_schema")
+        this = F.from_json(F.col("content"), schema) if schema else None
+        return compile_mapping(case["target_mapping"]).apply(
+            df, this=this, keep=("batch_id", "part_index"))
+    if "target_processors" in case:
+        from benthos_spark.stream import _apply_processor
+        for proc in case["target_processors"]:
+            df = _apply_processor(df, proc)
+        return df
+    raise ValueError(f"case {case.get('name')!r}: needs target_mapping "
+                     "or target_processors")
+
+
+def _check_part(row, assertions: dict, part_no: int) -> str | None:
+    d = row.asDict(recursive=True)
+    if "content_equals" in assertions:
+        got = d.get("content")
+        if got != assertions["content_equals"]:
+            return (f"part {part_no}: content_equals failed: "
+                    f"{got!r} != {assertions['content_equals']!r}")
+    if "json_equals" in assertions:
+        got = {k: v for k, v in d.items()
+               if k not in ("batch_id", "part_index", "meta", "_error")}
+        want = assertions["json_equals"]
+        if "content" in d and isinstance(d["content"], str):
+            try:
+                got = json.loads(d["content"])
+            except ValueError:
+                pass
+        if got != want:
+            return f"part {part_no}: json_equals failed: {got!r} != {want!r}"
+    if "json_contains" in assertions:
+        got = d
+        if "content" in d and isinstance(d["content"], str):
+            try:
+                got = json.loads(d["content"])
+            except ValueError:
+                got = d
+        for k, v in assertions["json_contains"].items():
+            if got.get(k) != v:
+                return (f"part {part_no}: json_contains[{k}] failed: "
+                        f"{got.get(k)!r} != {v!r}")
+    if "metadata_equals" in assertions:
+        got = d.get("meta") or {}
+        for k, v in assertions["metadata_equals"].items():
+            if got.get(k) != str(v):
+                return (f"part {part_no}: metadata_equals[{k}] failed: "
+                        f"{got.get(k)!r} != {v!r}")
+    return None
+
+
+def run_case(spark: SparkSession, case: dict) -> CaseResult:
+    name = case.get("name", "<unnamed>")
+    try:
+        df = _input_df(spark, case["input_batch"])
+        out = _apply_target(spark, df, case)
+        order = [c for c in ("batch_id", "part_index") if c in out.columns]
+        rows = (out.orderBy(*order) if order else out).collect()
+        expected_batches = case.get("output_batches", [])
+        expected_parts = [p for batch in expected_batches for p in batch]
+        if len(rows) != len(expected_parts):
+            return CaseResult(name, False,
+                              f"expected {len(expected_parts)} output "
+                              f"parts, got {len(rows)}")
+        for i, (row, assertions) in enumerate(zip(rows, expected_parts)):
+            err = _check_part(row, assertions, i)
+            if err:
+                return CaseResult(name, False, err)
+        return CaseResult(name, True)
+    except Exception as e:
+        return CaseResult(name, False, f"error: {e}")
+
+
+def run_test_file(spark: SparkSession, path: str,
+                  verbose: bool = False) -> list[CaseResult]:
+    """Run all cases in a YAML test file; returns failures."""
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    cases = doc.get("tests", doc if isinstance(doc, list) else [])
+    failures: list[CaseResult] = []
+    for case in cases:
+        res = run_case(spark, case)
+        if verbose:
+            print(("PASS " if res.ok else "FAIL ") + res.name
+                  + (f": {res.message}" if res.message else ""))
+        if not res.ok:
+            failures.append(res)
+    return failures

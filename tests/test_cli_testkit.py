@@ -1,0 +1,81 @@
+"""CLI + YAML golden-test runner tests."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from benthos_spark.testkit import run_case, run_test_file
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "mapping_cases.yaml")
+
+
+def test_golden_file_all_pass(spark):
+    failures = run_test_file(spark, GOLDEN)
+    assert failures == []
+
+
+def test_run_case_reports_mismatch(spark):
+    res = run_case(spark, {
+        "name": "expected failure",
+        "target_mapping": "root.x = this.n + 1",
+        "content_schema": "n INT",
+        "input_batch": [{"json_content": {"n": 1}}],
+        "output_batches": [[{"json_contains": {"x": 999}}]],
+    })
+    assert not res.ok
+    assert "json_contains[x]" in res.message
+
+
+def test_run_case_counts_parts(spark):
+    res = run_case(spark, {
+        "name": "count mismatch",
+        "target_processors": [{"filter": "this.content == \"keep\""}],
+        "input_batch": [{"content": "keep"}, {"content": "drop"}],
+        "output_batches": [[{"content_equals": "keep"},
+                            {"content_equals": "drop"}]],
+    })
+    assert not res.ok and "expected 2" in res.message
+
+
+def _run_cli(args, stdin=""):
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               SPARK_GRAFT_CPUS="4")
+    return subprocess.run(
+        [sys.executable, "-m", "benthos_spark", *args],
+        input=stdin, capture_output=True, text=True, cwd="/root/repo",
+        env=env, timeout=300)
+
+
+def test_cli_lint_ok_and_fail(tmp_path):
+    good = tmp_path / "good.yaml"
+    good.write_text("""
+input:
+  generate: {count: 3, mapping: "root.id = this.id"}
+""")
+    r = _run_cli(["lint", "-c", str(good)])
+    assert r.returncode == 0 and "config OK" in r.stdout
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("""
+input:
+  generate: {count: 3, mapping: "root.id = this.id ++"}
+""")
+    r = _run_cli(["lint", "-c", str(bad)])
+    assert r.returncode == 1 and "lint:" in r.stderr
+
+
+def test_cli_blobl_repl():
+    r = _run_cli(["blobl", "root.out = this.a * 2"],
+                 stdin='{"a": 21}\n')
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert json.loads(lines[0]) == {"out": 42}
+
+
+def test_cli_test_runner():
+    r = _run_cli(["test", GOLDEN])
+    assert r.returncode == 0
+    assert r.stdout.count("PASS") == 4

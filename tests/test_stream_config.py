@@ -118,6 +118,57 @@ def test_compile_condition():
     assert "a" in str(c) and "x" in str(c)
 
 
+def test_streaming_config_end_to_end(spark):
+    """input.file.stream → window processor → memory sink: the config
+    front-end driving the real incremental engine."""
+    src = tempfile.mkdtemp(prefix="bs_cfg_stream")
+    try:
+        rows = [("a", "2024-01-01 00:01:00", 1.0),
+                ("a", "2024-01-01 00:02:00", 2.0),
+                ("b", "2024-01-01 00:06:00", 5.0)]
+        df = spark.createDataFrame(rows, "k STRING, ts STRING, v DOUBLE") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        df.write.mode("overwrite").parquet(src)
+        out = run_stream(spark, f"""
+input:
+  file:
+    paths: ["{src}"]
+    stream: true
+    schema: "k STRING, ts TIMESTAMP, v DOUBLE"
+pipeline:
+  processors:
+    - window:
+        ts: ts
+        duration: 5 minutes
+        keys: [k]
+        aggs: {{n: count, total: "sum:v"}}
+        watermark: 10 minutes
+output:
+  memory: {{name: cfg_stream_out, output_mode: complete}}
+""")
+        got = {(r.k, str(r.window.start)): (r.n, r.total)
+               for r in out.collect()}
+        assert got[("a", "2024-01-01 00:00:00")] == (2, 3.0)
+        assert got[("b", "2024-01-01 00:05:00")] == (1, 5.0)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_window_processor_batch_mode(spark):
+    out = run_stream(spark, """
+input:
+  generate: {count: 100, mapping: "root.id = this.id\\nroot.g = this.id % 2"}
+pipeline:
+  processors:
+    - bloblang: |
+        root = this
+        root.ts = "2024-01-01 00:00:00".parse_timestamp("2006-01-02 15:04:05")
+    - window: {ts: ts, duration: 1 hour, keys: [g], aggs: {n: count, mx: "max:id"}}
+""")
+    got = {r.g: (r.n, r.mx) for r in out.collect()}
+    assert got == {0: (50, 98), 1: (50, 99)}
+
+
 def test_unknown_components_error(spark):
     with pytest.raises(ConfigError, match="unknown input type 'kafkaz'"):
         build_stream(spark, "input:\n  kafkaz: {}\n")
