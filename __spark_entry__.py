@@ -709,14 +709,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 23. LLM op: n-gram Jaccard near-dup pairs (shingle inverted index).
 # ================================================================
 
-@_register("dedup_ngram_jaccard", oracle=f"""
-WITH t AS (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents),
+def _sql_shingle_cte() -> str:
+    """Shingle keys mirroring llm.dedup.shingles_from_token_hashes:
+    48-bit md5 token hashes combined arithmetically
+    (fold (acc%P)*8191 + h, mod P), whole-doc fallback under 3 tokens."""
+    h1, h2, h3 = (_sql_hex12(f"toks[i+{j}]") for j in (1, 2, 3))
+    comb = (f"(((({h1} % 1000000007) * 8191 + {h2}) % 1000000007) "
+            f"* 8191 + {h3}) % 1000000007")
+    whole = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+             f"list_transform(toks, t -> {_sql_hex12('t')})), "
+             "(a,b) -> (a * 8191 + b) % 1000000007)")
+    return f"""
+t AS (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents),
 s AS (SELECT doc_id,
              list_distinct(CASE WHEN len(toks) >= 3
-               THEN list_transform(range(0, len(toks) - 2),
-                    i -> {_sql_hex12("array_to_string(toks[(i+1):(i+3)], ' ')")})
-               ELSE [{_sql_hex12("array_to_string(toks, ' ')")}] END) AS sh
-      FROM t),
+               THEN list_transform(range(0, len(toks) - 2), i -> {comb})
+               ELSE [{whole}] END) AS sh
+      FROM t)"""
+
+
+@_register("dedup_ngram_jaccard", oracle=f"""
+WITH {_sql_shingle_cte()},
 e AS (SELECT doc_id, unnest(sh) AS sh1, len(sh) AS n_sh FROM s),
 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
              COUNT(*) AS common
@@ -749,13 +762,7 @@ def _sql_minhash_bands(bands: int = 4, rows: int = 4) -> str:
         "x -> CAST(x AS VARCHAR)), '-')"
         for i in range(bands))
     return f"""
-WITH t AS (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents),
-s AS (SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) >= 3
-               THEN list_transform(range(0, len(toks) - 2),
-                    i -> {_sql_hex12("array_to_string(toks[(i+1):(i+3)], ' ')")})
-               ELSE [{_sql_hex12("array_to_string(toks, ' ')")}] END) AS sh
-      FROM t),
+WITH {_sql_shingle_cte()},
 sig AS (SELECT doc_id, [{sig_terms}] AS sig FROM s),
 banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key,
                   unnest(range(0, {bands})) AS band

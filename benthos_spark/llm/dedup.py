@@ -50,6 +50,57 @@ def exact_dedup(df: DataFrame, text: str = "text",
               .drop("__h"))
 
 
+SHINGLE_MULT = 8191  # 2^13-1: keeps (acc%P)*M + h48 < 2^63
+
+
+def token_hash_frame(df: DataFrame, text: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, th: array<long>) — per-token portable 48-bit hashes in
+    document order.
+
+    The md5 runs on EXPLODED token rows, inside whole-stage codegen,
+    then reassembles per document (one narrow shuffle of (id, pos,
+    long)).  Hashing inside `F.transform` instead runs interpreted —
+    measured 1.8× slower at sf0.1 — so every shingle consumer starts
+    from this frame."""
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    exploded = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    hashed = exploded.select(id_col, "pos", hash48(F.col("tok")).alias("h"))
+    return (hashed.groupBy(id_col)
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "h"))),
+                lambda x: x["h"]).alias("th")))
+
+
+def shingles_from_token_hashes(th: Column, n: int = 3) -> Column:
+    """Distinct shingle keys by arithmetic combination of n consecutive
+    token hashes: fold (acc % P) * 8191 + h, mod P — pure int64 math
+    (no per-shingle string building), reproducible in any engine.
+    Documents shorter than n collapse to one whole-doc shingle."""
+    k = F.size(th)
+
+    def combine(i: Column) -> Column:
+        acc = F.element_at(th, i + 1) % HASH_PRIME
+        for j in range(1, n):
+            acc = (acc * SHINGLE_MULT + F.element_at(th, i + 1 + j)) % HASH_PRIME
+        return acc
+
+    whole = F.aggregate(th, F.lit(0).cast("long"),
+                        lambda a, x: (a * SHINGLE_MULT + x) % HASH_PRIME)
+    return F.array_distinct(
+        F.when(k >= n, F.transform(F.sequence(F.lit(0), k - n), combine))
+         .otherwise(F.array(whole)))
+
+
+def shingle_hash_frame(df: DataFrame, text: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, __sh: array<long>) distinct shingle hashes — the shared
+    front of every near-dup operator, already materialization-barriered
+    by the token_hash_frame aggregation."""
+    return token_hash_frame(df, text, id_col).select(
+        F.col(id_col), shingles_from_token_hashes(F.col("th"), n).alias("__sh"))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """n-word shingles as arrays of strings."""
     toks = F.split(F.trim(text), r"\s+")
@@ -104,9 +155,7 @@ def minhash_lsh_pairs(df: DataFrame, text: str = "text",
     save us).  The shuffled payload is just (id, 16 longs) — tiny.
     """
     r = len(MINHASH_PERMS) // bands
-    hashed = df.select(F.col(id_col),
-                       shingle_hashes(F.col(text), n).alias("__sh")) \
-               .repartition(id_col)
+    hashed = shingle_hash_frame(df, text, id_col, n)
     sig_df = hashed.select(
         F.col(id_col), signature_from_hashes(F.col("__sh")).alias("__sig")) \
         .repartition(id_col)
@@ -142,14 +191,12 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
     spread; stop-shingle removal (df filter on document frequency)
     is the standard guard for pathological corpora.
 
-    The repartition is a materialization barrier (as in
-    minhash_lsh_pairs): without it Catalyst inlines the shingle-hash
-    subtree into explode(), size(), and BOTH sides of the self-join —
-    4× recompute of an interpreted higher-order fold (measured 9×
-    slower at sf0.01).  With it, the self-join reuses one exchange."""
-    hashed = df.select(F.col(id_col),
-                       shingle_hashes(F.col(text), n).alias("__sh")) \
-               .repartition(id_col)
+    shingle_hash_frame's aggregation is the materialization barrier:
+    without one Catalyst would inline the shingle subtree into
+    explode(), size(), and BOTH sides of the self-join — 4× recompute
+    of interpreted higher-order folds (measured 9× slower at sf0.01).
+    With it, the self-join reuses one exchange."""
+    hashed = shingle_hash_frame(df, text, id_col, n)
     sh = hashed.select(F.col(id_col),
                        F.explode("__sh").alias("sh"),
                        F.size("__sh").alias("n_sh"))
@@ -200,13 +247,12 @@ def simhash_dup_groups(df: DataFrame, text: str = "text",
     For distance-k matching, index each of the C(bits,k) masked variants
     (standard multi-probe construction) — same groupBy shape.
 
-    Token hashes are materialized behind a repartition barrier so the
-    32 bit-vote folds share one hash array instead of recomputing the
-    md5s 32× (CollapseProject would inline them otherwise)."""
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(F.split(F.trim(F.col(text)), r"\s+"), hash48)
-         .alias("__th")).repartition(id_col)
+    Token hashes come from token_hash_frame (md5 in codegen on exploded
+    rows; its aggregation is the materialization barrier so the 32
+    bit-vote folds share one hash array instead of recomputing md5s
+    32× — CollapseProject would inline them otherwise)."""
+    hashed = token_hash_frame(df, text, id_col) \
+        .withColumnRenamed("th", "__th")
     return (hashed.withColumn("simhash", simhash_from_hashes(F.col("__th")))
             .groupBy("simhash")
             .agg(F.count("*").alias("n_docs"),
