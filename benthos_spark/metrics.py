@@ -1,0 +1,113 @@
+"""Observability: pipeline metrics without extra scans.
+
+Reference: lib/metrics/ (prometheus/statsd/cloudwatch sinks,
+rename/whitelist wrappers) and the `metric` processor
+(lib/processor/metric.go:22,280-308).
+
+Engine mapping:
+- batch: `pyspark.sql.Observation` — named aggregates attached to a
+  plan, collected as a side effect of the query's own action (no
+  second scan, unlike a .count()).
+- streaming: `StreamingQueryListener` forwarding
+  `progress.observedMetrics` plus the built-in rate/row counters
+  (numInputRows, inputRowsPerSecond — the reference's msg/s counters).
+
+Export adapters (prometheus etc.) read `snapshot()`; Spark's own metric
+sinks already cover infrastructure metrics, so this layer only carries
+pipeline-level counters like the reference's.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+
+from pyspark.sql import Column, DataFrame, Observation
+
+
+class ObservedFrame:
+    """A DataFrame with named observed metrics (the `metric` processor,
+    batch form).  Metrics become available after ANY action on `df`.
+
+        obs = ObservedFrame(df, total=F.sum("v"), rows=F.count(F.lit(1)))
+        obs.df.write...    # runs the pipeline
+        obs.get()          # {'total': ..., 'rows': ...}
+    """
+
+    def __init__(self, df: DataFrame, **metrics: Column):
+        self._observation = Observation()
+        first = next(iter(metrics))
+        cols = [metrics[first].alias(first)] + [
+            c.alias(n) for n, c in metrics.items() if n != first]
+        self.df = df.observe(self._observation, *cols)
+
+    def get(self) -> dict:
+        return self._observation.get
+
+
+class StreamingMetrics:
+    """StreamingQueryListener collecting per-batch progress counters
+    and observed metrics for every active query (the reference's
+    metrics endpoint payload, SURVEY §2.7)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._lock = threading.Lock()
+        self._progress: dict[str, list[dict]] = defaultdict(list)
+        self._listener = None
+
+    def attach(self) -> "StreamingMetrics":
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                try:
+                    row = {
+                        "batchId": p.batchId,
+                        "numInputRows": p.numInputRows,
+                        "inputRowsPerSecond": p.inputRowsPerSecond,
+                        "processedRowsPerSecond": p.processedRowsPerSecond,
+                        "observedMetrics": {
+                            k: v.asDict() if hasattr(v, "asDict") else v
+                            for k, v in (p.observedMetrics or {}).items()},
+                    }
+                    outer._record(p.name or p.id, row)
+                except Exception:
+                    pass  # metrics must never fail the stream
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self._listener = _Listener()
+        self.spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self) -> None:
+        if self._listener is not None:
+            self.spark.streams.removeListener(self._listener)
+            self._listener = None
+
+    def _record(self, name: str, row: dict) -> None:
+        with self._lock:
+            self._progress[str(name)].append(row)
+
+    def snapshot(self) -> dict[str, list[dict]]:
+        with self._lock:
+            return {k: list(v) for k, v in self._progress.items()}
+
+    def totals(self, name: str) -> dict:
+        """Aggregate counters for one query (the /stats payload)."""
+        rows = self.snapshot().get(str(name), [])
+        return {
+            "batches": len(rows),
+            "rows_in": sum(r["numInputRows"] or 0 for r in rows),
+        }

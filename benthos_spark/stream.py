@@ -70,6 +70,9 @@ def load_config(text_or_path: str) -> dict:
 # ---------------------------------------------------------------- inputs
 
 def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
+    if isinstance(conf, dict):
+        # `batching` rides alongside the component (lib/input/batcher.go)
+        conf = {k: v for k, v in conf.items() if k != "batching"}
     if not isinstance(conf, dict) or len(conf) != 1:
         raise ConfigError(f"input: expected one component, got {conf!r}")
     (kind, spec), = conf.items()
@@ -162,6 +165,39 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
     if kind == "group_by_value":
         from benthos_spark.operators import group_by_value
         return group_by_value(df, spec["value"])
+    if kind == "try":
+        # `try` (lib/processor/try.go:18): children skip already-failed
+        # rows; requires the _error column (datamodel message shape)
+        from benthos_spark.plans import try_stages
+        stages = [(lambda d, p=p: _apply_processor(d, p))
+                  for p in (spec if isinstance(spec, list) else [spec])]
+        return try_stages(df, *stages)
+    if kind == "catch":
+        from benthos_spark.plans import catch_stage
+
+        def recover(bad: DataFrame, procs=spec) -> DataFrame:
+            for p in (procs if isinstance(procs, list) else [procs]):
+                bad = _apply_processor(bad, p)
+            return bad
+        return catch_stage(df, recover)
+    if kind == "log":
+        from benthos_spark.operators.control import log_stage
+        return log_stage(df, str(spec.get("message", "")),
+                         level=spec.get("level", "INFO"))
+    if kind == "metric":
+        from benthos_spark.operators.control import metric_observe
+        return metric_observe(df, spec["name"],
+                              compile_condition(str(spec["value"])))
+    if kind == "subprocess":
+        from benthos_spark.operators.control import subprocess_map
+        return subprocess_map(df, [str(a) for a in spec["args"]],
+                              input_col=spec.get("input", "content"),
+                              output_col=spec.get("output", "content"))
+    if kind == "resource":
+        from benthos_spark.operators.control import apply_resource
+        return apply_resource(df, str(spec))
+    if kind == "noop":
+        return df
     if kind == "window":
         # batch policy (lib/message/batch/policy.go) as an event-time
         # window; aggs: {name: "count"} | {name: "sum:col"} | min/max/avg
@@ -239,6 +275,23 @@ def build_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     if "input" not in conf:
         raise ConfigError("config needs an `input` section")
     df = _build_input(spark, conf["input"])
+    if (batching := conf["input"].get("batching") if
+            isinstance(conf["input"], dict) else None):
+        # input batching policy (lib/input/batcher.go): count-based
+        # assigns batch_id/part_index over a pinned order
+        from benthos_spark.operators import split_batches
+        df = split_batches(df, int(batching["count"]),
+                           [F.col(c) for c in batching["order_by"]])
+    if (buf := conf.get("buffer")) is not None:
+        # the buffer layer decouples producer/consumer in the reference
+        # (lib/buffer/); Spark owns flow control, so only `none` is
+        # meaningful — anything else would silently change delivery
+        # guarantees, so reject it loudly (SURVEY 'not ported')
+        if list(buf) not in ([], ["none"]):
+            raise ConfigError(
+                f"buffer {list(buf)}: the buffer layer is subsumed by "
+                "Spark's scheduler/backpressure; only `buffer: {none: {}}` "
+                "is accepted")
     for proc in (conf.get("pipeline") or {}).get("processors", []):
         df = _apply_processor(df, proc)
     return df

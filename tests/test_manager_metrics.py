@@ -1,0 +1,122 @@
+"""Streams-mode manager, metrics, schema-codec gating, config
+try/catch + batching/buffer sections."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.metrics import ObservedFrame, StreamingMetrics
+from benthos_spark.operators.schema_codecs import (MissingSparkPackage,
+                                                   avro_to_struct)
+from benthos_spark.stream import ConfigError, build_stream, run_stream
+from benthos_spark.streaming.manager import StreamManager
+
+
+def test_stream_manager_crud(spark):
+    mgr = StreamManager(spark)
+    h = mgr.create("s1", """
+input:
+  generate: {count: 5, mapping: "root.id = this.id"}
+""")
+    assert h.result.count() == 5
+    assert "s1" in mgr.list() and mgr.list()["s1"]["active"] is False
+    with pytest.raises(ValueError, match="already exists"):
+        mgr.create("s1", "input:\n  generate: {count: 1, mapping: 'root.id = this.id'}\n")
+    h2 = mgr.update("s1", """
+input:
+  generate: {count: 7, mapping: "root.id = this.id"}
+""")
+    assert h2.result.count() == 7
+    mgr.delete("s1")
+    assert mgr.list() == {}
+
+
+def test_observed_frame_no_extra_scan(spark):
+    df = spark.range(10)
+    obs = ObservedFrame(df, total=F.sum("id"), rows=F.count(F.lit(1)))
+    obs.df.write.format("noop").mode("overwrite").save()
+    got = obs.get()
+    assert got == {"total": 45, "rows": 10}
+
+
+def test_streaming_metrics_listener(spark):
+    import shutil
+    import tempfile
+    src = tempfile.mkdtemp(prefix="bs_metrics_src")
+    ckpt = tempfile.mkdtemp(prefix="bs_metrics_ckpt")
+    metrics = StreamingMetrics(spark).attach()
+    try:
+        spark.range(100).select(F.col("id")).write.mode("overwrite") \
+            .parquet(src)
+        stream = spark.readStream.schema("id LONG").parquet(src)
+        q = (stream.writeStream.format("memory").queryName("metrics_test")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # listener delivery is async; poll briefly
+        for _ in range(40):
+            if metrics.totals("metrics_test")["rows_in"] >= 100:
+                break
+            time.sleep(0.25)
+        assert metrics.totals("metrics_test")["rows_in"] == 100
+    finally:
+        metrics.detach()
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_avro_gated_with_actionable_error(spark):
+    with pytest.raises(MissingSparkPackage, match="spark-avro"):
+        avro_to_struct(F.encode(F.lit("x"), "UTF-8"), '"long"')
+
+
+def test_config_try_catch_error_protocol(spark):
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 6
+    mapping: |
+      root.content = this.id.string()
+      root._error = if this.id % 2 == 0 { "boom" } else { null }
+pipeline:
+  processors:
+    - try:
+        - bloblang: |
+            root = this
+            root.content = this.content + "_ok"
+    - catch:
+        - bloblang: |
+            root = this
+            root.content = "recovered"
+""")
+    got = sorted(r.content for r in out.collect())
+    assert got == ["1_ok", "3_ok", "5_ok", "recovered", "recovered",
+                   "recovered"]
+    assert all(r._error is None for r in out.collect())
+
+
+def test_config_input_batching(spark):
+    out = run_stream(spark, """
+input:
+  generate: {count: 10, mapping: "root.id = this.id"}
+  batching: {count: 4, order_by: [id]}
+""")
+    got = {r.id: (r.batch_id, r.part_index) for r in out.collect()}
+    assert got[0] == (0, 0) and got[3] == (0, 3) and got[4] == (1, 0)
+
+
+def test_config_buffer_none_ok_others_rejected(spark):
+    build_stream(spark, """
+input:
+  generate: {count: 1, mapping: "root.id = this.id"}
+buffer: {none: {}}
+""")
+    with pytest.raises(ConfigError, match="buffer"):
+        build_stream(spark, """
+input:
+  generate: {count: 1, mapping: "root.id = this.id"}
+buffer: {memory: {limit: 1000}}
+""")
