@@ -165,6 +165,28 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
     if kind == "group_by_value":
         from benthos_spark.operators import group_by_value
         return group_by_value(df, spec["value"])
+    if kind == "archive":
+        from benthos_spark.operators import archive_join
+        from benthos_spark.operators.batch import archive_json_array
+        value = compile_condition(str(spec.get("value", "this.content")))
+        order = compile_condition(str(spec.get("order_by", "this.part_index")))
+        group = [str(g) for g in spec.get("group", ["batch_id"])]
+        if spec.get("format", "lines") == "json_array":
+            return archive_json_array(df, group, value, order)
+        return archive_join(df, group, value, order,
+                            delimiter=spec.get("delimiter", "\n"))
+    if kind == "unarchive":
+        from benthos_spark.operators import unarchive_explode
+        return unarchive_explode(
+            df, compile_condition(str(spec["parts"])),
+            alias=spec.get("alias", "content"),
+            index_alias=spec.get("index_alias", "part_index_out"))
+    if kind == "merge_json":
+        from benthos_spark.operators import merge_json
+        return merge_json(
+            df, [str(g) for g in spec.get("group", ["batch_id"])],
+            compile_condition(str(spec["doc"])),
+            compile_condition(str(spec.get("order_by", "this.part_index"))))
     if kind == "try":
         # `try` (lib/processor/try.go:18): children skip already-failed
         # rows; requires the _error column (datamodel message shape)
