@@ -1,0 +1,55 @@
+"""Scale techniques: salting for skew, bucketing for co-located joins.
+
+These are engine-level tools the reference never needed (single-node,
+no shuffles) but that the 100 TB deployment of every join/groupBy in
+this repo depends on.  AQE's skew-join split (enabled in session.py)
+handles moderate skew automatically; salting is the explicit tool for
+pathological keys (a handful of keys holding most rows), and bucketing
+pre-pays the shuffle for repeated joins on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(skewed: DataFrame, other: DataFrame, on: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Join where `skewed[on]` has pathological hot keys.
+
+    The skewed side gets a random salt in [0, salt); the other side is
+    replicated `salt` ways (explode of a literal range — cheap when the
+    other side is the smaller one).  The hot key's rows then spread over
+    `salt` shuffle partitions instead of one straggler task.
+
+    Contract mirrors a plain equi-join (inner/left supported); columns
+    out = both sides minus the bookkeeping salt columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    s = skewed.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    o = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = s.join(o, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def write_bucketed(df: DataFrame, table: str, on: list[str],
+                   buckets: int = 32, sort: bool = True,
+                   fmt: str = "parquet") -> None:
+    """Persist bucketed by the join/agg key: later joins between tables
+    bucketed the same way skip the shuffle entirely (Catalyst sees the
+    hash-distribution requirement already satisfied)."""
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(buckets, *on)
+    if sort:
+        writer = writer.sortBy(*on)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: str | list[str], how: str = "inner") -> DataFrame:
+    """Join two co-bucketed tables — zero-shuffle when bucket specs
+    match (verify with .explain(): no Exchange above either scan)."""
+    return spark.table(left_table).join(spark.table(right_table),
+                                        on=on, how=how)
