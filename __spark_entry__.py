@@ -306,6 +306,50 @@ def archive_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 10b. archive format json_array (lib/processor/archive.go:115) —
+#      batch → one JSON-array part.
+# ================================================================
+
+@_register("archive_json_array", oracle="""
+SELECT source,
+       to_json(list_sort(list(CAST(doc_id AS VARCHAR)))) AS archived
+FROM documents GROUP BY source
+""")
+def archive_json_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.batch import archive_json_array
+    docs = _t(spark, sf_dir, "documents")
+    return archive_json_array(docs, ["source"],
+                              F.col("doc_id").cast("string"),
+                              F.col("doc_id").cast("string"))
+
+
+# ================================================================
+# 10c. group_by processor (lib/processor/group_by.go:28) — split the
+#      stream into condition-defined groups (first check wins).
+# ================================================================
+
+@_register("group_by_checks", oracle="""
+SELECT grp, COUNT(*) AS n, MIN(n_chars) AS min_chars
+FROM (SELECT CASE WHEN lang <> 'en' THEN 'foreign'
+                  WHEN n_chars > 300 THEN 'long_en'
+                  ELSE 'short_en' END AS grp, n_chars
+      FROM documents) t
+GROUP BY grp
+""")
+def group_by_checks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.routing import group_by_checks
+    docs = _t(spark, sf_dir, "documents")
+    grouped = group_by_checks(docs, [
+        ("foreign", F.col("lang") != "en"),
+        ("long_en", F.col("n_chars") > 300),
+        ("short_en", None),
+    ], alias="grp")
+    return (grouped.groupBy("grp")
+            .agg(F.count("*").alias("n"),
+                 F.min("n_chars").alias("min_chars")))
+
+
+# ================================================================
 # 11. unarchive processor (lib/processor/unarchive.go) — one part →
 #     many, position preserved (posexplode).
 # ================================================================

@@ -33,6 +33,11 @@ HEADLINE = [
     "yaml_config_stream",
     "string_methods",
     "sessionize",
+    "window_sliding",
+    "parse_log_syslog",
+    "text_quality_langid",
+    "batch_functions",
+    "similarity_lsh_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -124,5 +124,12 @@ class LetAssign(Statement):
 
 
 @dataclass
+class MapDef(Statement):
+    """`map name { statements }` (parser mapping_parser.go:248)."""
+    name: str
+    statements: list[Statement]
+
+
+@dataclass
 class Mapping(Node):
     statements: list[Statement]

@@ -48,13 +48,16 @@ class Scope:
     variables: dict[str, Column] = dc_field(default_factory=dict)
     this_override: Column | None = None  # lambda rebinding (map_each etc.)
     named_bindings: dict[str, Column] = dc_field(default_factory=dict)
+    maps: dict = dc_field(default_factory=dict)   # name → [Statement]
+    applying: frozenset = frozenset()  # in-flight .apply names (recursion)
 
     def child(self, this_override: Column | None = None,
               named: dict[str, Column] | None = None) -> "Scope":
         return Scope(self.this_col, self.root_fields, self.variables,
                      this_override if this_override is not None
                      else self.this_override,
-                     named or self.named_bindings)
+                     named or self.named_bindings,
+                     self.maps, self.applying)
 
 
 def _dig(col: Column, path: list[str]) -> Column:
@@ -342,6 +345,16 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     import re as _re
 
     name, args = node.name, node.args
+    if name == "apply":
+        # bare `this.apply(m)` in row mode: there is no single document
+        # Column — the named map resolves fields against the row
+        if isinstance(node.target, ast.Context) and not node.target.path \
+                and scope.this_override is None and scope.this_col is None:
+            return _apply_named_map(
+                str(_lit_arg(args[0], ".apply() map name")), None, scope)
+        return _apply_named_map(
+            str(_lit_arg(args[0], ".apply() map name")),
+            compile_expr(node.target, scope), scope)
     target = compile_expr(node.target, scope)
 
     def arg_col(i):
@@ -377,8 +390,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             ".from(i): cross-part reads map to window functions over "
             "batch_id — use operators.batch helpers (documented)")
     if name == "apply":
-        raise BloblangCompileError(
-            ".apply(): named maps are deferred in v1 (SURVEY §2.1.1)")
+        return _apply_named_map(str(arg_lit(0, "map name")), target, scope)
     # --- coercions ---
     if name == "number":
         return target.try_cast("double")
@@ -577,6 +589,47 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     raise BloblangCompileError(f"unknown method .{name}()")
 
 
+def _apply_named_map(name: str, target: Column | None,
+                     scope: Scope) -> Column:
+    """`.apply("name")` (methods.go:13): inline-expand the named map
+    with `this` bound to the target.  The reference interprets with a
+    10000-deep recursion cap (mapping/executor.go:241-248); static
+    inlining cannot express recursion, so self-application errors
+    (documented deviation)."""
+    if name not in scope.maps:
+        raise BloblangCompileError(f".apply({name!r}): map not defined")
+    if name in scope.applying:
+        raise BloblangCompileError(
+            f"map {name!r} is recursive; static compilation cannot "
+            "express recursion (reference caps at 10000 — documented "
+            "deviation, SURVEY §2.1.1)")
+    sub = Scope(this_col=None, root_fields={}, maps=scope.maps,
+                applying=scope.applying | {name},
+                this_override=target)
+    whole: Column | None = None
+    for stmt in scope.maps[name]:
+        if isinstance(stmt, ast.LetAssign):
+            sub.variables[stmt.name] = compile_expr(stmt.value, sub)
+        elif isinstance(stmt, ast.RootAssign):
+            value = compile_expr(stmt.value, sub)
+            if not stmt.path:
+                whole = value
+            else:
+                tree = sub.root_fields
+                for seg in stmt.path[:-1]:
+                    tree = tree.setdefault(seg, {})
+                tree[stmt.path[-1]] = value
+        else:
+            raise BloblangCompileError(
+                f"map {name!r}: only root/let statements supported inside "
+                "named maps")
+    if whole is not None:
+        return whole
+    if not sub.root_fields:
+        raise BloblangCompileError(f"map {name!r} assigns nothing")
+    return _tree_to_struct(sub.root_fields)
+
+
 # ---------------------------------------------------------------- executor
 
 class MappingExec:
@@ -596,11 +649,17 @@ class MappingExec:
         """``keep``: input columns passed through unchanged (e.g. batch
         bookkeeping) unless the mapping assigns the same name."""
         scope = Scope(this_col=this, root_fields={})
+        for stmt in self.mapping.statements:  # maps usable before def site
+            if isinstance(stmt, ast.MapDef):
+                scope.maps[stmt.name] = stmt.statements
         meta_updates: list[tuple[str | None, Column]] = []
         drop_cond: Column | None = None
         identity_base = False
 
         for stmt in self.mapping.statements:
+            if isinstance(stmt, ast.MapDef):
+                scope.maps[stmt.name] = stmt.statements
+                continue
             if isinstance(stmt, ast.LetAssign):
                 scope.variables[stmt.name] = compile_expr(stmt.value, scope)
             elif isinstance(stmt, ast.MetaAssign):

@@ -167,6 +167,20 @@ class _Parser:
             name = self.expect("IDENT").text
             self.expect("OP", "=")
             return ast.LetAssign(name, self.parse_expr())
+        if tok.kind == "IDENT" and tok.text == "map":
+            self.next()
+            name = self.expect("IDENT").text
+            self.expect("OP", "{", skip_nl=True)
+            stmts: list[ast.Statement] = []
+            while True:
+                while self.accept("NEWLINE"):
+                    pass
+                nxt = self.peek(skip_nl=True)
+                if nxt.kind == "OP" and nxt.text == "}":
+                    self.next()
+                    break
+                stmts.append(self.parse_statement())
+            return ast.MapDef(name, stmts)
         raise BloblangParseError(
             f"expected 'root', 'meta' or 'let' statement, found {tok.text!r}",
             tok.line, tok.col)

@@ -54,6 +54,17 @@ def switch_branches(df: DataFrame,
     return out
 
 
+def group_by_checks(df: DataFrame,
+                    groups: list[tuple[str, Column | None]],
+                    alias: str = "group") -> DataFrame:
+    """`group_by` (lib/processor/group_by.go:28,108-110): split a batch
+    into named groups by the first matching check (None = catch-all).
+    Downstream per-group pipelines filter on the label — the compiled
+    form of the reference's per-group processor lists."""
+    return df.withColumn(alias, switch_case(
+        [(cond, F.lit(name)) for name, cond in groups], alias=alias))
+
+
 def group_by_value(df: DataFrame, value: Column | str) -> DataFrame:
     """`group_by_value` (lib/processor/group_by_value.go:22): re-group the
     stream by an interpolated value (e.g. kafka key).  In Spark this is a

@@ -280,3 +280,68 @@ def test_count_documented_deviation():
 def test_variable_unknown_error():
     with pytest.raises(BloblangCompileError, match=r"unknown variable \$y"):
         compile_mapping("root.x = $y").apply(None)
+
+
+# ---- named maps ----
+
+def test_named_map_apply_struct(spark):
+    df = rows(spark, [(2, "ab")], "n INT, s STRING")
+    out = map_text(df, """
+map summary {
+  root.double = this.n * 2
+  root.loud = this.s.uppercase()
+}
+root.out = this.apply("summary")
+root.plain = this.n
+""")
+    r = out.collect()[0]
+    assert r.out.asDict() == {"double": 4, "loud": "AB"}
+    assert r.plain == 2
+
+
+def test_named_map_scalar_and_nested_target(spark):
+    df = rows(spark, [(3,)], "n INT")
+    out = map_text(df, """
+map inc { root = this + 1 }
+root.a = this.n.apply("inc")
+root.b = this.n.apply("inc").apply("inc")
+""")
+    r = out.collect()[0]
+    assert (r.a, r.b) == (4, 5)
+
+
+def test_named_map_defined_after_use(spark):
+    df = rows(spark, [(1,)], "n INT")
+    out = map_text(df, """
+root.x = this.n.apply("later")
+map later { root = this * 10 }
+""")
+    assert out.collect()[0].x == 10
+
+
+def test_named_map_recursion_rejected():
+    with pytest.raises(BloblangCompileError, match="recursive"):
+        compile_mapping("""
+map loop { root = this.apply("loop") }
+root.x = this.n.apply("loop")
+""").apply(None)
+
+
+def test_named_map_unknown():
+    with pytest.raises(BloblangCompileError, match="map not defined"):
+        compile_mapping('root.x = this.n.apply("nope")').apply(None)
+
+
+# ---- interpolation ----
+
+def test_interpolation_static_and_dynamic(spark):
+    from benthos_spark.bloblang.field import interpolate, is_static
+    assert is_static("plain string")
+    assert not is_static("x ${! this.a } y")
+    df = rows(spark, [(7, "t")], "a INT, k STRING")
+    out = df.select(
+        interpolate("static").alias("s"),
+        interpolate("a=${! this.a }, up=${! this.k.uppercase() }!").alias("d"))
+    r = out.collect()[0]
+    assert r.s == "static"
+    assert r.d == "a=7, up=T!"
