@@ -516,6 +516,10 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         raise BloblangCompileError(
             ".parse_json() needs a schema argument in the columnar engine "
             "(schema-on-read; use get/json() for ad-hoc paths)")
+    if name == "parse_xml":
+        return F.from_xml(target, str(arg_lit(0, "schema")))
+    if name == "parse_csv":
+        return F.from_csv(target, str(arg_lit(0, "schema")))
     if name == "parse_timestamp_strptime":
         return ts_fns.parse_timestamp_strptime(target, str(arg_lit(0)))
     if name == "parse_timestamp_unix":

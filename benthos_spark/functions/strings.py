@@ -17,7 +17,7 @@ __all__ = [
     "re_match", "re_find_all", "re_replace", "re_find_first",
     "encode_base64", "decode_base64", "encode_hex", "decode_hex",
     "hash_sha256", "hash_sha512", "hash_sha1", "hash_md5",
-    "hash_xxhash64", "parse_json", "parse_csv_line", "length",
+    "hash_xxhash64", "parse_json", "parse_xml", "parse_csv_line", "length",
     "slice_str", "strip_html", "filepath_join", "filepath_split",
     "escape_url_query", "unescape_url_query",
 ]
@@ -178,6 +178,12 @@ def parse_json(c: Column, schema: str) -> Column:
     the engine is columnar so the parse target is typed; use
     `get_json_object` for ad-hoc single-path extraction instead."""
     return F.from_json(c, schema)
+
+
+def parse_xml(c: Column, schema: str) -> Column:
+    """`.parse_xml()` (methods_strings.go:992) — native from_xml
+    (Spark 4); schema-declared like parse_json."""
+    return F.from_xml(c, schema)
 
 
 def parse_csv_line(c: Column, schema: str, sep: str = ",") -> Column:

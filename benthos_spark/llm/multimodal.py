@@ -64,6 +64,88 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def _decode_audio_batch(payload_bytes: bytes | None) -> tuple[int, int, list[float]]:
+    """STUB audio decode (no codecs in this environment): returns
+    (sample_rate, n_samples, mfcc-ish features) deterministically from
+    byte stats; replace with soundfile/librosa — batch shape is real."""
+    if payload_bytes is None:
+        return 0, 0, [0.0] * 4
+    n = len(payload_bytes)
+    rate = 16000 if n % 2 == 0 else 44100
+    feats = [float(sum(payload_bytes[i::4]) % 101) / 100.0 for i in range(4)]
+    return rate, n * 4, feats
+
+
+def _sample_video_frames(payload_bytes: bytes | None,
+                         every_n: int = 30) -> list[list[float]]:
+    """STUB frame sampler: deterministic fake frames (one 4-float
+    signature per sampled frame); replace with ffmpeg/decord — the
+    mapInPandas batch shape and output schema stay identical."""
+    if payload_bytes is None:
+        return []
+    n_frames = max(1, len(payload_bytes) // 16)
+    out = []
+    for f in range(0, n_frames, every_n):
+        chunk = payload_bytes[f * 16:(f + 1) * 16] or payload_bytes[:16]
+        out.append([float(b % 64) / 64.0 for b in chunk[:4]])
+    return out
+
+
+AUDIO_SCHEMA = ("media_id long, sample_rate int, n_samples long, "
+                "features array<float>")
+FRAMES_SCHEMA = "media_id long, frame_no int, frame_features array<float>"
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio path of the multimodal pipeline (same plumbing as
+    extract_features; stubbed kernel)."""
+    import pandas as pd
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded = [_decode_audio_batch(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": [d[0] for d in decoded],
+                "n_samples": [d[1] for d in decoded],
+                "features": [d[2] for d in decoded],
+            })
+
+    return media.mapInPandas(op, schema=AUDIO_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (explode inside
+    the pandas batch — rows fan out without driver involvement)."""
+    import pandas as pd
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, frame_nos, feats = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, frame in enumerate(
+                        _sample_video_frames(payload, every_n)):
+                    ids.append(mid)
+                    frame_nos.append(i)
+                    feats.append(frame)
+            yield pd.DataFrame({"media_id": ids, "frame_no": frame_nos,
+                                "frame_features": feats})
+
+    return media.mapInPandas(op, schema=FRAMES_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """`resize` kernel placeholder: passes payload through with target
+    dims recorded in meta (a real implementation re-encodes bytes in
+    the same mapInPandas shape)."""
+    return media.withColumn(
+        "meta", F.map_concat(
+            F.map_filter(F.col("meta"),
+                         lambda k, _: ~k.isin(["resize_w", "resize_h"])),
+            F.create_map(F.lit("resize_w"), F.lit(str(width)),
+                         F.lit("resize_h"), F.lit(str(height)))))
+
+
 def fake_media_table(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media rows for tests: payload bytes are a
     function of media_id, so every run (and every engine) agrees."""

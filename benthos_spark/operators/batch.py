@@ -44,6 +44,23 @@ def unarchive_explode(df: DataFrame, parts: Column,
     return exploded
 
 
+def unarchive_json_map(df: DataFrame, obj: Column,
+                       alias: str = "content",
+                       key_meta: str = "archive_key") -> DataFrame:
+    """`unarchive` format json_map (lib/processor/unarchive.go:26):
+    one JSON object → one part per entry, with the key preserved as
+    metadata (the reference sets the `archive_key` metadata field).
+    `obj` is a MAP column (e.g. from_json(content, 'map<string,string>'))."""
+    exploded = df.select("*", F.explode(obj).alias(key_meta, alias))
+    if "meta" in df.columns:
+        exploded = exploded.withColumn(
+            "meta", F.map_concat(
+                F.map_filter(F.col("meta"),
+                             lambda k, _: k != F.lit(key_meta)),
+                F.create_map(F.lit(key_meta), F.col(key_meta))))
+    return exploded
+
+
 def merge_json(df: DataFrame, group: list[str], doc: Column,
                order_by: Column, alias: str = "merged") -> DataFrame:
     """`merge_json` (lib/processor/merge_json.go:18): fold all JSON docs of
