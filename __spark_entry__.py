@@ -990,6 +990,49 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+@_register("multimodal_audio_frames")
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature extraction + video frame sampling joined per media
+    row (mapInPandas plumbing over stubbed decode kernels — rows-only
+    check, no SQL oracle)."""
+    from benthos_spark.llm.multimodal import (extract_audio_features,
+                                              fake_media_table,
+                                              sample_video_frames)
+    media = fake_media_table(spark, n=256)
+    audio = extract_audio_features(media)
+    frames = (sample_video_frames(media, every_n=8)
+              .groupBy("media_id").agg(F.count("*").alias("n_frames")))
+    return (audio.join(frames, "media_id")
+            .select("media_id", "sample_rate", "n_samples", "n_frames"))
+
+
+# ================================================================
+# 31b. unarchive json_map (lib/processor/unarchive.go:26): one JSON
+#      object per doc → one row per entry, key preserved as metadata.
+# ================================================================
+
+@_register("unarchive_json_map", oracle="""
+WITH docs AS (
+  SELECT doc_id,
+         '{"lang":"' || lang || '","source":"' || source || '"}' AS obj
+  FROM documents WHERE doc_id < 2000),
+keyed AS (
+  SELECT doc_id, obj, unnest(json_keys(obj)) AS archive_key FROM docs)
+SELECT doc_id, archive_key,
+       json_extract_string(obj, '$.' || archive_key) AS content
+FROM keyed
+""")
+def unarchive_json_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.batch import unarchive_json_map
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 2000)
+            .select("doc_id",
+                    F.from_json(F.to_json(F.struct("lang", "source")),
+                                "map<string,string>").alias("obj")))
+    return (unarchive_json_map(docs, F.col("obj"))
+            .select("doc_id", "archive_key", "content"))
+
+
 # ================================================================
 # 32. parse_log syslog RFC3164 (lib/processor/parse_log.go:244) —
 #     regexp_extract bundle, whole-stage codegen.
