@@ -1007,6 +1007,55 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 31a. jq processor (lib/processor/jq.go) — general query through the
+#      Arrow-batched interpreter tier (select filter + arithmetic +
+#      string concat + floor + tostring), oracled against DuckDB
+#      computing the expected result from the raw columns.
+# ================================================================
+
+@_register("jq_general", oracle="""
+SELECT doc_id,
+       '"' || lang || ':' || source || ':' ||
+       CAST(CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS VARCHAR) || '"'
+         AS content
+FROM documents WHERE doc_id < 3000 AND n_chars >= 150
+""")
+def jq_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.jq import jq_transform
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 3000)
+            .select("doc_id",
+                    F.to_json(F.struct("lang", "source", "n_chars"))
+                    .alias("content")))
+    out = jq_transform(
+        docs,
+        'select(.n_chars >= 150) | '
+        '.lang + ":" + .source + ":" + ((.n_chars / 100 | floor) | tostring)')
+    return out.select("doc_id", "content")
+
+
+# ================================================================
+# 31a'. jq pure-path query — compiles to the JVM-side variant fast
+#       path (parse_json → try_variant_get → to_json, zero Python).
+# ================================================================
+
+@_register("jq_path_fastpath", oracle="""
+SELECT o_orderkey, '"' || o_orderstatus || '"' AS content
+FROM orders WHERE o_orderkey < 5000
+""")
+def jq_path_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.jq import jq_transform
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderkey") < 5000)
+              .select("o_orderkey",
+                      F.to_json(F.struct(F.struct(
+                          F.col("o_orderstatus").alias("status"))
+                          .alias("hdr"))).alias("content")))
+    return (jq_transform(orders, ".hdr.status")
+            .select("o_orderkey", "content"))
+
+
+# ================================================================
 # 31b. unarchive json_map (lib/processor/unarchive.go:26): one JSON
 #      object per doc → one row per entry, key preserved as metadata.
 # ================================================================

@@ -210,6 +210,18 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
         from benthos_spark.operators.control import metric_observe
         return metric_observe(df, spec["name"],
                               compile_condition(str(spec["value"])))
+    if kind == "jq":
+        # lib/processor/jq.go:100-103 config: {query, raw}
+        from benthos_spark.operators.jq import jq_transform
+        if isinstance(spec, str):
+            return jq_transform(df, spec)
+        return jq_transform(df, str(spec["query"]),
+                            raw=bool(spec.get("raw", False)))
+    if kind == "jmespath":
+        from benthos_spark.operators.parsing import jmespath_transform
+        return jmespath_transform(
+            df, F.col(spec.get("source", "content")), str(spec["query"]),
+            alias=spec.get("alias", "content"))
     if kind == "subprocess":
         from benthos_spark.operators.control import subprocess_map
         return subprocess_map(df, [str(a) for a in spec["args"]],

@@ -1,0 +1,161 @@
+"""jq processor (lib/processor/jq.go) — subset compiler + interpreter."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.operators.jq import (JQCompileError, JQError,
+                                        jq_eval_text, jq_static_path,
+                                        jq_transform, parse_jq)
+
+
+def run(query, value, raw=False, metadata=None):
+    text = value if raw else json.dumps(value)
+    out = jq_eval_text(parse_jq(query), text, raw=raw, metadata=metadata)
+    return out if out is None else json.loads(out)
+
+
+# ---------------------------------------------------------------- eval
+
+def test_paths_and_identity():
+    assert run(".", {"a": 1}) == {"a": 1}
+    assert run(".a.b", {"a": {"b": 7}}) == 7
+    assert run(".a.b", {"a": {}}) is None or run(".a.b", {"a": {}}) == None
+    assert run(".xs[1]", {"xs": [10, 20, 30]}) == 20
+    assert run(".xs[-1]", {"xs": [10, 20]}) == 20
+
+
+def test_docs_cities_example():
+    """The jq.go:66-88 documented example, verbatim semantics."""
+    doc = {"locations": [
+        {"name": "Seattle", "state": "WA"},
+        {"name": "New York", "state": "NY"},
+        {"name": "Bellevue", "state": "WA"},
+        {"name": "Olympia", "state": "WA"}]}
+    q = ('{Cities: .locations | map(select(.state == "WA").name) '
+         '| sort | join(", ")}')
+    assert run(q, doc) == {"Cities": "Bellevue, Olympia, Seattle"}
+
+
+def test_multiple_values_become_array_and_empty_filters():
+    assert run(".xs[]", {"xs": [1, 2, 3]}) == [1, 2, 3]
+    assert run(".a, .b", {"a": 1, "b": 2}) == [1, 2]
+    # select with no match emits nothing → None = message filtered
+    assert run("select(.a > 5)", {"a": 1}) is None
+    assert run("empty", {"a": 1}) is None
+
+
+def test_operators_and_functions():
+    assert run(".a + .b", {"a": 1, "b": 2}) == 3
+    assert run('.s + "!"', {"s": "hi"}) == "hi!"
+    assert run(".xs + [4]", {"xs": [1]}) == [1, 4]
+    assert run(".o + {b: 2}", {"o": {"a": 1}}) == {"a": 1, "b": 2}
+    assert run(".a // 9", {"a": None}) == 9
+    assert run(".xs | length", {"xs": [1, 2]}) == 2
+    assert run("keys", {"b": 1, "a": 2}) == ["a", "b"]
+    assert run(".xs | add", {"xs": [1, 2, 3]}) == 6
+    assert run(".xs | unique", {"xs": [3, 1, 3]}) == [1, 3]
+    assert run('.s | split(",")', {"s": "a,b"}) == ["a", "b"]
+    assert run('.s | test("^a")', {"s": "abc"}) is True
+    assert run(".n | tostring", {"n": 5}) == "5"
+    assert run('.s | tonumber', {"s": "5"}) == 5
+    assert run(".xs | map(. * 2)", {"xs": [1, 2]}) == [2, 4]
+    assert run(".xs | sort_by(.k)", {"xs": [{"k": 2}, {"k": 1}]}) \
+        == [{"k": 1}, {"k": 2}]
+    assert run("[range(3)]", None) == [0, 1, 2]
+    assert run(".a and .b", {"a": True, "b": False}) is False
+    assert run(".a or .b", {"a": False, "b": True}) is True
+    assert run(".s | ascii_upcase", {"s": "hi"}) == "HI"
+    assert run('.s | ltrimstr("ab")', {"s": "abc"}) == "c"
+    assert run(".x | type", {"x": []}) == "array"
+    assert run(".xs | reverse | first", {"xs": [1, 2, 3]}) == 3
+
+
+def test_raw_and_metadata():
+    assert run(". | length", "hello", raw=True) == 5
+    assert run("$metadata.topic", {"a": 1},
+               metadata={"topic": "t1"}) == "t1"
+
+
+def test_errors():
+    with pytest.raises(JQError):
+        run(".a + .b", {"a": [], "b": 1})
+    with pytest.raises(JQError):
+        run(".[]", 42)
+    assert run(".[]?", 42) is None          # ? suppresses the error
+    with pytest.raises(JQCompileError):
+        parse_jq(".a as $x | $x")            # bindings unsupported → build error
+    with pytest.raises(JQCompileError):
+        parse_jq("def f: .; f")
+
+
+# ---------------------------------------------------------------- static
+
+def test_static_path_detection():
+    assert jq_static_path(parse_jq(".a.b.c")) == "$.a.b.c"
+    assert jq_static_path(parse_jq(".a[0].b")) == "$.a[0].b"
+    assert jq_static_path(parse_jq(".")) == "$"
+    assert jq_static_path(parse_jq(".a | .b")) is None
+    assert jq_static_path(parse_jq(".a + 1")) is None
+
+
+# ---------------------------------------------------------------- spark
+
+def test_jq_transform_static_plan_is_jvm_only(spark):
+    df = spark.createDataFrame(
+        [('{"a":{"b":3}}',), ('{"a":{}}',)], "content STRING")
+    out = jq_transform(df, ".a.b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan          # fast path: no Python at all
+    rows = {r.content for r in out.collect()}
+    assert rows == {"3", "null"}
+
+
+def test_jq_transform_general(spark):
+    df = spark.createDataFrame(
+        [('{"xs":[1,2,3],"k":"a"}',), ('{"xs":[],"k":"b"}',)],
+        "content STRING")
+    out = jq_transform(df, "{k: .k, n: .xs | length, s: .xs | add}")
+    got = {json.loads(r.content)["k"]: json.loads(r.content)
+           for r in out.collect()}
+    assert got["a"]["n"] == 3 and got["a"]["s"] == 6
+    assert got["b"]["s"] is None
+
+
+def test_jq_transform_filters_and_errors(spark):
+    df = spark.createDataFrame(
+        [('{"v":1}',), ('{"v":9}',), ('not json',)], "content STRING")
+    out = jq_transform(df, "select(.v > 5)").collect()
+    # v=1 emits nothing → filtered; bad JSON → error, content unchanged
+    by_content = {r.content: r for r in out}
+    assert set(by_content) == {'{"v":9}', "not json"}
+    assert by_content["not json"]._error and "jq" in by_content["not json"]._error
+    assert by_content['{"v":9}']._error is None
+
+
+def test_jq_transform_metadata(spark):
+    df = (spark.createDataFrame([('{"v":1}',)], "content STRING")
+          .withColumn("meta", F.create_map(F.lit("site"), F.lit("eu"))))
+    out = jq_transform(df, '{v: .v, site: $metadata.site}').collect()
+    assert json.loads(out[0].content) == {"v": 1, "site": "eu"}
+
+
+def test_jq_yaml_config(spark):
+    from benthos_spark.stream import build_stream
+    out = build_stream(spark, r"""
+input:
+  generate:
+    count: 6
+    mapping: |
+      root.content = "{\"v\":" + this.id.string() + "}"
+pipeline:
+  processors:
+    - jq:
+        query: "select(.v > 2) | .v * 10"
+output:
+  memory: {}
+""")
+    assert sorted(r.content for r in out.collect()) == ["30", "40", "50"]
