@@ -138,11 +138,20 @@ def _compile(node: ast.Node, scope: Scope):
     if isinstance(node, ast.ArrayLit):
         return F.array(*[compile_expr(i, scope) for i in node.items])
     if isinstance(node, ast.ObjectLit):
-        fields = []
+        if all(isinstance(k, ast.Literal) for k, _ in node.entries):
+            fields = []
+            for k, v in node.entries:
+                fields.append(compile_expr(v, scope).alias(str(k.value)))
+            return F.struct(*fields)
+        # dynamic keys (query_literal_parser.go:59 — key may be any
+        # query): a MAP column. Spark maps need one value type, so
+        # heterogenous values surface as an analysis error at build
+        # time, never mid-job.
+        pairs: list[Column] = []
         for k, v in node.entries:
-            key = _lit_arg(k, "object key")
-            fields.append(compile_expr(v, scope).alias(str(key)))
-        return F.struct(*fields)
+            pairs.append(compile_expr(k, scope).cast("string"))
+            pairs.append(compile_expr(v, scope))
+        return F.create_map(*pairs)
     if isinstance(node, ast.Context):
         if node.path and node.path[0] in scope.named_bindings:
             return _dig(scope.named_bindings[node.path[0]], node.path[1:])

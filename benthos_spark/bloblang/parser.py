@@ -108,6 +108,19 @@ class _Parser:
         self.pos += 1
         return tok
 
+    def peek_at(self, offset: int) -> _Tok:
+        """Lookahead by `offset` significant tokens (newline-skipping
+        mirrors peek())."""
+        skip = self.depth > 0
+        p, seen = self.pos, 0
+        while True:
+            while skip and self.toks[p].kind == "NEWLINE":
+                p += 1
+            if seen == offset:
+                return self.toks[p]
+            p += 1
+            seen += 1
+
     def expect(self, kind: str, text: str | None = None,
                skip_nl: bool | None = None) -> _Tok:
         tok = self.next(skip_nl)
@@ -355,11 +368,13 @@ class _Parser:
         if keytok.kind == "STRING":
             self.next()
             key: ast.Node = ast.Literal(_unquote(keytok.text))
-        elif keytok.kind == "IDENT":
+        elif keytok.kind == "IDENT" and self.peek_at(1).text == ":":
             self.next()
             key = ast.Literal(keytok.text)
         else:
-            raise self._err("expected object key")
+            # dynamic key: any query expression (query_literal_parser.go:59
+            # OneOf(QuotedString, queryParser) — e.g. `("k".uppercase())`)
+            key = self.parse_expr()
         self.expect("OP", ":")
         return key, self.parse_expr()
 

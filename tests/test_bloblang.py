@@ -345,3 +345,15 @@ def test_interpolation_static_and_dynamic(spark):
     r = out.collect()[0]
     assert r.s == "static"
     assert r.d == "a=7, up=T!"
+
+
+def test_object_literal_dynamic_keys(spark):
+    # query_literal_parser_test.go:69 "dynamic map dynamic key"
+    df = spark.createDataFrame([("site", 5)], "k STRING, v INT")
+    out = map_text(df, 'root.m = {(this.k.uppercase()): this.v, '
+                       '"static": this.v + 1}')
+    m = out.collect()[0].m
+    assert m == {"SITE": 5, "static": 6}
+    # static-key objects must stay typed structs (not maps)
+    out2 = map_text(df, 'root.o = {"a": this.v, "b": this.k}')
+    assert out2.schema["o"].dataType.typeName() == "struct"
