@@ -790,16 +790,18 @@ class MappingExec:
 _DELETED_FIELD = object()
 
 
-def compile_mapping(src: str) -> MappingExec:
+def compile_mapping(src: str, base_dir: str = ".") -> MappingExec:
     """Parse + compile a Bloblang mapping (ParseMapping,
-    mapping_parser.go:21 → one Spark projection)."""
-    return MappingExec(parse_mapping(src), src)
+    mapping_parser.go:21 → one Spark projection). `base_dir` resolves
+    `import "file.blobl"` paths."""
+    return MappingExec(parse_mapping(src, base_dir=base_dir), src)
 
 
-def map_text(df: DataFrame, src: str, this: Column | None = None) -> DataFrame:
+def map_text(df: DataFrame, src: str, this: Column | None = None,
+             base_dir: str = ".") -> DataFrame:
     """One-shot: apply a Bloblang mapping to a DataFrame.
 
     Row mode (this=None): `this.foo` reads column `foo`.
     Document mode: pass `this=F.from_json(F.col('content'), schema)`.
     """
-    return compile_mapping(src).apply(df, this=this)
+    return compile_mapping(src, base_dir=base_dir).apply(df, this=this)

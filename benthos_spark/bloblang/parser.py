@@ -86,10 +86,11 @@ def _unquote(s: str) -> str:
 
 
 class _Parser:
-    def __init__(self, src: str):
+    def __init__(self, src: str, base_dir: str = "."):
         self.toks = _tokenize(src)
         self.pos = 0
         self.depth = 0  # bracket depth; newlines are soft when > 0
+        self.base_dir = base_dir  # resolves `import "relative.blobl"`
 
     # ---- token plumbing ----
 
@@ -150,13 +151,49 @@ class _Parser:
                 pass
             if self.peek(skip_nl=False).kind == "EOF":
                 break
+            tok = self.peek()
+            if tok.kind == "IDENT" and tok.text == "import":
+                stmts.extend(self._parse_import())
+                continue
             stmts.append(self.parse_statement())
             tok = self.peek(skip_nl=False)
             if tok.kind not in ("NEWLINE", "EOF"):
                 raise BloblangParseError(
                     f"expected end of statement, found {tok.text!r}",
                     tok.line, tok.col)
+        seen: set[str] = set()
+        for s in stmts:
+            if isinstance(s, ast.MapDef):
+                if s.name in seen:  # mapping_parser.go:231 collisions
+                    raise BloblangParseError(
+                        f"map name collision: {s.name!r}", 0, 0)
+                seen.add(s.name)
         return ast.Mapping(stmts)
+
+    def _parse_import(self) -> list[ast.Statement]:
+        """`import "file.blobl"` (mapping_parser.go:192): read the file
+        at parse time, splice in its named maps. Errors mirror the
+        reference: unreadable file, no maps to import, name collisions."""
+        import os
+
+        tok = self.next()  # 'import'
+        ptok = self.expect("STRING")
+        fpath = _unquote(ptok.text)
+        if not os.path.isabs(fpath):
+            fpath = os.path.join(self.base_dir, fpath)
+        try:
+            with open(fpath, encoding="utf-8") as fh:
+                contents = fh.read()
+        except OSError as e:
+            raise BloblangParseError(
+                f"failed to read import: {e}", tok.line, tok.col) from e
+        sub = _Parser(contents, base_dir=os.path.dirname(fpath))
+        imported = [s for s in sub.parse_mapping().statements
+                    if isinstance(s, ast.MapDef)]
+        if not imported:
+            raise BloblangParseError(
+                f"no maps to import from '{fpath}'", tok.line, tok.col)
+        return imported
 
     def parse_statement(self) -> ast.Statement:
         tok = self.peek()
@@ -479,10 +516,10 @@ class _Parser:
         return ast.MatchExpr(subject, cases)
 
 
-def parse_mapping(src: str) -> ast.Mapping:
+def parse_mapping(src: str, base_dir: str = ".") -> ast.Mapping:
     """Parse a Bloblang mapping into an AST (ParseMapping,
-    mapping_parser.go:21)."""
-    return _Parser(src).parse_mapping()
+    mapping_parser.go:21). `base_dir` resolves `import` paths."""
+    return _Parser(src, base_dir=base_dir).parse_mapping()
 
 
 def parse_query(src: str) -> ast.Node:

@@ -357,3 +357,20 @@ def test_object_literal_dynamic_keys(spark):
     # static-key objects must stay typed structs (not maps)
     out2 = map_text(df, 'root.o = {"a": this.v, "b": this.k}')
     assert out2.schema["o"].dataType.typeName() == "struct"
+
+
+def test_import_named_maps(spark, tmp_path):
+    # mapping_parser.go:192 import semantics: maps spliced in at parse
+    # time, relative to base_dir; no-maps and collisions are errors
+    (tmp_path / "common.blobl").write_text(
+        'map squared {\n  root = this * this\n}\n')
+    (tmp_path / "empty.blobl").write_text('root = this\n')
+    df = spark.createDataFrame([(4,)], "v INT")
+    src = f'import "common.blobl"\nroot.sq = this.v.apply("squared")'
+    out = map_text(df, src, base_dir=str(tmp_path))
+    assert out.collect()[0].sq == 16
+    with pytest.raises(BloblangParseError, match="no maps"):
+        parse_mapping('import "empty.blobl"', base_dir=str(tmp_path))
+    with pytest.raises(BloblangParseError, match="collision"):
+        parse_mapping('import "common.blobl"\nmap squared { root = this }',
+                      base_dir=str(tmp_path))
