@@ -1007,6 +1007,55 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 30c. PII scrub (training-data hygiene; SURVEY §7 step 7) — pure
+#      regexp_replace chain, RE2∩Java-regex patterns so the oracle
+#      runs the identical regexes with DuckDB's 'g' flag.
+# ================================================================
+
+_PII_SQL = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d -]{7,14}\d\b",
+    "cc": r"\b(?:\d{4}[ -]){3}\d{4}\b",
+}
+
+@_register("pii_scrub", oracle=f"""
+WITH raw AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' mail user' || CAST(doc_id AS VARCHAR)
+         || '@corp.example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.7 card 4111 1111 1111 1111 tel +1 555 123 4567' AS content
+  FROM documents WHERE doc_id < 2000)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(content,
+    '{_PII_SQL["email"]}', '<EMAIL>', 'g'),
+    '{_PII_SQL["cc"]}', '<CC>', 'g'),
+    '{_PII_SQL["phone"]}', '<PHONE>', 'g'),
+    '{_PII_SQL["ipv4"]}', '<IP>', 'g') AS scrubbed,
+  len(regexp_extract_all(content, '{_PII_SQL["email"]}')) AS n_email,
+  len(regexp_extract_all(content, '{_PII_SQL["ipv4"]}')) AS n_ip,
+  len(regexp_extract_all(content, '{_PII_SQL["cc"]}')) AS n_cc
+FROM raw
+""")
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.text import pii_counts, scrub_pii
+    raw = (_t(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 2000)
+           .select("doc_id", F.concat(
+               F.substring("text", 1, 40),
+               F.lit(" mail user"), F.col("doc_id").cast("string"),
+               F.lit("@corp.example.com from 10.0."),
+               (F.col("doc_id") % 256).cast("string"),
+               F.lit(".7 card 4111 1111 1111 1111 tel +1 555 123 4567"))
+               .alias("content")))
+    counts = pii_counts(F.col("content"))
+    return raw.select(
+        "doc_id", scrub_pii(F.col("content")).alias("scrubbed"),
+        counts["email"].alias("n_email"), counts["ipv4"].alias("n_ip"),
+        counts["cc"].alias("n_cc"))
+
+
+# ================================================================
 # 31a. jq processor (lib/processor/jq.go) — general query through the
 #      Arrow-batched interpreter tier (select filter + arithmetic +
 #      string concat + floor + tostring), oracled against DuckDB
@@ -1334,6 +1383,23 @@ SELECT query_id, vec_id, cos, CAST(rnk AS INTEGER) AS rank FROM (
   FROM scored) t
 WHERE rnk <= 5
 """
+
+
+# ================================================================
+# 33b. IVF ANN (coarse-quantizer inverted lists; iterative k-means
+#      training is non-SQL-expressible → rows-only gate; recall vs
+#      brute force asserted in tests/test_llm.py).
+# ================================================================
+
+@_register("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.similarity import ivf_topk, train_ivf_centroids
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, sample=512, iters=5)
+    queries = emb.filter(F.col("vec_id") < 5) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, queries, cents, k=10, n_probe=3)
+    return out.select("query_id", "vec_id", "cos", "rank")
 
 
 @_register("similarity_lsh_topk", oracle=_lsh_oracle())

@@ -88,3 +88,76 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select(qid, id_col, "cos", "rank"))
+
+
+# ---------------------------------------------------------------- IVF
+
+def train_ivf_centroids(corpus: DataFrame, vec: str = "embedding",
+                        id_col: str = "vec_id", n_centroids: int = 16,
+                        sample: int = 2048, iters: int = 8) -> list[list[float]]:
+    """Coarse quantizer for IVF: spherical k-means (Lloyd) on a
+    DETERMINISTIC sample (first `sample` ids), trained driver-side in
+    numpy.  Standard IVF practice at 100 TB: the quantizer trains on a
+    tiny sample once; only the centroid literals ship with the plan, so
+    assignment is pure codegen — no model object, no shuffle.
+
+    Deterministic by construction: ordered sample, first-k init, fixed
+    iteration count."""
+    import numpy as np
+
+    rows = (corpus.select(id_col, vec).orderBy(id_col)
+            .limit(sample).collect())
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        sims = X @ C.T                       # cosine == dot on unit sphere
+        assign = sims.argmax(axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C.tolist()
+
+
+def _unit(vec: Column) -> Column:
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    n = norm(vd)
+    return F.transform(vd, lambda x: x / n)
+
+
+def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<sim,idx>> of similarities to every centroid literal."""
+    u = _unit(vec)
+    return F.array(*[
+        F.struct(dot(u, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                 F.lit(i).alias("idx"))
+        for i, c in enumerate(centroids)])
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             centroids: list[list[float]], k: int = 10, n_probe: int = 2,
+             vec: str = "embedding", id_col: str = "vec_id",
+             qvec: str = "embedding", qid: str = "query_id") -> DataFrame:
+    """IVF-partitioned ANN: corpus rows land in their nearest-centroid
+    inverted list; each query probes its `n_probe` closest lists.  The
+    join is an equi-join on a small int key — at scale the corpus can be
+    written bucketed/partitioned by `__list` so probes prune partitions
+    and never touch the rest of the 100 TB.  Recall tunes with
+    n_centroids × n_probe (recall gate in tests/test_llm.py)."""
+    c = corpus.withColumn(
+        "__list", F.array_max(_centroid_sims(F.col(vec), centroids))["idx"])
+    probes = F.slice(F.reverse(F.array_sort(
+        _centroid_sims(F.col(qvec), centroids))), 1, n_probe)
+    q = (queries
+         .select(qid, F.col(qvec).alias("__qv"),
+                 F.explode(F.transform(probes, lambda s: s["idx"]))
+                 .alias("__list")))
+    scored = (c.join(q, "__list")
+               .withColumn("cos",
+                           F.round(cosine(F.col(vec), F.col("__qv")), 6)))
+    w = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(qid, id_col, "cos", "rank"))

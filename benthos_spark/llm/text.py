@@ -112,3 +112,33 @@ def lang_id(text: Column, default: str = "unknown") -> Column:
         expr = F.when((score == best_score) & (best_score > 0),
                       F.lit(lang)).otherwise(expr)
     return expr
+
+
+# ---------------------------------------------------------------- PII scrub
+
+# Patterns stay in the RE2 ∩ java.util.regex common subset (no
+# lookaround) so the DuckDB oracle can run the identical regexes.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,14}\d\b", "<PHONE>"),
+    ("cc", r"\b(?:\d{4}[ -]){3}\d{4}\b", "<CC>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact PII spans (training-data hygiene pass). Order matters:
+    credit cards before phones (a CC is also a phone-shaped digit run);
+    emails before IPs never conflict but keep one canonical order."""
+    out = text
+    for name in ("email", "cc", "phone", "ipv4"):
+        pat, rep = next((p, r) for n, p, r in PII_PATTERNS if n == name)
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts (pre-redaction), for audit metrics."""
+    return {name: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+            for name, pat, _ in PII_PATTERNS}

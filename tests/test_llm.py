@@ -106,3 +106,39 @@ def test_fingerprint_order_sensitive(spark):
     got = [r.f for r in
            df.select(fingerprint(F.col("text")).alias("f")).collect()]
     assert got[0] != got[1]        # reordering changes the fingerprint
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from benthos_spark.llm.similarity import (brute_force_topk, ivf_topk,
+                                              train_ivf_centroids)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, sample=512, iters=5)
+    assert len(cents) == 8
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(emb, queries, k=10).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in ivf_topk(emb, queries, cents, k=10,
+                                n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+    # determinism: same build → identical result set
+    approx2 = {(r.query_id, r.vec_id)
+               for r in ivf_topk(emb, queries, cents, k=10,
+                                 n_probe=3).collect()}
+    assert approx == approx2
+
+
+def test_pii_scrub_redacts_all_categories(spark):
+    from benthos_spark.llm.text import pii_counts, scrub_pii
+    df = spark.createDataFrame(
+        [("reach me: bob@x.io or +1 555 123 4567, "
+          "ip 192.168.0.1 card 4111 1111 1111 1111",)], "t STRING")
+    out = df.select(scrub_pii(F.col("t")).alias("s"),
+                    *[v.alias(k) for k, v in
+                      pii_counts(F.col("t")).items()]).collect()[0]
+    assert "<EMAIL>" in out.s and "<IP>" in out.s
+    assert "<PHONE>" in out.s and "<CC>" in out.s
+    assert "bob@" not in out.s and "4111" not in out.s
+    assert out.email == 1 and out.ipv4 == 1 and out.cc == 1
