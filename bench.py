@@ -42,8 +42,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "similarity_topk",
+    "similarity_ivf_topk",
     "text_analysis",
     "doc_fingerprint",
+    "pii_scrub",
+    "jq_general",
+    "jq_path_fastpath",
+    "unarchive_json_map",
 ]
 
 

