@@ -1056,6 +1056,30 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 30d. xml processor to_json (lib/processor/xml.go:113): schemaless
+#      XML → JSON (mxj rules). Oracle composes the expected JSON text
+#      directly (output is canonical: sorted keys, compact separators).
+# ================================================================
+
+@_register("xml_to_json", oracle="""
+SELECT doc_id,
+  '{"doc":{"-lang":"' || lang || '","len":"' || CAST(n_chars AS VARCHAR)
+  || '","src":"' || source || '"}}' AS content
+FROM documents WHERE doc_id < 2000
+""")
+def xml_to_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.parsing import xml_to_json
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 2000)
+            .select("doc_id", F.concat(
+                F.lit('<doc lang="'), F.col("lang"), F.lit('"><src>'),
+                F.col("source"), F.lit("</src><len>"),
+                F.col("n_chars").cast("string"),
+                F.lit("</len></doc>")).alias("content")))
+    return xml_to_json(docs).select("doc_id", "content")
+
+
+# ================================================================
 # 31a. jq processor (lib/processor/jq.go) — general query through the
 #      Arrow-batched interpreter tier (select filter + arithmetic +
 #      string concat + floor + tostring), oracled against DuckDB

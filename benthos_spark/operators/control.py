@@ -141,3 +141,36 @@ def metric_observe(df: DataFrame, name: str, value: Column) -> DataFrame:
     StreamingQueryListener without a separate action (zero extra scan,
     unlike a .count())."""
     return df.observe(name, F.sum(value).alias(name))
+
+
+def process_field(df: DataFrame, field: str, stages: list,
+                  result_type: str = "string") -> DataFrame:
+    """`process_field` (lib/processor/process_field.go:25): run child
+    processors against ONE field's value, write the result back to that
+    field.  Children see the field as the `content` column and must be
+    row-preserving projections (a child filter would drop whole rows —
+    the reference applies results positionally and errors on count
+    mismatch too, process_field.go:176).
+
+    result_type mirrors the reference's string/int/float/bool/object
+    coercions (object = leave as-is)."""
+    tmp = "__pf_saved_content"
+    has_content = "content" in df.columns
+    out = df
+    if has_content:
+        out = out.withColumnRenamed("content", tmp)
+    out = out.withColumn("content", F.col(field).cast("string"))
+    for stage in stages:
+        out = stage(out)
+    casts = {"string": "string", "int": "bigint", "float": "double",
+             "bool": "boolean"}
+    value = F.col("content")
+    if result_type in casts:
+        value = value.cast(casts[result_type])
+    elif result_type != "object":
+        raise ValueError(f"process_field result_type {result_type!r}: "
+                         "use string|int|float|bool|object")
+    out = out.withColumn(field, value).drop("content")
+    if has_content:
+        out = out.withColumnRenamed(tmp, "content")
+    return out

@@ -187,3 +187,85 @@ def jsonschema_validate(df: DataFrame, source: Column, schema: dict,
     prior = F.col(error_col) if error_col in df.columns \
         else F.lit(None).cast("string")
     return df.withColumn(error_col, F.coalesce(prior, err))
+
+
+# ---------------------------------------------------------------- xml
+
+def _xml_elem_to_obj(elem):
+    """mxj-compatible element → value (internal/xml/package.go:23 rules,
+    documented in lib/processor/xml.go:26-60): attributes prefixed '-',
+    simple-element text under '#text' when attributes exist, repeated
+    tags collapse to arrays; comments/PIs are skipped by ElementTree."""
+    obj = {}
+    for k, v in elem.attrib.items():
+        obj["-" + k] = v
+    text = (elem.text or "").strip()
+    children = list(elem)
+    if not children:
+        if not obj:
+            return text
+        if text:
+            obj["#text"] = text
+        return obj
+    for ch in children:
+        if not isinstance(ch.tag, str):   # Comment/PI nodes
+            continue
+        val = _xml_elem_to_obj(ch)
+        if ch.tag in obj:
+            prev = obj[ch.tag]
+            if isinstance(prev, list):
+                prev.append(val)
+            else:
+                obj[ch.tag] = [prev, val]
+        else:
+            obj[ch.tag] = val
+    if text:
+        obj["#text"] = text
+    return obj
+
+
+def xml_to_json(df: DataFrame, source: Column | None = None,
+                alias: str = "content",
+                error_col: str = "_error") -> DataFrame:
+    """`xml` processor, operator `to_json` (lib/processor/xml.go:113):
+    schemaless XML → JSON text.  (The schema-declared fast path is
+    bloblang `.parse_xml(schema)` → native from_xml; this operator is
+    for documents with no declared schema, hence the pandas tier.)
+    Parse failures set the error column; content is left unchanged."""
+    import json
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    src = source if source is not None else F.col(alias)
+    _ = pd  # annotation-free signature (future-annotations gotcha)
+
+    @pandas_udf("struct<content:string,error:string>")
+    def op(payloads):
+        out_c, out_e = [], []
+        for p in payloads:
+            if p is None:
+                out_c.append(None)
+                out_e.append(None)
+                continue
+            try:
+                root = ET.fromstring(p)
+                doc = {root.tag: _xml_elem_to_obj(root)}
+                out_c.append(json.dumps(doc, separators=(",", ":"),
+                                        sort_keys=True,
+                                        ensure_ascii=False))
+                out_e.append(None)
+            except ET.ParseError as e:
+                out_c.append(p if isinstance(p, str) else None)
+                out_e.append(f"xml: {e}")
+        return pd.DataFrame({"content": out_c, "error": out_e})
+
+    res = df.withColumn("__xml", op(src))
+    res = res.withColumn(alias, F.col("__xml.content"))
+    if error_col in df.columns:
+        res = res.withColumn(
+            error_col, F.coalesce(F.col("__xml.error"), F.col(error_col)))
+    else:
+        res = res.withColumn(error_col, F.col("__xml.error"))
+    return res.drop("__xml")

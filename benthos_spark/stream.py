@@ -210,6 +210,19 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
         from benthos_spark.operators.control import metric_observe
         return metric_observe(df, spec["name"],
                               compile_condition(str(spec["value"])))
+    if kind == "xml":
+        # lib/processor/xml.go:113 — only operator is to_json
+        from benthos_spark.operators.parsing import xml_to_json
+        op = (spec or {}).get("operator", "to_json")
+        if op != "to_json":
+            raise ConfigError(f"xml operator not recognised: {op!r}")
+        return xml_to_json(df)
+    if kind == "process_field":
+        from benthos_spark.operators.control import process_field
+        stages = [(lambda d, p=p: _apply_processor(d, p))
+                  for p in spec.get("processors", [])]
+        return process_field(df, str(spec["path"]), stages,
+                             result_type=spec.get("result_type", "string"))
     if kind == "jq":
         # lib/processor/jq.go:100-103 config: {query, raw}
         from benthos_spark.operators.jq import jq_transform

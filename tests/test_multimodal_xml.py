@@ -55,3 +55,74 @@ def test_unarchive_json_map(spark):
     out = unarchive_json_map(df, F.col("obj")).collect()
     got = sorted((r.archive_key, r.content) for r in out)
     assert got == [("k1", "v1"), ("k2", "v2")]
+
+
+def test_xml_to_json_docs_example(spark):
+    """lib/processor/xml.go:40-60 documented example, verbatim."""
+    import json
+    from benthos_spark.operators.parsing import xml_to_json
+    xml = ("<root><title>This is a title</title>"
+           '<description tone="boring">This is a description</description>'
+           '<elements id="1">foo1</elements>'
+           '<elements id="2">foo2</elements>'
+           "<elements>foo3</elements></root>")
+    df = spark.createDataFrame([(xml,), ("<broken",)], "content STRING")
+    rows = {r.content: r for r in xml_to_json(df).collect()}
+    good = next(v for k, v in rows.items() if k and k.startswith("{"))
+    assert json.loads(good.content) == {"root": {
+        "title": "This is a title",
+        "description": {"-tone": "boring", "#text": "This is a description"},
+        "elements": [{"-id": "1", "#text": "foo1"},
+                     {"-id": "2", "#text": "foo2"}, "foo3"]}}
+    assert good._error is None
+    bad = rows["<broken"]
+    assert bad._error and bad._error.startswith("xml:")
+
+
+def test_process_field(spark):
+    from benthos_spark.operators.control import process_field
+    from benthos_spark.bloblang import map_text
+    df = spark.createDataFrame([(1, "ab", "keep"), (2, "xyz", "keep2")],
+                               "id INT, f STRING, content STRING")
+    out = process_field(
+        df, "f", [lambda d: map_text(d, "root = this\n"
+                                        "root.content = this.content.uppercase()")])
+    got = {r.id: (r.f, r.content) for r in out.collect()}
+    assert got == {1: ("AB", "keep"), 2: ("XYZ", "keep2")}
+
+    out2 = process_field(
+        df, "f",
+        [lambda d: map_text(d, 'root = this\n'
+                                'root.content = this.content.length()')],
+        result_type="int")
+    assert {r.id: r.f for r in out2.collect()} == {1: 2, 2: 3}
+    assert dict(out2.dtypes)["f"] == "bigint"
+
+
+def test_xml_and_process_field_yaml(spark):
+    from benthos_spark.stream import build_stream
+    out = build_stream(spark, r"""
+input:
+  generate:
+    count: 2
+    mapping: |
+      root.content = "<r><v>" + this.id.string() + "</v></r>"
+      root.n = "5"
+pipeline:
+  processors:
+    - xml:
+        operator: to_json
+    - process_field:
+        path: n
+        result_type: int
+        processors:
+          - bloblang: |
+              root = this
+              root.content = this.content.number() * 2
+output:
+  memory: {}
+""")
+    rows = out.collect()
+    assert sorted(r.content for r in rows) == ['{"r":{"v":"0"}}',
+                                               '{"r":{"v":"1"}}']
+    assert all(r.n == 10 for r in rows)
