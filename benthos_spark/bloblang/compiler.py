@@ -519,6 +519,118 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         raise BloblangCompileError(f"hash algorithm {alg!r} unsupported")
     if name == "strip_html":
         return F.regexp_replace(target, r"<[^>]*>", "")
+    if name == "escape_html":
+        # methods_strings.go:432 (html.EscapeString): & first, then the
+        # rest — order matters so entities aren't double-escaped
+        out = F.replace(target, F.lit("&"), F.lit("&amp;"))
+        for raw, ent in (("<", "&lt;"), (">", "&gt;"),
+                         ('"', "&#34;"), ("'", "&#39;")):
+            out = F.replace(out, F.lit(raw), F.lit(ent))
+        return out
+    if name == "unescape_html":
+        out = target
+        for ent, raw in (("&lt;", "<"), ("&gt;", ">"), ("&#34;", '"'),
+                         ("&quot;", '"'), ("&#39;", "'"),
+                         ("&apos;", "'"), ("&amp;", "&")):
+            out = F.replace(out, F.lit(ent), F.lit(raw))
+        return out
+    if name == "escape_url_query":
+        return F.url_encode(target)
+    if name == "unescape_url_query":
+        return F.url_decode(target)
+    if name == "filepath_join":
+        return F.array_join(target, "/")
+    if name == "filepath_split":
+        from benthos_spark.functions.strings import filepath_split
+        return filepath_split(target)
+    if name == "unquote":
+        # methods_strings.go:1133 — JSON string literal → raw string
+        # (get_json_object '$' unescapes via the JVM JSON parser)
+        return F.get_json_object(target, "$")
+    if name == "replace_many":
+        # methods_strings.go:1040: flat [from,to, from,to, ...] pairs
+        items = args[0].items if len(args) == 1 and \
+            isinstance(args[0], ast.ArrayLit) else args
+        pairs = [str(_lit_arg(a, ".replace_many() pair")) for a in items]
+        if len(pairs) % 2:
+            raise BloblangCompileError(
+                ".replace_many() needs from/to pairs")
+        out = target
+        for i in range(0, len(pairs), 2):
+            out = F.replace(out, F.lit(pairs[i]), F.lit(pairs[i + 1]))
+        return out
+    if name == "parse_duration":
+        # methods.go parse_duration → integer nanoseconds (Go
+        # time.ParseDuration grammar; negative sign on the whole value)
+        pat = r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)"
+        vals = F.regexp_extract_all(target, F.lit(pat), F.lit(1))
+        units = F.regexp_extract_all(target, F.lit(pat), F.lit(2))
+
+        def unit_ns(u):
+            return (F.when(u == "ns", 1.0).when(u == "us", 1e3)
+                    .when(u == "µs", 1e3).when(u == "ms", 1e6)
+                    .when(u == "s", 1e9).when(u == "m", 6e10)
+                    .otherwise(3.6e12))
+        total = F.aggregate(
+            F.zip_with(vals, units,
+                       lambda v, u: v.cast("double") * unit_ns(u)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(target.startswith("-"), -total) \
+                .otherwise(total).cast("long")
+    if name in ("encrypt_aes", "decrypt_aes"):
+        # methods_strings.go:300/352; Spark supports cbc/gcm/ecb —
+        # ctr/ofb have no JVM builtin (compile error lists these)
+        scheme = str(arg_lit(0, "scheme")).lower()
+        if scheme not in ("cbc", "gcm", "ecb"):
+            raise BloblangCompileError(
+                f"{name} scheme {scheme!r}: Spark builtin supports "
+                "cbc|gcm|ecb")
+        key = arg_col(1).cast("binary")
+        iv = arg_col(2).cast("binary") if len(args) > 2 else F.lit(b"")
+        if name == "encrypt_aes":
+            return F.aes_encrypt(target.cast("binary"), key,
+                                 F.lit(scheme.upper()), F.lit("DEFAULT"),
+                                 iv)
+        return F.aes_decrypt(target.cast("binary"), key,
+                             F.lit(scheme.upper())).cast("string")
+    if name == "re_find_object":
+        # named/indexed groups → struct (methods_strings.go:1218);
+        # Java `(?<n>...)` → Python `(?P<n>...)` for introspection only
+        pat = str(arg_lit(0, "pattern"))
+        rx = _re.compile(_re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>",
+                                 r"(?P<\1>", pat))
+        n = rx.groups
+        names = {i: nm for nm, i in rx.groupindex.items()}
+        fields = [F.regexp_extract(target, pat, i)
+                  .alias(names.get(i, str(i))) for i in range(n + 1)
+                  if i > 0 or not n]
+        return F.struct(*fields)
+    if name == "re_find_all_object":
+        pat = str(arg_lit(0, "pattern"))
+        rx = _re.compile(_re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>",
+                                 r"(?P<\1>", pat))
+        names = {i: nm for nm, i in rx.groupindex.items()}
+        arrs = [F.regexp_extract_all(target, F.lit(pat), F.lit(i))
+                .alias(names.get(i, str(i)))
+                for i in range(1, rx.groups + 1)]
+        return F.arrays_zip(*arrs)
+    if name == "re_find_all_submatch":
+        pat = str(arg_lit(0, "pattern"))
+        rx = _re.compile(pat)
+        arrs = [F.regexp_extract_all(target, F.lit(pat), F.lit(i))
+                .alias(f"g{i}") for i in range(rx.groups + 1)]
+        zipped = F.arrays_zip(*arrs)
+        ns = rx.groups
+        return F.transform(
+            zipped, lambda x: F.array(*[x[f"g{i}"]
+                                        for i in range(ns + 1)]))
+    if name == "parse_yaml":
+        from benthos_spark.functions.strings import yaml_to_json
+        j = yaml_to_json(target)
+        return F.from_json(j, str(arg_lit(0, "schema"))) if args else j
+    if name == "format_yaml":
+        from benthos_spark.functions.strings import json_to_yaml
+        return json_to_yaml(F.to_json(target))
     if name == "parse_json":
         if args:
             return F.from_json(target, str(arg_lit(0, "schema")))
@@ -587,6 +699,29 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             F.raise_error(F.lit("value is empty")))
     if name == "sort":
         return F.sort_array(target)
+    if name == "sort_by":
+        # methods_structured.go sort_by: key-extracting comparator
+        def cmp(left, right):
+            kl = compile_expr(args[0], scope.child(this_override=left))
+            kr = compile_expr(args[0], scope.child(this_override=right))
+            return (F.when(kl < kr, F.lit(-1))
+                    .when(kl > kr, F.lit(1)).otherwise(F.lit(0)))
+        return F.array_sort(target, cmp)
+    if name == "explode":
+        # methods_structured.go explode(path): one element of the array
+        # at `path` per output entry, rest of the document duplicated
+        path = str(arg_lit(0, "path"))
+        arr = _dig(target, path.split("."))
+        return F.transform(arr, lambda x: target.withField(path, x))
+    if name == "from_all":
+        raise BloblangCompileError(
+            ".from_all(): cross-part reads map to window/collect_list "
+            "over batch_id — use operators.batch helpers (documented)")
+    if name == "json_schema":
+        raise BloblangCompileError(
+            ".json_schema(): use operators.parsing.jsonschema_validate "
+            "(error-column protocol) — schema validation is an operator "
+            "here, not an expression")
     if name == "sum":
         return F.aggregate(target, F.lit(0.0),
                            lambda acc, x: acc + x.cast("double"))

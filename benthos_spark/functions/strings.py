@@ -229,3 +229,64 @@ def escape_url_query(c: Column) -> Column:
 def unescape_url_query(c: Column) -> Column:
     """`.unescape_url_query()` (methods_strings.go:513)."""
     return F.url_decode(c)
+
+
+# ---------------------------------------------------------------- yaml
+
+def yaml_to_json(c: Column) -> Column:
+    """`.parse_yaml()` bridge (methods.go parse_yaml): YAML text →
+    canonical JSON text, Arrow-batched (no YAML parser exists on the
+    JVM side of Spark); pair with from_json(schema) for typed access."""
+    import json
+
+    import pandas as pd
+    import yaml as _yaml
+    from pyspark.sql.functions import pandas_udf
+
+    _ = pd
+
+    @pandas_udf("string")
+    def op(vals):
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(json.dumps(_yaml.safe_load(v),
+                                      separators=(",", ":"),
+                                      sort_keys=True, ensure_ascii=False))
+            except _yaml.YAMLError:
+                out.append(None)
+        return pd.Series(out)
+
+    return op(c)
+
+
+def json_to_yaml(c: Column) -> Column:
+    """`.format_yaml()` (methods.go format_yaml): JSON text → YAML."""
+    import json
+
+    import pandas as pd
+    import yaml as _yaml
+    from pyspark.sql.functions import pandas_udf
+
+    _ = pd
+
+    @pandas_udf("string")
+    def op(vals):
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(_yaml.safe_dump(json.loads(v),
+                                           default_flow_style=False,
+                                           sort_keys=True,
+                                           allow_unicode=True))
+            except (json.JSONDecodeError, _yaml.YAMLError):
+                out.append(None)
+        return pd.Series(out)
+
+    return op(c)

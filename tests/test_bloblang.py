@@ -374,3 +374,48 @@ def test_import_named_maps(spark, tmp_path):
     with pytest.raises(BloblangParseError, match="collision"):
         parse_mapping('import "common.blobl"\nmap squared { root = this }',
                       base_dir=str(tmp_path))
+
+
+def test_new_string_and_structured_methods(spark):
+    df = spark.createDataFrame(
+        [("a<b>&c", "%20hi", "/a/b/c.txt", '"quoted"', "1h30m",
+          "a=1,b=22")],
+        "h STRING, url STRING, path STRING, q STRING, dur STRING, kv STRING")
+    out = map_text(df, r'''
+root.esc = this.h.escape_html()
+root.roundtrip = this.h.escape_html().unescape_html()
+root.uesc = this.url.unescape_url_query()
+root.fsplit = this.path.filepath_split()
+root.fjoin = ["a","b"].filepath_join()
+root.unq = this.q.unquote()
+root.rmany = this.h.replace_many(["<", "[", ">", "]"])
+root.dur_ns = this.dur.parse_duration()
+root.obj = this.kv.re_find_object("(?<key>[a-z]+)=(?<val>[0-9]+)")
+root.objs = this.kv.re_find_all_object("(?<key>[a-z]+)=(?<val>[0-9]+)")
+root.sub = this.kv.re_find_all_submatch("([a-z]+)=([0-9]+)")
+root.yaml = "k: [3, 1, 2]".parse_yaml()
+root.sorted = [{"v": 3}, {"v": 1}].sort_by(this.v)
+root.expl = {"id": 7, "xs": [1, 2]}.explode("xs")
+''').collect()[0]
+    assert out.esc == "a&lt;b&gt;&amp;c" and out.roundtrip == "a<b>&c"
+    assert out.uesc == " hi"
+    assert out.fsplit == ["/a/b", "c.txt"] and out.fjoin == "a/b"
+    assert out.unq == "quoted" and out.rmany == "a[b]&c"
+    assert out.dur_ns == 5_400_000_000_000
+    assert (out.obj.key, out.obj.val) == ("a", "1")
+    assert [(r.key, r.val) for r in out.objs] == [("a", "1"), ("b", "22")]
+    assert out.sub == [["a=1", "a", "1"], ["b=22", "b", "22"]]
+    assert out.yaml == '{"k":[3,1,2]}'
+    assert [r.v for r in out.sorted] == [1, 3]
+    assert [(r.id, r.xs) for r in out.expl] == [(7, 1), (7, 2)]
+
+
+def test_aes_roundtrip_and_format_yaml(spark):
+    df = spark.createDataFrame([("secret msg", "0123456789abcdef")],
+                               "v STRING, key STRING")
+    out = map_text(df, '''
+root.rt = this.v.encrypt_aes("gcm", this.key).decrypt_aes("gcm", this.key)
+root.fy = "[1, 2]".parse_json("array<int>").format_yaml()
+''').collect()[0]
+    assert out.rt == "secret msg"
+    assert out.fy.strip() == "- 1\n- 2"
