@@ -293,6 +293,17 @@ def _compile_func(node: ast.FuncCall, scope: Scope):
         return _NOTHING
     if name == "content":
         return F.col("content")
+    if name == "file":
+        # functions.go `file(path)`: the reference re-reads per mapping
+        # init; distributed executors must not each hit driver paths, so
+        # the content is snapshotted at COMPILE time into a literal
+        # (ships with the plan via broadcast — documented deviation)
+        fpath = str(_lit_arg(args[0], "file path"))
+        try:
+            with open(fpath, encoding="utf-8") as fh:
+                return F.lit(fh.read())
+        except OSError as e:
+            raise BloblangCompileError(f"file({fpath!r}): {e}") from e
     if name == "json":
         if not args:
             return _resolve_this(scope, [])

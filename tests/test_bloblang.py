@@ -419,3 +419,13 @@ root.fy = "[1, 2]".parse_json("array<int>").format_yaml()
 ''').collect()[0]
     assert out.rt == "secret msg"
     assert out.fy.strip() == "- 1\n- 2"
+
+
+def test_file_function(spark, tmp_path):
+    p = tmp_path / "snippet.txt"
+    p.write_text("hello-from-file")
+    df = spark.createDataFrame([(1,)], "id INT")
+    out = map_text(df, f'root.v = file("{p}")').collect()[0]
+    assert out.v == "hello-from-file"
+    with pytest.raises(BloblangCompileError):
+        map_text(df, 'root.v = file("/nope/missing.txt")')
