@@ -630,30 +630,39 @@ def jq_eval_text(prog: N, text: str | None, raw: bool = False,
 
 # ---------------------------------------------------------------- static
 
-def jq_static_path(prog: N) -> str | None:
-    """`.a.b.c` (optionally `?`-suffixed) → a variant path `$.a.b.c`;
-    None when the program needs the interpreter."""
-    parts: list[str] = []
+def _static_segments(prog: N) -> list[tuple[str, object]] | None:
+    """`.a.b[0].c` → [("field","a"),("field","b"),("index",0),
+    ("field","c")]; None when the program needs the interpreter.
+    `?`-suffixed paths are NOT static: jq's try yields *nothing* on a
+    traversal error (= message filtered), which only the interpreter
+    tier models."""
+    segs: list[tuple[str, object]] = []
     n = prog
     while True:
-        if n.kind == "try":
-            n = n.a
-        elif n.kind == "field":
+        if n.kind == "field":
             if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n.b):
                 return None
-            parts.append(n.b)
+            segs.append(("field", n.b))
             n = n.a
         elif n.kind == "index" and n.b.kind == "lit" \
                 and isinstance(n.b.a, int) and n.b.a >= 0:
-            parts.append(f"[{n.b.a}]")
+            segs.append(("index", n.b.a))
             n = n.a
         elif n.kind == "identity":
-            break
+            return list(reversed(segs))
         else:
             return None
+
+
+def jq_static_path(prog: N) -> str | None:
+    """Variant path text for a pure path program (`$.a[0].b`), else
+    None."""
+    segs = _static_segments(prog)
+    if segs is None:
+        return None
     path = "$"
-    for p in reversed(parts):
-        path += p if p.startswith("[") else "." + p
+    for kind, val in segs:
+        path += f".{val}" if kind == "field" else f"[{val}]"
     return path
 
 
@@ -669,14 +678,39 @@ def jq_transform(df: DataFrame, query: str, content: str = "content",
     runtime error → content unchanged + `error_col` set.
     """
     prog = parse_jq(query)
-    path = None if raw else jq_static_path(prog)
-    if path is not None:
-        out = F.to_json(F.try_variant_get(
-            F.parse_json(F.col(content)), path, "variant"))
-        # jq yields null for a missing key — only an unparseable document
-        # (try_parse_json → NULL) counts as an error; path misses map to
-        # the JSON text "null", matching the interpreter tier.
-        return df.withColumn(content, F.coalesce(out, F.lit("null")))
+    segs = None if raw else _static_segments(prog)
+    if segs is not None:
+        # JVM tier, full gojq error semantics: a missing key yields
+        # null, but TRAVERSING a non-object (".p.p" on {"p":0}) is an
+        # error → content unchanged + error flag, exactly like the
+        # interpreter tier (divergence originally caught by the
+        # tier-equivalence property test).
+        v = F.try_parse_json(F.col(content))
+        err = v.isNull()  # invalid JSON or NULL content
+        prefix = "$"
+        for kind, val in segs:
+            sch = F.schema_of_variant(
+                F.try_variant_get(v, prefix, "variant"))
+            ok = (sch.isNull() | (sch == "VOID") |
+                  sch.startswith("OBJECT" if kind == "field" else "ARRAY"))
+            err = err | ~ok
+            prefix += f".{val}" if kind == "field" else f"[{val}]"
+        out = F.coalesce(
+            F.to_json(F.try_variant_get(v, prefix, "variant")),
+            F.lit("null"))
+        # both columns must evaluate against the ORIGINAL content —
+        # chained withColumn would re-resolve `err` on the rewritten one
+        res = df.withColumns({
+            "__jq_out": F.when(err, F.col(content)).otherwise(out),
+            "__jq_err": F.when(err, F.lit(
+                f"jq: cannot index value in path {prefix}"))})
+        res = res.withColumn(content, F.col("__jq_out"))
+        if error_col in df.columns:
+            res = res.withColumn(error_col, F.coalesce(
+                F.col("__jq_err"), F.col(error_col)))
+        else:
+            res = res.withColumn(error_col, F.col("__jq_err"))
+        return res.drop("__jq_out", "__jq_err")
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
