@@ -1007,6 +1007,42 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 30b. As-of join (beyond-reference): purchases enriched with the
+#      latest prior 'view' value per user. Oracle = DuckDB's native
+#      ASOF JOIN; Spark side = union+window single-shuffle plan.
+# ================================================================
+
+@_register("asof_join_enrich", oracle="""
+WITH v AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS ref_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS ts_s,
+       p.value AS purchase_value, v.ref_value,
+       CAST(FLOOR(epoch(v.ts)) AS BIGINT) AS ref_ts_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""")
+def asof_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.joins import asof_join
+    ev = _t(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max_by("value", "event_id").alias("ref_value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts",
+                         F.col("value").alias("purchase_value")))
+    out = asof_join(purchases, views, on="user_id", ts="ts")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_s"), "purchase_value",
+        F.col("ref_value_asof").alias("ref_value"),
+        F.unix_timestamp("ts_asof").alias("ref_ts_s"))
+
+
+# ================================================================
 # 30c. PII scrub (training-data hygiene; SURVEY §7 step 7) — pure
 #      regexp_replace chain, RE2∩Java-regex patterns so the oracle
 #      runs the identical regexes with DuckDB's 'g' flag.

@@ -49,6 +49,8 @@ HEADLINE = [
     "jq_general",
     "jq_path_fastpath",
     "unarchive_json_map",
+    "asof_join_enrich",
+    "xml_to_json",
 ]
 
 

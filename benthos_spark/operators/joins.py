@@ -44,3 +44,48 @@ def cache_lookup_join(stream: DataFrame, dim: DataFrame,
     """
     d = F.broadcast(dim) if broadcast else dim
     return stream.join(d, on=on, how=how)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              ts: str = "ts", right_cols: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Backward as-of join: each left row picks the LATEST right row
+    with right.ts <= left.ts per key (beyond-reference; the
+    time-travel enrichment every event pipeline needs — the cache
+    lookup "as it was at event time").
+
+    Spark-first plan: NOT a range join (|left|×|right| blowup) — tag
+    both sides, union, and run one `last(ignorenulls)` window per
+    payload column ordered by (ts, tag).  Exactly ONE shuffle on the
+    key, O(n log n) per key partition, skew governed by AQE.  Right
+    rows sort before left rows at equal ts, so `<=` semantics match
+    DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` (oracle: asof_join_enrich).
+
+    Right side should be unique per (key, ts); pre-aggregate otherwise
+    (the oracle dedupes with max_by)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [c for c in right.columns
+                                if c not in keys + [ts]]
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    payload = {f"{c}{suffix}": rtypes[c] for c in right_cols}
+    payload[f"{ts}{suffix}"] = rtypes[ts]
+
+    l2 = left.withColumn("__tag", F.lit(1))
+    for name, typ in payload.items():
+        l2 = l2.withColumn(name, F.lit(None).cast(typ))
+    r2 = right.select(
+        *keys, F.col(ts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts).alias(f"{ts}{suffix}")).withColumn("__tag", F.lit(0))
+    for c in left.columns:
+        if c not in keys + [ts]:
+            r2 = r2.withColumn(c, F.lit(None).cast(ltypes[c]))
+
+    from pyspark.sql.window import Window
+    u = l2.unionByName(r2)
+    w = (Window.partitionBy(*keys).orderBy(F.col(ts), F.col("__tag"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for name in payload:
+        u = u.withColumn(name, F.last(name, ignorenulls=True).over(w))
+    return u.filter(F.col("__tag") == 1).drop("__tag")

@@ -150,3 +150,24 @@ def test_cache_lookup_join_broadcasts(spark):
     assert "Broadcast" in plan  # point of the operator: no fact shuffle
     got = {r.k: r.name for r in out.collect()}
     assert got == {1: "one", 2: "two", 9: None}
+
+
+def test_asof_join_semantics_and_plan(spark):
+    from benthos_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, "u1", 10.0), (2, "u1", 25.0), (3, "u2", 5.0)],
+        "id LONG, k STRING, lts DOUBLE")
+    right = spark.createDataFrame(
+        [("u1", 10.0, "a"), ("u1", 20.0, "b"), ("u2", 99.0, "z")],
+        "k STRING, lts DOUBLE, v STRING")
+    out = asof_join(left, right, on="k", ts="lts")
+    got = {r.id: (r.v_asof, r.lts_asof) for r in out.collect()}
+    # equal ts matches (<=); later right rows don't leak backward;
+    # no prior right row → nulls
+    assert got == {1: ("a", 10.0), 2: ("b", 20.0), 3: (None, None)}
+    # each input shuffles once into the window partitioning (one
+    # exchange per union branch, both on the key); nothing re-shuffles
+    # after the window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
