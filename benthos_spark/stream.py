@@ -270,6 +270,15 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
                                       watermark=spec.get("watermark"))
         return tumbling_window_agg(df, spec["ts"], spec["duration"], keys,
                                    aggs, watermark=spec.get("watermark"))
+    if kind in ("for_each", "process_batch", "parallel"):
+        # for_each (lib/processor/for_each.go:19) runs children once per
+        # part; process_batch (for_each.go:37) is its deprecated alias;
+        # parallel (parallel.go:21) is the same dataflow with a worker
+        # cap. Rows are already the unit of parallelism in Spark, so all
+        # three compile to sequential child application over the frame.
+        for p in (spec if isinstance(spec, list) else [spec]):
+            df = _apply_processor(df, p)
+        return df
     raise ConfigError(f"unknown processor type {kind!r}")
 
 

@@ -13,9 +13,13 @@ from hypothesis import given, settings, strategies as st
 from benthos_spark.bloblang import map_text
 
 _INT = st.integers(min_value=-10_000, max_value=10_000)
+# Restrict to codepoints whose case mappings agree between Python's
+# Unicode tables and the JVM's: newer Unicode versions add mappings
+# (e.g. U+019B 'ƛ' → U+A7DC in Unicode 16) that JDK 17 has and
+# CPython 3.11 lacks, so unrestricted Latin Extended-B is flaky.
 _TXT = st.text(
     alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
-                           max_codepoint=0x24F),
+                           max_codepoint=0xFF),
     min_size=0, max_size=24)
 
 MAPPING = """

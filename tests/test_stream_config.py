@@ -181,3 +181,23 @@ pipeline:
 """)
     with pytest.raises(ConfigError, match="needs an `input`"):
         build_stream(spark, "pipeline: {}\n")
+
+
+def test_for_each_and_process_batch_alias(spark):
+    # for_each (lib/processor/for_each.go:19) and its deprecated alias
+    # process_batch (for_each.go:37) run children sequentially.
+    for kind in ("for_each", "process_batch"):
+        out = run_stream(spark, f"""
+input:
+  generate:
+    count: 4
+    mapping: root.id = this.id
+pipeline:
+  processors:
+    - {kind}:
+        - bloblang: root.id = this.id + 1
+        - filter: this.id >= 2
+output:
+  memory: {{}}
+""")
+        assert sorted(r.id for r in out.collect()) == [2, 3, 4]
