@@ -825,6 +825,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 24b. LLM op: connected-components clustering over the LSH pairs —
+#      pairs → duplicate clusters (keep doc = component min).  The
+#      step after candidate generation in every at-scale dedup
+#      pipeline.  Oracle: DuckDB recursive CTE over the same pairs.
+# ================================================================
+
+@_register("dedup_connected_components", oracle=f"""
+WITH RECURSIVE pairs AS ({_sql_minhash_bands()}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach(u, lab) AS (
+  SELECT u, u AS lab FROM edges
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, MIN(lab) AS component FROM reach GROUP BY u
+""")
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.dedup import (connected_components,
+                                         minhash_lsh_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    return connected_components(minhash_lsh_pairs(docs, bands=4))
+
+
+# ================================================================
 # 25. LLM op: SimHash duplicate groups (hamming-0 buckets).
 # ================================================================
 
@@ -928,6 +953,73 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(t).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_bpe_ish"),
         stopword_ratio(t).alias("stopword_ratio"))
+
+
+# ================================================================
+# 28b. LLM op: Gopher-style repetition signals (dup-line fraction,
+#      top-2/3-gram fraction) — map-only quality gate, zero shuffle.
+# ================================================================
+
+def _sql_ngram_cte(n: int, name: str) -> str:
+    """Per-doc mode-count and total of word n-grams (unnest + 2-level
+    group by; the Spark side does the same with a per-row fold)."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+{name}_g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= {n}
+       THEN list_transform(range(1, len(toks) - {n} + 2), i -> {gram})
+       ELSE [] END) AS g
+     FROM tok_t),
+{name} AS (SELECT doc_id, MAX(c) AS mc, SUM(c) AS total
+     FROM (SELECT doc_id, g, COUNT(*) AS c FROM {name}_g GROUP BY 1, 2)
+     GROUP BY 1)"""
+
+
+@_register("text_repetition", oracle=f"""
+WITH tok_t AS (SELECT doc_id, {_sql_toks("text")} AS toks,
+        list_filter(list_transform(string_split(text, chr(10)),
+                                   l -> trim(l)), l -> l <> '') AS lines
+      FROM documents),
+{_sql_ngram_cte(2, "bg")},
+{_sql_ngram_cte(3, "tg")}
+SELECT t.doc_id,
+  CASE WHEN len(t.lines) > 0
+       THEN round(1 - CAST(len(list_distinct(t.lines)) AS DOUBLE)
+                  / len(t.lines), 6)
+       ELSE 0.0 END AS dup_line_frac,
+  COALESCE(round(CAST(bg.mc AS DOUBLE) / bg.total, 6), 0.0)
+    AS top_2gram_frac,
+  COALESCE(round(CAST(tg.mc AS DOUBLE) / tg.total, 6), 0.0)
+    AS top_3gram_frac
+FROM tok_t t LEFT JOIN bg USING (doc_id) LEFT JOIN tg USING (doc_id)
+""")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.text import repetition_signals
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# ================================================================
+# 28c. LLM op: deterministic stratified mixture sampling — id-hash
+#      Bernoulli per stratum (reproducible across engines/reruns,
+#      unlike sample()/sampleBy()).  Map-only: one pushed predicate.
+# ================================================================
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
+              "src4": 0.1}
+
+
+@_register("mixture_sample", oracle=f"""
+SELECT doc_id, source FROM documents
+WHERE CAST({_sql_hex12("'mix1' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+      / 281474976710656.0
+    < CASE source {' '.join(f"WHEN '{k}' THEN {v}"
+                            for k, v in _MIX_RATES.items())}
+      ELSE 0.05 END
+""")
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.sampling import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, _MIX_RATES, default=0.05,
+                             salt="mix1").select("doc_id", "source")
 
 
 # ================================================================

@@ -40,6 +40,9 @@ HEADLINE = [
     "similarity_lsh_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "text_repetition",
+    "mixture_sample",
     "dedup_ngram_jaccard",
     "similarity_topk",
     "similarity_ivf_topk",

@@ -275,3 +275,56 @@ def embedding_near_dup_pairs(df: DataFrame, vec: str = "embedding",
     return (pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
                  .filter(F.col("cos") >= threshold)
                  .select("id_a", "id_b", "cos"))
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Collapse near-dup candidate pairs into duplicate CLUSTERS:
+    (node, component) where component = min node id reachable through
+    the pair graph.  The canonical doc to keep per cluster is the
+    component id itself.
+
+    Min-label propagation: every round each node takes the minimum
+    label over its closed neighborhood (one shuffle join + one
+    hash-aggregate per round).  Rounds needed = graph diameter — for
+    near-dup graphs that's tiny (clusters are dense cliques from LSH
+    bands, diameter 2-3), which is why label propagation beats the
+    O(log n)-round alternating large-star/small-star construction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    here: same per-round shuffle cost, fewer rounds, no intermediate
+    edge blow-up.  Swap in large-star/small-star if feeding this
+    adversarial long-chain graphs.
+
+    Scale notes: labels only ever decrease, so convergence is detected
+    by comparing sum(label) between rounds — an O(1)-result aggregate,
+    no extra join.  localCheckpoint truncates lineage each round so the
+    plan stays O(1) deep (iterative DataFrame plans otherwise double in
+    size per round and stall Catalyst).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=True)  # reused every round
+    labels = (sym.select("u").distinct()
+              .withColumn("lab", F.col("u")))
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (sym.alias("e")
+                   .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+                   .groupBy(F.col("e.u").alias("u"))
+                   .agg(F.min("l.lab").alias("nbr_lab")))
+        labels = (labels.alias("l")
+                  .join(nbr_min.alias("n"), "u", "left")
+                  .select(F.col("u"),
+                          F.least(F.col("l.lab"),
+                                  F.coalesce(F.col("n.nbr_lab"),
+                                             F.col("l.lab"))).alias("lab"))
+                  .localCheckpoint(eager=True))
+        # labels are monotone non-increasing → unchanged sum ⟺ fixpoint
+        cur_sum = labels.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)"))).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("lab").alias("component"))

@@ -142,3 +142,64 @@ def test_pii_scrub_redacts_all_categories(spark):
     assert "<PHONE>" in out.s and "<CC>" in out.s
     assert "bob@" not in out.s and "4111" not in out.s
     assert out.email == 1 and out.ipv4 == 1 and out.cc == 1
+
+
+def test_connected_components_chain_and_clique(spark):
+    from benthos_spark.llm.dedup import connected_components
+    # chain 1-2-3-4-5 (diameter 4, worst case for label propagation),
+    # clique {10,11,12}, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)], "id_a LONG, id_b LONG")
+    got = {r.doc_id: r.component
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_iteration_cap(spark):
+    from benthos_spark.llm.dedup import connected_components
+    # max_iter too small for the diameter → labels only partially
+    # propagated, but still a valid partial refinement (monotone)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a LONG, id_b LONG")
+    got = {r.doc_id: r.component
+           for r in connected_components(edges, max_iter=1).collect()}
+    assert got[2] == 1 and got[1] == 1
+
+
+def test_repetition_signals(spark):
+    from benthos_spark.llm.text import repetition_signals
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d"),          # 1 dup line of 3
+         (2, "x y x y x y"),            # "x y" dominates bigrams
+         (3, ""),                       # degenerate
+         (4, "all distinct lines here")],
+        "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert abs(out[1].dup_line_frac - 1 / 3) < 1e-6
+    # "x y x y x y": bigrams = [x y, y x, x y, y x, x y] → top = 3/5
+    assert abs(out[2].top_2gram_frac - 0.6) < 1e-6
+    assert out[3].dup_line_frac == 0.0 and out[3].top_3gram_frac == 0.0
+    assert out[4].dup_line_frac == 0.0
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from benthos_spark.llm.sampling import stratified_sample
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"))
+    out = stratified_sample(df, {"a": 0.5, "b": 0.0})
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in
+                  stratified_sample(df.repartition(7),
+                                    {"a": 0.5, "b": 0.0}).collect())
+    assert ids1 == ids2, "must be invariant to partitioning"
+    assert all(i % 2 == 0 for i in ids1), "stratum b rate 0"
+    assert 400 <= len(ids1) <= 600, f"~50% of 1000: {len(ids1)}"
+    # salt change → an independent draw
+    ids3 = sorted(r.doc_id for r in
+                  stratified_sample(df, {"a": 0.5, "b": 0.0},
+                                    salt="s2").collect())
+    assert ids3 != ids1
