@@ -1023,6 +1023,64 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 28d. LLM op: eval-set decontamination — training docs sharing any
+#      word 5-gram with the benchmark corpus (source 'src0' stands in
+#      for the eval set).  Broadcast semi-join on 48-bit gram hashes.
+# ================================================================
+
+def _sql_gram5(src_filter: str) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(5))
+    return f"""
+(SELECT doc_id, source, {_sql_hex12("g")} AS gh FROM
+  (SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 5
+     THEN list_transform(range(1, len(toks) - 3), i -> {gram})
+     ELSE [] END) AS g
+   FROM (SELECT doc_id, source, {_sql_toks("text")} AS toks
+         FROM documents {src_filter})))"""
+
+
+@_register("decontaminate", oracle=f"""
+WITH ev AS (SELECT DISTINCT gh FROM {_sql_gram5("WHERE source = 'src0'")}),
+tr AS (SELECT * FROM {_sql_gram5("WHERE source <> 'src0'")})
+SELECT tr.doc_id, COUNT(DISTINCT tr.gh) AS n_shared_grams
+FROM tr JOIN ev USING (gh) GROUP BY 1
+""")
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.dedup import ngram_contamination
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_contamination(docs.filter(F.col("source") != "src0"),
+                               docs.filter(F.col("source") == "src0"),
+                               n=5)
+
+
+# ================================================================
+# 28e. LLM op: sequence packing — assign every document its training
+#      context (pack) and token offset under deterministic id-hash
+#      shuffle order, sharded so no global sort exists.
+# ================================================================
+
+@_register("pack_sequences", oracle=f"""
+WITH t AS (SELECT doc_id, len({_sql_toks("text")}) AS ntok,
+                  {_sql_hex12("CAST(doc_id AS VARCHAR)")} AS h
+           FROM documents),
+s AS (SELECT doc_id, ntok, h, h % 8 AS shard FROM t),
+c AS (SELECT doc_id, shard,
+             SUM(ntok) OVER (PARTITION BY shard ORDER BY h, doc_id)
+               - ntok AS ce
+      FROM s)
+SELECT doc_id, shard,
+       shard * 1099511627776
+         + CAST(floor(CAST(ce AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+       ce % 512 AS pack_offset
+FROM c
+""")
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.packing import pack_sequences
+    return pack_sequences(_t(spark, sf_dir, "documents"),
+                          ctx_len=512, n_shards=8)
+
+
+# ================================================================
 # 29. LLM op: document fingerprint (order-sensitive rolling hash).
 # ================================================================
 

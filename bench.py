@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_connected_components",
     "text_repetition",
     "mixture_sample",
+    "decontaminate",
+    "pack_sequences",
     "dedup_ngram_jaccard",
     "similarity_topk",
     "similarity_ivf_topk",
@@ -69,8 +71,15 @@ def main() -> None:
     qs = entry.queries()
     timings: dict[str, float] = {}
 
-    # warm the JVM + file listing once, outside the timed region
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm the JVM once, outside the timed region: file listings for
+    # every table, plus one shuffle so the shuffle machinery and
+    # whole-stage codegen paths are initialized before the first query
+    from pyspark.sql import functions as F
+    for t in ("lineitem", "orders", "customer", "documents",
+              "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    spark.range(0, 1 << 20).groupBy(
+        F.pmod(F.col("id"), F.lit(32))).count().collect()
 
     for name in HEADLINE:
         fn = qs[name]

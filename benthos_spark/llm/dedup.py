@@ -328,3 +328,34 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         prev_sum = cur_sum
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("lab").alias("component"))
+
+
+def ngram_contamination(train: DataFrame, eval_df: DataFrame,
+                        text: str = "text", id_col: str = "doc_id",
+                        n: int = 5) -> DataFrame:
+    """Eval-set decontamination (the GPT-3 appendix-C / Llama recipe):
+    flag training documents that share any word n-gram with a held-out
+    benchmark corpus, so they can be dropped before pretraining.
+
+    Grams are hashed to 48 bits (md5 prefix, whole-stage codegen) so
+    the eval side is 8 bytes per distinct gram — a full benchmark
+    suite (~10^6 grams) broadcasts at ~8 MB to every executor.  The
+    100 TB train side is then a map-only scan + broadcast hash
+    semi-join: no shuffle of the corpus, filter evaluated at the scan.
+    Returns (doc_id, n_shared_grams) for contaminated docs only.
+    """
+    from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
+
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        toks = materialize_cols(df.select(F.col(id_col), F.col(text)),
+                                __toks=tokens(F.col(text)))
+        return (toks.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col("__toks"), n)).alias("g"))
+            .select(id_col, hash48(F.col("g")).alias("gh")))
+
+    ev = gram_hashes(eval_df).select("gh").distinct()
+    return (gram_hashes(train)
+            .join(F.broadcast(ev), "gh")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gh").alias("n_shared_grams")))

@@ -167,13 +167,37 @@ def dup_line_frac(text: Column) -> Column:
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
-    """Space-joined word n-grams ([] when fewer than n tokens)."""
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + j) for j in range(n)])
+    """Space-joined word n-grams ([] when fewer than n tokens).
+
+    One slice+array_join per gram — NOT n element_at calls — because
+    the transform lambda runs interpreted and every reference to `toks`
+    inside it is re-evaluated per gram.  If `toks` is an unmaterialized
+    expression (e.g. split(text)), Catalyst's CollapseProject inlines
+    it into the lambda and tokenization reruns PER GRAM: O(len²) per
+    doc, measured 22× slower at sf0.1.  Callers must pass a
+    materialized array — see materialize_cols."""
     return F.when(F.size(toks) >= n,
                   F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
-                              gram)) \
+                              lambda i: F.array_join(
+                                  F.slice(toks, i, n), " "))) \
         .otherwise(F.array().cast("array<string>"))
+
+
+def materialize_cols(df: DataFrame, **cols: Column) -> DataFrame:
+    """Project `cols` through a Generate node (explode of a one-element
+    array) so CollapseProject cannot inline their defining expressions
+    into downstream lambda bodies.  Unlike a repartition barrier this
+    ships zero bytes — the corpus is NOT shuffled — so it's the right
+    barrier before per-gram transforms at 100 TB.  (groupBy
+    aggregations also act as barriers; use this when the pipeline has
+    no natural aggregation.)"""
+    names = list(cols)
+    packed = F.explode(F.array(F.struct(
+        *[c.alias(n) for n, c in cols.items()]))).alias("__m")
+    out = df.select("*", packed)
+    for n in names:
+        out = out.withColumn(n, F.col(f"__m.{n}"))
+    return out.drop("__m")
 
 
 def _max_equal_run(arr: Column) -> Column:
@@ -223,10 +247,10 @@ def repetition_signals(df: DataFrame, text: str = "text",
     lambdas); at larger scale group on md5(gram) to fix the shuffle key
     width if gram strings are long."""
     t = F.col(text)
-    base = df.select(
-        F.col(id_col),
-        dup_line_frac(t).alias("dup_line_frac"),
-        tokens(t).alias("__toks"))
+    base = materialize_cols(
+        df.select(F.col(id_col), dup_line_frac(t).alias("dup_line_frac"),
+                  tokens(t).alias("__toks")),
+        __toks=F.col("__toks"))
     def _tag(n):
         # nb: a `lambda g, n=n:` two-param form would be taken by
         # F.transform as its (element, index) overload — the index

@@ -203,3 +203,41 @@ def test_stratified_sample_deterministic_and_rate(spark):
                   stratified_sample(df, {"a": 0.5, "b": 0.0},
                                     salt="s2").collect())
     assert ids3 != ids1
+
+
+def test_ngram_contamination(spark):
+    from benthos_spark.llm.dedup import ngram_contamination
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id LONG, text STRING")
+    tr = spark.createDataFrame(
+        [(1, "xx the quick brown fox jumps yy"),  # shares 1 5-gram
+         (2, "totally unrelated text about something else entirely"),
+         (3, "short")],
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: r.n_shared_grams
+           for r in ngram_contamination(tr, ev, n=5).collect()}
+    assert got == {1: 1}
+
+
+def test_pack_sequences_matches_python_model(spark):
+    import hashlib
+    from benthos_spark.llm.packing import pack_sequences
+    rows = [(i, " ".join(["w"] * (10 + 7 * i))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.shard, r.pack_id, r.pack_offset)
+           for r in pack_sequences(df, ctx_len=64, n_shards=4).collect()}
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+    by_shard = {}
+    for i, text in rows:
+        by_shard.setdefault(h48(str(i)) % 4, []).append(
+            (h48(str(i)), i, len(text.split())))
+    exp = {}
+    for shard, docs in by_shard.items():
+        cum = 0
+        for _, i, ntok in sorted(docs):
+            exp[i] = (shard, shard * (2 ** 40) + cum // 64, cum % 64)
+            cum += ntok
+    assert got == exp
