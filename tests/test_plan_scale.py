@@ -86,3 +86,34 @@ def test_no_python_udfs_in_core_queries(spark, sf_dir):
 def test_single_scan_queries(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert plan.count("FileScan") == 1
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    # the 100 TB train side must meet the eval grams in a broadcast
+    # hash join — never a corpus shuffle (SortMergeJoin)
+    plan = plan_of(spark, sf_dir, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shard_exchange(spark, sf_dir):
+    # one hash exchange on the shard key; the window runs per-shard —
+    # no global sort / single-partition window anywhere
+    plan = plan_of(spark, sf_dir, "pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "partitionBy=[shard" not in plan or "Window" in plan
+
+
+def test_mixture_sample_is_scan_plus_filter(spark, sf_dir):
+    # map-only: no exchange of any kind; 2-column read schema
+    plan = plan_of(spark, sf_dir, "mixture_sample")
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema:")[1]
+    assert "text" not in read and "doc_id" in read
+
+
+def test_repetition_gram_counts_partial_agg(spark, sf_dir):
+    # the per-(doc,n,gram) count must map-side combine before shuffling
+    plan = plan_of(spark, sf_dir, "text_repetition")
+    assert "partial_count" in plan
