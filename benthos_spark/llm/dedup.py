@@ -58,18 +58,19 @@ def token_hash_frame(df: DataFrame, text: str = "text",
     """(id, th: array<long>) — per-token portable 48-bit hashes in
     document order.
 
-    The md5 runs on EXPLODED token rows, inside whole-stage codegen,
-    then reassembles per document (one narrow shuffle of (id, pos,
-    long)).  Hashing inside `F.transform` instead runs interpreted —
-    measured 1.8× slower at sf0.1 — so every shingle consumer starts
-    from this frame."""
+    One expression per row — transform(split(text), md5-hash) — pushed
+    through a Generate barrier (text.materialize_cols) so downstream
+    per-shingle lambdas reference the MATERIALIZED hash array instead
+    of re-hashing the document per shingle (CollapseProject would
+    inline the transform into every element_at otherwise).  Zero
+    shuffle; measured 2.2× faster at sf0.1 than the previous
+    explode → codegen md5 → collect_list+sort plan, which paid a
+    (id, pos, hash) shuffle for the reassembly."""
+    from benthos_spark.llm.text import materialize_cols
     toks = F.split(F.trim(F.col(text)), r"\s+")
-    exploded = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
-    hashed = exploded.select(id_col, "pos", hash48(F.col("tok")).alias("h"))
-    return (hashed.groupBy(id_col)
-            .agg(F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "h"))),
-                lambda x: x["h"]).alias("th")))
+    return materialize_cols(
+        df.select(F.col(id_col), F.col(text)),
+        th=F.transform(toks, hash48)).select(id_col, "th")
 
 
 def shingles_from_token_hashes(th: Column, n: int = 3) -> Column:
@@ -95,10 +96,15 @@ def shingles_from_token_hashes(th: Column, n: int = 3) -> Column:
 def shingle_hash_frame(df: DataFrame, text: str = "text",
                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, __sh: array<long>) distinct shingle hashes — the shared
-    front of every near-dup operator, already materialization-barriered
-    by the token_hash_frame aggregation."""
-    return token_hash_frame(df, text, id_col).select(
-        F.col(id_col), shingles_from_token_hashes(F.col("th"), n).alias("__sh"))
+    front of every near-dup operator.  `__sh` goes through its own
+    Generate barrier: the MinHash signature references it 16 times
+    (once per permutation), and without the barrier CollapseProject
+    re-derives the whole shingle array per permutation."""
+    from benthos_spark.llm.text import materialize_cols
+    return materialize_cols(
+        token_hash_frame(df, text, id_col),
+        __sh=shingles_from_token_hashes(F.col("th"), n)).select(
+            F.col(id_col), F.col("__sh"))
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -191,11 +197,11 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
     spread; stop-shingle removal (df filter on document frequency)
     is the standard guard for pathological corpora.
 
-    shingle_hash_frame's aggregation is the materialization barrier:
-    without one Catalyst would inline the shingle subtree into
-    explode(), size(), and BOTH sides of the self-join — 4× recompute
-    of interpreted higher-order folds (measured 9× slower at sf0.01).
-    With it, the self-join reuses one exchange."""
+    shingle_hash_frame's Generate barrier keeps the shingle subtree
+    out of explode() and size(): without it Catalyst inlines the
+    interpreted higher-order folds into every consumer (measured 9×
+    slower at sf0.01).  The self-join's two identical branches share
+    one exchange via AQE ReuseExchange."""
     hashed = shingle_hash_frame(df, text, id_col, n)
     sh = hashed.select(F.col(id_col),
                        F.explode("__sh").alias("sh"),
@@ -247,10 +253,10 @@ def simhash_dup_groups(df: DataFrame, text: str = "text",
     For distance-k matching, index each of the C(bits,k) masked variants
     (standard multi-probe construction) — same groupBy shape.
 
-    Token hashes come from token_hash_frame (md5 in codegen on exploded
-    rows; its aggregation is the materialization barrier so the 32
-    bit-vote folds share one hash array instead of recomputing md5s
-    32× — CollapseProject would inline them otherwise)."""
+    Token hashes come from token_hash_frame, whose Generate barrier
+    materializes the hash array so the 32 bit-vote folds share it
+    instead of recomputing the md5s 32× (CollapseProject would inline
+    them otherwise)."""
     hashed = token_hash_frame(df, text, id_col) \
         .withColumnRenamed("th", "__th")
     return (hashed.withColumn("simhash", simhash_from_hashes(F.col("__th")))
