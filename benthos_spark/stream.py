@@ -270,6 +270,15 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
                                       watermark=spec.get("watermark"))
         return tumbling_window_agg(df, spec["ts"], spec["duration"], keys,
                                    aggs, watermark=spec.get("watermark"))
+    if kind == "sql":
+        # lib/processor/sql.go:115 config shape: driver,
+        # data_source_name, query, args (interpolated), result_codec
+        from benthos_spark.operators.sql_exec import sql_query
+        args = [compile_condition(str(a)) for a in spec.get("args", [])]
+        return sql_query(df, str(spec["data_source_name"]),
+                         str(spec["query"]), args_cols=args,
+                         result_codec=spec.get("result_codec", "none"),
+                         driver=spec.get("driver", "sqlite"))
     if kind in ("for_each", "process_batch", "parallel"):
         # for_each (lib/processor/for_each.go:19) runs children once per
         # part; process_batch (for_each.go:37) is its deprecated alias;

@@ -135,3 +135,62 @@ def test_write_file_partitioned(spark):
                       if d.startswith("tag=")) == ["tag=a", "tag=b"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sql_processor_select_and_error(spark, tmp_path):
+    import sqlite3
+    db = str(tmp_path / "dim.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE users (id INTEGER, name TEXT)")
+    con.executemany("INSERT INTO users VALUES (?, ?)",
+                    [(1, "ann"), (2, "bob")])
+    con.commit(); con.close()
+
+    from benthos_spark.operators.sql_exec import sql_query
+    df = spark.createDataFrame([(1,), (2,), (9,)], "uid LONG")
+    out = sql_query(df, db, "SELECT name FROM users WHERE id = ?",
+                    args_cols=[F.col("uid")], result_codec="json_array",
+                    alias="result").collect()
+    got = {r.uid: r.result for r in out}
+    assert got[1] == '[{"name": "ann"}]'
+    assert got[9] == '[]'
+    assert all(r._error is None for r in out)
+
+    # bad SQL → per-row _error, rows survive
+    bad = sql_query(df, db, "SELECT FROM nope WHERE id = ?",
+                    args_cols=[F.col("uid")]).collect()
+    assert all(r._error and "sql:" in r._error for r in bad)
+
+
+def test_sql_processor_insert_via_config(spark, tmp_path):
+    import sqlite3
+    db = str(tmp_path / "out.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE sink (id INTEGER, sq INTEGER)")
+    con.commit(); con.close()
+
+    from benthos_spark.stream import run_stream
+    run_stream(spark, f"""
+input:
+  generate:
+    count: 5
+    mapping: |
+      root.id = this.id
+      root.sq = this.id * this.id
+pipeline:
+  processors:
+    - sql:
+        driver: sqlite
+        data_source_name: "{db}"
+        query: "INSERT INTO sink VALUES (?, ?)"
+        args:
+          - this.id
+          - this.sq
+        result_codec: none
+output:
+  memory: {{}}
+""").collect()
+    con = sqlite3.connect(db)
+    rows = sorted(con.execute("SELECT id, sq FROM sink").fetchall())
+    con.close()
+    assert rows == [(i, i * i) for i in range(5)]
