@@ -72,3 +72,29 @@ def write_stream_kafka(df: DataFrame, brokers: str, topic: str,
             .option("kafka.bootstrap.servers", brokers)
             .option("topic", topic)
             .option("checkpointLocation", checkpoint).start())
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          id_col: str = "doc_id", salt: str = "",
+                          fmt: str = "parquet") -> None:
+    """Write the corpus as `n_shards` deterministically-shuffled shards
+    — the standard layout a pretraining loader consumes (fixed shard
+    membership + fixed within-shard order, so any run, engine, or
+    resumption sees identical data order).
+
+    Shard = 48-bit id-hash mod n_shards (exactly llm.packing's
+    sharding); within-shard order = the same hash (a deterministic
+    shuffle), enforced via repartition + sortWithinPartitions so each
+    shard is ONE sorted file written in one pass — no global sort, and
+    the only movement is the one unavoidable shuffle onto shards.
+    Changing `salt` re-deals a fresh epoch order.
+    """
+    from benthos_spark.llm.dedup import hash48
+    h = hash48(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    (df.withColumn("__h", h)
+       .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)))
+       .repartition(n_shards, F.col("shard"))
+       .sortWithinPartitions("shard", "__h", id_col)
+       .drop("__h")
+       .write.format(fmt).partitionBy("shard").mode("overwrite")
+       .save(path))

@@ -194,3 +194,34 @@ output:
     rows = sorted(con.execute("SELECT id, sq FROM sink").fetchall())
     con.close()
     assert rows == [(i, i * i) for i in range(5)]
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    import hashlib
+    from benthos_spark.sinks.writers import write_training_shards
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(200)],
+                               "doc_id LONG, text STRING")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(df, p1, n_shards=4)
+    write_training_shards(df.repartition(13), p2, n_shards=4)
+
+    def read(p):
+        out = spark.read.parquet(p)
+        return [(r.shard, r.doc_id) for r in
+                out.sortWithinPartitions("shard").collect()]
+    a = spark.read.parquet(p1)
+    assert sorted(r.shard for r in a.select("shard").distinct()
+                  .collect()) == [0, 1, 2, 3]
+    # membership + within-shard order must match the hash model and be
+    # independent of input partitioning
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+    for p in (p1, p2):
+        got = spark.read.parquet(p)
+        for shard in range(4):
+            # one sorted file per shard → read order IS written order
+            ids = [r.doc_id for r in
+                   got.filter(F.col("shard") == shard).collect()]
+            assert ids == sorted(ids, key=lambda i: (h48(str(i)), i))
+            assert all(h48(str(i)) % 4 == shard for i in ids)
+    assert {r.doc_id for r in spark.read.parquet(p1).collect()} == set(range(200))
