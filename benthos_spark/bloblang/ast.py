@@ -64,6 +64,15 @@ class Method(Node):
 
 
 @dataclass
+class Lambda(Node):
+    """Named-argument method lambda `x -> expr` (arrow functions in
+    query_parser.go): binds `param` to the element while `this` keeps
+    the outer context."""
+    param: str
+    body: "Node"
+
+
+@dataclass
 class FieldAccess(Node):
     """`expr.field` (non-call postfix)."""
     target: Node

@@ -383,10 +383,20 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     def arg_lit(i, what="argument"):
         return _lit_arg(args[i], f".{name}() {what}")
 
+    def bind_elem(node, x):
+        """Compile a lambda-position argument against element `x`:
+        `name -> body` binds the name (outer `this` stays visible);
+        the bare form rebinds `this` to the element."""
+        if isinstance(node, ast.Lambda):
+            named = dict(scope.named_bindings)
+            named[node.param] = x
+            return compile_expr(node.body, scope.child(named=named))
+        return compile_expr(node, scope.child(this_override=x))
+
     def lam1(i):
-        """Compile args[i] with `this` rebound to the lambda element."""
+        """Element lambda for args[i] (either syntax form)."""
         def fn(x):
-            return compile_expr(args[i], scope.child(this_override=x))
+            return bind_elem(args[i], x)
         return fn
 
     # --- general (methods.go) ---
@@ -697,8 +707,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "map_each":
         return F.transform(target, lam1(0))
     if name == "map_each_key":
-        return F.transform_keys(target, lambda k, _v: compile_expr(
-            args[0], scope.child(this_override=k)))
+        return F.transform_keys(target, lambda k, _v: bind_elem(args[0], k))
     if name == "merge":
         other = arg_col(0)
         return F.map_concat(
@@ -713,8 +722,8 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "sort_by":
         # methods_structured.go sort_by: key-extracting comparator
         def cmp(left, right):
-            kl = compile_expr(args[0], scope.child(this_override=left))
-            kr = compile_expr(args[0], scope.child(this_override=right))
+            kl = bind_elem(args[0], left)
+            kr = bind_elem(args[0], right)
             return (F.when(kl < kr, F.lit(-1))
                     .when(kl > kr, F.lit(1)).otherwise(F.lit(0)))
         return F.array_sort(target, cmp)

@@ -37,7 +37,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<string>"(?:\\.|[^"\\])*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>==|!=|>=|<=|&&|\|\||=>|[-+*/%=<>!|.,:()\[\]{}_])
+  | (?P<op>==|!=|>=|<=|&&|\|\||=>|->|[-+*/%=<>!|.,:()\[\]{}_])
 """, re.VERBOSE)
 
 _KEYWORDS = {"root", "meta", "let", "if", "else", "match", "true", "false",
@@ -332,14 +332,27 @@ class _Parser:
             else:
                 return node
 
+    def _parse_arg(self) -> ast.Node:
+        # named lambda `x -> expr` (query_parser.go arrow functions):
+        # binds the element name while leaving `this` on the outer
+        # context — unlike the bare this-rebind form `map_each(this+1)`
+        tok = self.peek()
+        if tok.kind == "IDENT" and tok.text not in _KEYWORDS:
+            nxt = self.peek_at(1)
+            if nxt.kind == "OP" and nxt.text == "->":
+                self.next()
+                self.next()
+                return ast.Lambda(tok.text, self.parse_expr())
+        return self.parse_expr()
+
     def _parse_args(self) -> list[ast.Node]:
         self.expect("OP", "(")
         self.depth += 1
         args: list[ast.Node] = []
         if not (self.peek().kind == "OP" and self.peek().text == ")"):
-            args.append(self.parse_expr())
+            args.append(self._parse_arg())
             while self.accept("OP", ","):
-                args.append(self.parse_expr())
+                args.append(self._parse_arg())
         self.depth -= 1
         self.expect("OP", ")", skip_nl=True)
         return args
@@ -509,8 +522,13 @@ class _Parser:
             self.expect("OP", "=>")
             val = self.parse_expr()
             cases.append((pat, val))
-            if not self.accept("OP", ","):
-                break
+            if self.accept("OP", ","):
+                continue
+            # newline also separates cases (query_expression_parser.go:
+            # match cases are line-delimited in block form)
+            if self.peek(skip_nl=False).kind == "NEWLINE":
+                continue
+            break
         self.depth -= 1
         self.expect("OP", "}", skip_nl=True)
         return ast.MatchExpr(subject, cases)

@@ -429,3 +429,35 @@ def test_file_function(spark, tmp_path):
     assert out.v == "hello-from-file"
     with pytest.raises(BloblangCompileError):
         map_text(df, 'root.v = file("/nope/missing.txt")')
+
+
+def test_named_lambda_keeps_outer_this(spark):
+    # `x -> expr`: x binds the element, `this` still sees the document
+    df = rows(spark, [([1, 2, 3], 2)], "ns ARRAY<INT>, factor INT")
+    out = map_text(df, """
+root.scaled = this.ns.map_each(n -> n * this.factor)
+root.big = this.ns.filter(n -> n >= this.factor)
+""").collect()[0]
+    assert out.scaled == [2, 4, 6]
+    assert out.big == [2, 3]
+
+
+def test_named_lambda_sort_by(spark):
+    df = rows(spark, [([(3, "c"), (1, "a")],)],
+              "xs ARRAY<STRUCT<rank: INT, v: STRING>>")
+    out = map_text(df, "root.sorted = this.xs.sort_by(x -> x.rank)")
+    assert [e.v for e in out.collect()[0].sorted] == ["a", "c"]
+
+
+def test_match_newline_separated_cases(spark):
+    df = rows(spark, [(500,), (50,), (5,)], "v INT")
+    out = map_text(df, """
+root.v = this.v
+root.kind = match this.v {
+  this > 100 => "large"
+  this > 10 => "medium"
+  _ => "small"
+}
+""")
+    got = {r.v: r.kind for r in out.collect()}
+    assert got == {500: "large", 50: "medium", 5: "small"}

@@ -11,10 +11,17 @@ from benthos_spark.testkit import run_case, run_test_file
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
                       "mapping_cases.yaml")
+PARITY = os.path.join(os.path.dirname(__file__), "golden",
+                      "reference_parity_cases.yaml")
 
 
 def test_golden_file_all_pass(spark):
     failures = run_test_file(spark, GOLDEN)
+    assert failures == []
+
+
+def test_reference_parity_golden_all_pass(spark):
+    failures = run_test_file(spark, PARITY)
     assert failures == []
 
 
