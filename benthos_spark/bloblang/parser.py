@@ -318,7 +318,9 @@ class _Parser:
         node = self._parse_primary()
         while True:
             if self.accept("OP", "."):
-                seg = self.next()
+                # a trailing dot continues the chain on the next line
+                # (reference style: `this.xs.\n  filter(...)`)
+                seg = self.next(skip_nl=True)
                 if seg.kind not in ("IDENT", "STRING"):
                     raise BloblangParseError(
                         f"expected field or method name, found {seg.text!r}",
