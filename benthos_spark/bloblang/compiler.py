@@ -458,7 +458,9 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "lowercase":
         return F.lower(target)
     if name == "trim":
-        return F.trim(F.lit(str(arg_lit(0))), target) if args else F.trim(target)
+        # two-arg form: trim(str, trimChars) — Go's strings.Trim cutset
+        return (F.trim(target, F.lit(str(arg_lit(0)))) if args
+                else F.trim(target))
     if name == "has_prefix":
         return F.startswith(target, arg_col(0))
     if name == "has_suffix":

@@ -44,8 +44,9 @@ def trim(c: Column) -> Column:
 
 
 def trim_chars(c: Column, cutset: str) -> Column:
-    """`.trim(cutset)` (methods_strings.go:2031)."""
-    return F.trim(F.lit(cutset), c)
+    """`.trim(cutset)` (methods_strings.go:2031).  NB: F.trim's
+    two-arg form is (str, trimChars) — cutset second."""
+    return F.trim(c, F.lit(cutset))
 
 
 def has_prefix(c: Column, prefix: str) -> Column:

@@ -461,3 +461,13 @@ root.kind = match this.v {
 """)
     got = {r.v: r.kind for r in out.collect()}
     assert got == {500: "large", 50: "medium", 5: "small"}
+
+
+def test_trim_cutset(spark):
+    df = rows(spark, [("v1.2.0", "  pad  ")], "a STRING, b STRING")
+    out = map_text(df, """
+root.cut = this.a.trim("v")
+root.ws = this.b.trim()
+""").collect()[0]
+    assert out.cut == "1.2.0"
+    assert out.ws == "pad"
