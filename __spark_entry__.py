@@ -1069,9 +1069,13 @@ c AS (SELECT doc_id, shard,
                - ntok AS ce
       FROM s)
 SELECT doc_id, shard,
-       shard * 1099511627776
-         + CAST(floor(CAST(ce AS DOUBLE) / 512) AS BIGINT) AS pack_id,
-       ce % 512 AS pack_offset
+       -- ce comes from SUM() OVER which DuckDB types HUGEINT; HUGEINT
+       -- reaches pandas as float64 and breaks value-hash parity, so
+       -- every derived column is cast back to BIGINT, and the pack
+       -- index is pure integer division (// mirrors Spark's exact
+       -- (ce - ce%512)/512 on non-negative ce)
+       CAST(shard * 1099511627776 + ce // 512 AS BIGINT) AS pack_id,
+       CAST(ce % 512 AS BIGINT) AS pack_offset
 FROM c
 """)
 def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,22 +1133,63 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
-# 31. Multimodal feature extraction (mapInPandas plumbing; decode is
-#     a deterministic stub — no SQL oracle, rows-only check).
+# 31. Multimodal feature extraction (mapInPandas plumbing; decode
+#     kernels are deterministic stubs — payload bytes are a pure
+#     function of media_id, so a DuckDB oracle can recompute the
+#     whole pipeline from scalar arithmetic).  Array outputs are
+#     projected to scalar feature quantizations (k = round(f*255),
+#     recovering the kernel's integer byte-sum) so the driver's
+#     canonical sort never sees a list-typed column.
 # ================================================================
 
-@_register("multimodal_features")
+# fake_media_table payload for id r: 'media-payload-' || r || 'x'*(r%97)
+_MEDIA_P = ("'media-payload-' || CAST(r AS VARCHAR) || "
+            "repeat('x', CAST(r % 97 AS INTEGER))")
+
+
+def _media_feat_sql(i: int) -> str:
+    """Oracle twin of _decode_image_batch's feature i: byte-sum of
+    payload[:64][i::8] mod 256 (ASCII payload ⇒ chars == bytes)."""
+    return (f"CAST(list_sum(list_transform(range({i + 1}, "
+            f"least(len(p), 64) + 1, 8), "
+            "j -> ascii(substr(p, j, 1)))) % 256 AS BIGINT)")
+
+
+@_register("multimodal_features", oracle=f"""
+WITH m AS (SELECT r AS media_id, {_MEDIA_P} AS p FROM range(0, 256) t(r))
+SELECT media_id, 'image' AS kind,
+       CAST(len(p) AS BIGINT) AS n_bytes,
+       CAST(len(p) % 640 + 1 AS BIGINT) AS width,
+       CAST(len(p) % 480 + 1 AS BIGINT) AS height,
+       {', '.join(f'{_media_feat_sql(i)} AS f{i}' for i in range(8))}
+FROM m
+""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.multimodal import extract_features, fake_media_table
     media = fake_media_table(spark, n=256)
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        *[F.round(F.element_at("features", i + 1).cast("double") * 255.0)
+           .cast("long").alias(f"f{i}") for i in range(8)])
 
 
-@_register("multimodal_audio_frames")
+@_register("multimodal_audio_frames", oracle=f"""
+WITH m AS (SELECT r AS media_id, len({_MEDIA_P}) AS n FROM range(0, 256) t(r))
+SELECT media_id,
+       CAST(CASE WHEN n % 2 = 0 THEN 16000 ELSE 44100 END AS BIGINT)
+         AS sample_rate,
+       CAST(n * 4 AS BIGINT) AS n_samples,
+       -- frame sampler emits range(0, max(1, n//16), 8) frames
+       CAST((greatest(1, n // 16) + 7) // 8 AS BIGINT) AS n_frames
+FROM m
+""")
 def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-feature extraction + video frame sampling joined per media
-    row (mapInPandas plumbing over stubbed decode kernels — rows-only
-    check, no SQL oracle)."""
+    row (mapInPandas plumbing; deterministic kernels ⇒ full SQL oracle
+    over the same arithmetic)."""
     from benthos_spark.llm.multimodal import (extract_audio_features,
                                               fake_media_table,
                                               sample_video_frames)
@@ -1153,7 +1198,9 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = (sample_video_frames(media, every_n=8)
               .groupBy("media_id").agg(F.count("*").alias("n_frames")))
     return (audio.join(frames, "media_id")
-            .select("media_id", "sample_rate", "n_samples", "n_frames"))
+            .select("media_id",
+                    F.col("sample_rate").cast("long").alias("sample_rate"),
+                    "n_samples", "n_frames"))
 
 
 # ================================================================
@@ -1546,7 +1593,11 @@ SELECT event_id,
        CAST(row_number() OVER w - 1 AS INTEGER) AS batch_index,
        COUNT(*) OVER (PARTITION BY user_id) AS batch_size,
        first_value(event_type) OVER w AS from_first,
-       list_sort(list(event_type) OVER (PARTITION BY user_id)) AS from_all_types
+       -- joined to a scalar: the driver's canonical sort cannot
+       -- factorize array-typed cells (r1 multimodal_features lesson)
+       array_to_string(list_sort(list(event_type)
+                                 OVER (PARTITION BY user_id)), ',')
+         AS from_all_types
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 """)
@@ -1559,8 +1610,8 @@ def batch_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - 1).alias("batch_index"),
         F.count("*").over(w_all).alias("batch_size"),
         F.first("event_type").over(w).alias("from_first"),
-        F.sort_array(F.collect_list("event_type").over(w_all))
-         .alias("from_all_types"))
+        F.array_join(F.sort_array(F.collect_list("event_type").over(w_all)),
+                     ",").alias("from_all_types"))
 
 
 # ================================================================

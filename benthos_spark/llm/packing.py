@@ -43,9 +43,13 @@ def pack_sequences(df: DataFrame, text: str = "text",
     w = (Window.partitionBy("shard")
          .orderBy(F.col("__h"), F.col(id_col)))  # id tiebreak: total order
     cum_excl = F.sum("__ntok").over(w) - F.col("__ntok")
+    # pack index as PURE integer arithmetic (no double floor): cum_excl
+    # is non-negative, so (ce - ce%ctx) / ctx == ce // ctx exactly
+    pack_local = ((cum_excl - F.pmod(cum_excl, F.lit(ctx_len)))
+                  / F.lit(ctx_len)).cast("long")
     return t.select(
         F.col(id_col),
         F.col("shard"),
         (F.col("shard") * F.lit(_PACKS_PER_SHARD)
-         + F.floor(cum_excl / ctx_len)).alias("pack_id"),
-        F.pmod(cum_excl, F.lit(ctx_len)).alias("pack_offset"))
+         + pack_local).alias("pack_id"),
+        F.pmod(cum_excl, F.lit(ctx_len)).cast("long").alias("pack_offset"))
