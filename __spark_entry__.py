@@ -249,18 +249,25 @@ def group_by_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    re-batching into fixed-size batches.
 # ================================================================
 
-@_register("split_batches", oracle="""
+@_register("split_batches", oracle=f"""
+WITH s AS (SELECT o_orderkey,
+                  {_sql_hex12("CAST(o_orderkey AS VARCHAR)")} % 8 AS shard
+           FROM orders),
+r AS (SELECT o_orderkey, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY o_orderkey) - 1
+               AS rn
+      FROM s)
 SELECT batch_id, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
        MAX(o_orderkey) AS max_key
-FROM (SELECT (row_number() OVER (ORDER BY o_orderkey) - 1) // 100
-             AS batch_id, o_orderkey
-      FROM orders) t
+FROM (SELECT CAST(shard * 1099511627776 + rn // 100 AS BIGINT) AS batch_id,
+             o_orderkey
+      FROM r) t
 GROUP BY batch_id
 """)
 def split_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.operators import split_batches
     orders = _t(spark, sf_dir, "orders")
-    batched = split_batches(orders, 100, [F.col("o_orderkey")])
+    batched = split_batches(orders, 100, [F.col("o_orderkey")], n_shards=8)
     return (batched.groupBy("batch_id")
             .agg(F.count("*").alias("n"),
                  F.min("o_orderkey").alias("min_key"),
@@ -276,17 +283,21 @@ def split_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_custkey, part_index, o_orderkey FROM (
   SELECT o_custkey, o_orderkey,
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1
-         AS part_index
+         AS part_index,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS bsz
   FROM orders) t
-WHERE part_index IN (0, 2)
+WHERE part_index IN (0, 2) OR part_index - bsz = -1
 """)
 def select_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts 0, 2 and the LAST part of each batch — the negative index
+    exercises the reference's len arithmetic (select_parts.go:17)."""
     from benthos_spark.operators import select_parts
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     parts = orders.withColumn("part_index", F.row_number().over(w) - 1)
-    return select_parts(parts, [0, 2]).select("o_custkey", "part_index",
-                                              "o_orderkey")
+    return select_parts(parts, [0, 2, -1],
+                        batch_col="o_custkey").select(
+        "o_custkey", "part_index", "o_orderkey")
 
 
 # ================================================================

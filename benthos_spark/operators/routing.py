@@ -74,29 +74,70 @@ def group_by_value(df: DataFrame, value: Column | str) -> DataFrame:
     return df.repartition(col)
 
 
+_BATCHES_PER_SHARD = 2 ** 40  # batch_id = shard * 2^40 + local batch
+
+
 def split_batches(df: DataFrame, size: int, order_by: list[Column],
                   batch_col: str = "batch_id",
-                  index_col: str = "part_index") -> DataFrame:
+                  index_col: str = "part_index",
+                  n_shards: int = 32,
+                  global_order: bool = False) -> DataFrame:
     """`split` (lib/processor/split.go:17): re-batch parts into batches of
-    `size`.  Needs a global order to be deterministic; the reference gets
-    ordering for free from single-node sequencing, we pin it explicitly.
+    `size`.  The reference gets ordering for free from single-node
+    sequencing; we pin a deterministic order explicitly.
 
-    Scale note: global row_number serializes into one partition — fine
-    for batch-shaping of grouped data, but at 100 TB use a per-key split
-    (partitionBy in the window) instead of a global one.
+    Default is SHARDED: rows hash-shard on the first order key
+    (portable 48-bit md5 hash, reproducible in any engine), the
+    row_number window partitions by shard, and batch ids embed the
+    shard (`shard * 2^40 + local_batch`).  Every batch still holds
+    `size` parts in a deterministic order, but the sort runs
+    n_shards-way parallel — no single-partition window, so the plan
+    survives 100× data by raising n_shards.
+
+    `global_order=True` restores the reference-exact single sequence
+    (one global row_number → one partition carries the window); only
+    for small, already-grouped data.
     """
-    w = Window.orderBy(*order_by)
-    rn = F.row_number().over(w) - 1
-    return (df.withColumn(batch_col, F.floor(rn / size).cast("long"))
-              .withColumn(index_col, (rn % size).cast("int")))
+    rn_w = (Window.orderBy(*order_by) if global_order
+            else Window.partitionBy("__shard").orderBy(*order_by))
+    t = df
+    if not global_order:
+        from benthos_spark.llm.dedup import hash48
+        t = df.withColumn(
+            "__shard", F.pmod(hash48(order_by[0].cast("string")),
+                              F.lit(n_shards)))
+    rn = F.row_number().over(rn_w) - 1
+    base = (F.lit(0).cast("long") if global_order
+            else F.col("__shard") * F.lit(_BATCHES_PER_SHARD))
+    return (t.withColumn(batch_col,
+                         (base + F.floor(rn / size)).cast("long"))
+             .withColumn(index_col, (rn % size).cast("int"))
+             .drop("__shard"))
 
 
 def select_parts(df: DataFrame, indexes: list[int],
-                 index_col: str = "part_index") -> DataFrame:
+                 index_col: str = "part_index",
+                 batch_col: str | None = None) -> DataFrame:
     """`select_parts` (lib/processor/select_parts.go:17): keep only the
-    given part indexes of each batch (negative = from end unsupported in
-    v1; reference supports it via len arithmetic)."""
-    return df.filter(F.col(index_col).isin(indexes))
+    given part indexes of each batch.  Negative indexes count from the
+    batch end (the reference's len arithmetic, select_parts.go:17):
+    they need `batch_col` to derive the batch length — a windowed
+    count over the batch key, no extra shuffle when the frame is
+    already batch-partitioned."""
+    pos = [i for i in indexes if i >= 0]
+    neg = [i for i in indexes if i < 0]
+    cond = F.col(index_col).isin(pos) if pos else F.lit(False)
+    if not neg:
+        return df.filter(cond)
+    if batch_col is None:
+        raise ValueError(
+            "select_parts: negative indexes need batch_col to derive "
+            "the batch length")
+    # windows can't appear in a filter — project the batch size first
+    size = F.count("*").over(Window.partitionBy(batch_col))
+    return (df.withColumn("__bsz", size)
+              .filter(cond | (F.col(index_col) - F.col("__bsz")).isin(neg))
+              .drop("__bsz"))
 
 
 def insert_part(df: DataFrame, part: DataFrame) -> DataFrame:

@@ -146,9 +146,13 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
         return dedupe(df, list(spec["key"]), order_by=order)
     if kind == "split":
         return split_batches(df, int(spec["size"]),
-                             [F.col(c) for c in spec["order_by"]])
+                             [F.col(c) for c in spec["order_by"]],
+                             n_shards=int(spec.get("n_shards", 32)),
+                             global_order=bool(spec.get("global_order",
+                                                        False)))
     if kind == "select_parts":
-        return select_parts(df, [int(i) for i in spec["parts"]])
+        return select_parts(df, [int(i) for i in spec["parts"]],
+                            batch_col=spec.get("batch_col"))
     if kind == "switch":
         cases = []
         for case in spec:
@@ -343,10 +347,14 @@ def build_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     if (batching := conf["input"].get("batching") if
             isinstance(conf["input"], dict) else None):
         # input batching policy (lib/input/batcher.go): count-based
-        # assigns batch_id/part_index over a pinned order
+        # assigns batch_id/part_index over a pinned order — sharded by
+        # default (no single-partition window; global_order opts out)
         from benthos_spark.operators import split_batches
         df = split_batches(df, int(batching["count"]),
-                           [F.col(c) for c in batching["order_by"]])
+                           [F.col(c) for c in batching["order_by"]],
+                           n_shards=int(batching.get("n_shards", 32)),
+                           global_order=bool(batching.get("global_order",
+                                                          False)))
     if (buf := conf.get("buffer")) is not None:
         # the buffer layer decouples producer/consumer in the reference
         # (lib/buffer/); Spark owns flow control, so only `none` is

@@ -90,7 +90,7 @@ def test_switch_branches_routes_and_unions(spark):
 
 def test_split_batches_shapes(spark):
     df = spark.range(10).select(F.col("id"))
-    out = split_batches(df, 4, [F.col("id")]).collect()
+    out = split_batches(df, 4, [F.col("id")], global_order=True).collect()
     by_batch = {}
     for r in out:
         by_batch.setdefault(r.batch_id, []).append(r.part_index)
@@ -98,11 +98,45 @@ def test_split_batches_shapes(spark):
     assert sorted(by_batch[2]) == [0, 1]
 
 
+def test_split_batches_sharded_default(spark):
+    """Default split is sharded: every row lands in exactly one batch,
+    each batch has ≤ size parts with contiguous indexes, batches only
+    fill within a shard, and the physical plan carries the row_number
+    window on a hash-partitioned exchange — NOT SinglePartition."""
+    df = spark.range(1000).select(F.col("id"))
+    batched = split_batches(df, 7, [F.col("id")], n_shards=8)
+    rows = batched.collect()
+    assert len(rows) == 1000
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r.part_index)
+    for parts in by_batch.values():
+        assert sorted(parts) == list(range(len(parts)))
+        assert len(parts) <= 7
+    shards = {b >> 40 for b in by_batch}
+    assert len(shards) > 1  # work spread over shards
+    plan = batched._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_select_parts(spark):
     df = spark.range(6).select(
         F.lit(0).alias("g"), F.col("id").cast("int").alias("part_index"))
     out = select_parts(df, [0, 2]).collect()
     assert sorted(r.part_index for r in out) == [0, 2]
+
+
+def test_select_parts_negative(spark):
+    df = spark.range(6).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("int"))
+    from pyspark.sql import Window as W
+    df = df.withColumn("part_index", F.row_number().over(
+        W.partitionBy("g").orderBy("id")) - 1)
+    out = select_parts(df, [-1], batch_col="g").collect()
+    assert sorted(r.part_index for r in out) == [2, 2]  # last of each batch
+    import pytest
+    with pytest.raises(ValueError, match="batch_col"):
+        select_parts(df, [-1])
 
 
 def test_insert_part(spark):
