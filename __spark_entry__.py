@@ -899,17 +899,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
 
-@_register("embedding_near_dup", oracle=f"""
-WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_sql_dot("a.e", "b.e")} / ({_sql_norm("a.e")} * {_sql_norm("b.e")}), 6) AS cos
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round({_sql_dot("a.e", "b.e")} / ({_sql_norm("a.e")} * {_sql_norm("b.e")}), 6) >= 0.3
-""")
+def _near_dup_oracle(planes: list[list[float]], bands: int,
+                     threshold: float) -> str:
+    """Banded hyperplane-LSH near-dup in SQL: per-band sign-bit bucket
+    keys, equi-join candidates per band, union, then exact cosine on
+    the candidates — the same plan shape the Spark operator builds
+    (llm/dedup.py embedding_near_dup_pairs)."""
+    r = len(planes) // bands
+    band_exprs = []
+    for b in range(bands):
+        bits = []
+        for i, plane in enumerate(planes[b * r:(b + 1) * r]):
+            lit = "[" + ", ".join(str(float(x)) for x in plane) + "]"
+            bits.append(f"(CASE WHEN {_sql_dot('e', lit)} > 0 "
+                        f"THEN {2 ** i} ELSE 0 END)")
+        band_exprs.append(" + ".join(bits))
+    per_band = "\nUNION\n".join(
+        f"SELECT a.vec_id AS id_a, c.vec_id AS id_b "
+        f"FROM b a JOIN b c ON a.bk{i} = c.bk{i} AND a.vec_id < c.vec_id"
+        for i in range(bands))
+    cos = (f"round({_sql_dot('va.e', 'vb.e')} / "
+           f"({_sql_norm('va.e')} * {_sql_norm('vb.e')}), 6)")
+    return f"""
+WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings),
+b AS (SELECT vec_id,
+             {', '.join(f'{e} AS bk{i}' for i, e in enumerate(band_exprs))}
+      FROM v),
+p AS ({per_band})
+SELECT id_a, id_b, {cos} AS cos
+FROM p JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+WHERE {cos} >= {threshold}
+"""
+
+
+from benthos_spark.llm.dedup import default_hyperplanes as _default_planes
+
+_ND_PLANES = _default_planes(64, 16, seed=3)  # 2 bands × 8 planes
+
+
+@_register("embedding_near_dup", oracle=_near_dup_oracle(_ND_PLANES, 2, 0.3))
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.dedup import embedding_near_dup_pairs
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.3)
+    return embedding_near_dup_pairs(emb, threshold=0.3, planes=_ND_PLANES,
+                                    bands=2)
 
 
 # ================================================================

@@ -266,21 +266,75 @@ def simhash_dup_groups(df: DataFrame, text: str = "text",
             .filter(F.col("n_docs") > 1))
 
 
+def default_hyperplanes(dim: int, n_planes: int = 16,
+                        seed: int = 1) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1) from a 64-bit
+    LCG — plan-time double literals, so any engine that inlines them
+    (Spark plan, DuckDB oracle) computes bit-identical sign sketches."""
+    mask = (1 << 64) - 1
+    state = (seed * 6364136223846793005 + 1442695040888963407) & mask
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005
+                     + 1442695040888963407) & mask
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
 def embedding_near_dup_pairs(df: DataFrame, vec: str = "embedding",
                              id_col: str = "vec_id",
-                             threshold: float = 0.95) -> DataFrame:
+                             threshold: float = 0.95,
+                             planes: list[list[float]] | None = None,
+                             bands: int = 2,
+                             exact: bool = False) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    All-pairs here (correct baseline; fine to ~10^4 vectors/partition);
-    the 100 TB path routes through similarity.lsh_bucketed_topk which
-    only compares within random-hyperplane buckets."""
-    from benthos_spark.llm.similarity import cosine
+    Default is banded random-hyperplane LSH: each band of sign bits is
+    a bucket key, candidate pairs come from equi-joins on (band,
+    bucket) — never an all-pairs compare, so the plan is a shuffle on
+    a small int key and survives 100 TB (recall tunes with bands ×
+    planes-per-band, the cosine-LSH collision curve (1-θ/π)^r).
+    `exact=True` opts into the O(n²) all-pairs baseline — correct for
+    small frames and the oracle of record for recall tests.
+
+    `planes=None` derives bands×8 deterministic hyperplanes from the
+    embedding dimensionality (one LIMIT-1 probe to read it)."""
+    from benthos_spark.llm.similarity import cosine, hyperplane_sketch
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        return (pairs.withColumn(
+            "cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+    if planes is None:
+        dim = df.select(F.size(F.col(vec)).alias("d")).limit(1).first()["d"]
+        planes = default_hyperplanes(dim, bands * 8)
+    r = len(planes) // bands
+    v = df.select(F.col(id_col), F.col(vec))
+    buckets = [hyperplane_sketch(F.col(vec), planes[b * r:(b + 1) * r])
+               for b in range(bands)]
+    banded = v.select(F.col(id_col),
+                      F.posexplode(F.array(*buckets)).alias("band",
+                                                            "bucket"))
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
-                 .filter(F.col("cos") >= threshold)
-                 .select("id_a", "id_b", "cos"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",

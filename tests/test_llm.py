@@ -83,6 +83,31 @@ def test_embedding_near_dup_pairs(spark):
         "vec_id INT, embedding ARRAY<DOUBLE>")
     out = embedding_near_dup_pairs(emb, threshold=0.9).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    exact = embedding_near_dup_pairs(emb, threshold=0.9,
+                                     exact=True).collect()
+    assert [(r.id_a, r.id_b) for r in exact] == [(1, 2)]
+
+
+def test_embedding_near_dup_bucketed_plan_and_recall(spark):
+    """Default path must be an equi-join on LSH buckets (no cartesian
+    product in the physical plan) and still find true high-cosine
+    near-dups — LSH collision prob at cos≈0.99 per 8-plane band is
+    (1-θ/π)^8 ≈ 0.78, two bands ≈ 0.95, and exact duplicates always
+    share every bucket."""
+    import math
+    rows = []
+    for i in range(40):
+        a = [math.cos(i * 0.37), math.sin(i * 0.37), 0.1 * (i % 5), 1.0]
+        rows.append((2 * i, a))
+        rows.append((2 * i + 1, list(a)))  # exact duplicate partner
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    out = embedding_near_dup_pairs(emb, threshold=0.999999)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    # identical vectors collide in every band: all 40 pairs found
+    assert {(2 * i, 2 * i + 1) for i in range(40)} <= got
 
 
 def test_text_analysis(spark):
