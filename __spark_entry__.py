@@ -786,9 +786,18 @@ s AS (SELECT doc_id,
 @_register("dedup_ngram_jaccard", oracle=f"""
 WITH {_sql_shingle_cte()},
 e AS (SELECT doc_id, unnest(sh) AS sh1, len(sh) AS n_sh FROM s),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+dfreq AS (SELECT sh1, COUNT(*) AS c FROM e GROUP BY 1),
+hotdoc AS (SELECT doc_id, COUNT(*) AS nhot FROM e JOIN dfreq USING (sh1)
+           WHERE c > 64 GROUP BY 1),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh - COALESCE(ha.nhot, 0) AS na,
+             b.n_sh - COALESCE(hb.nhot, 0) AS nb,
              COUNT(*) AS common
       FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+           JOIN dfreq f ON f.sh1 = a.sh1
+           LEFT JOIN hotdoc ha ON ha.doc_id = a.doc_id
+           LEFT JOIN hotdoc hb ON hb.doc_id = b.doc_id
+      WHERE f.c <= 64
       GROUP BY 1, 2, 3, 4)
 SELECT id_a, id_b,
        round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
@@ -799,7 +808,7 @@ WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) >= 0.8
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.8)
+    return ngram_jaccard_pairs(docs, threshold=0.8, max_df=64)
 
 
 # ================================================================

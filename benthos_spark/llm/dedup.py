@@ -187,34 +187,71 @@ def minhash_lsh_pairs(df: DataFrame, text: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
-    explode distinct shingle hashes, self-join on shingle (only docs
-    sharing ≥1 shingle pair up), count intersections, filter by
-    |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+                        threshold: float = 0.8,
+                        max_df: int | None = 64) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted
+    index, POSTING-LIST form: group the exploded shingles by hash,
+    collect the (doc, set-size) posting list per shingle, emit the
+    C(len,2) candidate pairs map-side, then count intersections per
+    pair.  Two shuffles total (by shingle, by pair) — one fewer than
+    the explode-self-join plan, and no join hash build.
 
-    Scale: the join key is a shingle hash — high cardinality, well
-    spread; stop-shingle removal (df filter on document frequency)
-    is the standard guard for pathological corpora.
+    `max_df` is the stop-shingle guard: a posting list longer than
+    max_df is boilerplate (license headers, navigation chrome) and is
+    DROPPED before pair generation, bounding the per-shingle pair
+    fan-out at C(max_df,2) — without it one hot shingle in a
+    boilerplate-heavy corpus makes the pair step quadratic.  Dropped
+    shingles leave the Jaccard universe entirely: per-doc hot-shingle
+    counts (a tiny aggregate over only the hot posting lists,
+    broadcast back) correct the set sizes, so the ratio is the true
+    Jaccard over the non-stop shingle sets.  Run exact_dedup FIRST —
+    a corpus with >max_df verbatim copies of one document would
+    otherwise see all its shingles go hot and the cluster vanish.
+    `max_df=None` disables the guard.
 
     shingle_hash_frame's Generate barrier keeps the shingle subtree
     out of explode() and size(): without it Catalyst inlines the
     interpreted higher-order folds into every consumer (measured 9×
-    slower at sf0.01).  The self-join's two identical branches share
-    one exchange via AQE ReuseExchange."""
+    slower at sf0.01)."""
     hashed = shingle_hash_frame(df, text, id_col, n)
     sh = hashed.select(F.col(id_col),
                        F.explode("__sh").alias("sh"),
                        F.size("__sh").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"),
-                      F.col("a.n_sh").alias("na"),
-                      F.col("b.n_sh").alias("nb"))
+    posting = sh.groupBy("sh").agg(
+        F.array_sort(F.collect_list(F.struct(id_col, "n_sh"))).alias("ds"))
+    kept = posting.filter(F.size("ds") > 1)
+    if max_df is not None:
+        kept = kept.filter(F.size("ds") <= max_df)
+        # per-doc count of dropped (hot) shingles — rows ∝ docs that
+        # contain boilerplate, not corpus size; broadcast-joined back
+        hot_per_doc = (posting.filter(F.size("ds") > max_df)
+                       .select(F.explode("ds").alias("d"))
+                       .groupBy(F.col(f"d.{id_col}").alias(id_col))
+                       .agg(F.count("*").alias("__nhot")))
+    # pair generation as two native explodes (posexplode → slice →
+    # explode): all whole-stage codegen, measured faster than both the
+    # interpreted nested-transform and the explode-self-join plans
+    x = kept.select("ds", F.posexplode("ds").alias("i", "a"))
+    pairs = x.select(
+        F.col("a"),
+        F.explode(F.slice(F.col("ds"), F.col("i") + 2,
+                          F.size("ds"))).alias("b"))
+    inter = (pairs.groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                           F.col(f"b.{id_col}").alias("id_b"),
+                           F.col("a.n_sh").alias("na"),
+                           F.col("b.n_sh").alias("nb"))
              .agg(F.count("*").alias("common")))
+    if max_df is not None:
+        ha = hot_per_doc.select(F.col(id_col).alias("id_a"),
+                                F.col("__nhot").alias("__ha"))
+        hb = hot_per_doc.select(F.col(id_col).alias("id_b"),
+                                F.col("__nhot").alias("__hb"))
+        inter = (inter.join(F.broadcast(ha), "id_a", "left")
+                 .join(F.broadcast(hb), "id_b", "left")
+                 .withColumn("na", F.col("na")
+                             - F.coalesce(F.col("__ha"), F.lit(0)))
+                 .withColumn("nb", F.col("nb")
+                             - F.coalesce(F.col("__hb"), F.lit(0))))
     jac = F.col("common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("common")).cast("double")
     return (inter.withColumn("jaccard", F.round(jac, 6))

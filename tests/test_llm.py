@@ -77,6 +77,24 @@ def test_cosine_and_topk(spark):
     assert ranked == [(2, 1), (3, 2)]
 
 
+def test_ngram_jaccard_stop_shingle_guard(spark):
+    """Boilerplate-heavy corpus: a shared header puts its shingles over
+    max_df, so they are dropped before pair generation (bounding the
+    hot-key fan-out) AND removed from both set sizes — the one true
+    near-dup pair keeps Jaccard 1.0 over the residual shingle sets,
+    and the 100 boilerplate-only docs produce no pairs at all."""
+    from benthos_spark.llm.dedup import ngram_jaccard_pairs
+    boiler = "terms of service apply to all content on this site"
+    rows = [(i, f"{boiler} unique body {i} alpha beta gamma delta")
+            for i in range(100)]
+    dup = boiler + " identical payload xyzzy one two three four five"
+    rows += [(1000, dup), (1001, dup)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = ngram_jaccard_pairs(df, threshold=0.5, max_df=20).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert got == {(1000, 1001): 1.0}
+
+
 def test_embedding_near_dup_pairs(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.0, 1.0])],
