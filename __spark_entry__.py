@@ -616,6 +616,52 @@ output:
 
 
 # ================================================================
+# 17b. YAML branch + cache processors (lib/processor/branch.go:59,
+#      cache.go:22 reached from config): cache `set` loads nation as
+#      a keyed store, `get` broadcast-joins it onto customers, and a
+#      branch derives a column through request_map/result_map.
+# ================================================================
+
+@_register("yaml_branch_cache", oracle="""
+SELECT c_custkey, upper(c_name) AS c_name_up, n_name AS nation_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+""")
+def yaml_branch_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from benthos_spark.stream import run_stream
+    cache_dir = tempfile.mkdtemp(prefix="bspark_cache_")
+    res = f'resources: {{caches: {{nations: {{path: "{cache_dir}", key: __k}}}}}}'
+    run_stream(spark, f"""
+{res}
+input:
+  file: {{paths: ["{sf_dir}/nation.parquet"]}}
+pipeline:
+  processors:
+    - cache: {{resource: nations, operator: set, key: this.n_nationkey,
+               value: this.n_name}}
+output: {{drop: {{}}}}
+""")
+    return run_stream(spark, f"""
+{res}
+input:
+  file: {{paths: ["{sf_dir}/customer.parquet"]}}
+pipeline:
+  processors:
+    - branch:
+        request_map: root.up = this.c_name.uppercase()
+        result_map: root.c_name_up = this.up
+    - cache: {{resource: nations, operator: get, key: this.c_nationkey}}
+    - bloblang: |
+        root.c_custkey = this.c_custkey
+        root.c_name_up = this.c_name_up
+        root.nation_name = this.value
+output:
+  memory: {{}}
+""")
+
+
+# ================================================================
 # 18. String methods sweep (methods_strings.go §2.1.4).
 # ================================================================
 

@@ -11,7 +11,7 @@ from benthos_spark.operators.filters import (  # noqa: F401
     bounds_check, dedupe, filter_op, hash_sample, sample,
 )
 from benthos_spark.operators.routing import (  # noqa: F401
-    group_by_value, select_parts, split_batches, switch_case,
+    group_by_value, insert_part, select_parts, split_batches, switch_case,
 )
 from benthos_spark.operators.batch import (  # noqa: F401
     archive_join, merge_json, unarchive_explode,

@@ -33,6 +33,8 @@ GROK_PATTERNS = {
     "TIMESTAMP_ISO8601":
         r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
     "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+",
+    "URIPATHPARAM": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+(?:\?\S*)?",
     "SYSLOGTIMESTAMP": r"[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}",
 }
 

@@ -46,3 +46,43 @@ def workflow(df: DataFrame,
         _, transform = branches[name]
         df = transform(df)
     return df
+
+
+def branch_stage(df: DataFrame, request_map: str | None,
+                 stages: list[Transform],
+                 result_map: str | None) -> DataFrame:
+    """`branch` (lib/processor/branch.go:59) in columnar form: the
+    request_map derives the child columns, child processors transform
+    them, the result_map assigns columns to merge back onto the
+    ORIGINAL row.  The original columns ride along under reserved
+    `__branch_` names, so the merge is a projection — no join, no row
+    ids, one fused Catalyst plan.
+
+    Child stages must be row-preserving (a child filter would drop the
+    original rows too — same contract as process_field; the reference
+    errors on count mismatch, branch.go:253).  Without a result_map
+    the branch's outputs are discarded and the original rows pass
+    through (side-effect branch)."""
+    from pyspark.sql import functions as F
+
+    from benthos_spark.bloblang import compile_mapping
+
+    orig_cols = list(df.columns)
+    saved = {c: f"__branch_{c}" for c in orig_cols}
+    work = df.select(*[F.col(c).alias(s) for c, s in saved.items()],
+                     *orig_cols)
+    keep = tuple(saved.values())
+    if request_map:
+        work = compile_mapping(request_map).apply(work, keep=keep)
+    for stage in stages:
+        work = stage(work)
+    if result_map:
+        work = compile_mapping(result_map).apply(work, keep=keep)
+        merged = [c for c in work.columns if not c.startswith("__branch_")]
+    else:
+        merged = []
+    out = []
+    for c in orig_cols:
+        out.append(F.col(c) if c in merged else F.col(saved[c]).alias(c))
+    out += [F.col(c) for c in merged if c not in orig_cols]
+    return work.select(*out)

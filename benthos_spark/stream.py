@@ -7,8 +7,11 @@ by Go channels.  Here the same config shape compiles to a single
 DataFrame DAG: input → transformations → sink, optimized end-to-end by
 Catalyst; acks/retries/checkpoints are Structured Streaming's.
 
-Supported config surface (v1 — the analytics-relevant core):
+Supported config surface (v2):
 
+    resources:
+      caches: {name: {path: dir, key: col, ttl: seconds}}
+      processors: {name: [<processor>, ...]}      # `resource` targets
     input:
       file: {paths: [p], format: parquet|csv|lines, header: bool}
       generate: {count: N, mapping: "<bloblang>"}
@@ -18,18 +21,31 @@ Supported config surface (v1 — the analytics-relevant core):
         - bloblang: "<mapping>"
         - filter: "<bloblang bool query>"        # legacy condition form
         - bounds_check: {field: col|query, min: n, max: n}
-        - sample: {retain: pct, seed: n}
-        - hash_sample: {field: col, retain_min: pct, retain_max: pct}
-        - dedupe: {key: [cols], order_by: [cols]}
-        - split: {size: n, order_by: [cols]}
-        - select_parts: {parts: [i, ...]}
+        - sample / hash_sample / dedupe
+        - split: {size: n, order_by: [cols], n_shards, global_order}
+        - select_parts: {parts: [i, ...], batch_col}
         - switch: [{check: "<bool>", processors: [...]}, ...]
+        - group_by: [{check: "<bool>", processors: [...]}, ...]
         - group_by_value: {value: col}
+        - branch: {request_map, processors: [...], result_map}
+        - workflow: {branches: {name: {dependencies: [...], ...}}}
+        - cache: {resource, operator: get|set|add|delete, key, value}
+        - http: {url: "<query>", verb, headers, alias, timeout, retries}
+        - grok: {source, expression} · parse_log: {format, source}
+        - jsonschema: {schema, source}
+        - compress / decompress: {algorithm, source, target}
+        - while: {check, processors: [...], max_loops}
+        - insert_part: {part: {col: value}}
+        - archive / unarchive / merge_json / try / catch / log / metric
+        - xml / jq / jmespath / sql / subprocess / resource / window
+        - for_each / process_batch / parallel / process_field / noop
     output:
       memory: {}                                  # return the DataFrame
-      file: {path: dir, format: parquet|csv}
-      stdout: {}                                  # console/show
-      drop: {}
+      file: {path: dir, format: parquet|csv, partition_by}
+      stdout: {} · drop: {}
+      switch: {cases: [{check, output}, ...]}
+      broker: {pattern: fan_out, outputs: [...]}
+      dlq | drop_on_error | reject: {output, dlq}
 
 Unknown sections raise with the component name, mirroring the
 reference's config lint (internal/docs, run.go:194-200).
@@ -115,16 +131,23 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
 
 # ---------------------------------------------------------------- processors
 
-def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
+def _apply_processor(df: DataFrame, conf: Any,
+                     ctx: dict | None = None) -> DataFrame:
     from benthos_spark.operators import (bounds_check, dedupe, hash_sample,
                                          sample, select_parts, split_batches)
     from benthos_spark.operators.routing import switch_branches
 
+    ctx = ctx or {}
     if isinstance(conf, dict) and len(conf) == 1:
         (kind, spec), = conf.items()
     else:
         raise ConfigError(f"processor: expected one component, got {conf!r}")
     spec = {} if spec is None else spec
+
+    def sub(d: DataFrame, procs) -> DataFrame:
+        for p in (procs if isinstance(procs, list) else [procs]):
+            d = _apply_processor(d, p, ctx)
+        return d
 
     if kind == "bloblang":
         return map_text(df, str(spec))
@@ -159,12 +182,16 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
             check = case.get("check")
             cond = compile_condition(str(check)) if check else None
             procs = case.get("processors", [])
-
-            def pipeline(d, procs=procs):
-                for p in procs:
-                    d = _apply_processor(d, p)
-                return d
-            cases.append((cond, pipeline))
+            cases.append((cond, lambda d, procs=procs: sub(d, procs)))
+        return switch_branches(df, cases)
+    if kind == "group_by":
+        # check-form group_by (lib/processor/group_by.go:28): split into
+        # groups by first matching check, per-group processors; parts
+        # matching no check form their own untouched group
+        cases = [(compile_condition(str(case["check"])),
+                  lambda d, procs=case.get("processors", []): sub(d, procs))
+                 for case in spec]
+        cases.append((None, lambda d: d))
         return switch_branches(df, cases)
     if kind == "group_by_value":
         from benthos_spark.operators import group_by_value
@@ -195,17 +222,124 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
         # `try` (lib/processor/try.go:18): children skip already-failed
         # rows; requires the _error column (datamodel message shape)
         from benthos_spark.plans import try_stages
-        stages = [(lambda d, p=p: _apply_processor(d, p))
+        stages = [(lambda d, p=p: _apply_processor(d, p, ctx))
                   for p in (spec if isinstance(spec, list) else [spec])]
         return try_stages(df, *stages)
     if kind == "catch":
         from benthos_spark.plans import catch_stage
-
-        def recover(bad: DataFrame, procs=spec) -> DataFrame:
-            for p in (procs if isinstance(procs, list) else [procs]):
-                bad = _apply_processor(bad, p)
-            return bad
-        return catch_stage(df, recover)
+        return catch_stage(df, lambda bad: sub(bad, spec))
+    if kind == "branch":
+        # branch (lib/processor/branch.go:59): request_map → child
+        # processors → result_map merge-back, all one projection chain
+        from benthos_spark.plans import branch_stage
+        stages = [(lambda d, p=p: _apply_processor(d, p, ctx))
+                  for p in spec.get("processors", [])]
+        return branch_stage(df, spec.get("request_map"), stages,
+                            spec.get("result_map"))
+    if kind == "workflow":
+        # workflow (lib/processor/workflow.go:20): named branches run in
+        # dependency order (explicit `dependencies`; the reference also
+        # infers them from field usage — explicit-only here)
+        from benthos_spark.plans import branch_stage, workflow
+        branches = {}
+        for name, b in (spec.get("branches") or {}).items():
+            stages = [(lambda d, p=p: _apply_processor(d, p, ctx))
+                      for p in b.get("processors", [])]
+            branches[name] = (
+                [str(x) for x in b.get("dependencies", [])],
+                lambda d, b=b, stages=stages: branch_stage(
+                    d, b.get("request_map"), stages, b.get("result_map")))
+        return workflow(df, branches)
+    if kind == "cache":
+        # cache (lib/processor/cache.go:22): get → broadcast lookup
+        # join; set/add → batched upsert/insert; delete → anti-join.
+        # The store is a named resource (resources.caches in the config)
+        store = (ctx.get("caches") or {}).get(str(spec["resource"]))
+        if store is None:
+            raise ConfigError(
+                f"cache resource {spec.get('resource')!r} not defined "
+                "(add it under resources.caches)")
+        op = spec.get("operator", "get")
+        key = compile_condition(str(spec["key"]))
+        work = df.withColumn(store.key, key)
+        if op == "get":
+            out = store.get(work, on=store.key)
+            return out if spec.get("keep_key") else out.drop(store.key)
+        value = compile_condition(str(spec["value"])) \
+            if "value" in spec else F.lit(None).cast("string")
+        kv = work.select(F.col(store.key), value.alias("value"))
+        if op == "set":
+            store.set(kv)
+        elif op == "add":
+            store.add(kv)
+        elif op == "delete":
+            store.delete(kv.select(store.key))
+        else:
+            raise ConfigError(f"cache operator {op!r}: use get|set|add|delete")
+        return df
+    if kind == "http":
+        # http (lib/processor/http.go:25): per-record enrichment call;
+        # prefer fetch_dimension + cache get for keyed endpoints
+        from benthos_spark.operators.http_enrich import http_enrich
+        return http_enrich(
+            df, compile_condition(str(spec["url"])),
+            alias=spec.get("alias", "response"),
+            method=spec.get("verb", spec.get("method", "GET")),
+            headers={str(k): str(v)
+                     for k, v in (spec.get("headers") or {}).items()},
+            timeout_s=float(spec.get("timeout", 10.0)),
+            retries=int(spec.get("retries", 2)))
+    if kind == "grok":
+        from benthos_spark.operators.parsing import grok
+        expr = spec.get("expression") or (spec.get("patterns") or [None])[0]
+        if not expr:
+            raise ConfigError("grok needs `expression` (or `patterns`)")
+        return grok(df, F.col(spec.get("source", "content")), str(expr))
+    if kind == "parse_log":
+        from benthos_spark.operators.parsing import (parse_syslog_rfc3164,
+                                                     parse_syslog_rfc5424)
+        fmt = spec.get("format", "syslog_rfc5424")
+        src = F.col(spec.get("source", "content"))
+        if fmt == "syslog_rfc5424":
+            return parse_syslog_rfc5424(df, src)
+        if fmt == "syslog_rfc3164":
+            return parse_syslog_rfc3164(df, src)
+        raise ConfigError(f"parse_log format {fmt!r}: "
+                          "use syslog_rfc5424|syslog_rfc3164")
+    if kind == "jsonschema":
+        import json as _json
+        from benthos_spark.operators.parsing import jsonschema_validate
+        schema = spec["schema"]
+        if isinstance(schema, str):
+            schema = _json.loads(schema)
+        return jsonschema_validate(df, F.col(spec.get("source", "content")),
+                                   schema)
+    if kind in ("compress", "decompress"):
+        from benthos_spark.operators.codec import compress as _comp
+        from benthos_spark.operators.codec import decompress_str
+        alg = spec.get("algorithm", "gzip")
+        src = spec.get("source", "content")
+        target = spec.get("target", src)
+        col = (_comp(F.col(src), alg) if kind == "compress"
+               else decompress_str(F.col(src), alg))
+        return df.withColumn(target, col)
+    if kind == "while":
+        # while (lib/processor/while.go:27): driver-evaluated batch
+        # check — loop while ANY row passes (the reference checks the
+        # batch head; any() is the columnar batch analogue)
+        from benthos_spark.operators.control import while_loop
+        cond = compile_condition(str(spec["check"]))
+        return while_loop(
+            df,
+            lambda d: d.filter(cond).limit(1).count() > 0,
+            lambda d: sub(d, spec.get("processors", [])),
+            max_loops=int(spec.get("max_loops", 100)))
+    if kind == "insert_part":
+        # insert_part (lib/processor/insert_part.go:19): union a
+        # literal part; `part` = column → value mapping
+        from benthos_spark.operators import insert_part
+        part_df = df.sparkSession.createDataFrame([spec["part"]])
+        return insert_part(df, part_df)
     if kind == "log":
         from benthos_spark.operators.control import log_stage
         return log_stage(df, str(spec.get("message", "")),
@@ -223,7 +357,7 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
         return xml_to_json(df)
     if kind == "process_field":
         from benthos_spark.operators.control import process_field
-        stages = [(lambda d, p=p: _apply_processor(d, p))
+        stages = [(lambda d, p=p: _apply_processor(d, p, ctx))
                   for p in spec.get("processors", [])]
         return process_field(df, str(spec["path"]), stages,
                              result_type=spec.get("result_type", "string"))
@@ -289,9 +423,7 @@ def _apply_processor(df: DataFrame, conf: Any) -> DataFrame:
         # parallel (parallel.go:21) is the same dataflow with a worker
         # cap. Rows are already the unit of parallelism in Spark, so all
         # three compile to sequential child application over the frame.
-        for p in (spec if isinstance(spec, list) else [spec]):
-            df = _apply_processor(df, p)
-        return df
+        return sub(df, spec)
     raise ConfigError(f"unknown processor type {kind!r}")
 
 
@@ -332,10 +464,71 @@ def _run_output(df: DataFrame, conf: dict | None):
     if kind == "drop":
         df.write.format("noop").mode("overwrite").save()
         return df
+    if kind == "switch":
+        # switch output (lib/output/switch.go:45): first matching case's
+        # sink gets the row; cache once, every sink replays from memory
+        from benthos_spark.sinks.broker import switch_output
+        cases = []
+        for case in spec.get("cases", spec if isinstance(spec, list) else []):
+            check = case.get("check")
+            cond = compile_condition(str(check)) if check else None
+            cases.append((cond,
+                          lambda d, o=case["output"]: _run_output(d, o)))
+        switch_output(df, cases)
+        return df
+    if kind == "broker":
+        # broker output (lib/broker/fan_out.go): fan_out patterns write
+        # the cached frame to every child output
+        from benthos_spark.sinks.broker import fan_out
+        pattern = spec.get("pattern", "fan_out")
+        if pattern not in ("fan_out", "fan_out_sequential"):
+            raise ConfigError(f"broker output pattern {pattern!r}: "
+                              "fan_out|fan_out_sequential (round_robin/"
+                              "greedy have no distributed meaning — use "
+                              "partition_routes)")
+        fan_out(df, [lambda d, o=o: _run_output(d, o)
+                     for o in spec["outputs"]])
+        return df
+    if kind in ("dlq", "drop_on_error", "reject"):
+        # DLQ family (lib/output/{drop_on_error,reject,retry}.go): rows
+        # with _error set go to the dead-letter sink (or are dropped),
+        # clean rows continue to the inner output
+        from benthos_spark.sinks.broker import with_dead_letter
+        dlq_conf = spec.get("dlq")
+        clean = with_dead_letter(
+            df, (lambda d: _run_output(d, dlq_conf)) if dlq_conf
+            else (lambda d: None))
+        inner = spec.get("output")
+        return _run_output(clean, inner) if inner else clean
     raise ConfigError(f"unknown output type {kind!r}")
 
 
 # ---------------------------------------------------------------- stream
+
+def _build_resources(spark: SparkSession, conf: dict) -> dict:
+    """`resources` section (lib/config/config.go resources): named
+    caches (resources.caches) and named processor pipelines
+    (resources.processors, reachable via the `resource` processor)."""
+    from benthos_spark.operators.cache_store import CacheStore
+    from benthos_spark.operators.control import register_resource
+    res = conf.get("resources") or {}
+    caches = {}
+    for name, c in (res.get("caches") or {}).items():
+        caches[name] = CacheStore(
+            spark, c["path"], key=c.get("key", "key"),
+            ttl_seconds=c.get("ttl"))
+    ctx = {"spark": spark, "caches": caches}
+    for name, procs in (res.get("processors") or {}).items():
+        register_resource(
+            name, lambda d, procs=procs: _apply_pipeline(d, procs, ctx))
+    return ctx
+
+
+def _apply_pipeline(df: DataFrame, procs: list, ctx: dict) -> DataFrame:
+    for p in procs:
+        df = _apply_processor(df, p, ctx)
+    return df
+
 
 def build_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     """Build the config's logical plan WITHOUT executing the sink —
@@ -343,6 +536,7 @@ def build_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     conf = load_config(config) if isinstance(config, str) else config
     if "input" not in conf:
         raise ConfigError("config needs an `input` section")
+    ctx = _build_resources(spark, conf)
     df = _build_input(spark, conf["input"])
     if (batching := conf["input"].get("batching") if
             isinstance(conf["input"], dict) else None):
@@ -366,7 +560,7 @@ def build_stream(spark: SparkSession, config: dict | str) -> DataFrame:
                 "Spark's scheduler/backpressure; only `buffer: {none: {}}` "
                 "is accepted")
     for proc in (conf.get("pipeline") or {}).get("processors", []):
-        df = _apply_processor(df, proc)
+        df = _apply_processor(df, proc, ctx)
     return df
 
 

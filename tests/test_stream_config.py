@@ -201,3 +201,306 @@ output:
   memory: {{}}
 """)
         assert sorted(r.id for r in out.collect()) == [2, 3, 4]
+
+
+# ---------------------------------------------------------------- v2 surface
+
+def test_branch_processor_yaml(spark):
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 5
+    mapping: |
+      root.id = this.id
+      root.name = "item_" + this.id.string()
+pipeline:
+  processors:
+    - branch:
+        request_map: root.up = this.name.uppercase()
+        processors:
+          - bloblang: |
+              root = this
+              root.up = this.up + "!"
+        result_map: root.shout = this.up
+output:
+  memory: {}
+""")
+    got = {r.id: (r.name, r.shout) for r in out.collect()}
+    assert got == {i: (f"item_{i}", f"ITEM_{i}!") for i in range(5)}
+
+
+def test_workflow_processor_yaml(spark):
+    out = run_stream(spark, """
+input:
+  generate: {count: 3, mapping: "root.id = this.id"}
+pipeline:
+  processors:
+    - workflow:
+        branches:
+          double:
+            request_map: root.d = this.id * 2
+            result_map: root.d = this.d
+          label:
+            dependencies: [double]
+            request_map: root.l = "v" + this.d.string()
+            result_map: root.lab = this.l
+output:
+  memory: {}
+""")
+    got = {r.id: (r.d, r.lab) for r in out.collect()}
+    assert got == {i: (2 * i, f"v{2 * i}") for i in range(3)}
+
+
+def test_workflow_cycle_errors(spark):
+    with pytest.raises(ValueError, match="circular"):
+        run_stream(spark, """
+input: {generate: {count: 1, mapping: "root.id = this.id"}}
+pipeline:
+  processors:
+    - workflow:
+        branches:
+          a: {dependencies: [b], result_map: root.x = this.id}
+          b: {dependencies: [a], result_map: root.y = this.id}
+""")
+
+
+def test_cache_processor_yaml(spark, tmp_path):
+    cache_dir = str(tmp_path / "cache")
+    conf = f"""
+resources:
+  caches:
+    dims: {{path: "{cache_dir}", key: k}}
+input:
+  generate:
+    count: 4
+    mapping: |
+      root.k = this.id % 2
+      root.val = "name_" + (this.id % 2).string()
+pipeline:
+  processors:
+    - cache: {{resource: dims, operator: set, key: this.k, value: this.val}}
+output:
+  memory: {{}}
+"""
+    run_stream(spark, conf)
+    out = run_stream(spark, f"""
+resources:
+  caches:
+    dims: {{path: "{cache_dir}", key: k}}
+input:
+  generate: {{count: 4, mapping: "root.id = this.id"}}
+pipeline:
+  processors:
+    - cache: {{resource: dims, operator: get, key: this.id % 2}}
+output:
+  memory: {{}}
+""")
+    got = {r.id: r.value for r in out.collect()}
+    assert got == {i: f"name_{i % 2}" for i in range(4)}
+
+
+def test_cache_unknown_resource_errors(spark):
+    with pytest.raises(ConfigError, match="cache resource"):
+        run_stream(spark, """
+input: {generate: {count: 1, mapping: "root.id = this.id"}}
+pipeline:
+  processors:
+    - cache: {resource: nope, operator: get, key: this.id}
+""")
+
+
+def test_grok_parse_log_yaml(spark):
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 2
+    mapping: |
+      root.content = "GET /p/" + this.id.string() + " 200"
+pipeline:
+  processors:
+    - grok: {source: content, expression: "%{WORD:verb} %{URIPATHPARAM:path} %{NUMBER:status}"}
+output:
+  memory: {}
+""")
+    rows = {r.path: (r.verb, r.status) for r in out.collect()}
+    assert rows == {"/p/0": ("GET", "200"), "/p/1": ("GET", "200")}
+
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 1
+    mapping: |
+      root.content = "<34>1 2024-01-01T00:00:00Z host app 123 ID7 - hello world"
+pipeline:
+  processors:
+    - parse_log: {format: syslog_rfc5424, source: content}
+output:
+  memory: {}
+""")
+    log = out.collect()[0].log
+    assert (log.priority, log.hostname, log.message) == (34, "host", "hello world")
+
+
+def test_jsonschema_yaml(spark):
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 4
+    mapping: |
+      root.content = "{\\"v\\": " + this.id.string() + "}"
+pipeline:
+  processors:
+    - jsonschema:
+        source: content
+        schema: '{"type": "object", "properties": {"v": {"maximum": 2}}}'
+output:
+  memory: {}
+""")
+    errs = {i: r["_error"] for i, r in enumerate(
+        sorted(out.collect(), key=lambda r: r.content))}
+    assert errs[0] is None and errs[2] is None
+    assert errs[3] is not None  # v=3 over maximum
+
+
+def test_compress_roundtrip_yaml(spark):
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 3
+    mapping: |
+      root.id = this.id
+      root.content = "payload-" + this.id.string()
+pipeline:
+  processors:
+    - compress: {algorithm: gzip, source: content, target: packed}
+    - decompress: {algorithm: gzip, source: packed, target: unpacked}
+output:
+  memory: {}
+""")
+    for r in out.collect():
+        assert r.unpacked == r.content
+
+
+def test_group_by_check_form_yaml(spark):
+    out = run_stream(spark, """
+input:
+  generate: {count: 6, mapping: "root.id = this.id"}
+pipeline:
+  processors:
+    - group_by:
+        - check: this.id % 3 == 0
+          processors:
+            - bloblang: |
+                root = this
+                root.g = "fizz"
+        - check: this.id % 3 == 1
+          processors:
+            - bloblang: |
+                root = this
+                root.g = "one"
+output:
+  memory: {}
+""")
+    got = {r.id: r.asDict().get("g") for r in out.collect()}
+    assert got == {0: "fizz", 3: "fizz", 1: "one", 4: "one",
+                   2: None, 5: None}  # unmatched = own untouched group
+
+
+def test_while_processor_yaml(spark):
+    out = run_stream(spark, """
+input:
+  generate: {count: 3, mapping: "root.n = this.id"}
+pipeline:
+  processors:
+    - while:
+        check: this.n < 10
+        processors:
+          - bloblang: root.n = this.n * 2 + 1
+output:
+  memory: {}
+""")
+    # body hits ALL rows each round, looping while ANY row is < 10:
+    # [0,1,2] → [1,3,5] → [3,7,11] → [7,15,23] → [15,31,47]
+    assert sorted(r.n for r in out.collect()) == [15, 31, 47]
+
+
+def test_insert_part_yaml(spark):
+    out = run_stream(spark, """
+input:
+  generate: {count: 2, mapping: "root.id = this.id"}
+pipeline:
+  processors:
+    - insert_part: {part: {id: 99}}
+output:
+  memory: {}
+""")
+    assert sorted(r.id for r in out.collect()) == [0, 1, 99]
+
+
+def test_switch_and_broker_outputs_yaml(spark, tmp_path):
+    big, small = str(tmp_path / "big"), str(tmp_path / "small")
+    run_stream(spark, f"""
+input:
+  generate: {{count: 10, mapping: "root.id = this.id"}}
+output:
+  switch:
+    cases:
+      - check: this.id >= 5
+        output: {{file: {{path: "{big}", format: parquet}}}}
+      - output: {{file: {{path: "{small}", format: parquet}}}}
+""")
+    assert spark.read.parquet(big).count() == 5
+    assert spark.read.parquet(small).count() == 5
+
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    run_stream(spark, f"""
+input:
+  generate: {{count: 7, mapping: "root.id = this.id"}}
+output:
+  broker:
+    pattern: fan_out
+    outputs:
+      - file: {{path: "{d1}", format: parquet}}
+      - file: {{path: "{d2}", format: parquet}}
+""")
+    assert spark.read.parquet(d1).count() == 7
+    assert spark.read.parquet(d2).count() == 7
+
+
+def test_dlq_output_yaml(spark, tmp_path):
+    good, bad = str(tmp_path / "good"), str(tmp_path / "bad")
+    run_stream(spark, f"""
+input:
+  generate:
+    count: 6
+    mapping: |
+      root.id = this.id
+      root.content = if this.id % 3 == 0 {{ "oops" }} else {{ "{{\\"v\\":1}}" }}
+pipeline:
+  processors:
+    - jsonschema:
+        source: content
+        schema: '{{"type": "object"}}'
+output:
+  dlq:
+    output: {{file: {{path: "{good}", format: parquet}}}}
+    dlq: {{file: {{path: "{bad}", format: parquet}}}}
+""")
+    assert spark.read.parquet(good).count() == 4
+    assert spark.read.parquet(bad).count() == 2
+
+
+def test_processor_resource_yaml(spark):
+    out = run_stream(spark, """
+resources:
+  processors:
+    bump: [{bloblang: "root.id = this.id + 100"}]
+input:
+  generate: {count: 3, mapping: "root.id = this.id"}
+pipeline:
+  processors:
+    - resource: bump
+output:
+  memory: {}
+""")
+    assert sorted(r.id for r in out.collect()) == [100, 101, 102]
