@@ -508,8 +508,11 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.substring(target, lo + 1,
                            (hi - lo) if hi is not None else (1 << 30))
     if name == "format":
-        return F.format_string(str(arg_lit(0, "template")),
-                               *[arg_col(i) for i in range(1, len(args))])
+        # target.format(args...) == Sprintf (methods_strings.go format):
+        # the TARGET is the template; Go's generic %v maps to Java's %s
+        tmpl = str(_lit_arg(node.target, ".format() template (target)"))
+        return F.format_string(tmpl.replace("%v", "%s"),
+                               *[arg_col(i) for i in range(len(args))])
     if name == "quote":
         j = F.to_json(F.struct(target.cast("string").alias("v")))
         return j.substr(F.lit(6), F.length(j) - 6)  # strip {"v": and }

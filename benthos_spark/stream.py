@@ -125,6 +125,9 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
+    from benthos_spark.template import lookup_template
+    if (tmpl := lookup_template("input", kind)) is not None:
+        return _build_input(spark, tmpl.expand(spark, spec))
     raise ConfigError(f"unknown input type {kind!r} "
                       "(supported: file, generate, broker)")
 
@@ -424,6 +427,10 @@ def _apply_processor(df: DataFrame, conf: Any,
         # cap. Rows are already the unit of parallelism in Spark, so all
         # three compile to sequential child application over the frame.
         return sub(df, spec)
+    from benthos_spark.template import lookup_template
+    if (tmpl := lookup_template("processor", kind)) is not None:
+        return _apply_processor(
+            df, tmpl.expand(df.sparkSession, spec), ctx)
     raise ConfigError(f"unknown processor type {kind!r}")
 
 
@@ -500,6 +507,9 @@ def _run_output(df: DataFrame, conf: dict | None):
             else (lambda d: None))
         inner = spec.get("output")
         return _run_output(clean, inner) if inner else clean
+    from benthos_spark.template import lookup_template
+    if (tmpl := lookup_template("output", kind)) is not None:
+        return _run_output(df, tmpl.expand(df.sparkSession, spec))
     raise ConfigError(f"unknown output type {kind!r}")
 
 
@@ -536,6 +546,11 @@ def build_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     conf = load_config(config) if isinstance(config, str) else config
     if "input" not in conf:
         raise ConfigError("config needs an `input` section")
+    # `templates:` registers template files/inline docs before any
+    # section compiles (-t flag / InitTemplates in the reference)
+    from benthos_spark.template import register_template
+    for t in conf.get("templates") or []:
+        register_template(t)
     ctx = _build_resources(spark, conf)
     df = _build_input(spark, conf["input"])
     if (batching := conf["input"].get("batching") if
