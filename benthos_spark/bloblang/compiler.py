@@ -352,6 +352,24 @@ def _compile_func(node: ast.FuncCall, scope: Scope):
             "count(): global arrival-order counters are non-deterministic "
             "on a distributed engine (documented deviation, SURVEY §7); "
             "use batch_index()/uuid_v4() or a stateful counter")
+    # --- deprecated v3 aliases (query/deprecated_functions.go) ---
+    if name == "echo":
+        return F.lit(str(_lit_arg(args[0], "echo")) if args else "")
+    if name == "json_field":
+        # json_field("path[,part]"): the part suffix indexes the batch,
+        # meaningless row-wise — path-only form supported
+        path = str(_lit_arg(args[0], "json_field path")) if args else ""
+        return _resolve_this(scope, path.split(".") if path else [])
+    if name in ("metadata", "root_metadata"):
+        return _compile_func(ast.FuncCall("meta", args), scope)
+    if name == "metadata_json_object":
+        return F.to_json(F.col(META_COL))
+    if name in ("timestamp", "timestamp_utc"):
+        # deprecated now()-formatted-by-Go-layout (session TZ is UTC)
+        from benthos_spark.functions import timestamps as ts_fns
+        layout = (str(_lit_arg(args[0], "layout")) if args
+                  else "Mon Jan 2 15:04:05 -0700 MST 2006")
+        return ts_fns.format_timestamp(F.current_timestamp(), layout)
     raise BloblangCompileError(f"unknown function {name}()")
 
 
@@ -522,6 +540,9 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             return F.translate(F.base64(target.cast("binary")), "\r\n", "")
         if codec == "hex":
             return F.lower(F.hex(target.cast("binary")))
+        if codec == "ascii85":
+            from benthos_spark.functions.strings import encode_ascii85
+            return encode_ascii85(target)
         raise BloblangCompileError(f"encode codec {codec!r} unsupported")
     if name == "decode":
         codec = str(arg_lit(0, "codec"))
@@ -529,6 +550,9 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             return F.unbase64(target).cast("string")
         if codec == "hex":
             return F.unhex(target).cast("string")
+        if codec == "ascii85":
+            from benthos_spark.functions.strings import decode_ascii85
+            return decode_ascii85(target)
         raise BloblangCompileError(f"decode codec {codec!r} unsupported")
     if name == "hash":
         alg = str(arg_lit(0, "algorithm"))
@@ -542,6 +566,13 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             return F.md5(target.cast("binary"))
         if alg == "xxhash64":
             return F.xxhash64(target).cast("string")
+        if alg.startswith("hmac_"):
+            # methods_strings.go:683 hmac variants take the key arg
+            from benthos_spark.functions.strings import hash_hmac
+            if len(args) < 2:
+                raise BloblangCompileError(
+                    f"hash({alg!r}) needs a key argument")
+            return hash_hmac(target, alg, str(arg_lit(1, "hmac key")))
         raise BloblangCompileError(f"hash algorithm {alg!r} unsupported")
     if name == "strip_html":
         return F.regexp_replace(target, r"<[^>]*>", "")

@@ -174,6 +174,59 @@ def hash_xxhash64(c: Column) -> Column:
     return F.xxhash64(c)
 
 
+def encode_ascii85(c: Column) -> Column:
+    """`.encode("ascii85")` (methods_strings.go:89).  No JVM intrinsic
+    exists, so this is an Arrow-batched kernel around the stdlib a85
+    codec — same z-compressed, unwrapped form as Go's encoding/ascii85."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def enc(s):
+        import base64
+        return s.map(lambda v: None if v is None
+                     else base64.a85encode(bytes(v)).decode("ascii"))
+
+    return enc(c.cast("binary"))
+
+
+def decode_ascii85(c: Column) -> Column:
+    """`.decode("ascii85")` (methods_strings.go:184)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def dec(s):
+        import base64
+        return s.map(lambda v: None if v is None
+                     else base64.a85decode(v).decode("utf-8"))
+
+    return dec(c)
+
+
+def hash_hmac(c: Column, algorithm: str, key: str) -> Column:
+    """`.hash("hmac_sha1"|"hmac_sha256"|"hmac_sha512", key)`
+    (methods_strings.go:683) — hex digest like the plain hash methods.
+    Arrow-batched stdlib hmac (no JVM intrinsic takes a key)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    digests = {"hmac_sha1": hashlib.sha1, "hmac_sha256": hashlib.sha256,
+               "hmac_sha512": hashlib.sha512, "hmac_md5": hashlib.md5}
+    if algorithm not in digests:
+        raise ValueError(f"hmac algorithm {algorithm!r} unsupported "
+                         f"(have: {sorted(digests)})")
+    digestmod = digests[algorithm]
+    kb = key.encode("utf-8")
+
+    @pandas_udf("string")
+    def mac(s):
+        import hmac as _hmac
+        return s.map(lambda v: None if v is None
+                     else _hmac.new(kb, bytes(v), digestmod).hexdigest())
+
+    return mac(c.cast("binary"))
+
+
 def parse_json(c: Column, schema: str) -> Column:
     """`.parse_json()` (methods_strings.go:958) with a declared schema —
     the engine is columnar so the parse target is typed; use
