@@ -1303,6 +1303,37 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 31b. REAL multimodal decode gate: WAV payloads decode through
+#      stdlib `wave`, BMP headers through struct — the oracle is the
+#      generator's ground-truth arithmetic (rate/frames/dims), so a
+#      wrong decode fails the hash.
+# ================================================================
+
+@_register("multimodal_real_decode", oracle="""
+SELECT r AS media_id,
+       CASE WHEN r % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+       CAST(CASE WHEN r % 2 = 0 THEN 8000 + 4000 * (r % 3)
+                 ELSE 8 + r END AS BIGINT) AS a,
+       CAST(CASE WHEN r % 2 = 0 THEN 100 + r ELSE 4 + r END AS BIGINT) AS b
+FROM range(0, 32) t(r)
+""")
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.multimodal import (extract_audio_features,
+                                              extract_features,
+                                              real_media_table)
+    media = real_media_table(spark, n=32)
+    audio = (extract_audio_features(media.filter(F.col("kind") == "audio"))
+             .select("media_id", F.lit("audio").alias("kind"),
+                     F.col("sample_rate").cast("long").alias("a"),
+                     F.col("n_samples").alias("b")))
+    image = (extract_features(media.filter(F.col("kind") == "image"))
+             .select("media_id", "kind",
+                     F.col("width").cast("long").alias("a"),
+                     F.col("height").cast("long").alias("b")))
+    return audio.unionByName(image)
+
+
+# ================================================================
 # 30b. As-of join (beyond-reference): purchases enriched with the
 #      latest prior 'view' value per user. Oracle = DuckDB's native
 #      ASOF JOIN; Spark side = union+window single-shuffle plan.

@@ -1,13 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no media codecs, so the decode kernels are STUBS with
-a deterministic fake (clearly marked); the Spark-side plumbing — schema,
-Arrow batch shape, mapInPandas partitioning — is real and tested, and a
-real decoder (PIL/ffmpeg) drops into `_decode_image_batch` unchanged.
+Decode kernels are REAL where the stdlib reaches: WAV audio decodes
+through `wave` (rate/samples/PCM stats), and PNG/BMP/JPEG headers
+parse to true pixel dimensions via `struct`.  Payloads in formats the
+container can't decode (no PIL/ffmpeg) fall back to a deterministic
+fake (clearly marked) so pipelines stay testable end-to-end; a full
+decoder drops into `_decode_image_batch` unchanged.  The Spark-side
+plumbing — schema, Arrow batch shape, mapInPandas partitioning — is
+identical either way.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -26,19 +31,47 @@ FEATURE_SCHEMA = ("media_id long, kind string, n_bytes long, "
                   "width int, height int, features array<float>")
 
 
+def _image_dims(b: bytes) -> tuple[int, int] | None:
+    """True pixel dimensions from PNG / BMP / JPEG headers (pure
+    struct parsing, no image library needed)."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", b[16:24])  # IHDR
+        return w, h
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])  # BITMAPINFOHEADER
+        return w, abs(h)
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG: scan for SOFn
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return w, h
+            seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            i += 2 + seg_len
+        return None
+    return None
+
+
 def _decode_image_batch(payload_bytes: bytes | None) -> tuple[int, int, list[float]]:
-    """STUB decode: media libraries are not installed in this
-    environment.  Returns a deterministic fake (dims derived from the
-    byte length, 8 fake features from byte stats) so pipelines are
-    testable end-to-end; replace the body with PIL/torchvision for real
-    decoding — the signature and batch shape stay the same."""
+    """Image decode: REAL header parse for PNG/BMP/JPEG (true width ×
+    height); other formats fall back to a deterministic fake (dims from
+    byte length) since no pixel decoder ships in this container —
+    replace this fallback with PIL/torchvision, the signature and batch
+    shape stay the same.  The 8 features are byte-statistics either
+    way (a real embedding needs a model, out of scope)."""
     if payload_bytes is None:
         return 0, 0, [0.0] * 8
     n = len(payload_bytes)
-    width, height = (n % 640) + 1, (n % 480) + 1
+    dims = _image_dims(payload_bytes)
+    if dims is None:  # deterministic FAKE dims for undecodable bytes
+        dims = ((n % 640) + 1, (n % 480) + 1)
     head = payload_bytes[:64]
     features = [float(sum(head[i::8]) % 256) / 255.0 for i in range(8)]
-    return width, height, features
+    return dims[0], dims[1], features
 
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -65,11 +98,40 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
 
 
 def _decode_audio_batch(payload_bytes: bytes | None) -> tuple[int, int, list[float]]:
-    """STUB audio decode (no codecs in this environment): returns
-    (sample_rate, n_samples, mfcc-ish features) deterministically from
-    byte stats; replace with soundfile/librosa — batch shape is real."""
+    """Audio decode: REAL for WAV payloads — stdlib `wave` reads the
+    true sample rate and frame count, and the features are genuine PCM
+    statistics (mean |amplitude|, RMS, peak, zero-crossing rate over
+    the first 16k samples, each scaled to [0,1]).  Non-WAV payloads
+    fall back to a deterministic fake from byte stats (no mp3/ogg
+    codecs in this container; swap in soundfile/librosa — the batch
+    shape is identical)."""
     if payload_bytes is None:
         return 0, 0, [0.0] * 4
+    if payload_bytes[:4] == b"RIFF" and payload_bytes[8:12] == b"WAVE":
+        import io
+        import wave
+        try:
+            with wave.open(io.BytesIO(payload_bytes)) as w:
+                rate, nframes = w.getframerate(), w.getnframes()
+                width, nch = w.getsampwidth(), w.getnchannels()
+                raw = w.readframes(min(nframes, 16384))
+            if width == 2:
+                samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+            else:  # 8-bit unsigned PCM
+                samples = [b - 128 for b in raw]
+            full = float(2 ** (8 * width - 1))
+            if samples:
+                mean_abs = sum(abs(s) for s in samples) / len(samples) / full
+                rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / full
+                peak = max(abs(s) for s in samples) / full
+                zc = sum(1 for a, b in zip(samples, samples[1:])
+                         if (a < 0) != (b < 0)) / max(len(samples) - 1, 1)
+                feats = [mean_abs, rms, peak, zc]
+            else:
+                feats = [0.0] * 4
+            return rate, nframes * nch, feats
+        except (wave.Error, struct.error):
+            pass  # malformed RIFF: fall through to the fake
     n = len(payload_bytes)
     rate = 16000 if n % 2 == 0 else 44100
     feats = [float(sum(payload_bytes[i::4]) % 101) / 100.0 for i in range(4)]
@@ -144,6 +206,56 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
                          lambda k, _: ~k.isin(["resize_w", "resize_h"])),
             F.create_map(F.lit("resize_w"), F.lit(str(width)),
                          F.lit("resize_h"), F.lit(str(height)))))
+
+
+def wav_bytes(rate: int = 16000, n_frames: int = 256,
+              freq: float = 440.0) -> bytes:
+    """A real 16-bit mono PCM WAV payload (sine wave) — deterministic,
+    stdlib-only; used to exercise the REAL audio decode path."""
+    import io
+    import math
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq
+                                                   * i / rate)))
+            for i in range(n_frames))
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def bmp_bytes(width: int, height: int) -> bytes:
+    """A real (minimal, uncompressed 24-bit) BMP payload —
+    deterministic pixel bytes; exercises the REAL image header
+    parse."""
+    row = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    pixels = bytes((x * 7 + y * 13) % 256
+                   for y in range(height) for x in range(row))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(pixels), 2835, 2835, 0, 0))
+    return header + pixels
+
+
+def real_media_table(spark, n: int = 32) -> DataFrame:
+    """Synthetic media rows with REAL payloads: even ids are WAV sine
+    waves (rate varies per row), odd ids are BMP images (dims vary per
+    row) — every value the decode kernels emit is checkable against
+    the generator's parameters."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            rows.append((i, "audio", wav_bytes(
+                rate=8000 + 4000 * (i % 3), n_frames=100 + i), "audio/wav",
+                {"source": "synthetic"}))
+        else:
+            rows.append((i, "image", bmp_bytes(8 + i, 4 + i), "image/bmp",
+                         {"source": "synthetic"}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def fake_media_table(spark, n: int = 64) -> DataFrame:
