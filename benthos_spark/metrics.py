@@ -111,3 +111,43 @@ class StreamingMetrics:
             "batches": len(rows),
             "rows_in": sum(r["numInputRows"] or 0 for r in rows),
         }
+
+
+# ---------------------------------------------------------------- exporters
+
+def prometheus_text(metrics: dict, prefix: str = "benthos_spark",
+                    labels: dict[str, str] | None = None) -> str:
+    """Render a metrics dict (ObservedFrame.get() / StreamingMetrics
+    .totals()) in Prometheus exposition format — the `prometheus`
+    metric sink (lib/metrics/prometheus.go) as a pull-model text
+    endpoint: serve this from any HTTP handler (or node_exporter's
+    textfile collector) instead of running a push loop.
+
+    Non-numeric values are skipped; metric names sanitize to the
+    exposition charset."""
+    import numbers
+    import re as _re
+
+    label_str = ""
+    if labels:
+        inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+        label_str = "{" + inner + "}"
+    lines = []
+    for name, value in sorted(metrics.items()):
+        if not isinstance(value, numbers.Number) or isinstance(value, bool):
+            continue
+        mname = _re.sub(r"[^a-zA-Z0-9_:]", "_", f"{prefix}_{name}")
+        lines.append(f"# TYPE {mname} gauge")
+        lines.append(f"{mname}{label_str} {float(value):g}")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def statsd_lines(metrics: dict, prefix: str = "benthos_spark") -> list[str]:
+    """The same dict as statsd gauge lines (lib/metrics/statsd.go) —
+    push each over UDP with a plain socket.sendto."""
+    import numbers
+    out = []
+    for name, value in sorted(metrics.items()):
+        if isinstance(value, numbers.Number) and not isinstance(value, bool):
+            out.append(f"{prefix}.{name}:{float(value):g}|g")
+    return out

@@ -69,9 +69,14 @@ def dedupe(df: DataFrame, key: list[Column | str],
     """
     keys = [F.col(k) if isinstance(k, str) else k for k in key]
     if order_by is None:
-        return df.dropDuplicates([k if isinstance(k, str) else None for k in key]
-                                 if all(isinstance(k, str) for k in key)
-                                 else df.columns)
+        if not all(isinstance(k, str) for k in key):
+            # dropDuplicates only takes column NAMES; silently widening
+            # to every column would dedupe on the wrong key
+            raise TypeError(
+                "dedupe: Column-expression keys need order_by (the "
+                "windowed variant); without order_by pass key column "
+                "names")
+        return df.dropDuplicates(list(key))
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1).drop("__rn"))

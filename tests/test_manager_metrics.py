@@ -99,13 +99,30 @@ pipeline:
 
 
 def test_config_input_batching(spark):
+    # global_order pins the reference-exact single sequence
+    out = run_stream(spark, """
+input:
+  generate: {count: 10, mapping: "root.id = this.id"}
+  batching: {count: 4, order_by: [id], global_order: true}
+""")
+    got = {r.id: (r.batch_id, r.part_index) for r in out.collect()}
+    assert got[0] == (0, 0) and got[3] == (0, 3) and got[4] == (1, 0)
+
+    # default batching is sharded: every row batched, batches ≤ count,
+    # indexes contiguous within each batch
     out = run_stream(spark, """
 input:
   generate: {count: 10, mapping: "root.id = this.id"}
   batching: {count: 4, order_by: [id]}
 """)
-    got = {r.id: (r.batch_id, r.part_index) for r in out.collect()}
-    assert got[0] == (0, 0) and got[3] == (0, 3) and got[4] == (1, 0)
+    rows = out.collect()
+    assert len(rows) == 10
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r.part_index)
+    for parts in by_batch.values():
+        assert sorted(parts) == list(range(len(parts)))
+        assert len(parts) <= 4
 
 
 def test_config_buffer_none_ok_others_rejected(spark):
@@ -120,3 +137,16 @@ input:
   generate: {count: 1, mapping: "root.id = this.id"}
 buffer: {memory: {limit: 1000}}
 """)
+
+
+def test_prometheus_and_statsd_exporters():
+    from benthos_spark.metrics import prometheus_text, statsd_lines
+    m = {"rows_in": 120, "batches": 3, "rate": 1.5, "name": "skipme"}
+    text = prometheus_text(m, labels={"stream": "s1"})
+    assert '# TYPE benthos_spark_rows_in gauge' in text
+    assert 'benthos_spark_rows_in{stream="s1"} 120' in text
+    assert "skipme" not in text
+    assert text.endswith("\n")
+    lines = statsd_lines(m)
+    assert "benthos_spark.rows_in:120|g" in lines
+    assert all(":" in line and "|g" in line for line in lines)

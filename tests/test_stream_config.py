@@ -504,3 +504,13 @@ output:
   memory: {}
 """)
     assert sorted(r.id for r in out.collect()) == [100, 101, 102]
+
+
+def test_awk_raises_migration_error(spark):
+    with pytest.raises(ConfigError, match="bloblang"):
+        run_stream(spark, """
+input: {generate: {count: 1, mapping: "root.id = this.id"}}
+pipeline:
+  processors:
+    - awk: {program: "{print $0}"}
+""")
