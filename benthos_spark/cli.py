@@ -79,6 +79,32 @@ def _cmd_test(args) -> int:
     return 1 if failures else 0
 
 
+def _cmd_streams(args) -> int:
+    """`benthos streams` (lib/service/run.go:258-287): serve named-
+    stream CRUD + stats over HTTP until interrupted."""
+    from benthos_spark.api import StreamsAPI
+    from benthos_spark.session import get_spark
+    from benthos_spark.streaming.manager import StreamManager
+    spark = get_spark("benthos-spark-streams")
+    mgr = StreamManager(spark)
+    for conf in args.config or []:
+        import os
+        name = os.path.splitext(os.path.basename(conf))[0]
+        mgr.create(name, conf)
+    api = StreamsAPI(mgr, host=args.host, port=args.port)
+    host, port = api.start()
+    print(f"streams API listening on http://{host}:{port}")
+    try:
+        import signal
+        signal.pause()
+    except (KeyboardInterrupt, AttributeError):
+        pass
+    finally:
+        api.stop()
+        mgr.stop_all()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="benthos_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -102,6 +128,15 @@ def main(argv: list[str] | None = None) -> int:
     test_p = sub.add_parser("test", help="run YAML golden test cases")
     test_p.add_argument("path")
     test_p.set_defaults(fn=_cmd_test)
+
+    streams_p = sub.add_parser("streams",
+                               help="serve the streams-mode REST API")
+    streams_p.add_argument("-c", "--config", action="append",
+                           help="stream config file(s) to load at boot "
+                                "(name = filename stem)")
+    streams_p.add_argument("--host", default="127.0.0.1")
+    streams_p.add_argument("--port", type=int, default=4195)
+    streams_p.set_defaults(fn=_cmd_streams)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -150,3 +150,66 @@ def test_prometheus_and_statsd_exporters():
     lines = statsd_lines(m)
     assert "benthos_spark.rows_in:120|g" in lines
     assert all(":" in line and "|g" in line for line in lines)
+
+
+def test_streams_rest_api(spark):
+    """REST layer (lib/api/api.go parity): CRUD a stream over HTTP,
+    read stats and prometheus metrics."""
+    import json
+    import urllib.request
+    from urllib.error import HTTPError
+
+    from benthos_spark.api import StreamsAPI
+    from benthos_spark.streaming.manager import StreamManager
+
+    mgr = StreamManager(spark)
+    api = StreamsAPI(mgr)
+    host, port = api.start()
+    base = f"http://{host}:{port}"
+
+    def call(path, method="GET", body=None):
+        req = urllib.request.Request(
+            base + path, method=method,
+            data=body.encode() if body else None)
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, r.read().decode()
+
+    try:
+        assert call("/ping")[1] == "pong"
+        assert json.loads(call("/ready")[1])["ready"] is True
+        assert json.loads(call("/streams")[1]) == {}
+
+        conf = """
+input: {generate: {count: 5, mapping: "root.id = this.id"}}
+output: {memory: {}}
+"""
+        assert call("/streams/s1", "POST", conf)[0] == 200
+        listing = json.loads(call("/streams")[1])
+        assert "s1" in listing and listing["s1"]["active"] is False
+
+        doc = json.loads(call("/streams/s1")[1])
+        assert doc["name"] == "s1" and "input" in doc["config"]
+
+        stats = json.loads(call("/streams/s1/stats")[1])
+        assert stats["batch_complete"] == 1
+
+        metrics = call("/metrics")[1]
+        assert "benthos_spark_s1_batch_complete" in metrics
+
+        # duplicate create → 400; unknown stream → 404
+        try:
+            call("/streams/s1", "POST", conf)
+            raise AssertionError("expected 400")
+        except HTTPError as e:
+            assert e.code == 400
+        try:
+            call("/streams/nope/stats")
+            raise AssertionError("expected 404")
+        except HTTPError as e:
+            assert e.code == 404
+
+        assert call("/streams/s1", "DELETE")[0] == 200
+        assert json.loads(call("/streams")[1]) == {}
+    finally:
+        api.stop()
+        mgr.stop_all()
