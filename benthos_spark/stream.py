@@ -326,6 +326,34 @@ def _apply_processor(df: DataFrame, conf: Any,
         col = (_comp(F.col(src), alg) if kind == "compress"
                else decompress_str(F.col(src), alg))
         return df.withColumn(target, col)
+    if kind == "avro":
+        # avro (lib/processor/avro.go:22): operator to_json|from_json
+        # over single-datum binary payloads.  JVM spark-avro is the
+        # scale path when its jar ships; the pure-Python Arrow-batched
+        # codec (operators/avro_py.py) is the in-container fallback.
+        import json as _json
+        op = spec.get("operator", "to_json")
+        schema = spec["schema"]
+        schema_str = (schema if isinstance(schema, str)
+                      else _json.dumps(schema))
+        src = spec.get("source", "content")
+        target = spec.get("target", src)
+        if op == "to_json":
+            from benthos_spark.operators.schema_codecs import (
+                MissingSparkPackage, avro_to_struct)
+            try:
+                return df.withColumn(
+                    target, F.to_json(avro_to_struct(F.col(src),
+                                                     schema_str)))
+            except MissingSparkPackage:
+                from benthos_spark.operators.avro_py import avro_decode_json
+                return df.withColumn(
+                    target, avro_decode_json(F.col(src), schema_str))
+        if op == "from_json":
+            from benthos_spark.operators.avro_py import avro_encode_json
+            return df.withColumn(
+                target, avro_encode_json(F.col(src), schema_str))
+        raise ConfigError(f"avro operator {op!r}: use to_json|from_json")
     if kind == "while":
         # while (lib/processor/while.go:27): driver-evaluated batch
         # check — loop while ANY row passes (the reference checks the

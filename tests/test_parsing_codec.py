@@ -92,3 +92,72 @@ def test_compress_roundtrip(spark, alg):
 def test_compress_unknown_algorithm():
     with pytest.raises(ValueError, match="unsupported"):
         compress(F.lit("x"), "brotli")
+
+
+# ---------------------------------------------------------------- avro
+
+def test_avro_python_codec_spec_vectors():
+    """Encodings pinned to the Avro spec's own examples: zigzag longs
+    (1→02, -1→01, 2→04), length-prefixed strings ("foo"→06 66 6f 6f)."""
+    from benthos_spark.operators.avro_py import _Reader, _decode, _encode
+    assert _encode(1, "long") == bytes.fromhex("02")
+    assert _encode(-1, "long") == bytes.fromhex("01")
+    assert _encode(2, "long") == bytes.fromhex("04")
+    assert _encode(64, "long") == bytes.fromhex("8001")
+    assert _encode("foo", "string") == bytes.fromhex("06666f6f")
+    rec = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    assert _encode({"a": 1, "b": "foo"}, rec) == bytes.fromhex("0206666f6f")
+    assert _decode(_Reader(bytes.fromhex("0206666f6f")), rec) == {
+        "a": 1, "b": "foo"}
+
+
+def test_avro_python_codec_roundtrip_nested():
+    from benthos_spark.operators.avro_py import _Reader, _decode, _encode
+    schema = {"type": "record", "name": "doc", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "double"}},
+        {"name": "opt", "type": ["null", "string"]},
+        {"name": "kind", "type": {"type": "enum", "name": "k",
+                                  "symbols": ["A", "B"]}},
+        {"name": "flag", "type": "boolean"},
+    ]}
+    for doc in (
+        {"id": 42, "tags": ["x", "y"], "props": {"p": 1.5}, "opt": "v",
+         "kind": "B", "flag": True},
+        {"id": -7, "tags": [], "props": {}, "opt": None, "kind": "A",
+         "flag": False},
+    ):
+        enc = _encode(doc, schema)
+        assert _decode(_Reader(enc), schema) == doc
+
+
+def test_avro_yaml_roundtrip(spark):
+    """YAML avro processor: JSON → binary datum → JSON survives."""
+    import json
+    from benthos_spark.stream import run_stream
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 3
+    mapping: |
+      root.content = "{\\"a\\": " + this.id.string() + ", \\"b\\": \\"v\\"}"
+pipeline:
+  processors:
+    - avro:
+        operator: from_json
+        schema: &s
+          type: record
+          name: r
+          fields:
+            - {name: a, type: long}
+            - {name: b, type: string}
+        target: packed
+    - avro: {operator: to_json, schema: *s, source: packed, target: back}
+output:
+  memory: {}
+""")
+    for r in out.collect():
+        assert json.loads(r.back) == json.loads(r.content)
+        assert isinstance(r.packed, (bytes, bytearray))
