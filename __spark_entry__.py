@@ -125,6 +125,126 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 1b. Multi-join analytics flagships (TPC-H Q3/Q5/Q12 shapes):
+#     broadcast-able dimension joins, pushed filters, decimal-exact
+#     aggregation.  Scale notes: the fact table (lineitem) joins on
+#     its own keys only — dims filter FIRST, so at 100 TB each join's
+#     build side is the reduced dim (AQE picks broadcast vs shuffle);
+#     no fact-to-fact join, one shuffle per agg key.
+# ================================================================
+
+_REV = ("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)")
+
+
+@_register("q3_shipping_priority", oracle=f"""
+SELECT l_orderkey, {_REV} AS revenue, o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") <
+                      F.lit("1997-03-15").cast("timestamp")))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") >
+                  F.lit("1997-03-15").cast("timestamp")))
+    rev = _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+@_register("q5_local_supplier_volume", oracle=f"""
+SELECT n_name, {_REV} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join: region→nation broadcast chain prunes suppliers
+    and customers to one region BEFORE touching the fact table."""
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    nation = (_t(spark, sf_dir, "nation")
+              .join(F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_nationkey", "n_name"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >=
+                       F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") <
+                         F.lit("1997-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    rev = _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp),
+                  (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+@_register("q12_priority_lines", oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+""")
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipmode → returnflag over this schema): fact-side
+    filter pushed to the scan, conditional aggregation after one join
+    on the fact key."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey",
+                                                "o_orderpriority")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >=
+                   F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") <
+                     F.lit("1998-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_returnflag"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+# ================================================================
 # 2. filter processor (lib/processor/filter.go) — predicate pushdown.
 # ================================================================
 
