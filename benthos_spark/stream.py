@@ -125,6 +125,20 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
+    if kind == "stdin":
+        # stdin input (lib/input/stdin.go): drain stdin ONCE at build
+        # time into a bounded frame (codec=lines); dev-tool path, the
+        # `benthos -c` pipe-through use case
+        import sys
+        lines = [(ln.rstrip("\n"),) for ln in sys.stdin]
+        return spark.createDataFrame(lines, "content STRING")
+    if kind == "socket":
+        # socket/tcp input (lib/input/socket.go): Structured Streaming's
+        # socket source — dev-mode only, like the reference's
+        return (spark.readStream.format("socket")
+                .option("host", spec.get("host", "127.0.0.1"))
+                .option("port", int(spec["port"]))
+                .load().withColumnRenamed("value", "content"))
     from benthos_spark.template import lookup_template
     if (tmpl := lookup_template("input", kind)) is not None:
         return _build_input(spark, tmpl.expand(spark, spec))

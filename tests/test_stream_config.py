@@ -514,3 +514,59 @@ pipeline:
   processors:
     - awk: {program: "{print $0}"}
 """)
+
+
+def test_stdin_input_yaml(spark, monkeypatch):
+    import io
+    monkeypatch.setattr("sys.stdin", io.StringIO("alpha\nbeta\n"))
+    out = run_stream(spark, """
+input: {stdin: {}}
+pipeline:
+  processors:
+    - bloblang: root.content = this.content.uppercase()
+output:
+  memory: {}
+""")
+    assert sorted(r.content for r in out.collect()) == ["ALPHA", "BETA"]
+
+
+def test_socket_input_streaming(spark):
+    """socket input → streaming memory sink (dev-mode parity with
+    lib/input/socket.go): a thread serves two lines, the stream reads
+    them incrementally."""
+    import socket
+    import threading
+    import time
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(b"one\ntwo\n")
+        time.sleep(3)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    df = build_stream(spark, f"""
+input: {{socket: {{host: 127.0.0.1, port: {port}}}}}
+""")
+    assert df.isStreaming and df.columns == ["content"]
+    q = (df.writeStream.format("memory").queryName("sock_test")
+         .outputMode("append").start())
+    try:
+        got = set()
+        for _ in range(60):
+            got = {r.content for r in
+                   spark.sql("SELECT * FROM sock_test").collect()}
+            if got == {"one", "two"}:
+                break
+            time.sleep(0.5)
+        assert got == {"one", "two"}
+    finally:
+        q.stop()
+        srv.close()
