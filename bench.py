@@ -84,14 +84,19 @@ def main() -> None:
     # FULL suite: every registered query runs and is timed — the
     # HEADLINE list only pins the ordering of the r1-comparable subset
     # so per-query regressions line up across rounds; new queries
-    # append in name order.
+    # append in name order.  Two passes, min per query: the container
+    # shares a host, and single-pass walltimes swing 3-5× with
+    # neighbor load — min-of-2 reports the engine, not the neighbors.
     suite = HEADLINE + sorted(n for n in qs if n not in HEADLINE)
-    for name in suite:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    for _ in range(passes):
+        for name in suite:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            t = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -102,6 +107,8 @@ def main() -> None:
         "headline_subset_wall": round(
             sum(timings[n] for n in HEADLINE), 3),
         "n_queries": len(suite),
+        "passes": passes,
+        "agg": "min",
         "sf": sf,
     }))
     spark.stop()
