@@ -1242,6 +1242,32 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 28c2. LLM op: temperature-scaled mixture sampling — keep rates
+#       ∝ n_domain^α (waterfilled against a corpus budget), then the
+#       same deterministic id-hash Bernoulli as mixture_sample.  At
+#       these counts no domain caps, so the oracle is the single-pass
+#       formula; both engines round rates to 9dp before comparing the
+#       hash bucket, so float summation order can't flip a keep.
+# ================================================================
+
+@_register("temperature_sample", oracle=f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT SUM(n) AS total, SUM(POWER(n, 0.5)) AS wsum FROM c),
+r AS (SELECT source,
+             round((0.3 * total * POWER(n, 0.5) / wsum) / n, 9) AS rate
+      FROM c, t)
+SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+WHERE CAST({_sql_hex12("'temp1' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+      / 281474976710656.0 < rate
+""")
+def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.sampling import temperature_sample
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(docs, alpha=0.5, target_fraction=0.3,
+                              salt="temp1").select("doc_id", "source")
+
+
+# ================================================================
 # 28d. LLM op: eval-set decontamination — training docs sharing any
 #      word 5-gram with the benchmark corpus (source 'src0' stands in
 #      for the eval set).  Broadcast semi-join on 48-bit gram hashes.

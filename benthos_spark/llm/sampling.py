@@ -46,3 +46,59 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     rate = F.coalesce(F.element_at(rate_map, F.col(key)),
                       F.lit(float(default)))
     return df.filter(sample_bucket(F.col(id_col), salt) < rate)
+
+
+def temperature_rates(counts: dict[str, int], alpha: float = 0.7,
+                      target_fraction: float = 1.0) -> dict[str, float]:
+    """Temperature-scaled mixture weights from per-domain corpus sizes
+    (the multilingual-pretraining recipe: sampling probability ∝
+    n_d^alpha, so small domains are up-weighted as alpha → 0).
+
+    Returns per-domain KEEP RATES for stratified_sample such that the
+    sampled corpus totals `target_fraction` of the input rows and the
+    expected domain shares follow p_d ∝ n_d^alpha.  Rates are capped
+    at 1.0 (can't up-sample without duplication); cap overflow is
+    redistributed over the uncapped domains in n^alpha proportion —
+    the standard waterfilling fix, iterated to fixpoint.
+
+    Driver-side arithmetic on a tiny dict — the corpus-side count
+    aggregate is one map-side-combined groupBy the caller runs once.
+    """
+    if not counts:
+        return {}
+    total = float(sum(counts.values()))
+    budget = target_fraction * total
+    weights = {d: float(n) ** alpha for d, n in counts.items()}
+    rates: dict[str, float] = {}
+    free = dict(weights)  # domains not yet capped at rate 1.0
+    while free:
+        wsum = sum(free.values())
+        overflow = False
+        for d in list(free):
+            want = budget * free[d] / wsum  # rows asked of domain d
+            if want >= counts[d]:
+                rates[d] = 1.0
+                budget -= counts[d]
+                del free[d]
+                overflow = True
+        if not overflow:
+            for d in free:
+                rates[d] = (budget * free[d] / wsum) / counts[d]
+            break
+    # 9dp rounding makes the rates reproducible across engines whose
+    # float summation order differs (dict order here, group order in a
+    # SQL oracle) — epsilon-level divergence can't flip a keep/drop
+    return {d: round(r, 9) for d, r in rates.items()}
+
+
+def temperature_sample(df: DataFrame, alpha: float = 0.7,
+                       target_fraction: float = 0.5,
+                       key: str = "source", id_col: str = "doc_id",
+                       salt: str = "") -> DataFrame:
+    """Temperature mixture sampling end-to-end: count domains (one
+    tiny aggregate), derive waterfilled rates, stratified-sample.  The
+    counts collect is |domains| rows — bounded by design."""
+    counts = {r[key]: r["n"] for r in
+              df.groupBy(key).agg(F.count("*").alias("n")).collect()}
+    rates = temperature_rates(counts, alpha, target_fraction)
+    return stratified_sample(df, rates, key=key, id_col=id_col, salt=salt)

@@ -284,3 +284,37 @@ def test_pack_sequences_matches_python_model(spark):
             exp[i] = (shard, shard * (2 ** 40) + cum // 64, cum % 64)
             cum += ntok
     assert got == exp
+
+
+def test_temperature_rates_waterfilling():
+    from benthos_spark.llm.sampling import temperature_rates
+    counts = {"big": 1000, "tiny": 10}
+    # alpha 0 → equal target shares; tiny can't supply 252 rows, so it
+    # caps at 1.0 and the remaining budget waterfills into big
+    rates = temperature_rates(counts, alpha=0.0, target_fraction=0.5)
+    assert rates["tiny"] == 1.0
+    assert abs(rates["big"] - 0.495) < 1e-6
+    total = sum(rates[d] * counts[d] for d in counts)
+    assert abs(total - 0.5 * 1010) < 1e-3
+    # alpha 1 → proportional sampling == flat rate everywhere
+    flat = temperature_rates(counts, alpha=1.0, target_fraction=0.25)
+    assert all(abs(r - 0.25) < 1e-6 for r in flat.values())
+    assert temperature_rates({}, 0.5, 0.5) == {}
+
+
+def test_temperature_sample_shares(spark):
+    """alpha < 1 up-weights the small domain relative to its corpus
+    share; the sampled total tracks the target fraction."""
+    from benthos_spark.llm.sampling import temperature_sample
+    rows = [(i, "big" if i < 1800 else "small", f"t{i}")
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    out = temperature_sample(df, alpha=0.3, target_fraction=0.4)
+    got = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    assert abs(total - 800) < 80  # ~target_fraction of 2000
+    # corpus share of small is 10%; alpha=0.3 caps it at rate 1.0 →
+    # its sampled share rises to ~25% (200 of ~800)
+    assert got["small"] == 200
+    assert got["small"] / total > 0.2
