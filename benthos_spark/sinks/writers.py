@@ -98,3 +98,70 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
        .drop("__h")
        .write.format(fmt).partitionBy("shard").mode("overwrite")
        .save(path))
+
+
+def write_webdataset_shards(df: DataFrame, path: str, n_shards: int,
+                            id_col: str = "doc_id", salt: str = "",
+                            ext_cols: dict[str, str] | None = None) -> None:
+    """Write the corpus as webdataset-style tar shards
+    (`shard-000000.tar` … ), the loader format multimodal training
+    stacks stream: each sample is a basename with one tar member per
+    column extension (`<key>.txt`, `<key>.json`, `<key>.bin`, …).
+
+    `ext_cols` maps tar extension → column (default `{"txt": "text"}`);
+    string columns write UTF-8, binary columns write raw bytes,
+    anything else JSON.  Sharding and within-shard order are the same
+    deterministic id-hash shuffle as write_training_shards, so shard
+    membership and sample order are reproducible run-to-run.
+
+    Scale shape: one shuffle onto shards, then each shard streams
+    through ONE applyInPandas task that appends to its own tar — tars
+    are written executor-side in parallel, nothing funnels through the
+    driver.  Stdlib tarfile; the tar container needs no codecs.
+    """
+    import json as _json
+    import os
+
+    import pandas as pd
+
+    from benthos_spark.llm.dedup import hash48
+
+    exts = dict(ext_cols or {"txt": "text"})
+    os.makedirs(path, exist_ok=True)
+    h = hash48(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    sharded = (df.withColumn("__h", h)
+               .withColumn("__shard", F.pmod(F.col("__h"), F.lit(n_shards))))
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import io
+        import tarfile
+        if len(pdf) == 0:
+            return pd.DataFrame({"shard": [], "n_samples": []})
+        pdf = pdf.sort_values(["__h", id_col])
+        shard = int(pdf["__shard"].iloc[0])
+        tar_path = os.path.join(path, f"shard-{shard:06d}.tar")
+        with tarfile.open(tar_path, "w") as tar:
+            for _, row in pdf.iterrows():
+                key = str(row[id_col])
+                for ext, col in exts.items():
+                    v = row[col]
+                    if v is None:
+                        continue
+                    if isinstance(v, (bytes, bytearray)):
+                        payload = bytes(v)
+                    elif isinstance(v, str):
+                        payload = v.encode("utf-8")
+                    else:
+                        payload = _json.dumps(
+                            v, sort_keys=True, default=str).encode()
+                    info = tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0  # reproducible archives
+                    tar.addfile(info, io.BytesIO(payload))
+        return pd.DataFrame({"shard": [shard], "n_samples": [len(pdf)]})
+
+    # one task per shard; the returned manifest frame forces execution
+    manifest = (sharded.repartition(n_shards, F.col("__shard"))
+                .groupBy("__shard")
+                .applyInPandas(write_shard, "shard long, n_samples long"))
+    manifest.write.format("noop").mode("overwrite").save()
