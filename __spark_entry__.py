@@ -1268,6 +1268,54 @@ def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 28c3. LLM op: Gopher document-quality rules — the published
+#       composite filter as pure Column expressions, every rule
+#       boolean checked per doc against the DuckDB twin.
+# ================================================================
+
+@_register("gopher_quality", oracle=f"""
+WITH t AS (SELECT doc_id, text, {_sql_toks("text")} AS toks FROM documents),
+s AS (SELECT doc_id, text, toks,
+  CAST(len(toks) AS DOUBLE) AS n,
+  GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS nz,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(toks, tk -> CAST(length(tk) AS BIGINT))),
+       (a,b) -> a+b) AS DOUBLE) AS wl_sum,
+  CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashes,
+  CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3 AS dots,
+  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+              l -> l <> '') AS lines,
+  list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]')) AS alpha_toks,
+  list_intersect(list_distinct(list_transform(toks, tk -> lower(tk))),
+                 ['the','be','to','of','and','that','have','with']) AS stops
+FROM t)
+SELECT doc_id,
+  n >= 30 AND n <= 100000 AS word_count_ok,
+  wl_sum / nz >= 3.0 AND wl_sum / nz <= 10.0 AS mean_wl_ok,
+  (hashes + dots) / nz <= 0.1 AS symbol_ok,
+  CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+       AS DOUBLE) / GREATEST(CAST(len(lines) AS DOUBLE), 1.0) <= 0.9
+    AS bullet_ok,
+  CAST(len(list_filter(lines, l -> l LIKE '%...'))
+       AS DOUBLE) / GREATEST(CAST(len(lines) AS DOUBLE), 1.0) <= 0.3
+    AS ellipsis_ok,
+  CAST(len(alpha_toks) AS DOUBLE) / nz >= 0.8 AS alpha_ok,
+  len(stops) >= 2 AS stops_ok
+FROM s
+""")
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.text import gopher_signals
+    docs = _t(spark, sf_dir, "documents")
+    sig = gopher_signals(F.col("text"), min_words=30)
+    return docs.select(
+        "doc_id",
+        *[sig[f].alias(f) for f in ("word_count_ok", "mean_wl_ok",
+                                    "symbol_ok", "bullet_ok",
+                                    "ellipsis_ok", "alpha_ok",
+                                    "stops_ok")])
+
+
+# ================================================================
 # 28d. LLM op: eval-set decontamination — training docs sharing any
 #      word 5-gram with the benchmark corpus (source 'src0' stands in
 #      for the eval set).  Broadcast semi-join on 48-bit gram hashes.

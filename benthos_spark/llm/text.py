@@ -275,3 +275,74 @@ def repetition_signals(df: DataFrame, text: str = "text",
                      .alias("top_2gram_frac"),
                     F.coalesce(F.col("3"), F.lit(0.0))
                      .alias("top_3gram_frac")))
+
+
+# ---------------------------------------------------------------- gopher
+
+# the 8 marker words of the published Gopher stop-word rule
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(text: Column, min_words: int = 50,
+                   max_words: int = 100_000) -> Column:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    public recipe) as one struct of booleans — every signal is a pure
+    Column expression (regex + array folds), so the filter runs at
+    scan speed with zero Python:
+
+      word_count_ok   min_words ≤ #words ≤ max_words
+      mean_wl_ok      mean word length in [3, 10]
+      symbol_ok       (# + ellipsis) per word ≤ 0.1
+      bullet_ok       ≤ 90% of lines start with a bullet
+      ellipsis_ok     ≤ 30% of lines end with an ellipsis
+      alpha_ok        ≥ 80% of words contain a letter
+      stops_ok        ≥ 2 of the 8 Gopher stop words present
+      keep            AND of all of the above
+    """
+    toks = tokens(text)
+    n = F.size(toks).cast("double")
+    nz = F.greatest(n, F.lit(1.0))  # avoid /0; empty docs fail word_count
+    word_count_ok = (n >= min_words) & (n <= max_words)
+    mean_wl = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"), lambda a, x: a + x).cast("double") / nz
+    mean_wl_ok = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    hashes = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    dots = (F.length(text)
+            - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    symbol_ok = (hashes + dots).cast("double") / nz <= 0.1
+    lines = nonempty_lines(text)
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^[-*•]"))).cast("double") / nl
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda l: l.endswith("..."))).cast("double") / nl
+    bullet_ok = bullet_frac <= 0.9
+    ellipsis_ok = ellipsis_frac <= 0.3
+    alpha_ok = (F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+                .cast("double") / nz >= 0.8)
+    low = F.transform(toks, F.lower)
+    stops_ok = F.size(F.array_intersect(
+        F.array_distinct(low),
+        F.array(*[F.lit(s) for s in _GOPHER_STOPS]))) >= 2
+    keep = (word_count_ok & mean_wl_ok & symbol_ok & bullet_ok
+            & ellipsis_ok & alpha_ok & stops_ok)
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_wl_ok.alias("mean_wl_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stops_ok.alias("stops_ok"),
+        keep.alias("keep"))
+
+
+def gopher_quality_filter(df: DataFrame, text: str = "text",
+                          min_words: int = 50,
+                          max_words: int = 100_000) -> DataFrame:
+    """Keep documents passing every Gopher rule.  Map-only predicate —
+    pushes to the scan like any filter; use gopher_signals directly to
+    audit which rule dropped a document."""
+    return df.filter(
+        gopher_signals(F.col(text), min_words, max_words)["keep"])

@@ -113,6 +113,11 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
         if fmt == "lines":
             from benthos_spark.sources.files import read_file_lines
             return read_file_lines(spark, paths[0])
+        if fmt in ("jsonl", "json"):
+            reader = spark.read
+            if "schema" in spec:
+                reader = reader.schema(spec["schema"])
+            return reader.json(paths)
         raise ConfigError(f"input.file.format {fmt!r} unsupported")
     if kind == "generate":
         from benthos_spark.sources.generate import generate

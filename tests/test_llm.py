@@ -318,3 +318,29 @@ def test_temperature_sample_shares(spark):
     # its sampled share rises to ~25% (200 of ~800)
     assert got["small"] == 200
     assert got["small"] / total > 0.2
+
+
+def test_gopher_quality_rules(spark):
+    from benthos_spark.llm.text import gopher_quality_filter, gopher_signals
+    good = ("the data we have collected is ready to be shipped with "
+            "all of the records that were checked " * 3)
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short doc"),                            # word count
+        (3, "## " * 40 + good),                      # symbol ratio
+        (4, "\n".join("- bullet item here" for _ in range(10))),  # bullets
+        (5, ("a " * 60).strip()),                    # mean word length < 3
+        (6, " ".join("123" for _ in range(60))),     # alpha fraction
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sig = {r.doc_id: r.s for r in df.select(
+        "doc_id", gopher_signals(df.text, min_words=30).alias("s")).collect()}
+    assert sig[1].keep
+    assert not sig[2].word_count_ok
+    assert not sig[3].symbol_ok
+    assert not sig[4].bullet_ok and not sig[4].keep
+    assert not sig[5].mean_wl_ok
+    assert not sig[6].alpha_ok and not sig[6].stops_ok
+    kept = [r.doc_id for r in
+            gopher_quality_filter(df, min_words=30).collect()]
+    assert kept == [1]
