@@ -1378,6 +1378,32 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 28e2. LLM op: best-fit-decreasing bin packing (no-split finetuning
+#       packer).  Bin membership is stateful (not SQL-expressible),
+#       but token conservation is: per shard, the sum of distinct bin
+#       fills must equal Σ min(ntok, ctx) over the shard's docs, and
+#       the doc count must match — gated against DuckDB.  Membership
+#       invariants (capacity, determinism) live in tests/test_llm.py.
+# ================================================================
+
+@_register("pack_sequences_ffd", oracle=f"""
+WITH t AS (SELECT doc_id, least(len({_sql_toks("text")}), 512) AS tok,
+                  {_sql_hex12("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+           FROM documents)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_fill
+FROM t GROUP BY shard
+""")
+def pack_sequences_ffd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.packing import pack_sequences_ffd
+    out = pack_sequences_ffd(_t(spark, sf_dir, "documents"),
+                             ctx_len=512, n_shards=8)
+    fills = (out.select("shard", "bin_id", "bin_fill").distinct()
+             .groupBy("shard").agg(F.sum("bin_fill").alias("total_fill")))
+    counts = out.groupBy("shard").agg(F.count("*").alias("n_docs"))
+    return counts.join(fills, "shard")
+
+
+# ================================================================
 # 29. LLM op: document fingerprint (order-sensitive rolling hash).
 # ================================================================
 

@@ -344,3 +344,29 @@ def test_gopher_quality_rules(spark):
     kept = [r.doc_id for r in
             gopher_quality_filter(df, min_words=30).collect()]
     assert kept == [1]
+
+
+def test_pack_sequences_ffd_invariants(spark):
+    """BFD bin packing: every doc in exactly one bin, no bin over
+    capacity, oversized docs isolated+truncated, deterministic across
+    runs, and fill efficiency beats naive one-doc-per-bin."""
+    from benthos_spark.llm.packing import pack_sequences_ffd
+    rows = [(i, "tok " * ((i * 37) % 300 + 5)) for i in range(400)]
+    rows.append((9999, "tok " * 3000))  # oversized
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = pack_sequences_ffd(df, ctx_len=512, n_shards=4).collect()
+    assert len(out) == 401
+    fills = {}
+    for r in out:
+        fills.setdefault(r.bin_id, 0)
+        assert r.bin_fill <= 512
+        assert (r.bin_id >> 40) == r.shard
+    big = [r for r in out if r.doc_id == 9999][0]
+    assert big.truncated and big.bin_fill == 512
+    assert all(not r.truncated for r in out if r.doc_id != 9999)
+    # determinism
+    again = pack_sequences_ffd(df, ctx_len=512, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # fill efficiency: total bins well under doc count
+    n_bins = len({r.bin_id for r in out})
+    assert n_bins < 300
