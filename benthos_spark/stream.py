@@ -373,6 +373,31 @@ def _apply_processor(df: DataFrame, conf: Any,
             return df.withColumn(
                 target, avro_encode_json(F.col(src), schema_str))
         raise ConfigError(f"avro operator {op!r}: use to_json|from_json")
+    if kind == "protobuf":
+        # protobuf (lib/processor/protobuf.go:27): to_json/from_json by
+        # .proto reflection.  import_paths walk for .proto files like
+        # the reference; `proto:` additionally accepts an inline
+        # definition.  Pure-Python wire codec in-container
+        # (operators/protobuf_py.py); spark-protobuf is the scale path
+        # when its jar + descriptor sets are available.
+        from benthos_spark.operators.protobuf_py import (
+            ProtoRegistry, protobuf_decode_json, protobuf_encode_json)
+        reg = ProtoRegistry()
+        if spec.get("proto"):
+            reg.add_source(str(spec["proto"]))
+        if spec.get("import_paths") or not spec.get("proto"):
+            reg.add_paths([str(p) for p in spec.get("import_paths", [])])
+        message = str(spec["message"])
+        op = spec.get("operator", "to_json")
+        src = spec.get("source", "content")
+        target = spec.get("target", src)
+        if op == "to_json":
+            return df.withColumn(
+                target, protobuf_decode_json(F.col(src), message, reg))
+        if op == "from_json":
+            return df.withColumn(
+                target, protobuf_encode_json(F.col(src), message, reg))
+        raise ConfigError(f"protobuf operator {op!r}: use to_json|from_json")
     if kind == "while":
         # while (lib/processor/while.go:27): driver-evaluated batch
         # check — loop while ANY row passes (the reference checks the

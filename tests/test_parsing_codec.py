@@ -161,3 +161,114 @@ output:
     for r in out.collect():
         assert json.loads(r.back) == json.loads(r.content)
         assert isinstance(r.packed, (bytes, bytearray))
+
+
+# ---------------------------------------------------------------- protobuf
+
+PROTO_SRC = """
+syntax = "proto3";
+package testing;
+
+message Person {
+  string first_name = 1;
+  string last_name = 2;
+  int32 age = 4;
+  int64 id = 5;
+  repeated string emails = 6;
+  Kind kind = 7;
+  Address address = 8;
+  map<string, int32> scores = 9;
+  bool active = 10;
+  double weight = 11;
+
+  enum Kind {
+    UNKNOWN = 0;
+    ADMIN = 1;
+    USER = 2;
+  }
+  message Address {
+    string city = 1;
+    sint32 zip_delta = 2;
+  }
+}
+"""
+
+
+def test_protobuf_wire_spec_vectors():
+    """Wire bytes pinned to the protobuf encoding-spec examples:
+    int32 a=1 value 150 → 08 96 01; string b=2 'testing' →
+    12 07 74 65 73 74 69 6e 67."""
+    from benthos_spark.operators.protobuf_py import (ProtoRegistry,
+                                                     _decode_message,
+                                                     _encode_message)
+    reg = ProtoRegistry().add_source(
+        'syntax = "proto3"; message Test1 { int32 a = 1; string b = 2; }')
+    assert _encode_message({"a": 150}, "Test1", reg) == bytes.fromhex("089601")
+    assert _encode_message({"b": "testing"}, "Test1", reg) == \
+        bytes.fromhex("120774657374696e67")
+    assert _decode_message(bytes.fromhex("089601"), "Test1", reg) == {"a": 150}
+
+
+def test_protobuf_roundtrip_nested():
+    import json
+    from benthos_spark.operators.protobuf_py import (ProtoRegistry,
+                                                     json_to_message,
+                                                     message_to_json)
+    reg = ProtoRegistry().add_source(PROTO_SRC)
+    doc = {"firstName": "Ada", "lastName": "L", "age": 36,
+           "id": "9007199254740993",  # > 2^53: must survive as string
+           "emails": ["a@x.io", "b@x.io"], "kind": "ADMIN",
+           "address": {"city": "London", "zipDelta": -3},
+           "scores": {"math": 10, "cs": 9}, "active": True,
+           "weight": 61.5}
+    buf = json_to_message(json.dumps(doc), "testing.Person", reg)
+    back = json.loads(message_to_json(buf, "testing.Person", reg))
+    assert back == doc
+
+
+def test_protobuf_unknown_fields_skipped():
+    from benthos_spark.operators.protobuf_py import (ProtoRegistry,
+                                                     _decode_message,
+                                                     _encode_message)
+    wide = ProtoRegistry().add_source(
+        'syntax = "proto3"; message M { int32 a = 1; string b = 2; }')
+    narrow = ProtoRegistry().add_source(
+        'syntax = "proto3"; message M { string b = 2; }')
+    buf = _encode_message({"a": 7, "b": "keep"}, "M", wide)
+    assert _decode_message(buf, "M", narrow) == {"b": "keep"}
+
+
+def test_protobuf_yaml_roundtrip(spark, tmp_path):
+    """YAML protobuf processor with import_paths: JSON → wire → JSON."""
+    import json
+    from benthos_spark.stream import run_stream
+    proto_dir = tmp_path / "schema"
+    proto_dir.mkdir()
+    (proto_dir / "person.proto").write_text(PROTO_SRC)
+    out = run_stream(spark, f"""
+input:
+  generate:
+    count: 3
+    mapping: |
+      root.content = "{{\\"firstName\\": \\"p" + this.id.string() + "\\", \\"age\\": " + this.id.string() + "}}"
+pipeline:
+  processors:
+    - protobuf:
+        operator: from_json
+        message: testing.Person
+        import_paths: ["{proto_dir}"]
+        target: packed
+    - protobuf:
+        operator: to_json
+        message: testing.Person
+        import_paths: ["{proto_dir}"]
+        source: packed
+        target: back
+output:
+  memory: {{}}
+""")
+    for r in out.collect():
+        want = json.loads(r.content)
+        got = json.loads(r.back)
+        assert got.get("firstName") == want["firstName"]
+        assert got.get("age", 0) == want["age"]
