@@ -1997,12 +1997,77 @@ WHERE rnk <= 5
 
 
 # ================================================================
-# 33b. IVF ANN (coarse-quantizer inverted lists; iterative k-means
-#      training is non-SQL-expressible → rows-only gate; recall vs
-#      brute force asserted in tests/test_llm.py).
+# 33b. IVF ANN (coarse-quantizer inverted lists).  The quantizer is
+#      deterministic by construction (id-sorted 512-row sample, first-k
+#      init, 5 fixed Lloyd iterations — llm/similarity.py
+#      kmeans_unit_sphere), so the oracle re-derives the SAME centroid
+#      literals from the sf0.01 parquet with the same numpy core and
+#      inlines them into DuckDB SQL, exactly like _lsh_oracle() does
+#      for its hyperplanes.  Oracle is pinned to sf0.01 (the driver's
+#      comparison SF); the Spark query trains per-sf_dir.
 # ================================================================
 
-@_register("similarity_ivf_topk")
+def _ivf_oracle(n_centroids: int = 8, sample: int = 512, iters: int = 5,
+                n_probe: int = 3, k: int = 10) -> str | None:
+    try:
+        import pyarrow.parquet as pq
+
+        from benthos_spark.llm.similarity import kmeans_unit_sphere
+        tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        pairs = sorted((i, list(v)) for i, v in
+                       zip(tbl.column("vec_id").to_pylist(),
+                           tbl.column("embedding").to_pylist())
+                       if i < sample)
+        cents = kmeans_unit_sphere([e for _, e in pairs],
+                                   n_centroids, iters)
+    except Exception:
+        return None  # no testdata in this environment → rows-only gate
+
+    # Flat dot products, identical term order + zero-skip as
+    # llm.similarity._sim_structs_sql (left-to-right IEEE fold in both
+    # engines → bit-identical sims).  DuckDB lists are 1-indexed.
+    dots = []
+    for c in cents:
+        terms = " + ".join(f"e[{j + 1}] * {float(x)!r}"
+                           for j, x in enumerate(c) if x != 0.0) or "0.0"
+        dots.append(f"({terms})")
+    case = ("CASE idx " +
+            " ".join(f"WHEN {i} THEN {d}" for i, d in enumerate(dots)) +
+            " END")
+    return f"""
+WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings),
+flat AS (
+  SELECT vec_id, e, i.idx AS idx, {case} AS sim
+  FROM v CROSS JOIN (SELECT unnest(range({n_centroids})) AS idx) i),
+-- corpus: nearest list; Spark array_max on struct(sim, idx) breaks
+-- sim-ties toward the LARGER idx, hence idx DESC here
+assign AS (
+  SELECT vec_id, e, idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, idx DESC) AS rn
+    FROM flat) t WHERE rn = 1),
+-- queries: top-n_probe lists via reverse(array_sort(...)) == sim DESC,
+-- idx DESC
+probes AS (
+  SELECT vec_id AS query_id, e AS qe, idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, idx DESC) AS rn
+    FROM flat WHERE vec_id < 5) t WHERE rn <= {n_probe}),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_sql_dot("a.e", "p.qe")} /
+               ({_sql_norm("a.e")} * {_sql_norm("p.qe")}), 6) AS cos
+  FROM assign a JOIN probes p ON a.idx = p.idx)
+SELECT query_id, vec_id, cos, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored) t
+WHERE rnk <= {k}
+"""
+
+
+@_register("similarity_ivf_topk", oracle=_ivf_oracle())
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.similarity import ivf_topk, train_ivf_centroids
     emb = _t(spark, sf_dir, "embeddings")

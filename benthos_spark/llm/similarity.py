@@ -92,22 +92,15 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame,
 
 # ---------------------------------------------------------------- IVF
 
-def train_ivf_centroids(corpus: DataFrame, vec: str = "embedding",
-                        id_col: str = "vec_id", n_centroids: int = 16,
-                        sample: int = 2048, iters: int = 8) -> list[list[float]]:
-    """Coarse quantizer for IVF: spherical k-means (Lloyd) on a
-    DETERMINISTIC sample (first `sample` ids), trained driver-side in
-    numpy.  Standard IVF practice at 100 TB: the quantizer trains on a
-    tiny sample once; only the centroid literals ship with the plan, so
-    assignment is pure codegen — no model object, no shuffle.
-
-    Deterministic by construction: id-filtered sample (a pushed-down
-    parquet filter, no sort), first-k init, fixed iteration count."""
+def kmeans_unit_sphere(X, n_centroids: int, iters: int) -> list[list[float]]:
+    """Spherical k-means (Lloyd) core: pure numpy, deterministic given
+    the row order of X (first-k init, fixed iteration count, argmax
+    first-max tie-break).  Shared by the Spark trainer and by external
+    reproductions (e.g. a DuckDB oracle re-deriving the same centroid
+    literals from the same parquet sample)."""
     import numpy as np
 
-    rows = (corpus.select(id_col, vec)
-            .filter(F.col(id_col) < sample).collect())
-    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64).copy()
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:n_centroids].copy()
     for _ in range(iters):
@@ -119,6 +112,25 @@ def train_ivf_centroids(corpus: DataFrame, vec: str = "embedding",
                 c = members.sum(axis=0)
                 C[j] = c / max(np.linalg.norm(c), 1e-12)
     return C.tolist()
+
+
+def train_ivf_centroids(corpus: DataFrame, vec: str = "embedding",
+                        id_col: str = "vec_id", n_centroids: int = 16,
+                        sample: int = 2048, iters: int = 8) -> list[list[float]]:
+    """Coarse quantizer for IVF: spherical k-means (Lloyd) on a
+    DETERMINISTIC sample (first `sample` ids), trained driver-side in
+    numpy.  Standard IVF practice at 100 TB: the quantizer trains on a
+    tiny sample once; only the centroid literals ship with the plan, so
+    assignment is pure codegen — no model object, no shuffle.
+
+    Deterministic by construction: id-filtered sample (a pushed-down
+    parquet filter) SORTED by id (the sort touches only `sample` rows,
+    so row order no longer depends on partition layout), first-k init,
+    fixed iteration count."""
+    rows = (corpus.select(id_col, vec)
+            .filter(F.col(id_col) < sample).orderBy(id_col).collect())
+    return kmeans_unit_sphere([list(r[1]) for r in rows],
+                              n_centroids, iters)
 
 
 def _probe_udf(centroids: list[list[float]], n_probe: int):
@@ -169,7 +181,8 @@ def _sim_structs_sql(centroids: list[list[float]]) -> str:
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
              centroids: list[list[float]], k: int = 10, n_probe: int = 2,
              vec: str = "embedding", id_col: str = "vec_id",
-             qvec: str = "embedding", qid: str = "query_id") -> DataFrame:
+             qvec: str = "embedding", qid: str = "query_id",
+             checkpoint_queries: bool = True) -> DataFrame:
     """IVF-partitioned ANN: corpus rows land in their nearest-centroid
     inverted list; each query probes its `n_probe` closest lists.  The
     join is an equi-join on a small int key — at scale the corpus can be
@@ -184,16 +197,35 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     flat = len(centroids) * len(centroids[0]) <= 4096
     if flat:
         sims = _sim_structs_sql(centroids)
+        # The lambda-HOF cast is deliberate: CollapseProject will inline
+        # a plain `cast(col as array<double>)` into every one of the
+        # k·dim downstream terms (k·dim copies of the cast in the plan
+        # → MiB-scale task binaries); a lambdafunction is not considered
+        # collapse-cheap, so `__v` stays a single upstream projection.
+        vcast = F.expr(f"transform(`{vec}`, x -> cast(x as double))")
+        qcast = F.expr(f"transform(`{qvec}`, x -> cast(x as double))")
+        # coalesce(-1) never fires (the struct array is a non-empty
+        # literal) but makes `__list` non-nullable, so the join stops
+        # inferring an isnotnull(__list) filter — predicate pushdown
+        # would inline a SECOND copy of the k·dim expression into it,
+        # doubling the task binary.
         c = (corpus
-             .withColumn("__v", F.col(vec).cast("array<double>"))
-             .withColumn("__list", F.expr(f"array_max({sims}).idx"))
+             .withColumn("__v", vcast)
+             .withColumn("__list", F.coalesce(
+                 F.expr(f"array_max({sims}).idx"), F.lit(-1)))
              .drop("__v"))
         q = (queries
-             .withColumn("__v", F.col(qvec).cast("array<double>"))
+             .withColumn("__v", qcast)
              .withColumn("__p", F.explode(F.expr(
                  f"slice(reverse(array_sort({sims})), 1, {n_probe})")))
              .select(qid, F.col(qvec).alias("__qv"),
                      F.col("__p.idx").alias("__list")))
+        if checkpoint_queries:
+            # Sever the probe expression from the join plan: queries are
+            # few by contract, so materializing them is O(queries) while
+            # halving the k·dim terms the join stage must analyze,
+            # codegen, and ship in its task binary.
+            q = q.localCheckpoint(eager=False)
     else:
         assign1 = _probe_udf(centroids, 1)
         c = corpus.withColumn("__list", assign1(F.col(vec))[0])
