@@ -365,8 +365,14 @@ def embedding_near_dup_pairs(df: DataFrame, vec: str = "embedding",
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
     if planes is None:
-        dim = df.select(F.size(F.col(vec)).alias("d")).limit(1).first()["d"]
-        planes = default_hyperplanes(dim, bands * 8)
+        probe = df.select(F.size(F.col(vec)).alias("d")).limit(1).first()
+        if probe is None or probe["d"] is None:  # empty input frame
+            spark = df.sparkSession
+            return spark.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                    f"id_b {df.schema[id_col].dataType.simpleString()}, "
+                    "cos double")
+        planes = default_hyperplanes(probe["d"], bands * 8)
     r = len(planes) // bands
     v = df.select(F.col(id_col), F.col(vec))
     buckets = [hyperplane_sketch(F.col(vec), planes[b * r:(b + 1) * r])

@@ -126,8 +126,11 @@ def pack_sequences_ffd(df: DataFrame, text: str = "text",
             lambda d: bool(ntoks[d] > ctx_len))
         return out[[id_col, "shard", "bin_id", "bin_fill", "truncated"]]
 
+    # carry the id column's actual type through (string doc ids etc.)
+    id_type = df.schema[id_col].dataType.simpleString()
     return (t.repartition(n_shards, F.col("shard"))
             .groupBy("shard")
             .applyInPandas(pack_shard,
-                           f"{id_col} long, shard long, bin_id long, "
-                           "bin_fill long, truncated boolean"))
+                           f"`{id_col}` {id_type}, shard long, "
+                           "bin_id long, bin_fill long, "
+                           "truncated boolean"))

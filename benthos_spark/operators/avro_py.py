@@ -150,11 +150,48 @@ def _encode(v: Any, schema: Any) -> bytes:
             return _zigzag_bytes(len(raw)) + raw
         raise AvroError(f"avro: unknown type {t!r}")
     if isinstance(schema, list):
-        # first matching branch (null matches None; else first non-null)
+        # Branch resolution by VALUE TYPE (goavro semantics): bool must
+        # be tested before int (bool ⊂ int in Python), strings dispatch
+        # to string/enum/bytes/fixed, never to a numeric branch.
+        def _bname(branch: Any) -> str:
+            return branch if isinstance(branch, str) else \
+                str(branch.get("type", ""))
+
+        def _fits(branch: Any) -> bool:
+            t = _bname(branch)
+            if t == "null":
+                return v is None
+            if v is None:
+                return False
+            if isinstance(v, bool):
+                return t == "boolean"
+            if isinstance(v, int):
+                return t in ("int", "long")
+            if isinstance(v, float):
+                return t in ("float", "double")
+            if isinstance(v, str):
+                return t in ("string", "enum", "bytes", "fixed")
+            if isinstance(v, (bytes, bytearray)):
+                return t in ("bytes", "fixed", "string")
+            if isinstance(v, dict):
+                return t in ("record", "map")
+            if isinstance(v, (list, tuple)):
+                return t == "array"
+            return False
+
         for i, branch in enumerate(schema):
-            if (branch == "null") == (v is None):
+            if _fits(branch):
                 return _zigzag_bytes(i) + _encode(v, branch)
-        raise AvroError("avro: no union branch matches value")
+        for i, branch in enumerate(schema):  # last resort: trial encode
+            if _bname(branch) == "null":
+                continue
+            try:
+                return _zigzag_bytes(i) + _encode(v, branch)
+            except Exception:
+                continue
+        raise AvroError(
+            f"avro: no union branch fits value of type "
+            f"{type(v).__name__}")
     t = schema["type"]
     if t == "record":
         return b"".join(_encode(v.get(f["name"]), f["type"])

@@ -125,8 +125,17 @@ def parse_proto(src: str) -> dict[str, Any]:
         full = prefix + name
         i += 2  # name {
         fields: dict[int, Field] = {}
-        while toks[i] != "}":
+        oneof_depth = 0  # oneof members parse flat into the parent
+        while True:
+            if i >= len(toks):
+                raise ProtoError(f"message {full}: unterminated body")
             t = toks[i]
+            if t == "}":
+                if oneof_depth:  # closes a oneof block, not the message
+                    oneof_depth -= 1
+                    i += 1
+                    continue
+                break
             if t == "message":
                 i += 1
                 parse_message(full + ".")
@@ -139,23 +148,31 @@ def parse_proto(src: str) -> dict[str, Any]:
                 skip_to_semi()
                 continue
             if t == "oneof":
-                i += 2  # oneof name {   (fields parse flat)
+                if i + 2 >= len(toks) or toks[i + 2] != "{":
+                    raise ProtoError(f"message {full}: malformed oneof")
+                oneof_depth += 1
+                i += 3  # oneof name {
                 continue
             repeated = False
             if t in ("repeated", "optional", "required"):
                 repeated = t == "repeated"
                 i += 1
                 t = toks[i]
-            if t == "map":
-                # map < K , V > name = N ;
-                k, v = toks[i + 2], toks[i + 4]
-                fname, num = toks[i + 6], int(toks[i + 8])
-                fields[num] = Field(fname, "map", num, True, (k, v))
-                i += 9
-                if toks[i] == ";":
-                    i += 1
-                continue
-            fname, num = toks[i + 1], int(toks[i + 3])
+            try:
+                if t == "map":
+                    # map < K , V > name = N ;
+                    k, v = toks[i + 2], toks[i + 4]
+                    fname, num = toks[i + 6], int(toks[i + 8])
+                    fields[num] = Field(fname, "map", num, True, (k, v))
+                    i += 9
+                    if toks[i] == ";":
+                        i += 1
+                    continue
+                fname, num = toks[i + 1], int(toks[i + 3])
+            except (ValueError, IndexError) as exc:
+                raise ProtoError(
+                    f"message {full}: malformed field near "
+                    f"{' '.join(toks[i:i + 4])!r}") from exc
             fields[num] = Field(fname, t, num, repeated)
             i += 4
             while i < len(toks) and toks[i] not in (";", "}"):

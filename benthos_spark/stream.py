@@ -382,11 +382,17 @@ def _apply_processor(df: DataFrame, conf: Any,
         # when its jar + descriptor sets are available.
         from benthos_spark.operators.protobuf_py import (
             ProtoRegistry, protobuf_decode_json, protobuf_encode_json)
+        if not spec.get("proto") and not spec.get("import_paths"):
+            # never default to walking '.' — a stray/unsupported .proto
+            # anywhere under cwd would crash (or slow) config build
+            raise ConfigError(
+                "protobuf processor: set `proto` (inline schema) or a "
+                "non-empty `import_paths` list")
         reg = ProtoRegistry()
         if spec.get("proto"):
             reg.add_source(str(spec["proto"]))
-        if spec.get("import_paths") or not spec.get("proto"):
-            reg.add_paths([str(p) for p in spec.get("import_paths", [])])
+        if spec.get("import_paths"):
+            reg.add_paths([str(p) for p in spec["import_paths"]])
         message = str(spec["message"])
         op = spec.get("operator", "to_json")
         src = spec.get("source", "content")
@@ -406,7 +412,9 @@ def _apply_processor(df: DataFrame, conf: Any,
         cond = compile_condition(str(spec["check"]))
         return while_loop(
             df,
-            lambda d: d.filter(cond).limit(1).count() > 0,
+            # isEmpty() short-circuits on the first non-empty partition
+            # — one driver job per iteration, not two
+            lambda d: not d.filter(cond).isEmpty(),
             lambda d: sub(d, spec.get("processors", [])),
             max_loops=int(spec.get("max_loops", 100)))
     if kind == "insert_part":
@@ -414,6 +422,12 @@ def _apply_processor(df: DataFrame, conf: Any,
         # literal part; `part` = column → value mapping
         from benthos_spark.operators import insert_part
         part_df = df.sparkSession.createDataFrame([spec["part"]])
+        for f in df.schema.fields:
+            # align literal columns with the stream's types — dict
+            # inference can mistype (int vs long) and fail the union
+            if f.name in part_df.columns:
+                part_df = part_df.withColumn(
+                    f.name, F.col(f.name).cast(f.dataType))
         return insert_part(df, part_df)
     if kind == "log":
         from benthos_spark.operators.control import log_stage

@@ -370,3 +370,25 @@ def test_pack_sequences_ffd_invariants(spark):
     # fill efficiency: total bins well under doc count
     n_bins = len({r.bin_id for r in out})
     assert n_bins < 300
+
+
+def test_embedding_near_dup_empty_frame(spark):
+    """planes=None on an empty frame returns an empty pair frame
+    instead of crashing on the dimension probe."""
+    from benthos_spark.llm.dedup import embedding_near_dup_pairs
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(empty, threshold=0.5)
+    assert out.columns == ["id_a", "id_b", "cos"]
+    assert out.count() == 0
+
+
+def test_pack_sequences_ffd_string_ids(spark):
+    """Non-bigint id columns carry through the BFD packer."""
+    from benthos_spark.llm.packing import pack_sequences_ffd
+    df = spark.createDataFrame(
+        [(f"doc-{i}", "tok " * (10 + i)) for i in range(20)],
+        "doc_id string, content string")
+    out = pack_sequences_ffd(df, text="content", id_col="doc_id",
+                             ctx_len=64, n_shards=2)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert out.count() == 20

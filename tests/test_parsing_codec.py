@@ -272,3 +272,70 @@ output:
         got = json.loads(r.back)
         assert got.get("firstName") == want["firstName"]
         assert got.get("age", 0) == want["age"]
+
+
+def test_protobuf_oneof_parses_flat():
+    """oneof members parse into the parent message (proto3 wire format
+    has no oneof marker), and fields AFTER the oneof still register —
+    reference: protobuf language spec oneof section."""
+    from benthos_spark.operators.protobuf_py import (ProtoRegistry,
+                                                     _decode_message,
+                                                     _encode_message)
+    reg = ProtoRegistry().add_source("""
+syntax = "proto3";
+message Event {
+  string id = 1;
+  oneof payload {
+    string text = 2;
+    int64 counter = 3;
+  }
+  bool done = 4;
+}
+""")
+    buf = _encode_message({"id": "e1", "counter": 9, "done": True},
+                          "Event", reg)
+    assert _decode_message(buf, "Event", reg) == \
+        {"id": "e1", "counter": 9, "done": True}
+    buf2 = _encode_message({"id": "e2", "text": "hi"}, "Event", reg)
+    assert _decode_message(buf2, "Event", reg) == {"id": "e2", "text": "hi"}
+
+
+def test_protobuf_malformed_raises_proto_error():
+    import pytest
+    from benthos_spark.operators.protobuf_py import ProtoError, ProtoRegistry
+    with pytest.raises(ProtoError):
+        ProtoRegistry().add_source(
+            'syntax = "proto3"; message M { oneof x }')
+    with pytest.raises(ProtoError):
+        ProtoRegistry().add_source(
+            'syntax = "proto3"; message M { int32 a = nope; }')
+
+
+def test_protobuf_yaml_requires_schema_source(spark):
+    """No proto/import_paths must be a config-time error, never a
+    recursive walk of the working directory."""
+    import pytest
+    from benthos_spark.stream import ConfigError, run_stream
+    with pytest.raises(ConfigError, match="proto"):
+        run_stream(spark, """
+input:
+  generate: {count: 1, mapping: 'root.content = "{}"'}
+pipeline:
+  processors:
+    - protobuf: {operator: to_json, message: M}
+output:
+  memory: {}
+""")
+
+
+def test_avro_union_branch_by_value_type():
+    """goavro semantics: the union branch is picked by the VALUE's
+    type, not first-non-null — string must skip the int branch, bool
+    must not leak into int."""
+    from benthos_spark.operators.avro_py import _Reader, _decode, _encode
+    sch = ["null", "int", "string"]
+    assert _decode(_Reader(_encode("hi", sch)), sch) == "hi"
+    assert _decode(_Reader(_encode(7, sch)), sch) == 7
+    assert _decode(_Reader(_encode(None, sch)), sch) is None
+    bsch = ["null", "int", "boolean"]
+    assert _decode(_Reader(_encode(True, bsch)), bsch) is True  # not int 1
