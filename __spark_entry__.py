@@ -1524,23 +1524,29 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ================================================================
 # 31b. REAL multimodal decode gate: WAV payloads decode through
-#      stdlib `wave`, BMP headers through struct — the oracle is the
-#      generator's ground-truth arithmetic (rate/frames/dims), so a
-#      wrong decode fails the hash.
+#      stdlib `wave`, BMP headers through struct, GIF containers
+#      block-walk to true per-frame geometry — the oracle is the
+#      generator's ground-truth arithmetic (rate/frames/dims/frame
+#      count), so a wrong decode fails the hash.
 # ================================================================
 
 @_register("multimodal_real_decode", oracle="""
 SELECT r AS media_id,
-       CASE WHEN r % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
-       CAST(CASE WHEN r % 2 = 0 THEN 8000 + 4000 * (r % 3)
-                 ELSE 8 + r END AS BIGINT) AS a,
-       CAST(CASE WHEN r % 2 = 0 THEN 100 + r ELSE 4 + r END AS BIGINT) AS b
+       CASE r % 3 WHEN 0 THEN 'audio' WHEN 1 THEN 'image'
+                  ELSE 'video' END AS kind,
+       CAST(CASE r % 3 WHEN 0 THEN 8000 + 4000 * ((r // 3) % 3)
+                       WHEN 1 THEN 8 + r
+                       ELSE 2 + (r % 5) END AS BIGINT) AS a,
+       CAST(CASE r % 3 WHEN 0 THEN 100 + r
+                       WHEN 1 THEN 4 + r
+                       ELSE 6 + r END AS BIGINT) AS b
 FROM range(0, 32) t(r)
 """)
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.multimodal import (extract_audio_features,
                                               extract_features,
-                                              real_media_table)
+                                              real_media_table,
+                                              sample_video_frames)
     media = real_media_table(spark, n=32)
     audio = (extract_audio_features(media.filter(F.col("kind") == "audio"))
              .select("media_id", F.lit("audio").alias("kind"),
@@ -1550,7 +1556,15 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("media_id", "kind",
                      F.col("width").cast("long").alias("a"),
                      F.col("height").cast("long").alias("b")))
-    return audio.unionByName(image)
+    # video: a = decoded frame count, b = first frame's true width
+    video = (sample_video_frames(media.filter(F.col("kind") == "video"),
+                                 every_n=1)
+             .groupBy("media_id")
+             .agg(F.count("*").alias("a"),
+                  F.max(F.element_at("frame_features", 1))
+                   .cast("long").alias("b"))
+             .select("media_id", F.lit("video").alias("kind"), "a", "b"))
+    return audio.unionByName(image).unionByName(video)
 
 
 # ================================================================

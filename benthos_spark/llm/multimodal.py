@@ -1,8 +1,9 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 Decode kernels are REAL where the stdlib reaches: WAV audio decodes
-through `wave` (rate/samples/PCM stats), and PNG/BMP/JPEG headers
-parse to true pixel dimensions via `struct`.  Payloads in formats the
+through `wave` (rate/samples/PCM stats), PNG/BMP/JPEG headers parse
+to true pixel dimensions via `struct`, and GIF containers block-walk
+to true per-frame geometry (`_gif_info`).  Payloads in formats the
 container can't decode (no PIL/ffmpeg) fall back to a deterministic
 fake (clearly marked) so pipelines stay testable end-to-end; a full
 decoder drops into `_decode_image_batch` unchanged.  The Spark-side
@@ -138,13 +139,66 @@ def _decode_audio_batch(payload_bytes: bytes | None) -> tuple[int, int, list[flo
     return rate, n * 4, feats
 
 
+def _gif_info(b: bytes) -> tuple[int, int, list[tuple[int, int, int, int]]] | None:
+    """REAL GIF container walk (struct-level, per the GIF89a spec):
+    logical screen dims from the header, then one (x, y, w, h) per
+    image descriptor, skipping extensions, color tables, and LZW data
+    sub-blocks without decompressing them.  Returns None for non-GIF
+    or malformed payloads."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    i = 13
+    if packed & 0x80:                       # global color table
+        i += 3 * (2 << (packed & 7))
+    frames: list[tuple[int, int, int, int]] = []
+    try:
+        while i < len(b):
+            t = b[i]
+            if t == 0x3B:                   # trailer
+                break
+            if t == 0x21:                   # extension: label + sub-blocks
+                i += 2
+                while b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+            elif t == 0x2C:                 # image descriptor
+                x, y, fw, fh = struct.unpack("<HHHH", b[i + 1:i + 9])
+                p = b[i + 9]
+                i += 10
+                if p & 0x80:                # local color table
+                    i += 3 * (2 << (p & 7))
+                i += 1                      # LZW min code size
+                while b[i] != 0:            # data sub-blocks
+                    i += 1 + b[i]
+                i += 1
+                frames.append((x, y, fw, fh))
+            else:                           # unknown block: stop the walk
+                break
+    except IndexError:
+        return None                         # truncated payload
+    return w, h, frames
+
+
 def _sample_video_frames(payload_bytes: bytes | None,
                          every_n: int = 30) -> list[list[float]]:
-    """STUB frame sampler: deterministic fake frames (one 4-float
-    signature per sampled frame); replace with ffmpeg/decord — the
-    mapInPandas batch shape and output schema stay identical."""
+    """Frame sampler.  REAL for GIF payloads: the container block walk
+    (`_gif_info`) yields every image descriptor; sampling takes every
+    `every_n`-th frame and emits its true (w, h, x, y) as the 4-float
+    feature (pixel features need an LZW decode + palette, out of
+    scope — the geometry is decoded, not fabricated).  Non-GIF
+    containers (mp4/webm need ffmpeg, absent here) fall back to a
+    deterministic fake; swap in ffmpeg/decord — the mapInPandas batch
+    shape and output schema stay identical."""
     if payload_bytes is None:
         return []
+    info = _gif_info(payload_bytes)
+    if info is not None:
+        _, _, frames = info
+        return [[float(fw), float(fh), float(x), float(y)]
+                for (x, y, fw, fh) in frames[::max(every_n, 1)]]
+    # deterministic FAKE for undecodable containers
     n_frames = max(1, len(payload_bytes) // 16)
     out = []
     for f in range(0, n_frames, every_n):
@@ -241,20 +295,66 @@ def bmp_bytes(width: int, height: int) -> bytes:
     return header + pixels
 
 
+def gif_bytes(width: int, height: int, n_frames: int = 1) -> bytes:
+    """A real multi-frame GIF89a payload: 4-color global palette,
+    uncompressed-trick LZW (a CLEAR code before every pixel keeps the
+    code width fixed at 3 bits — valid per the spec, decodable by any
+    GIF reader), one full-size image descriptor per frame.
+    Deterministic; exercises the REAL container walk."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x91, 0, 0])              # GCT, 4 colors
+    out += bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 255, 255])
+    for f in range(n_frames):
+        out += bytes([0x21, 0xF9, 0x04, 0x00])      # graphic control ext
+        out += struct.pack("<H", 10 * (f + 1))      # frame delay
+        out += bytes([0x00, 0x00])                  # transparent, term
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += b"\x00"                              # no local color table
+        # LZW min code size 2 → 3-bit codes, clear=4, end=5
+        codes: list[int] = []
+        for p in range(width * height):
+            codes += [4, (p + f) % 4]
+        codes += [5]
+        acc = nbits = 0
+        data = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += 3
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 0xFF)
+        out += bytes([2])                            # min code size
+        for j in range(0, len(data), 255):           # data sub-blocks
+            chunk = data[j:j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"                               # block terminator
+    out += b"\x3b"                                   # trailer
+    return bytes(out)
+
+
 def real_media_table(spark, n: int = 32) -> DataFrame:
-    """Synthetic media rows with REAL payloads: even ids are WAV sine
-    waves (rate varies per row), odd ids are BMP images (dims vary per
-    row) — every value the decode kernels emit is checkable against
-    the generator's parameters."""
+    """Synthetic media rows with REAL payloads: id%3==0 are WAV sine
+    waves (rate varies per row), id%3==1 are BMP images (dims vary per
+    row), id%3==2 are multi-frame GIFs (dims + frame count vary) —
+    every value the decode kernels emit is checkable against the
+    generator's parameters."""
     rows = []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 3 == 0:
             rows.append((i, "audio", wav_bytes(
-                rate=8000 + 4000 * (i % 3), n_frames=100 + i), "audio/wav",
-                {"source": "synthetic"}))
-        else:
+                rate=8000 + 4000 * ((i // 3) % 3), n_frames=100 + i),
+                "audio/wav", {"source": "synthetic"}))
+        elif i % 3 == 1:
             rows.append((i, "image", bmp_bytes(8 + i, 4 + i), "image/bmp",
                          {"source": "synthetic"}))
+        else:
+            rows.append((i, "video", gif_bytes(6 + i, 3 + i,
+                                               n_frames=2 + (i % 5)),
+                         "image/gif", {"source": "synthetic"}))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
