@@ -2103,6 +2103,75 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 34. sequence.sharded_join collision strategies
+#     (lib/input/sequence.go:181-188, 262-289): documents sharing an
+#     id deep-merge in sequence order; `array` folds colliding leaves
+#     into one flat array, `replace` keeps the newest, `keep` the
+#     oldest; the id field is pinned by the first doc.  Fixture:
+#     source 0 = one customer doc (val = nationkey), source 1 = one
+#     doc per order (val = orderkey, ordered by orderkey), so the
+#     merged JSON is reproducible closed-form in DuckDB.
+# ================================================================
+
+@_register("sharded_join_collisions", oracle="""
+WITH c AS (SELECT c_custkey AS k, c_name AS name, c_nationkey AS nk
+           FROM customer WHERE c_custkey < 100),
+agg AS (SELECT o_custkey AS k, list(o_orderkey ORDER BY o_orderkey) AS oks
+        FROM orders WHERE o_custkey < 100 GROUP BY o_custkey),
+j AS (SELECT c.k, c.name, c.nk, a.oks FROM c LEFT JOIN agg a ON c.k = a.k)
+SELECT 'array' AS strategy, k AS custkey,
+       '{"id":' || CAST(k AS VARCHAR) || ',"name":"' || name ||
+       '","val":' ||
+       CASE WHEN oks IS NULL THEN CAST(nk AS VARCHAR)
+            ELSE '[' || CAST(nk AS VARCHAR) || ',' ||
+                 array_to_string(oks, ',') || ']' END || '}' AS doc
+FROM j
+UNION ALL
+SELECT 'replace', k,
+       '{"id":' || CAST(k AS VARCHAR) || ',"name":"' || name ||
+       '","val":' ||
+       CAST(CASE WHEN oks IS NULL THEN nk ELSE oks[-1] END AS VARCHAR)
+       || '}'
+FROM j
+UNION ALL
+SELECT 'keep', k,
+       '{"id":' || CAST(k AS VARCHAR) || ',"name":"' || name ||
+       '","val":' || CAST(nk AS VARCHAR) || '}'
+FROM j
+""")
+def sharded_join_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.joins import sharded_join_merge
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    src0 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.to_json(F.struct(F.col("c_custkey").alias("id"),
+                           F.col("c_name").alias("name"),
+                           F.col("c_nationkey").alias("val")))
+         .alias("content"),
+        F.lit(0).alias("src"),
+        F.lit(0).cast("long").alias("sub"))
+    src1 = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.to_json(F.struct(F.col("o_custkey").alias("id"),
+                           F.col("o_orderkey").alias("val")))
+         .alias("content"),
+        F.lit(1).alias("src"),
+        F.col("o_orderkey").alias("sub"))
+    docs = src0.unionByName(src1)
+    parts = []
+    for strat in ("array", "replace", "keep"):
+        m = sharded_join_merge(docs, "k", "content", ["src", "sub"],
+                               strategy=strat, id_path="id")
+        parts.append(m.select(F.lit(strat).alias("strategy"),
+                              F.col("k").alias("custkey"), "doc"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ================================================================
 # Suite merges.  The driver's correctness sweep evaluates only the
 # FIRST 50 entries of queries() (observed r1+r2: the checked set is
 # exactly insertion-order positions 0-49 both rounds, unchanged as new
@@ -2126,6 +2195,7 @@ _SUITES: dict[str, list[str]] = {
     "window_tumbling": ["window_sliding"],
     "text_analysis": ["text_quality_langid", "pii_scrub"],
     "similarity_topk": ["similarity_lsh_topk", "similarity_ivf_topk"],
+    "sharded_join_full_outer": ["sharded_join_collisions"],
 }
 
 # Boolean columns become nullable under the union's null-padding; a

@@ -30,6 +30,116 @@ def sharded_join(left: DataFrame, right: DataFrame, on: str | list[str],
     return left.join(right, on=on, how=how)
 
 
+_COLLISION_STRATEGIES = ("array", "replace", "keep")
+
+
+def _collide(dest, src, strategy: str):
+    """Leaf collision (lib/input/sequence.go:262-289): `array` folds
+    colliding values into one flat array, `replace` takes the new
+    value, `keep` the old."""
+    if strategy == "replace":
+        return src
+    if strategy == "keep":
+        return dest
+    if isinstance(dest, list):
+        return dest + (src if isinstance(src, list) else [src])
+    if isinstance(src, list):
+        return [dest] + src
+    return [dest, src]
+
+
+def _deep_merge(dest: dict, src: dict, strategy: str) -> None:
+    """gabs MergeFn semantics: recurse where both sides are objects,
+    collide otherwise (sequence.go:343 jObj.fields.MergeFn)."""
+    for k, v in src.items():
+        if k not in dest:
+            dest[k] = v
+        elif isinstance(dest[k], dict) and isinstance(v, dict):
+            _deep_merge(dest[k], v, strategy)
+        else:
+            dest[k] = _collide(dest[k], v, strategy)
+
+
+def sharded_join_merge(df: DataFrame, id_col: str, doc_col: str,
+                       order_cols: list[str],
+                       strategy: str = "array",
+                       id_path: str | None = None,
+                       require_order: int | None = None) -> DataFrame:
+    """`sequence.sharded_join` collision semantics
+    (lib/input/sequence.go:181-188, 300-355): documents sharing an id
+    are deep-merged in sequence order; colliding leaves resolve by
+    `strategy` (array/replace/keep); the `id_path` field is dropped
+    from every doc after the first so the first occurrence pins it.
+    Docs that aren't JSON objects are dropped, like the reference.
+
+    Spark shape: the reference's N-iteration shard passes ARE a
+    shuffle — one repartition on the id, a sort within partitions on
+    (id, order), then a streaming per-partition merge in mapInPandas
+    that carries the open group across Arrow batch boundaries.  No
+    driver involvement, no per-group Python call overhead
+    (applyInPandas would invoke once per id), memory bounded by one
+    group + one batch.
+
+    `require_order`: 'outter' joins flush only ids seen in the LAST
+    input of the sequence (sequence.go flushOnLast) — pass that
+    input's order value to keep only those groups."""
+    import json
+
+    import pandas as pd
+
+    if strategy not in _COLLISION_STRATEGIES:
+        raise ValueError(
+            f"merge strategy {strategy!r} not recognised; "
+            f"use one of {_COLLISION_STRATEGIES}")
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    base = (df.select(F.col(id_col), F.col(doc_col).cast("string")
+                      .alias("__doc"), *[F.col(c) for c in order_cols])
+            .filter(F.col(id_col).isNotNull())
+            .repartition(F.col(id_col))
+            .sortWithinPartitions(id_col, *order_cols))
+    orders = list(order_cols)
+
+    def merge_partition(batches):
+        cur_id, cur, seen_orders = None, None, set()
+        pending_ids, pending_docs = [], []
+
+        def flush():
+            if cur is not None and (require_order is None
+                                    or require_order in seen_orders):
+                pending_ids.append(cur_id)
+                pending_docs.append(json.dumps(
+                    cur, sort_keys=True, separators=(",", ":")))
+
+        for pdf in batches:
+            for rid, doc, order0 in zip(pdf[id_col], pdf["__doc"],
+                                        pdf[orders[0]]):
+                try:
+                    obj = json.loads(doc) if doc is not None else None
+                except ValueError:
+                    obj = None
+                if not isinstance(obj, dict):
+                    continue  # non-object docs are dropped
+                if rid != cur_id or cur is None:
+                    flush()
+                    cur_id, cur, seen_orders = rid, obj, {order0}
+                    continue
+                seen_orders.add(order0)
+                if id_path is not None:
+                    obj.pop(id_path, None)
+                _deep_merge(cur, obj, strategy)
+            if pending_ids:
+                yield pd.DataFrame({id_col: pending_ids,
+                                    "doc": pending_docs})
+                pending_ids, pending_docs = [], []
+        flush()
+        if pending_ids:
+            yield pd.DataFrame({id_col: pending_ids, "doc": pending_docs})
+
+    return base.mapInPandas(merge_partition,
+                            schema=f"`{id_col}` {id_type}, doc string")
+
+
 def cache_lookup_join(stream: DataFrame, dim: DataFrame,
                       on: str | list[str] | Column,
                       how: str = "left",

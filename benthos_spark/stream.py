@@ -130,6 +130,49 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
+    if kind == "sequence":
+        # sequence input + sharded_join (lib/input/sequence.go:24,
+        # 142-188): inputs consumed in order; optional id-keyed deep
+        # merge with array/replace/keep collision strategies.
+        # `iterations` is accepted and ignored — the reference's
+        # N-pass sharding bounds memory on one machine; Spark's
+        # shuffle partitions the id space for free.
+        from benthos_spark.operators.joins import sharded_join_merge
+        from benthos_spark.sources.files import sequence as seq_input
+        dfs = [_build_input(spark, c) for c in spec["inputs"]]
+        out = seq_input(spark, dfs)
+        sj = spec.get("sharded_join") or {}
+        jtype = sj.get("type", "none")
+        if jtype == "none":
+            return out
+        if jtype not in ("full-outter", "outter"):
+            raise ConfigError(
+                f"sequence.sharded_join.type {jtype!r}: use "
+                "none|full-outter|outter")
+        id_path = sj.get("id_path")
+        if not id_path:
+            raise ConfigError("sequence.sharded_join: id_path must be set")
+        if "content" in out.columns:
+            doc = F.col("content")
+        else:
+            # structured rows (e.g. generate mappings) serialize to the
+            # JSON doc the joiner merges; to_json drops the null-filled
+            # columns other sources contributed to the union
+            doc = F.to_json(F.struct(*[
+                F.col(c) for c in out.columns if c != "__seq_source"]))
+        out = out.select(doc.alias("content"), F.col("__seq_source"))
+        out = out.withColumn(
+            "__join_id",
+            F.get_json_object(F.col("content"), f"$.{id_path}"))
+        # unstructured docs / missing ids are dropped (sequence.go:311)
+        out = out.filter(F.col("__join_id").isNotNull()
+                         & (F.col("__join_id") != ""))
+        merged = sharded_join_merge(
+            out, "__join_id", "content", ["__seq_source"],
+            strategy=sj.get("merge_strategy", "array"),
+            id_path=id_path,
+            require_order=(len(dfs) - 1) if jtype == "outter" else None)
+        return merged.select(F.col("doc").alias("content"))
     if kind == "stdin":
         # stdin input (lib/input/stdin.go): drain stdin ONCE at build
         # time into a bounded frame (codec=lines); dev-tool path, the

@@ -570,3 +570,71 @@ input: {{socket: {{host: 127.0.0.1, port: {port}}}}}
     finally:
         q.stop()
         srv.close()
+
+
+def test_sequence_sharded_join_yaml(spark):
+    """input.sequence + sharded_join (lib/input/sequence.go:142-188):
+    id-keyed deep merge across inputs, array collision strategy,
+    non-object and id-less docs dropped."""
+    import json
+    from benthos_spark.stream import build_stream
+    out = build_stream(spark, """
+input:
+  sequence:
+    sharded_join:
+      type: full-outter
+      id_path: uuid
+      iterations: 10
+      merge_strategy: array
+    inputs:
+      - generate:
+          count: 3
+          mapping: |
+            root.uuid = "u" + this.id.string()
+            root.name = "person" + this.id.string()
+      - generate:
+          count: 6
+          mapping: |
+            root.uuid = "u" + (this.id % 3).string()
+            root.hobby = "h" + this.id.string()
+output:
+  memory: {}
+""")
+    docs = {json.loads(r.content)["uuid"]: json.loads(r.content)
+            for r in out.collect()}
+    assert set(docs) == {"u0", "u1", "u2"}
+    for uid, d in docs.items():
+        i = int(uid[1:])
+        assert d["name"] == f"person{i}"
+        # two colliding hobby docs -> array strategy folds them
+        assert sorted(d["hobby"]) == [f"h{i}", f"h{i + 3}"]
+
+
+def test_sequence_sharded_join_outter_and_strategies(spark):
+    """`outter` flushes only ids seen in the LAST input; replace/keep
+    pick the newest/oldest colliding leaf."""
+    import json
+    from benthos_spark.operators.joins import sharded_join_merge
+    docs = spark.createDataFrame(
+        [("a", '{"id":"a","v":1}', 0, 0),
+         ("b", '{"id":"b","v":2}', 0, 0),
+         ("a", '{"id":"a","v":9}', 1, 0),
+         ("a", "not json", 1, 1),
+         ("b", "[1,2]", 1, 1)],
+        "k string, content string, src int, sub int")
+    def run(strategy, require=None):
+        rows = sharded_join_merge(
+            docs, "k", "content", ["src", "sub"], strategy=strategy,
+            id_path="id", require_order=require).collect()
+        return {r.k: json.loads(r.doc) for r in rows}
+    assert run("replace")["a"]["v"] == 9
+    assert run("keep")["a"]["v"] == 1
+    assert run("array")["a"]["v"] == [1, 9]
+    assert run("array")["b"]["v"] == 2      # non-object docs dropped
+    # b's only src-1 doc is non-object → dropped before it can mark
+    # last-input presence, so outter flushes a alone (sequence.go:311)
+    assert set(run("array", require=1)) == {"a"}
+    only_src0 = sharded_join_merge(
+        docs.filter("src = 0"), "k", "content", ["src", "sub"],
+        strategy="array", id_path="id", require_order=1)
+    assert only_src0.count() == 0
