@@ -1,0 +1,65 @@
+"""Replay harness: run a transformation through the REAL incremental
+engine (file stream source → memory sink, Trigger.AvailableNow) and
+return the result as a batch DataFrame.
+
+This is the oracle bridge for streaming semantics (SURVEY §2.5): a
+bounded table replayed as a stream must produce the same rows the batch
+plan produces, so the streaming operators (watermarks, state stores,
+session merges, applyInPandasWithState) become hash-checkable against
+plain SQL.  Reference analogue: the reference's tests feed a pipeline a
+finite input and assert the flushed batches; Trigger.AvailableNow is
+the same drain-everything contract on Spark's engine.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def replay_parquet(spark: SparkSession, path: str,
+                   transform: Callable[[DataFrame], DataFrame],
+                   output_mode: str = "append",
+                   await_secs: int = 600) -> DataFrame:
+    """Read `path` (parquet) as a file-source stream with its batch
+    schema, apply `transform`, drain through Trigger.AvailableNow into
+    a memory sink, and return the sink's table.
+
+    output_mode: `complete` for windowed aggregations (emits final
+    state regardless of watermark progress — the stream-equals-batch
+    contract), `append` for row streams (dedupe), `update` for
+    stateful operators."""
+    import os
+
+    schema = spark.read.parquet(path).schema
+    src_dir = None
+    if os.path.isfile(path):
+        # the file stream source lists a DIRECTORY; symlink the single
+        # file into a temp dir rather than copying the data
+        src_dir = tempfile.mkdtemp(prefix="bs_replay_src_")
+        os.symlink(os.path.abspath(path),
+                   os.path.join(src_dir, os.path.basename(path)))
+        stream_path = src_dir
+    else:
+        stream_path = path
+    stream = spark.readStream.schema(schema).parquet(stream_path)
+    out = transform(stream)
+    name = "bs_replay_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="bs_replay_ckpt_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        if not q.awaitTermination(await_secs):
+            q.stop()
+            raise TimeoutError(
+                f"replay of {path} did not drain in {await_secs}s")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if src_dir:
+            shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.table(name)

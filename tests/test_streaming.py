@@ -104,3 +104,35 @@ def test_streaming_dedupe_within_watermark(spark):
 def test_generate_stream_is_streaming(spark):
     df = generate_stream(spark, 5)
     assert df.isStreaming
+
+
+def test_replay_parquet_equals_batch(spark):
+    """Replay harness: a bounded parquet table replayed through the
+    incremental engine equals the batch aggregation (the §2.5 oracle
+    bridge), for both a directory source and a single-file symlink."""
+    import os
+    from benthos_spark.streaming import replay_parquet, tumbling_window_agg
+
+    src = tempfile.mkdtemp(prefix="bs_replay_t_src")
+    try:
+        _events(spark).write.mode("overwrite").parquet(src)
+
+        def xf(s):
+            return tumbling_window_agg(
+                s.withColumn("ts", F.col("ts").cast("timestamp")),
+                "ts", "5 minutes", ["user"],
+                [F.sum("v").alias("total")], watermark="10 minutes")
+
+        streamed = {(r.user, str(r.window.start)): r.total
+                    for r in replay_parquet(spark, src, xf,
+                                            output_mode="complete").collect()}
+        batch = {(r.user, str(r.window.start)): r.total
+                 for r in xf(_events(spark)).collect()}
+        assert streamed == batch and len(batch) >= 3
+        # single-file path goes through the symlink-dir shim
+        part = next(os.path.join(src, f) for f in os.listdir(src)
+                    if f.endswith(".parquet"))
+        single = replay_parquet(spark, part, xf, output_mode="complete")
+        assert single.count() >= 1
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
