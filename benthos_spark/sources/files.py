@@ -47,20 +47,12 @@ def read_stream_files(spark: SparkSession, path: str, schema,
     return reader.format(fmt).load(path)
 
 
-def read_kafka(spark: SparkSession, brokers: str, topics: str,
-               starting_offsets: str = "earliest",
-               streaming: bool = True) -> DataFrame:
-    """`kafka`/`kafka_balanced` input (lib/input/kafka.go:31,
-    kafka_balanced.go:17).  Message metadata (topic/partition/offset/
-    key/timestamp — the reference's metadata fields) lands in the
-    `meta` map; payload in `content`.  Needs the spark-sql-kafka
-    package (gated — not in this container)."""
-    reader = (spark.readStream if streaming else spark.read) \
-        .format("kafka") \
-        .option("kafka.bootstrap.servers", brokers) \
-        .option("subscribe", topics) \
-        .option("startingOffsets", starting_offsets)
-    df = reader.load()
+def map_kafka_frame(df: DataFrame) -> DataFrame:
+    """Kafka record frame (value/topic/partition/offset/key/timestamp —
+    the spark-sql-kafka source schema) → engine datamodel: payload in
+    `content`, the reference's metadata fields (lib/input/kafka.go:60
+    kafka_topic/partition/offset/key/timestamp_unix) in `meta`.
+    Pure column mapping — testable without a broker."""
     return df.select(
         F.lit(0).cast("long").alias("batch_id"),
         F.lit(0).cast("int").alias("part_index"),
@@ -75,6 +67,22 @@ def read_kafka(spark: SparkSession, brokers: str, topics: str,
         ).alias("meta"),
         F.lit(None).cast("string").alias("_error"),
     )
+
+
+def read_kafka(spark: SparkSession, brokers: str, topics: str,
+               starting_offsets: str = "earliest",
+               streaming: bool = True) -> DataFrame:
+    """`kafka`/`kafka_balanced` input (lib/input/kafka.go:31,
+    kafka_balanced.go:17).  Message metadata (topic/partition/offset/
+    key/timestamp — the reference's metadata fields) lands in the
+    `meta` map; payload in `content`.  Needs the spark-sql-kafka
+    package (gated — not in this container)."""
+    reader = (spark.readStream if streaming else spark.read) \
+        .format("kafka") \
+        .option("kafka.bootstrap.servers", brokers) \
+        .option("subscribe", topics) \
+        .option("startingOffsets", starting_offsets)
+    return map_kafka_frame(reader.load())
 
 
 def sequence(spark: SparkSession, readers: list) -> DataFrame:

@@ -1,0 +1,84 @@
+"""http_server input: POST-to-stream ingestion.
+
+Reference: lib/input/http_server.go:41 — an HTTP endpoint whose POSTed
+bodies become messages (the reference's most common dev-ingestion path
+after file/stdin).  Here the server buffers bodies in bounded memory
+and the pipeline drains the buffer into a DataFrame: the batch analogue
+of the reference's always-on listener, matching this engine's
+bounded-input model (same doctrine as the stdin input, stream.py).
+The `sync_response`/websocket surfaces remain documented out of scope
+(COVERAGE.md); an always-on deployment should front a socket/file
+stream instead.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+INGEST_SCHEMA = T.StructType([
+    T.StructField("content", T.StringType(), True),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+
+class HttpIngestServer:
+    """Buffer POST bodies (bounded deque — oldest parts drop once
+    `max_buffer` is exceeded, the reference's backpressure analogue for
+    a drain-based consumer) until the pipeline drains them."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 path: str = "/post", max_buffer: int = 100_000):
+        self._host, self._port, self._path = host, port, path
+        self._rows: deque = deque(maxlen=max_buffer)
+        self._lock = threading.Lock()
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> tuple[str, int]:
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                if self.path.split("?")[0] != srv._path:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n).decode("utf-8", "replace")
+                meta = {"http_server_user_agent":
+                        self.headers.get("User-Agent") or "",
+                        "http_server_request_path": self.path,
+                        "http_content_type":
+                        self.headers.get("Content-Type") or ""}
+                with srv._lock:
+                    srv._rows.append((body, meta))
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        self._server = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self._server.server_address[:2]
+
+    def drain(self, spark: SparkSession) -> DataFrame:
+        """Move the buffered parts into a DataFrame (buffer clears)."""
+        with self._lock:
+            rows = list(self._rows)
+            self._rows.clear()
+        return spark.createDataFrame(rows, INGEST_SCHEMA)
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None

@@ -187,6 +187,43 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
                 .option("host", spec.get("host", "127.0.0.1"))
                 .option("port", int(spec["port"]))
                 .load().withColumnRenamed("value", "content"))
+    if kind == "http_server":
+        # http_server input (lib/input/http_server.go:41): POSTed
+        # bodies become message rows.  Bounded-drain model: listen for
+        # `drain_ms`, then the buffered parts ARE the input frame (the
+        # stdin doctrine); always-on deployments should use a
+        # socket/file stream.  `port_file` publishes the bound
+        # ephemeral port for clients.
+        import time as _time
+
+        from benthos_spark.sources.http_ingest import HttpIngestServer
+        addr = str(spec.get("address", "127.0.0.1:0"))
+        host, _, port = addr.rpartition(":")
+        server = HttpIngestServer(host or "127.0.0.1", int(port or 0),
+                                  path=str(spec.get("path", "/post")),
+                                  max_buffer=int(spec.get("max_buffer",
+                                                          100_000)))
+        bound_host, bound_port = server.start()
+        if pf := spec.get("port_file"):
+            with open(str(pf), "w") as fh:
+                fh.write(f"{bound_host}:{bound_port}")
+        try:
+            _time.sleep(int(spec.get("drain_ms", 1000)) / 1000.0)
+            return server.drain(spark)
+        finally:
+            server.stop()
+    if kind in ("kafka", "kafka_balanced"):
+        # kafka input (lib/input/kafka.go:31): wrapper over the
+        # spark-sql-kafka source; needs the package jar on the cluster
+        from benthos_spark.sources.files import read_kafka
+        return read_kafka(
+            spark,
+            ",".join(spec["addresses"]) if isinstance(
+                spec.get("addresses"), list) else str(spec["addresses"]),
+            ",".join(spec["topics"]) if isinstance(
+                spec.get("topics"), list) else str(spec["topics"]),
+            starting_offsets=str(spec.get("starting_offsets", "earliest")),
+            streaming=bool(spec.get("stream", True)))
     from benthos_spark.template import lookup_template
     if (tmpl := lookup_template("input", kind)) is not None:
         return _build_input(spark, tmpl.expand(spark, spec))
@@ -646,6 +683,17 @@ def _run_output(df: DataFrame, conf: dict | None):
             else (lambda d: None))
         inner = spec.get("output")
         return _run_output(clean, inner) if inner else clean
+    if kind == "kafka":
+        # kafka output (lib/output/kafka.go:21): rows → JSON messages
+        # through the spark-sql-kafka sink (package jar required)
+        from benthos_spark.sinks.writers import write_kafka
+        write_kafka(
+            df,
+            ",".join(spec["addresses"]) if isinstance(
+                spec.get("addresses"), list) else str(spec["addresses"]),
+            str(spec["topic"]), key=spec.get("key"),
+            value_cols=spec.get("value_cols"))
+        return df
     from benthos_spark.template import lookup_template
     if (tmpl := lookup_template("output", kind)) is not None:
         return _run_output(df, tmpl.expand(df.sparkSession, spec))

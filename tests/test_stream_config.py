@@ -638,3 +638,128 @@ def test_sequence_sharded_join_outter_and_strategies(spark):
         docs.filter("src = 0"), "k", "content", ["src", "sub"],
         strategy="array", id_path="id", require_order=1)
     assert only_src0.count() == 0
+
+
+def test_http_server_input_live_client(spark, tmp_path):
+    """input.http_server (lib/input/http_server.go:41): a live client
+    thread POSTs parts while the pipeline drains; bodies + request
+    metadata arrive as rows."""
+    import threading
+    import time
+    import urllib.request
+    from benthos_spark.stream import run_stream
+
+    port_file = tmp_path / "port.txt"
+
+    def client():
+        for _ in range(100):  # wait for the bound port to publish
+            if port_file.exists() and port_file.read_text():
+                break
+            time.sleep(0.02)
+        addr = port_file.read_text()
+        for i in range(3):
+            req = urllib.request.Request(
+                f"http://{addr}/post", data=f'{{"n":{i}}}'.encode(),
+                headers={"Content-Type": "application/json"})
+            assert urllib.request.urlopen(req, timeout=5).status == 200
+        # wrong path → 404, not buffered
+        req = urllib.request.Request(f"http://{addr}/other", data=b"x")
+        try:
+            urllib.request.urlopen(req, timeout=5)
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    out = run_stream(spark, f"""
+input:
+  http_server:
+    address: "127.0.0.1:0"
+    path: /post
+    port_file: "{port_file}"
+    drain_ms: 2500
+pipeline:
+  processors:
+    - bloblang: |
+        root = this
+        root.n2 = this.content.parse_json("n long").n * 2
+output:
+  memory: {{}}
+""")
+    t.join(timeout=10)
+    rows = out.collect()
+    assert sorted(r.n2 for r in rows) == [0, 2, 4]
+    assert all(r.meta["http_content_type"] == "application/json"
+               for r in rows)
+    assert all(r.meta["http_server_request_path"] == "/post" for r in rows)
+
+
+def test_kafka_metadata_mapping_no_broker(spark):
+    """map_kafka_frame: the source-schema → datamodel mapping carries
+    the reference's metadata fields (lib/input/kafka.go:60) without
+    needing a broker."""
+    from benthos_spark.sources.files import map_kafka_frame
+    raw = spark.createDataFrame(
+        [(b"k1", b'{"a":1}', "t", 0, 42, "2024-01-01 00:00:05", 0)],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp string, timestampType int") \
+        .withColumn("timestamp", F.to_timestamp("timestamp"))
+    row = map_kafka_frame(raw).collect()[0]
+    assert row.content == '{"a":1}'
+    assert row.meta["kafka_topic"] == "t"
+    assert row.meta["kafka_partition"] == "0"
+    assert row.meta["kafka_offset"] == "42"
+    assert row.meta["kafka_key"] == "k1"
+    assert row.meta["kafka_timestamp_unix"] == str(
+        int(__import__("datetime").datetime(
+            2024, 1, 1, 0, 0, 5).timestamp()))
+    assert row._error is None
+
+
+def test_kafka_yaml_wiring_no_broker(spark, monkeypatch):
+    """YAML input.kafka/output.kafka reach the wrappers with the right
+    normalized options (addresses list → CSV, topics list → CSV);
+    the broker-side format call is stubbed out."""
+    import benthos_spark.sources.files as files_mod
+    import benthos_spark.sinks.writers as writers_mod
+    from benthos_spark.stream import run_stream
+
+    seen = {}
+
+    def fake_read_kafka(spark_, brokers, topics, starting_offsets="earliest",
+                        streaming=True):
+        seen["in"] = (brokers, topics, starting_offsets, streaming)
+        return spark_.createDataFrame(
+            [(0, 0, '{"v":7}', {"kafka_topic": "t1"}, None)],
+            "batch_id long, part_index int, content string, "
+            "meta map<string,string>, _error string")
+
+    def fake_write_kafka(df, brokers, topic, key=None, value_cols=None):
+        from benthos_spark.sinks.writers import _to_kafka_frame
+        seen["out"] = (brokers, topic, key,
+                       _to_kafka_frame(df, key, value_cols).columns)
+
+    monkeypatch.setattr(files_mod, "read_kafka", fake_read_kafka)
+    monkeypatch.setattr(writers_mod, "write_kafka", fake_write_kafka)
+    out = run_stream(spark, """
+input:
+  kafka:
+    addresses: ["b1:9092", "b2:9092"]
+    topics: [orders, refunds]
+    starting_offsets: latest
+    stream: false
+pipeline:
+  processors:
+    - bloblang: 'root = this'
+output:
+  kafka:
+    addresses: ["b1:9092"]
+    topic: enriched
+    key: content
+""")
+    assert seen["in"] == ("b1:9092,b2:9092", "orders,refunds",
+                          "latest", False)
+    brokers, topic, key, cols = seen["out"]
+    assert (brokers, topic, key) == ("b1:9092", "enriched", "content")
+    assert cols == ["key", "value"]
+    assert out.count() == 1
