@@ -29,11 +29,14 @@ _CODECS = {
     "lzma": (_lzma.compress, _lzma.decompress),
 }
 
-try:  # optional, like the reference's build-tagged codecs
+try:  # C extension when present (real compression ratios) ...
     import snappy as _snappy  # noqa: F401
     _CODECS["snappy"] = (_snappy.compress, _snappy.decompress)
 except ImportError:
-    pass
+    # ... else the pure-Python raw-snappy codec (operators/snappy_py):
+    # spec-complete decoder for real payloads, all-literal encoder
+    from benthos_spark.operators import snappy_py as _snappy_py
+    _CODECS["snappy"] = (_snappy_py.compress, _snappy_py.decompress)
 
 
 def _codec(algorithm: str, direction: int):

@@ -339,3 +339,38 @@ def test_avro_union_branch_by_value_type():
     assert _decode(_Reader(_encode(None, sch)), sch) is None
     bsch = ["null", "int", "boolean"]
     assert _decode(_Reader(_encode(True, bsch)), bsch) is True  # not int 1
+
+
+def test_snappy_pure_python_codec():
+    """Raw-snappy block format: spec-example decode (copies with
+    overlap), roundtrip via the all-literal encoder, error paths."""
+    import pytest
+    from benthos_spark.operators.snappy_py import (SnappyError, compress,
+                                                   decompress)
+    # roundtrips incl. empty, >60-byte literal, 64 KiB+ chunking
+    for payload in (b"", b"x", b"hello snappy", b"a" * 100, b"ab" * 40000):
+        assert decompress(compress(payload)) == payload
+    # hand-built stream exercising a real back-reference: literal
+    # "Wikipedia" + copy-1 (tag: kind=1, len-4 in bits 2-4, offset
+    # high bits in 5-7 + one offset byte) of offset=9, len=9 → doubled
+    stream = bytes([18]) + bytes([8 << 2]) + b"Wikipedia" \
+        + bytes([((9 - 4) << 2) | 1, 9])
+    assert decompress(stream) == b"WikipediaWikipedia"
+    # overlapping copy: "ab" then copy(offset=2, len=6) -> "abababab"
+    stream2 = bytes([8]) + bytes([1 << 2]) + b"ab" \
+        + bytes([((6 - 4) << 2) | 1, 2])
+    assert decompress(stream2) == b"abababab"
+    with pytest.raises(SnappyError):
+        decompress(b"\x05\x00")  # truncated
+    with pytest.raises(SnappyError):
+        decompress(bytes([4]) + bytes([((4 - 4) << 2) | 1, 9]))  # bad offset
+
+
+def test_snappy_in_compress_processor(spark):
+    from benthos_spark.operators.codec import compress as c_col
+    from benthos_spark.operators.codec import decompress_str
+    df = spark.createDataFrame([("payload-123",)], "content string")
+    out = df.withColumn("z", c_col(F.col("content"), "snappy")) \
+            .withColumn("back", decompress_str(F.col("z"), "snappy"))
+    row = out.collect()[0]
+    assert row.back == "payload-123"
