@@ -13,7 +13,10 @@ import __spark_entry__ as entry
 
 
 def plan_of(spark, sf_dir, name) -> str:
-    df = entry.queries()[name](spark, sf_dir)
+    # base_queries: one operator per name — suite hosts in queries()
+    # union extra members (some deliberately 🐼) for the driver's
+    # correctness sweep, which would pollute per-operator plan audits
+    df = entry.base_queries()[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
