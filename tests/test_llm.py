@@ -392,3 +392,50 @@ def test_pack_sequences_ffd_string_ids(spark):
                              ctx_len=64, n_shards=2)
     assert dict(out.dtypes)["doc_id"] == "string"
     assert out.count() == 20
+
+
+def test_frequency_mass_reference_corpus(spark):
+    """frequency_mass with a precomputed vocabulary: OOV tokens score
+    as rare with zero mass (the score-new-data-without-rescanning
+    path), and the self-scored corpus matches hand arithmetic."""
+    from benthos_spark.llm.text import frequency_mass, unigram_counts
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "a zz")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in frequency_mass(docs, min_df=2).collect()}
+    # corpus counts: a=4, b=2, c=1, zz=1; total=8
+    assert out[1].n_tokens == 3
+    assert out[1].fmass == round((4 + 4 + 2) / (8 * 3), 9)
+    assert out[1].rare_ratio == 0.0
+    assert out[2].rare_ratio == round(1 / 3, 9)          # c is rare
+    # reference-vocab scoring: doc with unseen token
+    vocab = unigram_counts(docs)
+    new = spark.createDataFrame([(9, "a qqq")], "doc_id long, text string")
+    r9 = frequency_mass(new, counts=vocab, min_df=2).collect()[0]
+    assert r9.fmass == round(4 / (8 * 2), 9)             # qqq mass 0
+    assert r9.rare_ratio == 0.5
+
+
+def test_hash_split_deterministic_and_disjoint(spark):
+    from benthos_spark.llm.sampling import hash_split, split_boundaries
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(docs, [("train", 8.0), ("val", 1.0), ("test", 1.0)],
+                     id_col="doc_id", salt="s")
+    frac = {r.split: r.n for r in
+            out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(frac) == {"train", "val", "test"}
+    assert abs(frac["train"] / 2000 - 0.8) < 0.05        # hash-uniform
+    # stable across recomputation and partitioning
+    again = hash_split(docs.repartition(7), [("train", 8.0), ("val", 1.0),
+                                             ("test", 1.0)],
+                       id_col="doc_id", salt="s")
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in again.collect()}
+    assert a == b
+    # boundaries expose the exact IEEE partial sums (0.8+0.1 != 0.9),
+    # which is what lets an external SQL oracle embed identical
+    # boundary literals
+    bs = split_boundaries([("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    assert [n for n, _ in bs] == ["train", "val", "test"]
+    assert bs[0][1] == 0.8 and bs[2][1] == bs[1][1] + 0.1
+    assert bs[1][1] == 0.8 + 0.1  # == 0.9000000000000001, not 0.9
