@@ -2353,6 +2353,37 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 38. Exact-substring overlap dedup (llm/dedup.exact_substring_pairs,
+#     the Lee-et-al suffix-array family as a posting-list plan): docs
+#     pair when they share a contiguous k-token run verbatim.
+# ================================================================
+
+def _sql_gramk(k: int) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+(SELECT DISTINCT doc_id, {_sql_hex12("g")} AS gh FROM
+  (SELECT doc_id, unnest(CASE WHEN len(toks) >= {k}
+     THEN list_transform(range(1, len(toks) - {k - 2}), i -> {gram})
+     ELSE [] END) AS g
+   FROM (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents)))"""
+
+
+@_register("exact_substring_dedup", oracle=f"""
+WITH g AS (SELECT * FROM {_sql_gramk(6)}),
+cnt AS (SELECT gh FROM g GROUP BY gh
+        HAVING COUNT(*) > 1 AND COUNT(*) <= 16),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN cnt USING (gh) JOIN g b USING (gh)
+      WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, COUNT(*) AS n_shared FROM p GROUP BY 1, 2
+""")
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.dedup import exact_substring_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_pairs(docs, k=6, max_df=16)
+
+
+# ================================================================
 # Suite merges.  The driver's correctness sweep evaluates only the
 # FIRST 50 entries of queries() (observed r1+r2: the checked set is
 # exactly insertion-order positions 0-49 both rounds, unchanged as new
@@ -2384,6 +2415,7 @@ _SUITES: dict[str, list[str]] = {
     "sessionize": ["streaming_replay"],
     "text_repetition": ["lm_frequency_mass"],
     "mixture_sample": ["dataset_split"],
+    "decontaminate": ["exact_substring_dedup"],
 }
 
 # Boolean columns become nullable under the union's null-padding; a

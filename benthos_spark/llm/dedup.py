@@ -449,6 +449,48 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                          F.col("lab").alias("component"))
 
 
+def exact_substring_pairs(df: DataFrame, text: str = "text",
+                          id_col: str = "doc_id", k: int = 20,
+                          max_df: int | None = 16) -> DataFrame:
+    """Exact-substring overlap pairs (the Lee et al. 'Deduplicating
+    Training Data' suffix-array family, re-expressed for Spark): two
+    documents pair when they share at least one contiguous run of `k`
+    tokens verbatim; `n_shared` counts the distinct shared k-gram
+    starts, a length proxy for the overlap.
+
+    Plan shape (the posting-list idiom of ngram_jaccard_pairs, not a
+    suffix array — sorting 100 TB of suffixes is exactly the global
+    sort this engine refuses): per-doc DISTINCT k-gram hashes (48-bit
+    md5 — codegen'd, 8 bytes each), posting list per gram, pair
+    fan-out bounded by the `max_df` stop-gram guard (license
+    boilerplate would otherwise go quadratic), then one count per
+    pair.  Two shuffles total.  With k ≈ 20-50 a shared gram IS a
+    long verbatim overlap; hash collisions are the same accepted
+    48-bit risk the decontamination op documents."""
+    from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
+    toks = materialize_cols(df.select(F.col(id_col), F.col(text)),
+                            __toks=tokens(F.col(text)))
+    grams = (toks.select(F.col(id_col),
+                         F.explode(word_ngrams(F.col("__toks"), k))
+                         .alias("g"))
+             .select(F.col(id_col), hash48(F.col("g")).alias("gh"))
+             .distinct())
+    posting = (grams.groupBy("gh")
+               .agg(F.array_sort(F.collect_list(F.col(id_col)))
+                    .alias("ds"))
+               .filter(F.size("ds") > 1))
+    if max_df is not None:
+        posting = posting.filter(F.size("ds") <= max_df)
+    x = posting.select("ds", F.posexplode("ds").alias("i", "a"))
+    pairs = x.select(
+        F.col("a"),
+        F.explode(F.slice(F.col("ds"), F.col("i") + 2,
+                          F.size("ds"))).alias("b"))
+    return (pairs.groupBy(F.col("a").alias("id_a"),
+                          F.col("b").alias("id_b"))
+            .agg(F.count("*").alias("n_shared")))
+
+
 def ngram_contamination(train: DataFrame, eval_df: DataFrame,
                         text: str = "text", id_col: str = "doc_id",
                         n: int = 5) -> DataFrame:

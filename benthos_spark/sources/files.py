@@ -131,3 +131,46 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
     else:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
+
+
+def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read webdataset-style tar shards back into (key, ext, content)
+    rows — the loader side of sinks.writers.write_webdataset_shards
+    and of any standard webdataset corpus (one tar member per sample
+    column, `<key>.<ext>` naming).
+
+    Scale shape: `binaryFile` lists and splits the shard FILES across
+    executors (one task per tar — exactly how webdataset loaders
+    parallelize), then stdlib tarfile walks each archive inside
+    mapInPandas; member bytes never touch the driver.  Filter on
+    `shard` or `key` before heavy decode steps — the binaryFile
+    source prunes on file path."""
+    import os
+
+    import pandas as pd
+
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.tar").load(path)
+           .select(F.col("path"), F.col("content").alias("__tar")))
+
+    def walk(batches):
+        import io
+        import tarfile
+        for pdf in batches:
+            shards, keys, exts, payloads = [], [], [], []
+            for p, blob in zip(pdf["path"], pdf["__tar"]):
+                shard = os.path.basename(p)
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for m in tar:
+                        if not m.isfile():
+                            continue
+                        base, _, ext = m.name.rpartition(".")
+                        shards.append(shard)
+                        keys.append(base)
+                        exts.append(ext)
+                        payloads.append(tar.extractfile(m).read())
+            yield pd.DataFrame({"shard": shards, "key": keys,
+                                "ext": exts, "content": payloads})
+
+    return raw.mapInPandas(
+        walk, schema="shard string, key string, ext string, content binary")

@@ -439,3 +439,25 @@ def test_hash_split_deterministic_and_disjoint(spark):
     assert [n for n, _ in bs] == ["train", "val", "test"]
     assert bs[0][1] == 0.8 and bs[2][1] == bs[1][1] + 0.1
     assert bs[1][1] == 0.8 + 0.1  # == 0.9000000000000001, not 0.9
+
+
+def test_exact_substring_pairs(spark):
+    """Docs sharing a contiguous k-token run pair up; shorter overlaps
+    and boilerplate grams past max_df don't."""
+    from benthos_spark.llm.dedup import exact_substring_pairs
+    run = "one two three four five six seven eight"
+    rows = [(1, f"intro {run} outro alpha"),
+            (2, f"different prefix {run} and suffix"),
+            (3, "one two three nothing else in common here at all"),
+            (4, "totally unrelated content words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.n_shared
+           for r in exact_substring_pairs(df, k=6, max_df=16).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 3  # 8-token run shares three 6-gram starts
+    # boilerplate guard: the same run in >max_df docs generates no pairs
+    many = [(100 + i, f"doc {i} has {run} boilerplate") for i in range(20)]
+    df2 = spark.createDataFrame(rows + many, "doc_id long, text string")
+    got2 = {(r.id_a, r.id_b)
+            for r in exact_substring_pairs(df2, k=6, max_df=8).collect()}
+    assert not any(a >= 100 or b >= 100 for a, b in got2)

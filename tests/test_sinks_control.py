@@ -270,3 +270,28 @@ def test_write_webdataset_shards(spark, tmp_path):
     after = {s: hashlib.md5(open(os.path.join(out, s), "rb").read())
              .hexdigest() for s in shards}
     assert before == after
+
+
+def test_webdataset_roundtrip_reader(spark, tmp_path):
+    """write_webdataset_shards → read_webdataset_shards: every sample
+    member comes back byte-identical, with its shard and extension."""
+    from benthos_spark.sinks.writers import write_webdataset_shards
+    from benthos_spark.sources.files import read_webdataset_shards
+    df = spark.createDataFrame(
+        [(i, f"text body {i}", bytes([i, i + 1, i + 2])) for i in range(20)],
+        "doc_id long, text string, blob binary")
+    out_dir = str(tmp_path / "wds")
+    write_webdataset_shards(df, out_dir, n_shards=3,
+                            ext_cols={"txt": "text", "bin": "blob"})
+    back = read_webdataset_shards(spark, out_dir)
+    rows = back.collect()
+    assert len(rows) == 40  # 20 samples × 2 members
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, {})[r.ext] = (r.shard, bytes(r.content))
+    for i in range(20):
+        mem = by_key[str(i)]
+        assert mem["txt"][1] == f"text body {i}".encode()
+        assert mem["bin"][1] == bytes([i, i + 1, i + 2])
+        assert mem["txt"][0] == mem["bin"][0]  # same shard per sample
+        assert mem["txt"][0].startswith("shard-")
