@@ -83,12 +83,42 @@ def quality_score(text: Column) -> Column:
     return F.round((0.4 * len_ok + 0.4 * sw_ok + 0.2 * punct_ok), 6)
 
 
-# tiny per-language marker lexicons for the n-gram/stopword heuristic
+# Per-language marker lexicons (high-frequency function words, the
+# public stopword sets every toolkit ships).  A deterministic
+# hit-count heuristic — coarse by design (COVERAGE.md documents the
+# limits; swap in fastText/CLD3 behind the same column contract for
+# production routing).  Words shared across languages (de/la/en/que…)
+# are fine: ID goes to the highest TOTAL hit count, ties break by
+# language-code order.
 _LANG_MARKERS = {
-    "en": ["the", "and", "of", "to", "is"],
-    "es": ["el", "la", "de", "que", "y"],
-    "fr": ["le", "la", "de", "et", "les"],
-    "de": ["der", "die", "und", "das", "ist"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein",
+           "eine", "auf", "für", "den", "von", "sich", "des", "dem",
+           "auch", "werden", "aber", "aus", "durch", "wenn", "nur",
+           "war", "noch"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "was", "for",
+           "with", "are", "this", "have", "from", "not", "they",
+           "which", "were", "been", "their", "would", "there", "what",
+           "about", "when"],
+    "es": ["el", "la", "de", "que", "y", "los", "las", "del", "por",
+           "con", "una", "para", "como", "más", "pero", "sus", "fue",
+           "ser", "entre", "cuando", "muy", "sin", "sobre", "también",
+           "hasta"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "dans", "qui",
+           "que", "pour", "pas", "sur", "une", "par", "plus", "avec",
+           "son", "ont", "mais", "nous", "comme", "aux", "été",
+           "cette"],
+    "it": ["il", "di", "che", "la", "per", "non", "con", "del", "una",
+           "sono", "della", "nel", "alla", "più", "anche", "come",
+           "dal", "gli", "questo", "hanno", "essere", "dei", "alle",
+           "stato", "quando"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "zijn",
+           "voor", "met", "als", "maar", "aan", "ook", "naar", "door",
+           "over", "bij", "nog", "uit", "wordt", "worden", "heeft",
+           "deze", "geen"],
+    "pt": ["de", "que", "não", "uma", "para", "com", "dos", "como",
+           "mas", "foi", "das", "ele", "tem", "seu", "sua", "mais",
+           "pelo", "pela", "são", "quando", "muito", "nos", "já",
+           "também", "isso"],
 }
 
 

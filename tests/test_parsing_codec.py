@@ -374,3 +374,29 @@ def test_snappy_in_compress_processor(spark):
             .withColumn("back", decompress_str(F.col("z"), "snappy"))
     row = out.collect()[0]
     assert row.back == "payload-123"
+
+
+def test_snappy_property_roundtrip():
+    """Hypothesis: compress∘decompress is identity for arbitrary byte
+    strings (pure-Python raw-snappy), and the decoder rejects random
+    prefixes gracefully (SnappyError, never a crash)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from benthos_spark.operators.snappy_py import (SnappyError, compress,
+                                                   decompress)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=4096))
+    def roundtrip(payload):
+        assert decompress(compress(payload)) == payload
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=1, max_size=64))
+    def never_crashes(junk):
+        try:
+            decompress(junk)
+        except SnappyError:
+            pass  # rejecting malformed input is the contract
+
+    roundtrip()
+    never_crashes()
