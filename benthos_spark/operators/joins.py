@@ -199,3 +199,41 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     for name in payload:
         u = u.withColumn(name, F.last(name, ignorenulls=True).over(w))
     return u.filter(F.col("__tag") == 1).drop("__tag")
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str,
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-beating equi-join: every left row draws a salt in
+    [0, salt) (any spread works — the join result is salt-invariant,
+    so the salt needs no cross-run stability, only per-row variety);
+    the right side replicates `salt`× with every salt value; the join
+    key becomes (key, salt), so one hot key spreads over `salt`
+    reducers instead of melting a single partition.
+
+    Use when AQE's skew-split isn't enough (a single key holding >
+    executor-memory of rows, e.g. the empty-string or null-sentinel
+    key in web data).  Cost: the right side shuffles salt× its size —
+    appropriate when right ≪ left but too big to broadcast.  Supports
+    inner/left/left_semi/left_anti: under right/full-outer the
+    replicated right side would emit unmatched rows salt× (raise
+    instead).  For aggregations, prefer two-phase partial aggs (Spark
+    does this already); salting is specifically for skewed JOINS."""
+    from pyspark.sql.functions import spark_partition_id
+
+    if how.replace("outer", "").strip("_") not in (
+            "inner", "left", "leftsemi", "left_semi", "leftanti",
+            "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — unmatched right "
+            "rows would replicate salt times; use a plain join or "
+            "swap sides")
+    l2 = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(on), spark_partition_id(),
+                          F.monotonically_increasing_id()),
+               F.lit(salt)).cast("int"))
+    r2 = (right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .withColumn("__salt", F.col("__salt").cast("int")))
+    out = l2.join(r2, [on, "__salt"], how)
+    return out.drop("__salt")

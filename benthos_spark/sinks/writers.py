@@ -165,3 +165,26 @@ def write_webdataset_shards(df: DataFrame, path: str, n_shards: int,
                 .groupBy("__shard")
                 .applyInPandas(write_shard, "shard long, n_samples long"))
     manifest.write.format("noop").mode("overwrite").save()
+
+
+def write_bucketed(df: DataFrame, table: str, key: str | list[str],
+                   n_buckets: int = 32, fmt: str = "parquet",
+                   sort_by: str | list[str] | None = None) -> None:
+    """Persist a table hash-bucketed by the join key — the co-located
+    join primitive at 100 TB: two tables bucketed on the same key with
+    the same bucket count join WITHOUT a shuffle on either side (the
+    exchange that dominates repeated fact-to-fact joins disappears;
+    only a per-bucket sort remains, and not even that with sort_by).
+
+    This is how a reference user's nightly "join yesterday's 100 TB to
+    today's" stops reshuffling both sides every run: pay one bucketed
+    write, then every subsequent co-bucketed join is exchange-free.
+    Spark persists bucket metadata in the catalog, so this writes a
+    TABLE (spark-warehouse), not a bare path."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode("overwrite").format(fmt) \
+        .bucketBy(n_buckets, *keys)
+    if sort_by is not None:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sorts)
+    w.saveAsTable(table)

@@ -124,3 +124,52 @@ def test_first_wins_dedupe_state(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the same key + bucket count join with NO
+    Exchange on either side — the co-located-join primitive that makes
+    repeated 100 TB fact-to-fact joins pay shuffle once at write time."""
+    from benthos_spark.sinks.writers import write_bucketed
+    a = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_a", "k", n_buckets=8, sort_by="k")
+    write_bucketed(b, "bkt_b", "k", n_buckets=8, sort_by="k")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert j.count() == 5000
+        got = j.filter("k = 7").collect()[0]
+        assert (got.va, got.vb) == (14, 21)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting spreads one hot key over `salt` reducers without
+    changing the join result (inner and left)."""
+    from benthos_spark.operators.joins import salted_join
+    import random
+    left_rows = [("hot", i) for i in range(5000)] + \
+        [(f"k{i % 50}", i) for i in range(2000)] + [("orphan", -1)]
+    left = spark.createDataFrame(left_rows, "k string, v long")
+    right = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"R{i}") for i in range(50)],
+        "k string, payload string")
+
+    plain = left.join(right, "k", "inner")
+    salted = salted_join(left, right, "k", salt=8, how="inner")
+    assert salted.count() == plain.count() == 7000
+    ps = sorted((r.k, r.v, r.payload) for r in plain.collect())
+    ss = sorted((r.k, r.v, r.payload) for r in salted.collect())
+    assert ps == ss
+    # left join keeps unmatched rows exactly once
+    lj = salted_join(left, right, "k", salt=4, how="left")
+    assert lj.count() == left.count()
+    assert lj.filter("k = 'orphan'").collect()[0].payload is None
