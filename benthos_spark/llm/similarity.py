@@ -178,6 +178,37 @@ def _sim_structs_sql(centroids: list[list[float]]) -> str:
     return "array(" + ", ".join(parts) + ")"
 
 
+def _assign_corpus_flat(corpus: DataFrame, centroids: list[list[float]],
+                        vec: str) -> DataFrame:
+    """Corpus rows → nearest-centroid `__list` via flat codegen'd
+    arithmetic (see ivf_topk for why each piece looks the way it
+    does)."""
+    sims = _sim_structs_sql(centroids)
+    vcast = F.expr(f"transform(`{vec}`, x -> cast(x as double))")
+    return (corpus
+            .withColumn("__v", vcast)
+            .withColumn("__list", F.coalesce(
+                F.expr(f"array_max({sims}).idx"), F.lit(-1)))
+            .drop("__v"))
+
+
+def _query_probes_flat(queries: DataFrame, centroids: list[list[float]],
+                       n_probe: int, qvec: str, qid: str,
+                       checkpoint: bool = True) -> DataFrame:
+    """Queries → (qid, __qv, __list) with one row per probed list."""
+    sims = _sim_structs_sql(centroids)
+    qcast = F.expr(f"transform(`{qvec}`, x -> cast(x as double))")
+    q = (queries
+         .withColumn("__v", qcast)
+         .withColumn("__p", F.explode(F.expr(
+             f"slice(reverse(array_sort({sims})), 1, {n_probe})")))
+         .select(qid, F.col(qvec).alias("__qv"),
+                 F.col("__p.idx").alias("__list")))
+    if checkpoint:
+        q = q.localCheckpoint(eager=False)
+    return q
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
              centroids: list[list[float]], k: int = 10, n_probe: int = 2,
              vec: str = "embedding", id_col: str = "vec_id",
@@ -194,38 +225,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     products expand to flat codegen'd arithmetic — zero Python, zero
     lambdas; beyond that the expression tree stops paying and the
     Arrow-batched numpy matmul path (`_probe_udf`) takes over."""
+    # Flat-path plan-size discipline (in _assign_corpus_flat /
+    # _query_probes_flat): the lambda-HOF cast is deliberate —
+    # CollapseProject will inline a plain `cast(col as array<double>)`
+    # into every one of the k·dim downstream terms (k·dim copies of
+    # the cast → MiB-scale task binaries), and a lambdafunction is not
+    # considered collapse-cheap, so `__v` stays one projection.  The
+    # coalesce(-1) never fires (the struct array is a non-empty
+    # literal) but makes `__list` non-nullable, so the join stops
+    # inferring an isnotnull(__list) filter that predicate pushdown
+    # would fill with a SECOND copy of the whole expression.  The
+    # localCheckpoint severs the probe expression from the join stage:
+    # queries are few by contract, so materializing them is O(queries)
+    # while halving what the join stage must analyze, codegen, and
+    # ship.
     flat = len(centroids) * len(centroids[0]) <= 4096
     if flat:
-        sims = _sim_structs_sql(centroids)
-        # The lambda-HOF cast is deliberate: CollapseProject will inline
-        # a plain `cast(col as array<double>)` into every one of the
-        # k·dim downstream terms (k·dim copies of the cast in the plan
-        # → MiB-scale task binaries); a lambdafunction is not considered
-        # collapse-cheap, so `__v` stays a single upstream projection.
-        vcast = F.expr(f"transform(`{vec}`, x -> cast(x as double))")
-        qcast = F.expr(f"transform(`{qvec}`, x -> cast(x as double))")
-        # coalesce(-1) never fires (the struct array is a non-empty
-        # literal) but makes `__list` non-nullable, so the join stops
-        # inferring an isnotnull(__list) filter — predicate pushdown
-        # would inline a SECOND copy of the k·dim expression into it,
-        # doubling the task binary.
-        c = (corpus
-             .withColumn("__v", vcast)
-             .withColumn("__list", F.coalesce(
-                 F.expr(f"array_max({sims}).idx"), F.lit(-1)))
-             .drop("__v"))
-        q = (queries
-             .withColumn("__v", qcast)
-             .withColumn("__p", F.explode(F.expr(
-                 f"slice(reverse(array_sort({sims})), 1, {n_probe})")))
-             .select(qid, F.col(qvec).alias("__qv"),
-                     F.col("__p.idx").alias("__list")))
-        if checkpoint_queries:
-            # Sever the probe expression from the join plan: queries are
-            # few by contract, so materializing them is O(queries) while
-            # halving the k·dim terms the join stage must analyze,
-            # codegen, and ship in its task binary.
-            q = q.localCheckpoint(eager=False)
+        c = _assign_corpus_flat(corpus, centroids, vec)
+        q = _query_probes_flat(queries, centroids, n_probe, qvec, qid,
+                               checkpoint=checkpoint_queries)
     else:
         assign1 = _probe_udf(centroids, 1)
         c = corpus.withColumn("__list", assign1(F.col(vec))[0])
@@ -236,6 +254,47 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     scored = (c.join(q, "__list")
                .withColumn("cos",
                            F.round(cosine(F.col(vec), F.col("__qv")), 6)))
+    w = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(qid, id_col, "cos", "rank"))
+
+
+# ------------------------------------------------------- IVF on-disk index
+
+def write_ivf_index(corpus: DataFrame, path: str,
+                    centroids: list[list[float]],
+                    vec: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Materialize the IVF inverted lists as a parquet table
+    PARTITIONED by `__list` — the 100 TB serving layout: a probe
+    touches only its lists' directories, the other ~(1 - n_probe/k)
+    of the corpus is never read (partition pruning at the scan, not a
+    filter after it).  Pay the assignment scan once at build time;
+    every subsequent query set reads only what it probes."""
+    c = _assign_corpus_flat(corpus, centroids, vec)
+    c.write.mode("overwrite").partitionBy("__list").parquet(path)
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame,
+                     centroids: list[list[float]], k: int = 10,
+                     n_probe: int = 2, vec: str = "embedding",
+                     id_col: str = "vec_id", qvec: str = "embedding",
+                     qid: str = "query_id") -> DataFrame:
+    """ANN top-k against a write_ivf_index layout.  The probed list
+    ids collect to the driver (|queries| × n_probe ints — bounded by
+    contract, same discipline as the IVF trainer sample) and become a
+    STATIC `IN` filter on the partition column, so the parquet scan
+    lists only the probed directories; `.explain` shows the pruned
+    PartitionFilters.  Everything downstream is the ivf_topk join."""
+    corpus = spark.read.parquet(path)
+    q = _query_probes_flat(queries, centroids, n_probe, qvec, qid)
+    lists = sorted({r["__list"] for r in q.select("__list")
+                    .distinct().collect()})
+    pruned = corpus.filter(F.col("__list").isin(lists))
+    scored = (pruned.join(q, "__list")
+              .withColumn("cos",
+                          F.round(cosine(F.col(vec), F.col("__qv")), 6)))
     w = Window.partitionBy(qid).orderBy(F.col("cos").desc(), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)

@@ -174,3 +174,41 @@ def process_field(df: DataFrame, field: str, stages: list,
     if has_content:
         out = out.withColumnRenamed(tmp, "content")
     return out
+
+
+_DUR_UNITS = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+              "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def parse_go_duration(s: str) -> float:
+    """Go time.ParseDuration grammar → seconds (driver-side twin of
+    the Bloblang parse_duration method)."""
+    import re
+    s = str(s).strip()
+    neg = s.startswith("-")
+    body = s.lstrip("+-")
+    parts = re.findall(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)", body)
+    if not parts or "".join(v + u for v, u in parts) != body:
+        raise ValueError(f"invalid duration {s!r}")
+    total = sum(float(v) * _DUR_UNITS[u] for v, u in parts)
+    return -total if neg else total
+
+
+def sleep_stage(df: "DataFrame", duration: str) -> "DataFrame":
+    """`sleep` processor (lib/processor/sleep.go:21): the reference
+    sleeps `duration` per message to inject latency in tests and to
+    crudely throttle.  Columnar analogue with the same throughput
+    semantics: each Arrow batch sleeps duration × len(batch) before
+    passing through — executor-side, partition-parallel, rows and
+    schema untouched.  Test/backpressure tool only; for real rate
+    control use the source-side rate_limit options."""
+    secs = parse_go_duration(duration)
+
+    def op(batches):
+        import time
+        for pdf in batches:
+            if secs > 0 and len(pdf):
+                time.sleep(secs * len(pdf))
+            yield pdf
+
+    return df.mapInPandas(op, schema=df.schema)

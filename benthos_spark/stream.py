@@ -552,6 +552,12 @@ def _apply_processor(df: DataFrame, conf: Any,
         return apply_resource(df, str(spec))
     if kind == "noop":
         return df
+    if kind == "sleep":
+        # sleep (lib/processor/sleep.go:21): latency injection for
+        # tests/backpressure — per-batch executor-side sleep with the
+        # reference's per-message throughput semantics
+        from benthos_spark.operators.control import sleep_stage
+        return sleep_stage(df, str(spec.get("duration", "0s")))
     if kind == "window":
         # batch policy (lib/message/batch/policy.go) as an event-time
         # window; aggs: {name: "count"} | {name: "sum:col"} | min/max/avg

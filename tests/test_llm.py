@@ -461,3 +461,31 @@ def test_exact_substring_pairs(spark):
     got2 = {(r.id_a, r.id_b)
             for r in exact_substring_pairs(df2, k=6, max_df=8).collect()}
     assert not any(a >= 100 or b >= 100 for a, b in got2)
+
+
+def test_ivf_indexed_prunes_partitions(spark, sf_dir, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: identical results to the
+    in-memory ivf_topk, and the scan reads ONLY the probed list
+    partitions (pruning visible in the plan and in the file listing)."""
+    from benthos_spark.llm.similarity import (ivf_topk, ivf_topk_indexed,
+                                              train_ivf_centroids,
+                                              write_ivf_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, sample=512, iters=5)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, cents)
+    import os
+    parts = [d for d in os.listdir(idx) if d.startswith("__list=")]
+    assert len(parts) >= 4  # corpus spread over inverted lists
+
+    queries = emb.filter(F.col("vec_id") < 3) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    direct = {(r.query_id, r.vec_id, r.cos, r.rank)
+              for r in ivf_topk(emb, queries, cents, k=5,
+                                n_probe=2).collect()}
+    via_idx = ivf_topk_indexed(spark, idx, queries, cents, k=5, n_probe=2)
+    got = {(r.query_id, r.vec_id, r.cos, r.rank) for r in via_idx.collect()}
+    assert got == direct
+    plan = via_idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__list IN" in plan or "__list#" in plan

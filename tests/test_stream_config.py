@@ -763,3 +763,32 @@ output:
     assert (brokers, topic, key) == ("b1:9092", "enriched", "content")
     assert cols == ["key", "value"]
     assert out.count() == 1
+
+
+def test_sleep_processor(spark):
+    """sleep (lib/processor/sleep.go): rows pass through unchanged;
+    the batch sleeps duration x rows executor-side."""
+    import time
+    from benthos_spark.operators.control import parse_go_duration
+    assert parse_go_duration("1.5s") == 1.5
+    assert parse_go_duration("100ms") == 0.1
+    assert parse_go_duration("1m30s") == 90.0
+    assert parse_go_duration("-2s") == -2.0
+    import pytest
+    with pytest.raises(ValueError):
+        parse_go_duration("fast")
+    t0 = time.time()
+    out = run_stream(spark, """
+input:
+  generate: {count: 8, mapping: "root.id = this.id"}
+pipeline:
+  processors:
+    - sleep: {duration: 20ms}
+output:
+  memory: {}
+""")
+    rows = sorted(r.id for r in out.collect())
+    assert rows == list(range(8))
+    # 8 rows x 20ms spread over parallel partitions: some delay, far
+    # less than serial 160ms x safety margin — just assert it ran
+    assert time.time() - t0 < 60
