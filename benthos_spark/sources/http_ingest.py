@@ -82,3 +82,49 @@ class HttpIngestServer:
             self._server.shutdown()
             self._server.server_close()
             self._server = None
+
+
+def http_client_input(spark: SparkSession, url: str, count: int = 1,
+                      method: str = "GET",
+                      headers: dict[str, str] | None = None,
+                      timeout_s: float = 10.0,
+                      codec: str = "all-bytes") -> DataFrame:
+    """http_client input (lib/input/http_client.go:48): poll a URL and
+    turn responses into message rows.  Bounded-drain model: `count`
+    driver-side requests at build time (dev ingestion — same doctrine
+    as stdin/http_server); codec `lines` splits each response body
+    like the reference's line codec.  The scale path for static-ish
+    endpoints remains fetch_dimension → broadcast join."""
+    import urllib.request
+    rows = []
+    for i in range(int(count)):
+        req = urllib.request.Request(url, headers=dict(headers or {}),
+                                     method=method)
+        with urllib.request.urlopen(req, timeout=timeout_s) as r:
+            body = r.read().decode("utf-8", "replace")
+            meta = {"http_status": str(r.status), "http_poll": str(i)}
+        if codec == "lines":
+            rows += [(ln, meta) for ln in body.splitlines()]
+        else:
+            rows.append((body, meta))
+    return spark.createDataFrame(rows, INGEST_SCHEMA)
+
+
+def subprocess_input(spark: SparkSession, name: str,
+                     args: list[str] | None = None,
+                     codec: str = "lines") -> DataFrame:
+    """subprocess input (lib/input/subprocess.go:24): run a command and
+    consume its stdout as messages (codec lines).  Bounded: the
+    process runs to completion at build time, driver-side — the
+    reference's use case is exactly this kind of generator/dump
+    command.  For per-record transformation by an external binary use
+    the subprocess PROCESSOR (partition-parallel) instead."""
+    import subprocess as sp
+    proc = sp.run([str(name), *(str(a) for a in args or [])],
+                  capture_output=True, text=True, check=True)
+    meta = {"subprocess_name": str(name)}
+    if codec == "lines":
+        rows = [(ln, meta) for ln in proc.stdout.splitlines()]
+    else:
+        rows = [(proc.stdout, meta)]
+    return spark.createDataFrame(rows, INGEST_SCHEMA)

@@ -212,6 +212,23 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
             return server.drain(spark)
         finally:
             server.stop()
+    if kind == "http_client":
+        # http_client input (lib/input/http_client.go:48): bounded
+        # driver-side polls; codec lines splits response bodies
+        from benthos_spark.sources.http_ingest import http_client_input
+        return http_client_input(
+            spark, str(spec["url"]), count=int(spec.get("count", 1)),
+            method=str(spec.get("verb", "GET")),
+            headers=spec.get("headers"),
+            timeout_s=float(spec.get("timeout", 10)),
+            codec=str(spec.get("codec", "all-bytes")))
+    if kind == "subprocess":
+        # subprocess input (lib/input/subprocess.go:24): run to
+        # completion, stdout lines become parts
+        from benthos_spark.sources.http_ingest import subprocess_input
+        return subprocess_input(spark, str(spec["name"]),
+                                args=spec.get("args"),
+                                codec=str(spec.get("codec", "lines")))
     if kind in ("kafka", "kafka_balanced"):
         # kafka input (lib/input/kafka.go:31): wrapper over the
         # spark-sql-kafka source; needs the package jar on the cluster
@@ -689,6 +706,26 @@ def _run_output(df: DataFrame, conf: dict | None):
             else (lambda d: None))
         inner = spec.get("output")
         return _run_output(clean, inner) if inner else clean
+    if kind == "http_client":
+        # http_client output (lib/output/http_client.go): POST each
+        # row's payload to the URL, executor-side through the pooled
+        # retrying client; rows keep flowing with per-row `_error`, so
+        # the DLQ wrappers compose around failures exactly like any
+        # processor error
+        from benthos_spark.operators.http_enrich import http_enrich
+        body = (F.col("content") if "content" in df.columns
+                else F.to_json(F.struct(*[
+                    F.col(c) for c in df.columns if c != "_error"])))
+        sent = http_enrich(
+            df, F.lit(str(spec["url"])), alias="__http_resp",
+            method=str(spec.get("verb", "POST")), body_col=body,
+            headers=spec.get("headers"),
+            timeout_s=float(spec.get("timeout", 10)),
+            retries=int(spec.get("retries", 2)))
+        # eager checkpoint = deliver exactly once; downstream reads
+        # (collects, DLQ routing) reuse the materialized rows instead
+        # of re-POSTing
+        return sent.drop("__http_resp").localCheckpoint(eager=True)
     if kind == "kafka":
         # kafka output (lib/output/kafka.go:21): rows → JSON messages
         # through the spark-sql-kafka sink (package jar required)

@@ -792,3 +792,91 @@ output:
     # 8 rows x 20ms spread over parallel partitions: some delay, far
     # less than serial 160ms x safety margin — just assert it ran
     assert time.time() - t0 < 60
+
+
+def test_http_client_input_and_output(spark):
+    """input.http_client polls a live local server (codec lines);
+    output.http_client POSTs every row back — delivery counted
+    server-side, exactly once despite downstream collects."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    served = b"alpha\nbeta\ngamma"
+    posts = []
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(served)))
+            self.end_headers()
+            self.wfile.write(served)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            posts.append(self.rfile.read(n).decode())
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address[:2]
+    try:
+        out = run_stream(spark, f"""
+input:
+  http_client:
+    url: "http://{host}:{port}/data"
+    codec: lines
+    count: 2
+pipeline:
+  processors:
+    - bloblang: |
+        root = this
+        root.up = this.content.uppercase()
+output:
+  http_client:
+    url: "http://{host}:{port}/sink"
+    verb: POST
+""")
+        rows = out.collect()
+        rows2 = out.collect()  # re-collect must NOT re-POST
+        assert len(rows) == len(rows2) == 6  # 3 lines x 2 polls
+        assert sorted({r.up for r in rows}) == ["ALPHA", "BETA", "GAMMA"]
+        assert all(r._error is None for r in rows)
+        # a content column present → the raw payload is what ships
+        assert sorted(posts) == sorted(["alpha", "beta", "gamma"] * 2)
+        assert json  # (kept for the structured-payload variant below)
+        # structured rows (no content column) serialize to JSON bodies
+        posts.clear()
+        run_stream(spark, f"""
+input:
+  generate: {{count: 2, mapping: "root.n = this.id"}}
+output:
+  http_client: {{url: "http://{host}:{port}/sink"}}
+""")
+        assert sorted(json.loads(p)["n"] for p in posts) == [0, 1]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_subprocess_input(spark):
+    out = run_stream(spark, """
+input:
+  subprocess:
+    name: printf
+    args: ["l1\\nl2\\nl3"]
+pipeline:
+  processors:
+    - filter: this.content != "l2"
+output:
+  memory: {}
+""")
+    assert sorted(r.content for r in out.collect()) == ["l1", "l3"]
+    assert all(r.meta["subprocess_name"] == "printf"
+               for r in out.collect())
