@@ -106,3 +106,81 @@ def fetch_dimension(spark, url: str, schema: str,
     with urllib.request.urlopen(url, timeout=timeout_s) as r:
         rows = json.loads(r.read().decode())
     return spark.createDataFrame(rows, schema=schema)
+
+
+def lambda_map(df: DataFrame, function_name: str,
+               payload_col: Column | None = None,
+               alias: str = "lambda_response",
+               client_factory=None,
+               parallel: int = 1) -> DataFrame:
+    """aws_lambda processor (lib/processor/aws_lambda.go): invoke a
+    Lambda per record, response body replaces/joins the part.  Same
+    mapInPandas shape as http_enrich: one client per partition,
+    Arrow-batched rows, per-row `_error` on invocation failure (the
+    reference's error-flag semantics).
+
+    `client_factory` returns an object with
+    `invoke(FunctionName=..., Payload=bytes) -> {"Payload": reader,
+    "StatusCode": int}` (the boto3 lambda client contract).  The
+    default factory imports boto3 — gated with an actionable error in
+    environments without it (this container); tests inject a fake.
+    At 100 TB the same caveat as the reference docs: a per-record
+    remote call is the bottleneck by construction — prefer batching
+    inside the payload or precomputing a dimension."""
+    in_cols = df.columns
+    body = payload_col if payload_col is not None else (
+        F.col("content") if "content" in in_cols
+        else F.to_json(F.struct(*[F.col(c) for c in in_cols
+                                  if c != "_error"])))
+    df2 = df.withColumn("__payload", body)
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += f", `{alias}` string"
+    if "_error" not in in_cols:
+        schema += ", `_error` string"
+
+    def default_factory():
+        try:
+            import boto3
+        except ImportError as exc:
+            raise RuntimeError(
+                "aws_lambda: boto3 is not installed in this environment; "
+                "pass client_factory=... (any object with the boto3 "
+                "lambda `invoke` contract) or install boto3 with AWS "
+                "credentials") from exc
+        return boto3.client("lambda")
+
+    factory = client_factory or default_factory
+
+    def run(batches):
+        import pandas as pd
+        client = factory()
+        for pdf in batches:
+            outs, errs = [], []
+            for payload in pdf["__payload"]:
+                try:
+                    resp = client.invoke(
+                        FunctionName=function_name,
+                        Payload=(payload or "").encode())
+                    raw = resp["Payload"].read()
+                    body = raw.decode() if isinstance(
+                        raw, (bytes, bytearray)) else str(raw)
+                    code = int(resp.get("StatusCode", 200))
+                    if code >= 300 or resp.get("FunctionError"):
+                        outs.append(None)
+                        errs.append(f"lambda error {code}: {body[:200]}")
+                    else:
+                        outs.append(body)
+                        errs.append(None)
+                except Exception as e:  # client/network failure
+                    outs.append(None)
+                    errs.append(f"lambda invoke failed: {str(e)[:200]}")
+            res = pdf.drop(columns=["__payload"])
+            res[alias] = outs
+            if "_error" in res.columns:
+                res["_error"] = res["_error"].combine_first(pd.Series(errs))
+            else:
+                res["_error"] = errs
+            yield res
+
+    return df2.mapInPandas(run, schema=schema)

@@ -408,6 +408,20 @@ def _apply_processor(df: DataFrame, conf: Any,
                      for k, v in (spec.get("headers") or {}).items()},
             timeout_s=float(spec.get("timeout", 10.0)),
             retries=int(spec.get("retries", 2)))
+    if kind == "aws_lambda":
+        # aws_lambda (lib/processor/aws_lambda.go): per-record invoke;
+        # needs boto3 + creds unless a registered resource supplies
+        # the client factory (tests inject fakes that way)
+        from benthos_spark.operators.control import resource
+        from benthos_spark.operators.http_enrich import lambda_map
+        factory = None
+        if spec.get("client_resource"):
+            # the resource registry is name → callable; a lambda client
+            # factory is just a zero-arg callable under a name
+            factory = resource(str(spec["client_resource"]))
+        return lambda_map(df, str(spec["function"]),
+                          alias=str(spec.get("alias", "lambda_response")),
+                          client_factory=factory)
     if kind == "grok":
         from benthos_spark.operators.parsing import grok
         expr = spec.get("expression") or (spec.get("patterns") or [None])[0]

@@ -134,3 +134,25 @@ def run_test_file(spark: SparkSession, path: str,
         if not res.ok:
             failures.append(res)
     return failures
+
+
+def fake_lambda_client_factory():
+    """boto3 lambda `invoke` contract double for tests: doubles `n`
+    from the JSON payload, simulates a function error when the payload
+    sets `boom`.  Lives in the library (not the test module) so
+    executors can unpickle it by reference."""
+    class FakeLambdaClient:
+        def invoke(self, FunctionName, Payload):
+            import io
+            import json
+            doc = json.loads(Payload.decode() or "{}")
+            if doc.get("boom"):
+                return {"StatusCode": 500,
+                        "Payload": io.BytesIO(b"kaput"),
+                        "FunctionError": "Unhandled"}
+            body = json.dumps({"fn": FunctionName,
+                               "n2": doc.get("n", 0) * 2})
+            return {"StatusCode": 200,
+                    "Payload": io.BytesIO(body.encode())}
+
+    return FakeLambdaClient()
