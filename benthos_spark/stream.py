@@ -75,6 +75,27 @@ def compile_condition(src: str) -> Column:
     return compile_expr(node, Scope(this_col=None, root_fields={}))
 
 
+def _mapping_json_col(df: DataFrame, src: str, name: str) -> DataFrame:
+    """Evaluate a Bloblang mapping against the frame and attach the
+    mapped object as ONE JSON-string column `name` — original columns
+    ride along untouched (the branch_stage save/restore trick, so the
+    whole thing stays a single projection; no join, no row ids).  Used
+    by processors whose reference config takes an object-producing map
+    (mongodb filter_map / document_map)."""
+    from benthos_spark.bloblang import compile_mapping
+
+    saved = {c: f"__mjc_{c}" for c in df.columns}
+    work = df.select(*[F.col(c).alias(s) for c, s in saved.items()],
+                     *df.columns)
+    work = compile_mapping(src).apply(work, keep=tuple(saved.values()))
+    new = [c for c in work.columns if not c.startswith("__mjc_")]
+    if not new:
+        raise ConfigError(f"mapping for {name!r} assigns no fields")
+    work = work.withColumn(
+        name, F.to_json(F.struct(*[F.col(c) for c in new])))
+    return work.select(*[F.col(s).alias(c) for c, s in saved.items()], name)
+
+
 def load_config(text_or_path: str) -> dict:
     """Parse a YAML config (readConfig, lib/config/config.go)."""
     if "\n" not in text_or_path and text_or_path.endswith((".yaml", ".yml")):
@@ -422,6 +443,54 @@ def _apply_processor(df: DataFrame, conf: Any,
         return lambda_map(df, str(spec["function"]),
                           alias=str(spec.get("alias", "lambda_response")),
                           client_factory=factory)
+    if kind == "redis":
+        # redis (lib/processor/redis.go:49): scard/sadd/incrby with an
+        # interpolated key; result lands in `alias`, failures set
+        # `_error`.  `client_resource` injects the client factory (the
+        # aws_lambda pattern) — the default imports redis-py.
+        from benthos_spark.bloblang.field import interpolate
+        from benthos_spark.operators.control import resource
+        from benthos_spark.operators.kv_store import redis_map
+        factory = (resource(str(spec["client_resource"]))
+                   if spec.get("client_resource") else None)
+        value_col = (compile_condition(str(spec["value"]))
+                     if spec.get("value") else None)
+        return redis_map(df, str(spec.get("operator", "scard")),
+                         interpolate(str(spec["key"])),
+                         value_col=value_col,
+                         alias=str(spec.get("alias", "redis_result")),
+                         client_factory=factory,
+                         url=str(spec.get("url", "")))
+    if kind == "mongodb":
+        # mongodb (internal/impl/mongodb/processor.go): filter_map /
+        # document_map are Bloblang mappings — they compile to Columns
+        # and evaluate JVM-side; only the serialized JSON objects cross
+        # into the per-partition client stage.
+        from benthos_spark.operators.control import resource
+        from benthos_spark.operators.kv_store import mongodb_map
+        factory = (resource(str(spec["client_resource"]))
+                   if spec.get("client_resource") else None)
+        work, helper_cols = df, []
+        f_col = d_col = None
+        if spec.get("filter_map"):
+            work = _mapping_json_col(work, str(spec["filter_map"]),
+                                     "__mongo_filter")
+            f_col, _ = F.col("__mongo_filter"), helper_cols.append(
+                "__mongo_filter")
+        if spec.get("document_map"):
+            work = _mapping_json_col(work, str(spec["document_map"]),
+                                     "__mongo_doc")
+            d_col, _ = F.col("__mongo_doc"), helper_cols.append(
+                "__mongo_doc")
+        out = mongodb_map(
+            work, str(spec["operation"]),
+            str(spec.get("database", "db")),
+            str(spec.get("collection", "coll")),
+            filter_col=f_col, document_col=d_col,
+            upsert=bool(spec.get("upsert", False)),
+            alias=str(spec.get("alias", "mongo_result")),
+            client_factory=factory, url=str(spec.get("url", "")))
+        return out.drop(*helper_cols)
     if kind == "grok":
         from benthos_spark.operators.parsing import grok
         expr = spec.get("expression") or (spec.get("patterns") or [None])[0]

@@ -156,3 +156,107 @@ def fake_lambda_client_factory():
                     "Payload": io.BytesIO(body.encode())}
 
     return FakeLambdaClient()
+
+
+def fake_redis_client_factory():
+    """redis-py contract double (scard/sadd/incrby) over seeded state.
+    Each executor partition builds its own instance from the same seed,
+    so tests assert per-row results, not shared client state."""
+    class FakeRedis:
+        def __init__(self):
+            self.sets = {"colours": {"red", "green", "blue"},
+                         "empty": set()}
+            self.counters = {"hits": 10}
+
+        def scard(self, key):
+            return len(self.sets.get(key, ()))
+
+        def sadd(self, key, member):
+            s = self.sets.setdefault(key, set())
+            if member in s:
+                return 0
+            s.add(member)
+            return 1
+
+        def incrby(self, key, amount):
+            v = self.counters.get(key, 0) + int(amount)
+            self.counters[key] = v
+            return v
+
+    return FakeRedis()
+
+
+def fake_mongo_client_factory():
+    """pymongo contract double: client[db][coll] collections seeded
+    with two documents; write results expose matched/modified/deleted
+    counts like pymongo's result objects."""
+    class _InsertResult:
+        inserted_id = "oid-1"
+
+    class _WriteResult:
+        def __init__(self, matched, modified, deleted=0):
+            self.matched_count = matched
+            self.modified_count = modified
+            self.deleted_count = deleted
+
+    class FakeCollection:
+        def __init__(self):
+            self.docs = [{"_id": 1, "name": "ada", "score": 9},
+                         {"_id": 2, "name": "grace", "score": 7}]
+
+        def _match(self, flt):
+            return [d for d in self.docs
+                    if all(d.get(k) == v for k, v in (flt or {}).items())]
+
+        def insert_one(self, doc):
+            self.docs.append(dict(doc))
+            return _InsertResult()
+
+        def delete_one(self, flt):
+            hits = self._match(flt)
+            if hits:
+                self.docs.remove(hits[0])
+            return _WriteResult(0, 0, deleted=1 if hits else 0)
+
+        def delete_many(self, flt):
+            hits = self._match(flt)
+            for h in hits:
+                self.docs.remove(h)
+            return _WriteResult(0, 0, deleted=len(hits))
+
+        def replace_one(self, flt, doc, upsert=False):
+            hits = self._match(flt)
+            if hits:
+                i = self.docs.index(hits[0])
+                self.docs[i] = {"_id": hits[0]["_id"], **doc}
+                return _WriteResult(1, 1)
+            if upsert:
+                self.docs.append(dict(doc))
+            return _WriteResult(0, 0)
+
+        def update_one(self, flt, update, upsert=False):
+            hits = self._match(flt)
+            if hits:
+                hits[0].update(update.get("$set", {}))
+                return _WriteResult(1, 1)
+            return _WriteResult(0, 0)
+
+        def find_one(self, flt):
+            hits = self._match(flt)
+            return hits[0] if hits else None
+
+    class _DB:
+        def __init__(self):
+            self._colls = {}
+
+        def __getitem__(self, coll):
+            return self._colls.setdefault(coll, FakeCollection())
+
+    class FakeMongo:
+        def __init__(self):
+            self._dbs = {}
+
+        def __getitem__(self, db):
+            return self._dbs.setdefault(db, _DB())
+
+    return FakeMongo()
