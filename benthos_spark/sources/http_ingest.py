@@ -6,9 +6,12 @@ after file/stdin).  Here the server buffers bodies in bounded memory
 and the pipeline drains the buffer into a DataFrame: the batch analogue
 of the reference's always-on listener, matching this engine's
 bounded-input model (same doctrine as the stdin input, stream.py).
-The `sync_response`/websocket surfaces remain documented out of scope
-(COVERAGE.md); an always-on deployment should front a socket/file
-stream instead.
+Sync mode (`sync=True`) implements the reference's synchronous-response
+guide (lib/processor/sync_response.go + roundtrip.Writer): each POST
+holds its connection open until the pipeline publishes a reply for its
+sync id via `respond()`, or times out with 504.  The websocket surface
+remains documented out of scope (COVERAGE.md); an always-on deployment
+should front a socket/file stream instead.
 """
 
 from __future__ import annotations
@@ -32,12 +35,20 @@ class HttpIngestServer:
     a drain-based consumer) until the pipeline drains them."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 path: str = "/post", max_buffer: int = 100_000):
+                 path: str = "/post", max_buffer: int = 100_000,
+                 sync: bool = False, sync_timeout_s: float = 10.0):
         self._host, self._port, self._path = host, port, path
         self._rows: deque = deque(maxlen=max_buffer)
         self._lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        self._sync = bool(sync)
+        self._sync_timeout = float(sync_timeout_s)
+        # sync id → [event, reply-body|None, status] — the roundtrip
+        # store (lib/message/roundtrip): respond() fills it, the held
+        # handler thread sends it
+        self._pending: dict[int, list] = {}
+        self._next_id = 0
 
     def start(self) -> tuple[str, int]:
         srv = self
@@ -58,11 +69,32 @@ class HttpIngestServer:
                         "http_server_request_path": self.path,
                         "http_content_type":
                         self.headers.get("Content-Type") or ""}
+                if not srv._sync:
+                    with srv._lock:
+                        srv._rows.append((body, meta))
+                    self.send_response(200)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                # sync mode: hold the connection until the pipeline
+                # responds for this id (sync_responses guide) or the
+                # timeout elapses (504, like the reference's deadline)
                 with srv._lock:
+                    sid = srv._next_id
+                    srv._next_id += 1
+                    ev = threading.Event()
+                    srv._pending[sid] = [ev, None, 504]
+                    meta["http_server_sync_id"] = str(sid)
                     srv._rows.append((body, meta))
-                self.send_response(200)
-                self.send_header("Content-Length", "0")
+                ev.wait(srv._sync_timeout)
+                with srv._lock:
+                    _, reply, status = srv._pending.pop(
+                        sid, [None, None, 504])
+                payload = (reply or "").encode()
+                self.send_response(status if reply is not None else 504)
+                self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
+                self.wfile.write(payload)
 
         self._server = ThreadingHTTPServer((self._host, self._port), Handler)
         self._thread = threading.Thread(target=self._server.serve_forever,
@@ -77,8 +109,27 @@ class HttpIngestServer:
             self._rows.clear()
         return spark.createDataFrame(rows, INGEST_SCHEMA)
 
+    def respond(self, replies: dict[int, str], status: int = 200) -> None:
+        """Publish sync replies by id — wakes the held handler threads
+        (the reference's roundtrip.SetAsResponse consume side)."""
+        with self._lock:
+            for sid, body in replies.items():
+                ent = self._pending.get(int(sid))
+                if ent is not None:
+                    ent[1] = body
+                    ent[2] = int(status)
+                    ent[0].set()
+
+    def close_pending(self) -> None:
+        """Wake any unanswered handlers so they 504 immediately instead
+        of running out the full timeout."""
+        with self._lock:
+            for ent in self._pending.values():
+                ent[0].set()
+
     def stop(self) -> None:
         if self._server is not None:
+            self.close_pending()
             self._server.shutdown()
             self._server.server_close()
             self._server = None

@@ -106,7 +106,8 @@ def load_config(text_or_path: str) -> dict:
 
 # ---------------------------------------------------------------- inputs
 
-def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
+def _build_input(spark: SparkSession, conf: dict,
+                 ctx: dict | None = None) -> DataFrame:
     if isinstance(conf, dict):
         # `batching` rides alongside the component (lib/input/batcher.go)
         conf = {k: v for k, v in conf.items() if k != "batching"}
@@ -146,7 +147,7 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
         mapping = spec.get("mapping")
         return map_text(df, mapping) if mapping else df
     if kind == "broker":
-        dfs = [_build_input(spark, c) for c in spec["inputs"]]
+        dfs = [_build_input(spark, c, ctx) for c in spec["inputs"]]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
@@ -160,7 +161,7 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
         # shuffle partitions the id space for free.
         from benthos_spark.operators.joins import sharded_join_merge
         from benthos_spark.sources.files import sequence as seq_input
-        dfs = [_build_input(spark, c) for c in spec["inputs"]]
+        dfs = [_build_input(spark, c, ctx) for c in spec["inputs"]]
         out = seq_input(spark, dfs)
         sj = spec.get("sharded_join") or {}
         jtype = sj.get("type", "none")
@@ -220,10 +221,14 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
         from benthos_spark.sources.http_ingest import HttpIngestServer
         addr = str(spec.get("address", "127.0.0.1:0"))
         host, _, port = addr.rpartition(":")
+        sync = bool(spec.get("sync_response", False))
         server = HttpIngestServer(host or "127.0.0.1", int(port or 0),
                                   path=str(spec.get("path", "/post")),
                                   max_buffer=int(spec.get("max_buffer",
-                                                          100_000)))
+                                                          100_000)),
+                                  sync=sync,
+                                  sync_timeout_s=float(
+                                      spec.get("sync_timeout", 10.0)))
         bound_host, bound_port = server.start()
         if pf := spec.get("port_file"):
             with open(str(pf), "w") as fh:
@@ -232,7 +237,16 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
             _time.sleep(int(spec.get("drain_ms", 1000)) / 1000.0)
             return server.drain(spark)
         finally:
-            server.stop()
+            if sync:
+                # sync_responses guide: clients stay held until
+                # run_stream publishes replies post-pipeline; the
+                # server shuts down there
+                if ctx is not None:
+                    ctx["http_sync_server"] = server
+                else:
+                    server.stop()
+            else:
+                server.stop()
     if kind == "http_client":
         # http_client input (lib/input/http_client.go:48): bounded
         # driver-side polls; codec lines splits response bodies
@@ -264,7 +278,7 @@ def _build_input(spark: SparkSession, conf: dict) -> DataFrame:
             streaming=bool(spec.get("stream", True)))
     from benthos_spark.template import lookup_template
     if (tmpl := lookup_template("input", kind)) is not None:
-        return _build_input(spark, tmpl.expand(spark, spec))
+        return _build_input(spark, tmpl.expand(spark, spec), ctx)
     raise ConfigError(f"unknown input type {kind!r} "
                       "(supported: file, generate, broker)")
 
@@ -652,6 +666,16 @@ def _apply_processor(df: DataFrame, conf: Any,
         return apply_resource(df, str(spec))
     if kind == "noop":
         return df
+    if kind == "sync_response":
+        # sync_response (lib/processor/sync_response.go): snapshot the
+        # frame AT THIS POINT as the synchronous reply payload.  For
+        # inputs without roundtrip support the capture is dropped
+        # without penalty (the reference's exact contract); the
+        # http_server input with sync_response: true consumes it in
+        # run_stream.  Requires `content` + `meta` columns to route
+        # replies back to held connections.
+        ctx["sync_capture"] = df
+        return df
     if kind == "sleep":
         # sleep (lib/processor/sleep.go:21): latency injection for
         # tests/backpressure — per-batch executor-side sleep with the
@@ -856,6 +880,14 @@ def _apply_pipeline(df: DataFrame, procs: list, ctx: dict) -> DataFrame:
 def build_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     """Build the config's logical plan WITHOUT executing the sink —
     the `benthos echo`/lint analogue is `df.explain()` on this."""
+    df, ctx = _build_stream_ctx(spark, config)
+    if (srv := ctx.get("http_sync_server")) is not None:
+        srv.stop()  # build-only callers never publish replies
+    return df
+
+
+def _build_stream_ctx(spark: SparkSession,
+                      config: dict | str) -> tuple[DataFrame, dict]:
     conf = load_config(config) if isinstance(config, str) else config
     if "input" not in conf:
         raise ConfigError("config needs an `input` section")
@@ -865,7 +897,7 @@ def build_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     for t in conf.get("templates") or []:
         register_template(t)
     ctx = _build_resources(spark, conf)
-    df = _build_input(spark, conf["input"])
+    df = _build_input(spark, conf["input"], ctx)
     if (batching := conf["input"].get("batching") if
             isinstance(conf["input"], dict) else None):
         # input batching policy (lib/input/batcher.go): count-based
@@ -889,12 +921,37 @@ def build_stream(spark: SparkSession, config: dict | str) -> DataFrame:
                 "is accepted")
     for proc in (conf.get("pipeline") or {}).get("processors", []):
         df = _apply_processor(df, proc, ctx)
-    return df
+    return df, ctx
 
 
 def run_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     """`benthos -c config.yaml` analogue: build and execute the stream;
     returns the result DataFrame (post-pipeline)."""
     conf = load_config(config) if isinstance(config, str) else config
-    df = build_stream(spark, conf)
-    return _run_output(df, conf.get("output"))
+    df, ctx = _build_stream_ctx(spark, conf)
+    server = ctx.get("http_sync_server")
+    if server is None:
+        return _run_output(df, conf.get("output"))
+    # sync_responses flow: execute the sink, then publish each held
+    # request's reply by sync id and release the server.  The collect
+    # is bounded by the number of held connections (the drain window's
+    # requests), not the data — sync mode is a request/reply surface,
+    # not a bulk path.
+    try:
+        out = _run_output(df, conf.get("output"))
+        cap = ctx.get("sync_capture")
+        if cap is not None:
+            if "content" not in cap.columns or "meta" not in cap.columns:
+                raise ConfigError(
+                    "sync_response capture needs `content` and `meta` "
+                    "columns to route replies (keep meta through the "
+                    "pipeline)")
+            replies = {}
+            for r in cap.select("content", "meta").collect():
+                sid = (r["meta"] or {}).get("http_server_sync_id")
+                if sid is not None:
+                    replies[int(sid)] = r["content"]
+            server.respond(replies)
+        return out
+    finally:
+        server.stop()

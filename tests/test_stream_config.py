@@ -880,3 +880,56 @@ output:
     assert sorted(r.content for r in out.collect()) == ["l1", "l3"]
     assert all(r.meta["subprocess_name"] == "printf"
                for r in out.collect())
+
+
+def test_http_server_sync_response(spark, tmp_path):
+    """sync_responses flow (lib/processor/sync_response.go +
+    lib/input/http_server.go roundtrip): POSTs hold their connections
+    until the pipeline publishes per-request replies; each client gets
+    its own transformed payload back with 200."""
+    import threading
+    import time
+    import urllib.request
+    from benthos_spark.stream import run_stream
+
+    port_file = tmp_path / "port.txt"
+    results: dict[str, str] = {}
+
+    def client(word):
+        for _ in range(150):
+            if port_file.exists() and port_file.read_text():
+                break
+            time.sleep(0.02)
+        addr = port_file.read_text()
+        req = urllib.request.Request(
+            f"http://{addr}/post", data=word.encode())
+        with urllib.request.urlopen(req, timeout=30) as r:
+            results[word] = (r.status, r.read().decode())
+
+    threads = [threading.Thread(target=client, args=(w,), daemon=True)
+               for w in ("hello", "world")]
+    for t in threads:
+        t.start()
+    out = run_stream(spark, f"""
+input:
+  http_server:
+    address: "127.0.0.1:0"
+    path: /post
+    port_file: "{port_file}"
+    drain_ms: 2500
+    sync_response: true
+    sync_timeout: 30
+pipeline:
+  processors:
+    - bloblang: |
+        root = this
+        root.content = this.content.uppercase()
+    - sync_response: {{}}
+output:
+  memory: {{}}
+""")
+    for t in threads:
+        t.join(timeout=60)
+    assert results == {"hello": (200, "HELLO"),
+                       "world": (200, "WORLD")}
+    assert sorted(r.content for r in out.collect()) == ["HELLO", "WORLD"]
