@@ -38,6 +38,15 @@ except ImportError:
     from benthos_spark.operators import snappy_py as _snappy_py
     _CODECS["snappy"] = (_snappy_py.compress, _snappy_py.decompress)
 
+try:  # python-lz4 binding when present (frame format) ...
+    import lz4.frame as _lz4f  # noqa: F401
+    _CODECS["lz4"] = (_lz4f.compress, _lz4f.decompress)
+except ImportError:
+    # ... else the pure-Python frame+block codec (operators/lz4_py):
+    # spec-complete frame decoder, greedy fast-level block encoder
+    from benthos_spark.operators import lz4_py as _lz4_py
+    _CODECS["lz4"] = (_lz4_py.compress, _lz4_py.decompress)
+
 
 def _codec(algorithm: str, direction: int):
     try:

@@ -400,3 +400,68 @@ def test_snappy_property_roundtrip():
 
     roundtrip()
     never_crashes()
+
+
+def test_lz4_pure_python_codec():
+    """LZ4 frame+block: xxHash32 spec vectors, frame roundtrip, and
+    BOTH-direction interop with pyarrow's bundled LZ4 (our decoder
+    reads its frames, its decoder reads ours)."""
+    import pytest
+    from benthos_spark.operators.lz4_py import (Lz4Error, compress,
+                                                decompress, xxh32)
+    # xxHash32 spec vectors (xxhash_spec.md / python-xxhash test suite)
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+    for payload in (b"", b"x", b"hello lz4", b"ab" * 40000,
+                    bytes(range(256)) * 300, b"x" * 17):
+        assert decompress(compress(payload)) == payload
+    import pyarrow as pa
+    c = pa.Codec("lz4")
+    data = b"the quick brown fox jumps over the lazy dog " * 200
+    assert decompress(c.compress(data, asbytes=True)) == data
+    assert c.decompress(compress(data), decompressed_size=len(data),
+                        asbytes=True) == data
+    # repetitive input actually compresses (real matcher, not stored)
+    assert len(compress(data)) < len(data) // 10
+    with pytest.raises(Lz4Error):
+        decompress(b"\x00\x01\x02")  # bad magic / truncated
+    bad = bytearray(compress(b"payload-123"))
+    bad[-1] ^= 0xFF  # flip content checksum
+    with pytest.raises(Lz4Error):
+        decompress(bytes(bad))
+
+
+def test_lz4_in_compress_processor(spark):
+    from benthos_spark.operators.codec import compress as c_col
+    from benthos_spark.operators.codec import decompress_str
+    df = spark.createDataFrame([("payload-123",)], "content string")
+    out = df.withColumn("z", c_col(F.col("content"), "lz4")) \
+            .withColumn("back", decompress_str(F.col("z"), "lz4"))
+    assert out.collect()[0].back == "payload-123"
+
+
+def test_lz4_property_roundtrip():
+    """Hypothesis: frame compress∘decompress is identity; the decoder
+    rejects junk with Lz4Error, never a crash."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from benthos_spark.operators.lz4_py import (Lz4Error, compress,
+                                                decompress)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=4096))
+    def roundtrip(payload):
+        assert decompress(compress(payload)) == payload
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=1, max_size=64))
+    def never_crashes(junk):
+        try:
+            decompress(junk)
+        except Lz4Error:
+            pass
+
+    roundtrip()
+    never_crashes()
