@@ -724,15 +724,16 @@ def _apply_processor(df: DataFrame, conf: Any,
         # three compile to sequential child application over the frame.
         return sub(df, spec)
     if kind == "awk":
-        # documented deviation (COVERAGE.md §2.2): awk.go:31 programs
-        # map onto Bloblang — fail loudly with the migration, instead
-        # of an anonymous unknown-processor error
-        raise ConfigError(
-            "awk is not ported (documented deviation): its program "
-            "shapes map to bloblang — json_get(\"a.b\") → this.a.b, "
-            "json_set(\"a.b\", v) → root.a.b = v, print → root = ; "
-            "or run a real awk binary per partition via "
-            "subprocess: {args: [awk, '<program>']}")
+        # awk (lib/processor/awk.go:31): pattern-action programs with
+        # the Benthos host functions, codecs none/text/json; compiles
+        # at config time, executes Arrow-batched per message
+        from benthos_spark.operators.awk_lang import AwkError
+        from benthos_spark.operators.awk_proc import awk_process
+        try:
+            return awk_process(df, str(spec["program"]),
+                               codec=str(spec.get("codec", "text")))
+        except AwkError as exc:
+            raise ConfigError(f"awk: {exc}") from exc
     from benthos_spark.template import lookup_template
     if (tmpl := lookup_template("processor", kind)) is not None:
         return _apply_processor(

@@ -1,0 +1,225 @@
+"""awk processor: reference test-vector parity + Spark integration.
+
+The vector table re-expresses lib/processor/awk_test.go's cases —
+codecs, the json_*/metadata_*/timestamp_* host functions, flattened
+variable init, and the output contract (non-empty output replaces
+content; JSON mutations persist; errors pass the original through)."""
+
+from __future__ import annotations
+
+import pytest
+
+from benthos_spark.operators.awk_lang import (AwkError, parse_program)
+from benthos_spark.operators.awk_proc import run_awk_message
+
+VECTORS = [
+    # (codec, program, input, meta, expected_output, expect_err)
+    ("none", '{ }', 'hello world', {}, 'hello world', False),
+    ("none", '{ print "" }', 'hello world', {}, '', False),
+    ("none", '{ print metadata_get("meta.foo") }', 'hi',
+     {"meta.foo": "12"}, '12', False),
+    ("none", '{ print metadata_get("meta.bar") }', 'hi',
+     {"meta.foo": "12"}, '', False),
+    ("none", '{ print json_get("obj.foo") }', '{"obj":{"foo":12}}', {},
+     '12', False),
+    ("none", '{ print json_get("obj.bar") }', '{"obj":{"foo":12}}', {},
+     'null', False),
+    ("none", '{ print json_get("obj.1.foo") }',
+     '{"obj":[{"foo":11},{"foo":12}]}', {}, '12', False),
+    ("none", '{ json_set("obj.1.foo", "nope") }',
+     '{"obj":[{"foo":11},{"foo":12}]}', {},
+     '{"obj":[{"foo":11},{"foo":"nope"}]}', False),
+    ("none", '{ print json_get("obj.foo") }', '{"obj":{"foo":"hello"}}',
+     {}, 'hello', False),
+    ("none", '{ json_set("obj.foo", "hello world") }', '{}', {},
+     '{"obj":{"foo":"hello world"}}', False),
+    ("none", '{ json_set("obj.foo", "hello world") }',
+     'not json content', {}, 'not json content', True),
+    ("none", '{ json_delete("obj.foo") }',
+     '{"obj":{"foo":"hello world","bar":"baz"}}', {},
+     '{"obj":{"bar":"baz"}}', False),
+    ("none", '{ json_delete("obj") }', '{"obj":{"foo":"hello"}}', {},
+     '{}', False),
+    ("none",
+     '{\n json_set("obj.foo", "hello world");\n'
+     ' json_set("obj.foo", json_get("obj.foo") " 123");\n}',
+     '{"obj":{"foo":"nope"}}', {},
+     '{"obj":{"foo":"hello world 123"}}', False),
+    ("none", '{ json_set_int("obj.foo", 5) }', '{}', {},
+     '{"obj":{"foo":5}}', False),
+    ("none", '{ json_set_float("obj.foo", 5.3) }', '{}', {},
+     '{"obj":{"foo":5.3}}', False),
+    ("none", '{ json_set_bool("obj.foo", "foo" == "foo") }', '{}', {},
+     '{"obj":{"foo":true}}', False),
+    ("json", '{ print obj_foo }', '{"obj":{"foo":"hello"}}', {},
+     'hello', False),
+    ("text", '{ print $2 " " meta_foo }', 'hello world',
+     {"meta.foo": "12", "meta.bar": "34"}, 'world 12', False),
+    ("json", '{ print obj_foo " " meta_foo }',
+     '{"obj":{"foo":"hello"}}', {"meta.foo": "12"}, 'hello 12', False),
+    ("none", '{ print $2 meta_foo }', 'foo', {}, '', False),
+    ("text", '{ foo = foostamp; print timestamp_unix(foo) }', 'foo',
+     {"foostamp": "2018-12-18T11:57:32"}, '1545134252', False),
+    ("text",
+     '{ print timestamp_unix(foostamp,'
+     ' "2006TOTALLY01CUSTOM02T15:04:05") }',
+     'foo', {"foostamp": "2018TOTALLY12CUSTOM18T11:57:32"},
+     '1545134252', False),
+    ("text", '{ print timestamp_format(foostamp, "02 Jan 06 15:04") }',
+     'foo', {"foostamp": "1545134252"}, '18 Dec 18 11:57', False),
+    ("text",
+     '{ print timestamp_format_nano(foostamp,'
+     ' "02 Jan 06 15:04:05.000000000") }',
+     'foo', {"foostamp": "1545134252123000064"},
+     '18 Dec 18 11:57:32.123000064', False),
+    ("none",
+     '{ print create_json_object("foo", "1", "bar", "2", "baz", "3") }',
+     'x', {}, '{"bar":"2","baz":"3","foo":"1"}', False),
+    ("none",
+     '{ print create_json_object("foo", "1", "bar", 2, "baz", "true") }',
+     'x', {}, '{"bar":"2","baz":"true","foo":"1"}', False),
+    ("none", '{ print create_json_object() }', 'x', {}, '{}', False),
+    ("none", '{ print create_json_array("1", 2, "3") }', 'x', {},
+     '["1","2","3"]', False),
+    ("none", '{ print create_json_array() }', 'x', {}, '[]', False),
+    ("none", '{ json_append("obj.foo", "hello world") }', '{}', {},
+     '{"obj":{"foo":["hello world"]}}', False),
+    ("none", '{ json_append("obj.foo", "hello world") }',
+     '{"0":"test"}', {}, '{"0":"test","obj":{"foo":["hello world"]}}',
+     False),
+    ("none", '{ json_append("obj.foo", "hello world") }',
+     '{"obj":{"foo":"first"}}', {},
+     '{"obj":{"foo":["first","hello world"]}}', False),
+    ("none", '{ json_append("obj.foo", "hello world") }',
+     '{"obj":{"foo":["first",2]}}', {},
+     '{"obj":{"foo":["first",2,"hello world"]}}', False),
+    ("none", '{ json_append_int("obj.foo", 1) }', '{}', {},
+     '{"obj":{"foo":[1]}}', False),
+    ("none", '{ json_append_float("obj.foo", 1.2) }', '{}', {},
+     '{"obj":{"foo":[1.2]}}', False),
+    ("none", '{ json_append_bool("obj.foo", 1) }', '{}', {},
+     '{"obj":{"foo":[true]}}', False),
+    ("none", '{ json_append_bool("obj.foo", 0) }', '{}', {},
+     '{"obj":{"foo":[false]}}', False),
+    ("none", '{ print json_type("foo") }', '{}', {}, 'undefined', False),
+    ("none", '{ print json_type("foo") }', '{"foo":null}', {}, 'null',
+     False),
+    ("none", '{ print json_type("foo") }', '{"foo":5}', {}, 'float',
+     False),
+    ("none", '{ print json_type("foo") }', '{"foo":"foo"}', {},
+     'string', False),
+    ("none", '{ print json_type("foo") }', '{"foo":["foo",5,false]}',
+     {}, 'array', False),
+    ("none", '{ print json_type("foo") }', '{"foo":false}', {}, 'bool',
+     False),
+    ("none", '{ print json_type("foo") }', '{"foo":{"a":"b"}}', {},
+     'object', False),
+    ("none", '{ print json_length("foo") }', '{}', {}, '0', False),
+    ("none", '{ print json_length("foo") }', '{"foo":5}', {}, '0',
+     False),
+    ("none", '{ print json_length("foo") }', '{"foo":[1, 2, "three"]}',
+     {}, '3', False),
+    ("none", '{ exit 1 }', 'hello world', {}, 'hello world', True),
+]
+
+
+@pytest.mark.parametrize("codec,program,inp,meta,want,want_err", VECTORS)
+def test_awk_reference_vectors(codec, program, inp, meta, want, want_err):
+    got, _, err = run_awk_message(parse_program(program), codec, inp,
+                                  meta)
+    assert got == want
+    assert bool(err) == want_err
+
+
+def test_awk_language_features():
+    """User functions (recursion), arrays by reference, for-in, split,
+    gsub with & and ERE literals, match/RSTART/RLENGTH, printf formats,
+    while/do-while/continue, ternary, concatenation, strnum compare."""
+    prog = '''
+function fib(n) { return n < 2 ? n : fib(n-1) + fib(n-2) }
+function total(arr,   k, s) { for (k in arr) s += arr[k]; return s }
+BEGIN { split("1:2:3", nums, ":") }
+{
+  gsub(/l+/, "[&]", $0)
+  printf "%s|%d|%d|%.2f|%x|%c\\n", $0, fib(10), total(nums), 3.14159, 255, 65
+}
+'''
+    got, _, err = run_awk_message(parse_program(prog), "text", "hello",
+                                  {})
+    assert err is None
+    assert got == "he[ll]o|55|6|3.14|ff|A"
+
+
+def test_awk_fields_and_nf():
+    prog = '{ $2 = "X"; print NF, $0; $5 = "tail"; print NF, $0 }'
+    got, _, err = run_awk_message(parse_program(prog), "text",
+                                  "a b c", {})
+    assert err is None
+    assert got == "3 a X c\n5 a X c  tail"
+
+
+def test_awk_metadata_set_persists():
+    _, meta, err = run_awk_message(
+        parse_program('{ metadata_set("meta.foo", 24) }'), "none",
+        "hello", {})
+    assert err is None
+    assert meta["meta.foo"] == "24"
+
+
+def test_awk_multi_record_text():
+    prog = '/^a/ { n++ } END { print n, NR }'
+    got, _, err = run_awk_message(parse_program(prog), "text",
+                                  "apple\nbanana\navocado\n", {})
+    assert err is None
+    assert got == "2 3"
+
+
+def test_awk_unsupported_constructs_raise():
+    with pytest.raises(AwkError, match="getline"):
+        parse_program('{ getline line }')
+    with pytest.raises(AwkError, match="redirection"):
+        parse_program('{ print "x" > "/tmp/f" }')
+    got, _, err = run_awk_message(
+        parse_program('{ system("ls") }'), "none", "x", {})
+    assert "system" in err
+    assert got == "x"
+
+
+def test_awk_yaml_wiring(spark):
+    """YAML `awk:` — the reference's workflow example shape: route on
+    a JSON field and compute into the document (awk_test.go:308-318)."""
+    from benthos_spark.stream import build_stream
+    from benthos_spark.stream import ConfigError
+
+    out = build_stream(spark, """
+input:
+  generate:
+    count: 2
+    mapping: |
+      root.content = "{\\"doc\\":{\\"val1\\":5,\\"val2\\":10},\\"type\\":\\"" + (if this.id % 2 == 0 { "add" } else { "multiply" }) + "\\"}"
+pipeline:
+  processors:
+    - awk:
+        codec: none
+        program: |
+          function map_add_vals() {
+            json_set_int("doc.result", json_get("doc.val1") + json_get("doc.val2"));
+          }
+          function map_multiply_vals() {
+            json_set_int("doc.result", json_get("doc.val1") * json_get("doc.val2"));
+          }
+          { if (json_get("type") == "add") map_add_vals();
+            else if (json_get("type") == "multiply") map_multiply_vals() }
+""").collect()
+    bodies = sorted(r["content"] for r in out)
+    assert bodies == [
+        '{"doc":{"result":15,"val1":5,"val2":10},"type":"add"}',
+        '{"doc":{"result":50,"val1":5,"val2":10},"type":"multiply"}',
+    ]
+    with pytest.raises(ConfigError, match="awk"):
+        build_stream(spark, """
+input: {generate: {count: 1}}
+pipeline:
+  processors:
+    - awk: {codec: nope, program: "{ }"}
+""")
