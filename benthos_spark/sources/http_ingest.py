@@ -179,3 +179,81 @@ def subprocess_input(spark: SparkSession, name: str,
     else:
         rows = [(proc.stdout, meta)]
     return spark.createDataFrame(rows, INGEST_SCHEMA)
+
+
+class SocketIngestServer:
+    """socket_server input (lib/input/socket_server.go:25): accept a
+    stream of messages over tcp, udp, or unix sockets.  Bounded-drain
+    model like HttpIngestServer: listen for the drain window, then the
+    buffered parts ARE the input frame.  Codec `lines` splits tcp/unix
+    streams on newlines; each udp datagram is split on newlines too
+    (the reference wraps both in the same line codec)."""
+
+    def __init__(self, network: str = "tcp", address: str = "127.0.0.1:0",
+                 max_buffer: int = 100_000):
+        if network not in ("tcp", "udp", "unix"):
+            raise ValueError(
+                f"socket_server network {network!r}: must be unix|tcp|udp "
+                "(socket_server.go:29)")
+        self._network = network
+        self._address = address
+        self._rows: deque = deque(maxlen=max_buffer)
+        self._lock = threading.Lock()
+        self._server = None
+        self._thread: threading.Thread | None = None
+
+    def start(self):
+        import socketserver
+        srv_ref = self
+
+        class TCPHandler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for raw in self.rfile:
+                    line = raw.decode("utf-8", "replace").rstrip("\n")
+                    if line:
+                        with srv_ref._lock:
+                            srv_ref._rows.append(
+                                (line, {"socket_network":
+                                        srv_ref._network}))
+
+        class UDPHandler(socketserver.BaseRequestHandler):
+            def handle(self):
+                data = self.request[0].decode("utf-8", "replace")
+                for line in data.split("\n"):
+                    if line:
+                        with srv_ref._lock:
+                            srv_ref._rows.append(
+                                (line, {"socket_network": "udp"}))
+
+        if self._network == "udp":
+            host, _, port = self._address.rpartition(":")
+            self._server = socketserver.ThreadingUDPServer(
+                (host or "127.0.0.1", int(port or 0)), UDPHandler)
+            bound = self._server.server_address[:2]
+        elif self._network == "tcp":
+            host, _, port = self._address.rpartition(":")
+            socketserver.ThreadingTCPServer.allow_reuse_address = True
+            self._server = socketserver.ThreadingTCPServer(
+                (host or "127.0.0.1", int(port or 0)), TCPHandler)
+            bound = self._server.server_address[:2]
+        else:  # unix
+            class UnixServer(socketserver.ThreadingUnixStreamServer):
+                pass
+            self._server = UnixServer(self._address, TCPHandler)
+            bound = (self._address, 0)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return bound
+
+    def drain(self, spark: SparkSession) -> DataFrame:
+        with self._lock:
+            rows = list(self._rows)
+            self._rows.clear()
+        return spark.createDataFrame(rows, INGEST_SCHEMA)
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None

@@ -247,6 +247,25 @@ def _build_input(spark: SparkSession, conf: dict,
                     server.stop()
             else:
                 server.stop()
+    if kind == "socket_server":
+        # socket_server input (lib/input/socket_server.go:25): tcp /
+        # udp / unix listener, bounded-drain like http_server
+        import time as _time
+
+        from benthos_spark.sources.http_ingest import SocketIngestServer
+        server = SocketIngestServer(
+            network=str(spec.get("network", "tcp")),
+            address=str(spec.get("address", "127.0.0.1:0")),
+            max_buffer=int(spec.get("max_buffer", 100_000)))
+        bound = server.start()
+        if pf := spec.get("port_file"):
+            with open(str(pf), "w") as fh:
+                fh.write(f"{bound[0]}:{bound[1]}")
+        try:
+            _time.sleep(int(spec.get("drain_ms", 1000)) / 1000.0)
+            return server.drain(spark)
+        finally:
+            server.stop()
     if kind == "http_client":
         # http_client input (lib/input/http_client.go:48): bounded
         # driver-side polls; codec lines splits response bodies

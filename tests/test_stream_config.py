@@ -933,3 +933,78 @@ output:
     assert results == {"hello": (200, "HELLO"),
                        "world": (200, "WORLD")}
     assert sorted(r.content for r in out.collect()) == ["HELLO", "WORLD"]
+
+
+def test_socket_server_input_tcp_and_udp(spark, tmp_path):
+    """input.socket_server (lib/input/socket_server.go:25): live tcp
+    and udp clients send newline-delimited messages during the drain
+    window."""
+    import socket
+    import threading
+    import time
+    from benthos_spark.stream import run_stream
+
+    port_file = tmp_path / "tcp_port.txt"
+
+    def tcp_client():
+        for _ in range(150):
+            if port_file.exists() and port_file.read_text():
+                break
+            time.sleep(0.02)
+        host, _, port = port_file.read_text().rpartition(":")
+        with socket.create_connection((host, int(port)), timeout=5) as s:
+            s.sendall(b"alpha\nbeta\n")
+
+    t = threading.Thread(target=tcp_client, daemon=True)
+    t.start()
+    out = run_stream(spark, f"""
+input:
+  socket_server:
+    network: tcp
+    address: "127.0.0.1:0"
+    port_file: "{port_file}"
+    drain_ms: 2000
+output:
+  memory: {{}}
+""").collect()
+    t.join(timeout=10)
+    assert sorted(r.content for r in out) == ["alpha", "beta"]
+    assert all(r.meta["socket_network"] == "tcp" for r in out)
+
+    udp_port_file = tmp_path / "udp_port.txt"
+
+    def udp_client():
+        for _ in range(150):
+            if udp_port_file.exists() and udp_port_file.read_text():
+                break
+            time.sleep(0.02)
+        host, _, port = udp_port_file.read_text().rpartition(":")
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.sendto(b"gamma\ndelta\n", (host, int(port)))
+        s.close()
+
+    t2 = threading.Thread(target=udp_client, daemon=True)
+    t2.start()
+    out2 = run_stream(spark, f"""
+input:
+  socket_server:
+    network: udp
+    address: "127.0.0.1:0"
+    port_file: "{udp_port_file}"
+    drain_ms: 2000
+output:
+  memory: {{}}
+""").collect()
+    t2.join(timeout=10)
+    assert sorted(r.content for r in out2) == ["delta", "gamma"]
+
+
+def test_socket_server_bad_network(spark):
+    import pytest
+    from benthos_spark.stream import run_stream
+    with pytest.raises(ValueError, match="unix|tcp|udp"):
+        run_stream(spark, """
+input:
+  socket_server: {network: carrier-pigeon}
+output: {memory: {}}
+""")
