@@ -520,3 +520,45 @@ def ngram_contamination(train: DataFrame, eval_df: DataFrame,
             .join(F.broadcast(ev), "gh")
             .groupBy(id_col)
             .agg(F.countDistinct("gh").alias("n_shared_grams")))
+
+
+def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+                   vec: str = "embedding", id_col: str = "vec_id",
+                   threshold: float = 0.95) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §3): cluster
+    embeddings with spherical k-means, compare pairs ONLY within each
+    cluster, and greedily drop every document whose cosine to a
+    lower-id cluster-mate reaches the threshold.
+
+    Returns the DROPPED docs: (id_col, cluster, dup_of, max_cos) with
+    dup_of = the smallest keeper it duplicates.  Dedup = anti-join the
+    corpus against this frame.
+
+    Scale shape: centroid assignment is flat codegen'd arithmetic
+    (no model object — the literals ship with the plan, exactly the
+    IVF coarse-quantizer trick); the only shuffle is the equi-join on
+    the int cluster id, and the pairwise fan-out is bounded per
+    cluster — the paper's reason for clustering first.  At 100 TB,
+    k scales with corpus size (n/k docs per cluster) and oversized
+    clusters can be re-bucketed with hyperplane LSH
+    (embedding_near_dup_pairs) without changing this plan's shape.
+    """
+    from benthos_spark.llm.similarity import _assign_corpus_flat, cosine
+
+    assigned = (_assign_corpus_flat(df.select(id_col, vec), centroids,
+                                    vec)
+                .withColumnRenamed("__list", "cluster"))
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col(vec).alias("__va"), "cluster")
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col(vec).alias("__vb"), "cluster")
+    pairs = (a.join(b, "cluster")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", F.round(
+                 cosine(F.col("__va"), F.col("__vb")), 6))
+             .filter(F.col("cos") >= threshold))
+    return (pairs.groupBy("cluster", "id_b")
+            .agg(F.min("id_a").alias("dup_of"),
+                 F.max("cos").alias("max_cos"))
+            .select(F.col("id_b").alias(id_col), "cluster", "dup_of",
+                    "max_cos"))

@@ -489,3 +489,31 @@ def test_ivf_indexed_prunes_partitions(spark, sf_dir, tmp_path):
     plan = via_idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "__list IN" in plan or "__list#" in plan
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup (arXiv:2303.09540): within-cluster near-dups drop with
+    the smallest cluster-mate as keeper; cross-cluster lookalikes and
+    unique docs survive."""
+    from benthos_spark.llm.dedup import semantic_dedup
+
+    # two orthogonal "topics" + exact dup of id 0 + near dup of id 1
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]),
+         (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [1.0, 0.0, 0.0, 0.0]),        # dup of 0
+         (3, [0.02, 0.999, 0.0, 0.0]),     # near dup of 1
+         (4, [0.0, 0.0, 1.0, 0.0])],       # unique direction
+        "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0]]
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, cents, threshold=0.95).collect()}
+    assert set(out) == {2, 3}
+    assert out[2]["dup_of"] == 0
+    assert out[2]["max_cos"] == 1.0
+    assert out[3]["dup_of"] == 1
+    # only one shuffle-producing join, on the int cluster key
+    plan = semantic_dedup(emb, cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
