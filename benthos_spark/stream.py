@@ -247,6 +247,24 @@ def _build_input(spark: SparkSession, conf: dict,
                     server.stop()
             else:
                 server.stop()
+    from benthos_spark.sinks.bus import BUS_FAMILIES
+    if kind in BUS_FAMILIES:
+        # bus-family inputs (nats/nsq/mqtt/amqp/redis_*/gcp_pubsub/
+        # aws_sqs/aws_kinesis/pulsar/zmq): ONE shared bounded-poll
+        # bridge with an injectable client (sinks/bus.py doctrine)
+        from benthos_spark.operators.control import resource
+        from benthos_spark.sinks.bus import poll_input
+        factory = (resource(str(spec["client_resource"]))
+                   if spec.get("client_resource") else None)
+        target = next((str(spec[f]) for f in
+                       ("target", "subject", "topic", "url", "urls",
+                        "stream", "streams", "channel", "channels",
+                        "key", "queue") if spec.get(f)), "")
+        return poll_input(spark, kind, target,
+                          count=int(spec.get("count", 1)),
+                          max_per_poll=int(spec.get("max_per_poll",
+                                                    100)),
+                          client_factory=factory)
     if kind == "socket_server":
         # socket_server input (lib/input/socket_server.go:25): tcp /
         # udp / unix listener, bounded-drain like http_server
@@ -853,6 +871,22 @@ def _run_output(df: DataFrame, conf: dict | None):
         # (collects, DLQ routing) reuse the materialized rows instead
         # of re-POSTing
         return sent.drop("__http_resp").localCheckpoint(eager=True)
+    from benthos_spark.sinks.bus import BUS_FAMILIES
+    if kind in BUS_FAMILIES:
+        # bus-family outputs: one shared per-partition publisher
+        # bridge with an injectable client (sinks/bus.py)
+        from benthos_spark.bloblang.field import interpolate
+        from benthos_spark.operators.control import resource
+        from benthos_spark.sinks.bus import publish_output
+        factory = (resource(str(spec["client_resource"]))
+                   if spec.get("client_resource") else None)
+        raw = next((str(spec[f]) for f in
+                    ("target", "subject", "topic", "url", "urls",
+                     "stream", "streams", "channel", "channels",
+                     "key", "queue") if spec.get(f)), "")
+        publish_output(df, kind, interpolate(raw),
+                       client_factory=factory)
+        return df
     if kind == "kafka":
         # kafka output (lib/output/kafka.go:21): rows → JSON messages
         # through the spark-sql-kafka sink (package jar required)

@@ -260,3 +260,33 @@ def fake_mongo_client_factory():
             return self._dbs.setdefault(db, _DB())
 
     return FakeMongo()
+
+
+def file_bus_client_factory(dir_path: str):
+    """Bus-bridge contract double: publish() appends '<target>\\t<payload>'
+    lines to a per-partition file under dir_path (executors share the
+    local FS in local mode); poll() replays any lines published there.
+    Returns a zero-arg factory suitable for resources registration."""
+    def factory():
+        class FileBusClient:
+            def publish(self, target, payload):
+                import os
+                import uuid
+                os.makedirs(dir_path, exist_ok=True)
+                fn = f"{dir_path}/part-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+                with open(fn, "a") as fh:
+                    fh.write(f"{target}\t{payload.decode()}\n")
+
+            def poll(self, target, max_n):
+                import glob
+                out = []
+                for fn in sorted(glob.glob(f"{dir_path}/part-*")):
+                    with open(fn) as fh:
+                        for line in fh:
+                            tgt, _, payload = line.rstrip("\n").partition("\t")
+                            if not target or tgt == target:
+                                out.append((payload, {"bus_target": tgt}))
+                return out[:max_n]
+
+        return FileBusClient()
+    return factory

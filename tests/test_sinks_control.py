@@ -295,3 +295,52 @@ def test_webdataset_roundtrip_reader(spark, tmp_path):
         assert mem["bin"][1] == bytes([i, i + 1, i + 2])
         assert mem["txt"][0] == mem["bin"][0]  # same shard per sample
         assert mem["txt"][0].startswith("shard-")
+
+
+def test_bus_publish_and_poll_roundtrip(spark, tmp_path):
+    """Bus bridge (sinks/bus.py): YAML output.<family> publishes every
+    row through the injectable client; input.<family> polls the same
+    store back — one contract for all ~14 broker families."""
+    import json
+    from benthos_spark.operators.control import register_resource
+    from benthos_spark.stream import run_stream
+    from benthos_spark.testkit import file_bus_client_factory
+
+    store = str(tmp_path / "bus")
+    register_resource("file_bus", file_bus_client_factory(store))
+    run_stream(spark, """
+input:
+  generate:
+    count: 3
+    mapping: |
+      root.content = "msg-" + this.id.string()
+pipeline:
+  processors: []
+output:
+  nats:
+    subject: updates
+    client_resource: file_bus
+""")
+    out = run_stream(spark, """
+input:
+  nats:
+    subject: updates
+    client_resource: file_bus
+output:
+  memory: {}
+""").collect()
+    assert sorted(r.content for r in out) == ["msg-0", "msg-1", "msg-2"]
+    assert all(r.meta["bus_kind"] == "nats" for r in out)
+    _ = json
+
+
+def test_bus_unknown_family_and_gate(spark):
+    import pytest
+    from benthos_spark.sinks.bus import poll_input, publish_output
+    with pytest.raises(ValueError, match="unknown"):
+        poll_input(spark, "carrier-pigeon", "t")
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="unknown"):
+        publish_output(df, "smoke-signal", "t")
+    with pytest.raises(RuntimeError, match="boto3"):
+        poll_input(spark, "aws_sqs", "q")
