@@ -174,3 +174,105 @@ def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
 
     return raw.mapInPandas(
         walk, schema="shard string, key string, ext string, content binary")
+
+
+def read_codec(spark: SparkSession, path: str, codec: str) -> DataFrame:
+    """The reference codec stack for raw-file inputs
+    (internal/codec/reader.go:206-246): all-bytes, lines, delim:<sep>,
+    chunker:<n>, gzip, tar, zip and gzip-wrapped combos
+    ("gzip/tar", "gzip/lines", "tar/...").
+
+    Spark-first split: `lines`, `delim` and `gzip/lines` stay entirely
+    JVM-side (the text reader's lineSep option; Spark decompresses .gz
+    transparently), so at 100 TB they scan with whole-stage codegen.
+    Archive codecs (tar/zip/chunker/all-bytes) read via binaryFile —
+    one row per FILE into an Arrow-batched entry-walk, partition-
+    parallel across files; a single giant archive is one task by
+    construction (the reference streams it on one node too — shard
+    archives for parallelism, e.g. webdataset-style)."""
+    parts = codec.split("/")
+    gzip_wrap = parts[0] == "gzip" and len(parts) > 1
+    if gzip_wrap:
+        parts = parts[1:]
+    head = parts[0]
+    rest = "/".join(parts[1:])  # nested archive entries' inner codec
+    if head in ("lines", "delim", "gzip") or head.startswith("delim:"):
+        # JVM scan path; Spark auto-gunzips *.gz inputs
+        if head.startswith("delim:"):
+            sep = head.split(":", 1)[1]
+            df = spark.read.option("lineSep", sep).text(path)
+        else:
+            df = spark.read.text(path)
+        return (df.withColumn("__path", F.input_file_name())
+                .select(F.col("value").alias("content"),
+                        F.create_map(F.lit("path"),
+                                     F.col("__path")).alias("meta")))
+    if head not in ("all-bytes", "tar", "zip") and \
+            not head.startswith("chunker:"):
+        raise ValueError(
+            f"codec {codec!r} unrecognised (reader.go:206: all-bytes, "
+            "lines, delim:<sep>, chunker:<n>, gzip, tar, zip + "
+            "gzip-wrapped combos)")
+    chunk_n = (int(head.split(":", 1)[1])
+               if head.startswith("chunker:") else 0)
+
+    raw = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def walk(batches):
+        import gzip as _gz
+        import io
+        import tarfile
+        import zipfile
+
+        import pandas as pd
+        for pdf in batches:
+            out_content, out_meta = [], []
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if gzip_wrap or (src.endswith(".gz")
+                                 and head != "all-bytes"):
+                    data = _gz.decompress(data)
+                if head == "all-bytes":
+                    out_content.append(
+                        data.decode("utf-8", "replace"))
+                    out_meta.append({"path": src})
+                elif chunk_n:
+                    for off in range(0, len(data), chunk_n):
+                        out_content.append(
+                            data[off:off + chunk_n].decode(
+                                "utf-8", "replace"))
+                        out_meta.append({"path": src,
+                                         "chunk": str(off // chunk_n)})
+                elif head == "tar":
+                    with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+                        for m in tf.getmembers():
+                            if not m.isfile():
+                                continue
+                            payload = tf.extractfile(m).read()
+                            if rest == "lines":
+                                for ln in payload.decode(
+                                        "utf-8",
+                                        "replace").splitlines():
+                                    out_content.append(ln)
+                                    out_meta.append(
+                                        {"path": src, "entry": m.name})
+                            else:
+                                out_content.append(payload.decode(
+                                    "utf-8", "replace"))
+                                out_meta.append(
+                                    {"path": src, "entry": m.name})
+                else:  # zip
+                    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+                        for name in zf.namelist():
+                            if name.endswith("/"):
+                                continue
+                            payload = zf.read(name)
+                            out_content.append(payload.decode(
+                                "utf-8", "replace"))
+                            out_meta.append({"path": src, "entry": name})
+            yield pd.DataFrame({"content": out_content,
+                                "meta": out_meta})
+
+    return raw.mapInPandas(
+        walk, schema="content string, meta map<string,string>")

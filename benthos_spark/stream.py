@@ -118,6 +118,11 @@ def _build_input(spark: SparkSession, conf: dict,
     if kind == "file":
         paths = spec.get("paths") or [spec["path"]]
         fmt = spec.get("format", "parquet")
+        if spec.get("codec"):
+            # reference codec stack (internal/codec/reader.go:206):
+            # all-bytes/lines/delim/chunker/gzip/tar/zip + combos
+            from benthos_spark.sources.files import read_codec
+            return read_codec(spark, paths[0], str(spec["codec"]))
         if spec.get("stream"):
             # watch-directory streaming mode; schema required (schema
             # inference would be an extra listing pass per trigger)

@@ -1008,3 +1008,65 @@ input:
   socket_server: {network: carrier-pigeon}
 output: {memory: {}}
 """)
+
+
+def test_file_codec_stack(spark, tmp_path):
+    """Reference input codecs (internal/codec/reader.go:206): tar, zip,
+    gzip-wrapped tar, delim, chunker, all-bytes through YAML
+    `input.file.codec`."""
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+    from benthos_spark.stream import run_stream
+
+    # tar with two entries (+ gzipped twin)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in (("a.txt", b"alpha"), ("b.txt", b"beta")):
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    (tmp_path / "arch.tar").write_bytes(buf.getvalue())
+    (tmp_path / "arch.tar.gz").write_bytes(gzip.compress(buf.getvalue()))
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("x.txt", "xray")
+        zf.writestr("sub/y.txt", "yankee")
+    (tmp_path / "arch.zip").write_bytes(zbuf.getvalue())
+
+    (tmp_path / "delim.txt").write_bytes(b"one|two|three")
+    (tmp_path / "chunky.bin").write_bytes(b"abcdefgh")
+
+    def collect(path, codec):
+        return run_stream(spark, f"""
+input:
+  file: {{path: "{path}", codec: "{codec}"}}
+output: {{memory: {{}}}}
+""").collect()
+
+    tar_rows = collect(tmp_path / "arch.tar", "tar")
+    assert sorted((r.meta["entry"], r.content) for r in tar_rows) == \
+        [("a.txt", "alpha"), ("b.txt", "beta")]
+
+    tgz_rows = collect(tmp_path / "arch.tar.gz", "gzip/tar")
+    assert sorted(r.content for r in tgz_rows) == ["alpha", "beta"]
+
+    zip_rows = collect(tmp_path / "arch.zip", "zip")
+    assert sorted((r.meta["entry"], r.content) for r in zip_rows) == \
+        [("sub/y.txt", "yankee"), ("x.txt", "xray")]
+
+    delim_rows = collect(tmp_path / "delim.txt", "delim:|")
+    assert sorted(r.content for r in delim_rows) == \
+        ["one", "three", "two"]
+
+    chunk_rows = collect(tmp_path / "chunky.bin", "chunker:3")
+    assert sorted(r.content for r in chunk_rows) == ["abc", "def", "gh"]
+
+    all_rows = collect(tmp_path / "delim.txt", "all-bytes")
+    assert [r.content for r in all_rows] == ["one|two|three"]
+
+    import pytest
+    with pytest.raises(ValueError, match="unrecognised"):
+        collect(tmp_path / "delim.txt", "morse")
