@@ -543,22 +543,53 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     clusters can be re-bucketed with hyperplane LSH
     (embedding_near_dup_pairs) without changing this plan's shape.
     """
-    from benthos_spark.llm.similarity import _assign_corpus_flat, cosine
+    from benthos_spark.llm.similarity import _assign_corpus_flat
 
     assigned = (_assign_corpus_flat(df.select(id_col, vec), centroids,
                                     vec)
                 .withColumnRenamed("__list", "cluster"))
-    a = assigned.select(F.col(id_col).alias("id_a"),
-                        F.col(vec).alias("__va"), "cluster")
-    b = assigned.select(F.col(id_col).alias("id_b"),
-                        F.col(vec).alias("__vb"), "cluster")
-    pairs = (a.join(b, "cluster")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos", F.round(
-                 cosine(F.col("__va"), F.col("__vb")), 6))
-             .filter(F.col("cos") >= threshold))
-    return (pairs.groupBy("cluster", "id_b")
-            .agg(F.min("id_a").alias("dup_of"),
-                 F.max("cos").alias("max_cos"))
-            .select(F.col("id_b").alias(id_col), "cluster", "dup_of",
-                    "max_cos"))
+
+    # Within-cluster compare as a per-cluster Arrow kernel: one
+    # groupBy shuffle on the int cluster id, then a vectorized numpy
+    # pairwise pass per group (the paper's own implementation shape) —
+    # a pair-explode self-join would evaluate the interpreted
+    # zip_with/aggregate lambdas per pair, ~50× slower.  The dot and
+    # norm accumulate dimension-by-dimension LEFT-TO-RIGHT in float64,
+    # exactly the SQL fold order, so cosines stay bit-identical to the
+    # DuckDB oracle; rounding is half-away-from-zero like both engines.
+    def per_cluster(key, pdf):
+        import numpy as np
+        import pandas as pd
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        X = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec].to_numpy()[order]])
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({id_col: [], "cluster": [],
+                                 "dup_of": [], "max_cos": []})
+        D = np.zeros((n, n))
+        s = np.zeros(n)
+        for j in range(X.shape[1]):  # left-to-right fold per element
+            D += np.outer(X[:, j], X[:, j])
+            s += X[:, j] * X[:, j]
+        nrm = np.sqrt(s)
+        cos = D / np.outer(nrm, nrm)
+        cos = np.trunc(cos * 1e6 + np.sign(cos) * 0.5) / 1e6
+        hit = (cos >= threshold) & np.tri(n, n, -1, dtype=bool).T
+        out_id, out_dup, out_cos = [], [], []
+        for kcol in range(1, n):
+            rows = np.nonzero(hit[:, kcol])[0]
+            if len(rows):
+                out_id.append(ids[kcol])
+                out_dup.append(ids[rows.min()])
+                out_cos.append(cos[rows, kcol].max())
+        return pd.DataFrame({id_col: out_id,
+                             "cluster": [int(key[0])] * len(out_id),
+                             "dup_of": out_dup, "max_cos": out_cos})
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return (assigned.groupBy("cluster")
+            .applyInPandas(per_cluster,
+                           schema=f"`{id_col}` {id_t}, cluster int, "
+                                  f"dup_of {id_t}, max_cos double"))

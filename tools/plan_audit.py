@@ -32,6 +32,18 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
         ("SinglePartition",
          "final single-row LIMIT/agg in the gate query, not the window"),
     ],
+    "lm_frequency_mass": [
+        ("BroadcastNestedLoopJoin",
+         "ONE-ROW corpus-total aggregate crossed into every doc row — "
+         "a broadcast scalar, not a data-sized loop join"),
+        ("SinglePartition",
+         "the same one-row total aggregate"),
+    ],
+    "text_repetition": [
+        ("BroadcastNestedLoopJoin",
+         "suite host: inherits lm_frequency_mass's one-row scalar cross"),
+        ("SinglePartition", "same inherited scalar aggregate"),
+    ],
 }
 
 HARD = ("CartesianProduct",)
