@@ -2384,6 +2384,36 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 41. CCNet paragraph-level dedup (Wenzek et al., arXiv:1911.00359
+#     §3.1): every paragraph keeps only its FIRST corpus-wide
+#     occurrence; docs are rewritten from the survivors.
+# ================================================================
+
+@_register("paragraph_dedup", oracle="""
+WITH p AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS para,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS idx
+  FROM documents),
+np AS (SELECT doc_id, idx, para FROM p WHERE trim(para) <> ''),
+marked AS (
+  SELECT doc_id, idx, para,
+         (row_number() OVER (PARTITION BY md5(para)
+                             ORDER BY doc_id, idx)) = 1 AS keep
+  FROM np)
+SELECT doc_id, COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10)
+                           ORDER BY idx), '') AS dedup_text
+FROM marked GROUP BY doc_id
+""")
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.dedup import paragraph_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(docs)
+
+
+# ================================================================
 # 40. SemDeDup semantic dedup (Abbas et al., arXiv:2303.09540):
 #     k-means cluster → within-cluster cosine → greedily drop docs
 #     duplicating a lower-id cluster-mate.  The oracle re-derives the
@@ -2485,7 +2515,7 @@ _SUITES: dict[str, list[str]] = {
     "sessionize": ["streaming_replay"],
     "text_repetition": ["lm_frequency_mass"],
     "mixture_sample": ["dataset_split"],
-    "decontaminate": ["exact_substring_dedup"],
+    "decontaminate": ["exact_substring_dedup", "paragraph_dedup"],
 }
 
 # Boolean columns become nullable under the union's null-padding; a

@@ -593,3 +593,41 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
             .applyInPandas(per_cluster,
                            schema=f"`{id_col}` {id_t}, cluster int, "
                                   f"dup_of {id_t}, max_cos double"))
+
+
+def paragraph_dedup(df: DataFrame, text: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style paragraph-level dedup (Wenzek et al. 2019,
+    arXiv:1911.00359 §3.1): hash every paragraph, keep only its FIRST
+    corpus-wide occurrence (smallest (doc_id, position) wins), and
+    rewrite each document from its surviving paragraphs.  Empty lines
+    are dropped, matching CCNet's newline-paragraph model.
+
+    Returns (id_col, n_paras, n_kept, dedup_text).
+
+    Scale shape: posexplode → md5 → ONE window shuffle on the 16-byte
+    paragraph hash picks winners, one groupBy on the doc id
+    reassembles.  No joins; both shuffles key on compact values.  The
+    window's per-hash groups are the duplicate sets themselves, so
+    skew equals the corpus's worst boilerplate — exactly what the
+    operator exists to remove."""
+    from pyspark.sql import Window
+
+    paras = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text), "\n"))
+                       .alias("idx", "para"))
+             .filter(F.trim(F.col("para")) != "")
+             .withColumn("__h", F.md5(F.col("para"))))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("idx"))
+    marked = paras.withColumn("__keep",
+                              F.row_number().over(w) == F.lit(1))
+    return (marked.groupBy(id_col)
+            .agg(F.count("*").alias("n_paras"),
+                 F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("__keep"),
+                                    F.struct("idx", "para")))),
+                         lambda s: s["para"]),
+                     "\n").alias("dedup_text")))

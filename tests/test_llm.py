@@ -517,3 +517,22 @@ def test_semantic_dedup(spark):
     plan = semantic_dedup(emb, cents)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup(spark):
+    """CCNet paragraph dedup: first corpus-wide occurrence wins,
+    documents are rewritten from survivors, empties drop."""
+    from benthos_spark.llm.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "unique one\nshared para\n\nunique two"),
+         (2, "shared para\nanother unique"),
+         (3, "shared para")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["dedup_text"] == "unique one\nshared para\nunique two"
+    assert out[2]["n_kept"] == 1
+    assert out[2]["dedup_text"] == "another unique"
+    assert out[3]["n_kept"] == 0
+    assert out[3]["dedup_text"] == ""
