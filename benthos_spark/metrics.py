@@ -151,3 +151,54 @@ def statsd_lines(metrics: dict, prefix: str = "benthos_spark") -> list[str]:
         if isinstance(value, numbers.Number) and not isinstance(value, bool):
             out.append(f"{prefix}.{name}:{float(value):g}|g")
     return out
+
+
+class SpanTracer:
+    """Config-pipeline tracing (reference `tracer:` section,
+    lib/tracer/jaeger.go).  The jaeger agent protocol needs a thrift
+    client that isn't in-container, so spans export as OTLP-shaped
+    JSON lines instead — each span carries trace/span/parent ids,
+    wall-clock bounds in µs, and free-form attributes.  Stage
+    EXECUTION time lives in the Spark UI / event log (the documented
+    scale-path tracer); these spans cover the config-build and
+    action phases the UI can't attribute to Benthos components."""
+
+    def __init__(self, path: str | None = None):
+        import uuid
+        self.path = path
+        self.trace_id = uuid.uuid4().hex
+        self.spans: list[dict] = []
+        self._stack: list[str] = []
+
+    def span(self, name: str, **attrs):
+        import time
+        import uuid
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            sid = uuid.uuid4().hex[:16]
+            parent = self._stack[-1] if self._stack else None
+            self._stack.append(sid)
+            t0 = time.time()
+            try:
+                yield
+            finally:
+                self._stack.pop()
+                self.spans.append({
+                    "trace_id": self.trace_id, "span_id": sid,
+                    "parent_span_id": parent, "name": name,
+                    "start_us": int(t0 * 1e6),
+                    "end_us": int(time.time() * 1e6),
+                    "attributes": {str(k): str(v)
+                                   for k, v in attrs.items()},
+                })
+        return _cm()
+
+    def flush(self) -> list[dict]:
+        if self.path:
+            import json
+            with open(self.path, "a") as fh:
+                for s in self.spans:
+                    fh.write(json.dumps(s, sort_keys=True) + "\n")
+        return self.spans

@@ -956,6 +956,23 @@ def _build_stream_ctx(spark: SparkSession,
     for t in conf.get("templates") or []:
         register_template(t)
     ctx = _build_resources(spark, conf)
+    if (tconf := conf.get("tracer")) is not None:
+        # tracer section (lib/tracer/): json_file exports OTLP-shaped
+        # span lines; the jaeger agent protocol is out of reach
+        # in-container, so that kind fails with the migration
+        from benthos_spark.metrics import SpanTracer
+        (tkind, tspec), = tconf.items()
+        tspec = tspec or {}
+        if tkind == "jaeger":
+            raise ConfigError(
+                "tracer.jaeger needs the jaeger thrift agent client "
+                "(documented deviation): use tracer.json_file "
+                "{path: spans.jsonl} for component spans and the Spark "
+                "UI / event log for executor-side stage timing")
+        if tkind != "json_file":
+            raise ConfigError(f"tracer type not recognised: {tkind!r}")
+        ctx["tracer"] = SpanTracer(path=tspec.get("path"))
+    tracer = ctx.get("tracer")
     df = _build_input(spark, conf["input"], ctx)
     if (batching := conf["input"].get("batching") if
             isinstance(conf["input"], dict) else None):
@@ -979,7 +996,13 @@ def _build_stream_ctx(spark: SparkSession,
                 "Spark's scheduler/backpressure; only `buffer: {none: {}}` "
                 "is accepted")
     for proc in (conf.get("pipeline") or {}).get("processors", []):
-        df = _apply_processor(df, proc, ctx)
+        if tracer is not None:
+            pname = (next(iter(proc)) if isinstance(proc, dict)
+                     else str(proc))
+            with tracer.span(f"processor:{pname}"):
+                df = _apply_processor(df, proc, ctx)
+        else:
+            df = _apply_processor(df, proc, ctx)
     return df, ctx
 
 
@@ -989,8 +1012,16 @@ def run_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     conf = load_config(config) if isinstance(config, str) else config
     df, ctx = _build_stream_ctx(spark, conf)
     server = ctx.get("http_sync_server")
+    tracer = ctx.get("tracer")
     if server is None:
-        return _run_output(df, conf.get("output"))
+        if tracer is None:
+            return _run_output(df, conf.get("output"))
+        okind = (next(iter(conf["output"])) if conf.get("output")
+                 else "memory")
+        with tracer.span(f"output:{okind}"):
+            out = _run_output(df, conf.get("output"))
+        tracer.flush()
+        return out
     # sync_responses flow: execute the sink, then publish each held
     # request's reply by sync id and release the server.  The collect
     # is bounded by the number of held connections (the drain window's

@@ -213,3 +213,40 @@ output: {memory: {}}
     finally:
         api.stop()
         mgr.stop_all()
+
+
+def test_tracer_json_file(spark, tmp_path):
+    """tracer section: processor + output spans export as OTLP-shaped
+    JSON lines; jaeger raises the documented migration."""
+    import json
+    import pytest
+    from benthos_spark.stream import ConfigError, run_stream
+
+    path = tmp_path / "spans.jsonl"
+    run_stream(spark, f"""
+tracer:
+  json_file: {{path: "{path}"}}
+input:
+  generate: {{count: 3, mapping: "root.content = this.id.string()"}}
+pipeline:
+  processors:
+    - bloblang: |
+        root = this
+        root.up = this.content.uppercase()
+    - filter: this.content != "1"
+output:
+  memory: {{}}
+""")
+    spans = [json.loads(l) for l in path.read_text().splitlines()]
+    names = {s["name"] for s in spans}
+    assert {"processor:bloblang", "processor:filter",
+            "output:memory"} <= names
+    assert len({s["trace_id"] for s in spans}) == 1
+    assert all(s["end_us"] >= s["start_us"] for s in spans)
+
+    with pytest.raises(ConfigError, match="jaeger"):
+        run_stream(spark, """
+tracer: {jaeger: {agent_address: "localhost:6831"}}
+input: {generate: {count: 1}}
+output: {memory: {}}
+""")
