@@ -234,3 +234,70 @@ def mongodb_map(df: DataFrame, operation: str, database: str,
             yield out
 
     return work.mapInPandas(run, schema=schema)
+
+
+def dynamodb_partiql_map(df: DataFrame, query: str,
+                         args_cols: list[Column] | None = None,
+                         alias: str = "partiql_result",
+                         client_factory=None,
+                         region: str = "") -> DataFrame:
+    """dynamodb_partiql processor (internal/impl/aws/
+    dynamodb_partiql_processor.go:18): run a PartiQL statement per
+    message; read results land in `alias` as a JSON array of items,
+    write acks as {}.  `args_cols` are Bloblang-compiled Columns (the
+    args_mapping list re-expressed as the sql processor's `args`
+    convention) — they evaluate JVM-side and cross as one JSON object
+    whose insertion order is the parameter order.
+
+    Client contract: boto3 dynamodb `execute_statement(Statement=...,
+    Parameters=[...]) -> {"Items": [...]}`; the default factory
+    imports boto3 (gated), tests inject fakes."""
+    in_cols = df.columns
+    if args_cols:
+        packed = F.to_json(F.struct(*[
+            c.alias(f"a{i}") for i, c in enumerate(args_cols)]))
+    else:
+        packed = F.lit(None).cast("string")
+    work = df.withColumn("__pq_args", packed)
+    schema = _out_schema(df, alias)
+
+    def default_factory():
+        try:
+            import boto3
+        except ImportError as exc:
+            raise RuntimeError(
+                "dynamodb_partiql: boto3 is not installed in this "
+                "environment; pass client_factory=... (any object with "
+                "the boto3 dynamodb execute_statement contract)") from exc
+        return boto3.client("dynamodb",
+                            **({"region_name": region} if region else {}))
+
+    factory = client_factory or default_factory
+
+    def run(batches):
+        client = factory()
+        for pdf in batches:
+            outs, errs = [], []
+            for args_json in pdf["__pq_args"]:
+                try:
+                    kwargs = {"Statement": query}
+                    if args_json:
+                        kwargs["Parameters"] = list(
+                            json.loads(args_json).values())
+                    resp = client.execute_statement(**kwargs)
+                    outs.append(json.dumps(resp.get("Items", []),
+                                           default=str, sort_keys=True))
+                    errs.append(None)
+                except Exception as exc:
+                    outs.append(None)
+                    errs.append(f"dynamodb_partiql: {exc}")
+            out = pdf.drop(columns=["__pq_args"])
+            out[alias] = outs
+            if "_error" in in_cols:
+                out["_error"] = [e if e is not None else prev
+                                 for e, prev in zip(errs, out["_error"])]
+            else:
+                out["_error"] = errs
+            yield out
+
+    return work.mapInPandas(run, schema=schema)

@@ -547,6 +547,19 @@ def _apply_processor(df: DataFrame, conf: Any,
             alias=str(spec.get("alias", "mongo_result")),
             client_factory=factory, url=str(spec.get("url", "")))
         return out.drop(*helper_cols)
+    if kind == "dynamodb_partiql":
+        # dynamodb_partiql (internal/impl/aws/dynamodb_partiql_
+        # processor.go): PartiQL per message; `args` re-expresses
+        # args_mapping as the sql processor's list-of-queries form
+        from benthos_spark.operators.control import resource
+        from benthos_spark.operators.kv_store import dynamodb_partiql_map
+        factory = (resource(str(spec["client_resource"]))
+                   if spec.get("client_resource") else None)
+        args = [compile_condition(str(a)) for a in spec.get("args", [])]
+        return dynamodb_partiql_map(
+            df, str(spec["query"]), args_cols=args,
+            alias=str(spec.get("alias", "partiql_result")),
+            client_factory=factory, region=str(spec.get("region", "")))
     if kind == "grok":
         from benthos_spark.operators.parsing import grok
         expr = spec.get("expression") or (spec.get("patterns") or [None])[0]

@@ -290,3 +290,16 @@ def file_bus_client_factory(dir_path: str):
 
         return FileBusClient()
     return factory
+
+
+def fake_dynamodb_client_factory():
+    """boto3 dynamodb execute_statement contract double: SELECTs
+    return one item echoing the parameters; INSERTs return no items."""
+    class FakeDynamo:
+        def execute_statement(self, Statement, Parameters=None):
+            if Statement.strip().upper().startswith("SELECT"):
+                return {"Items": [{"q": {"S": Statement},
+                                   "params": {"S": str(Parameters or [])}}]}
+            return {"Items": []}
+
+    return FakeDynamo()

@@ -152,3 +152,43 @@ pipeline:
     assert out[0]["redis_result"] == "3"
     assert json.loads(out[0]["mongo_result"]) == {"matched": 1,
                                                   "modified": 1}
+
+
+def test_dynamodb_partiql(spark):
+    from benthos_spark.operators.kv_store import dynamodb_partiql_map
+    from benthos_spark.testkit import fake_dynamodb_client_factory
+
+    df = spark.createDataFrame([("u1", 5)], "user string, n long")
+    row = dynamodb_partiql_map(
+        df, 'SELECT * FROM tbl WHERE "id" = ?',
+        args_cols=[F.col("user"), F.col("n")],
+        client_factory=fake_dynamodb_client_factory).collect()[0]
+    items = json.loads(row["partiql_result"])
+    assert items[0]["params"]["S"] == "['u1', 5]"
+    assert row["_error"] is None
+
+    row = dynamodb_partiql_map(
+        df, "INSERT INTO tbl VALUE {'id': ?}",
+        args_cols=[F.col("user")],
+        client_factory=fake_dynamodb_client_factory).collect()[0]
+    assert json.loads(row["partiql_result"]) == []
+
+
+def test_dynamodb_partiql_yaml(spark, tmp_path):
+    from benthos_spark.operators.control import register_resource
+    from benthos_spark.testkit import fake_dynamodb_client_factory
+
+    register_resource("fake_ddb", fake_dynamodb_client_factory)
+    src = tmp_path / "in.json"
+    src.write_text('{"id": "k1"}\n')
+    out = build_stream(spark, f"""
+input:
+  file: {{path: "{src}", format: json, schema: "id string"}}
+pipeline:
+  processors:
+    - dynamodb_partiql:
+        query: 'SELECT * FROM t WHERE "pk" = ?'
+        args: ["id"]
+        client_resource: fake_ddb
+""").collect()
+    assert json.loads(out[0]["partiql_result"])[0]["params"]["S"] == "['k1']"
