@@ -252,6 +252,38 @@ def _build_input(spark: SparkSession, conf: dict,
                     server.stop()
             else:
                 server.stop()
+    _OBJECT_STORES = {
+        # input kind → (hadoop URI scheme, connector jar to name)
+        "aws_s3": ("s3a", "hadoop-aws + aws-java-sdk-bundle"),
+        "gcp_cloud_storage": ("gs", "gcs-connector"),
+        "azure_blob_storage": ("abfss", "hadoop-azure"),
+        "hdfs": ("hdfs", "hadoop client (usually bundled)"),
+    }
+    if kind in _OBJECT_STORES:
+        # object-store inputs (lib/input/{aws_s3,gcp_cloud_storage,
+        # azure_blob_storage,hdfs}.go): bucket walks compile onto the
+        # Hadoop FS scheme — the 100 TB path (splittable parallel scan,
+        # predicate pushdown, partition pruning all apply).  The SQS
+        # upload-notification pattern maps to Structured Streaming's
+        # file-arrival tracking (`stream: true`); per-object codecs
+        # reuse the file codec stack.
+        scheme, jar = _OBJECT_STORES[kind]
+        bucket = str(spec.get("bucket", spec.get("container", "")))
+        prefix = str(spec.get("prefix", ""))
+        uri = f"{scheme}://{bucket}/{prefix}".rstrip("/")
+        inner = {k: v for k, v in spec.items()
+                 if k in ("format", "codec", "schema", "stream",
+                          "max_files_per_trigger", "header",
+                          "delimiter")}
+        inner.setdefault("format", "parquet")
+        try:
+            return _build_input(spark, {"file": {"path": uri, **inner}},
+                                ctx)
+        except Exception as exc:
+            raise ConfigError(
+                f"input.{kind}: reading {uri!r} needs the {jar} jar on "
+                f"the cluster classpath and credentials via the Hadoop "
+                f"{scheme} configuration ({exc})") from exc
     from benthos_spark.sinks.bus import BUS_FAMILIES
     if kind in BUS_FAMILIES:
         # bus-family inputs (nats/nsq/mqtt/amqp/redis_*/gcp_pubsub/

@@ -1070,3 +1070,16 @@ output: {{memory: {{}}}}
     import pytest
     with pytest.raises(ValueError, match="unrecognised"):
         collect(tmp_path / "delim.txt", "morse")
+
+
+def test_object_store_input_actionable_error(spark):
+    """input.aws_s3 compiles onto the s3a:// Hadoop scheme; without
+    the connector jar the config error names the jar and scheme."""
+    import pytest
+    from benthos_spark.stream import ConfigError, build_stream
+    with pytest.raises(ConfigError, match="hadoop-aws"):
+        build_stream(spark, """
+input:
+  aws_s3: {bucket: my-bucket, prefix: data/, format: parquet}
+output: {memory: {}}
+""")
