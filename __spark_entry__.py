@@ -2384,6 +2384,30 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 42. Deterministic corpus shuffle (training-order assignment):
+#     (shard, pos) from md5(seed||id) — one per-shard window, no
+#     global sort; reproducible across engines by construction.
+# ================================================================
+
+@_register("shuffle_shards", oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         {_sql_hex12("'shuf' || CAST(doc_id AS VARCHAR)")} % 32 AS shard,
+         substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 13, 20) AS ho
+  FROM documents)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+       row_number() OVER (PARTITION BY shard
+                          ORDER BY ho, doc_id) AS pos
+FROM h
+""")
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.sampling import deterministic_shuffle
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, id_col="doc_id", seed="shuf",
+                                 n_shards=32)
+
+
+# ================================================================
 # 41. CCNet paragraph-level dedup (Wenzek et al., arXiv:1911.00359
 #     §3.1): every paragraph keeps only its FIRST corpus-wide
 #     occurrence; docs are rewritten from the survivors.
@@ -2514,7 +2538,7 @@ _SUITES: dict[str, list[str]] = {
     "sharded_join_full_outer": ["sharded_join_collisions"],
     "sessionize": ["streaming_replay"],
     "text_repetition": ["lm_frequency_mass"],
-    "mixture_sample": ["dataset_split"],
+    "mixture_sample": ["dataset_split", "shuffle_shards"],
     "decontaminate": ["exact_substring_dedup", "paragraph_dedup"],
 }
 

@@ -134,3 +134,30 @@ def hash_split(df: DataFrame, splits: list[tuple[str, float]],
     last = bounds[-1][0]
     out = expr.otherwise(last) if expr is not None else F.lit(last)
     return df.withColumn(out_col, out)
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str = "doc_id",
+                          seed: str = "shuf", n_shards: int = 32) -> DataFrame:
+    """Deterministic corpus shuffle for training-order assignment:
+    every doc gets a (shard, pos) coordinate from the md5 of
+    seed||id — reproducible across runs/engines, independent of input
+    partitioning, and free of source/time correlation (the reason
+    training pipelines shuffle before sharding).
+
+    Returns (id_col, shard, pos).  Scale shape: ONE window shuffle
+    partitioned by the shard id; each shard sorts only its n/n_shards
+    rows, so there is no global sort.  Writers can feed (shard, pos)
+    straight into write.partitionBy(shard) + sortWithinPartitions(pos).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    work = df.select(F.col(id_col),
+                     F.conv(F.substring(h, 1, 12), 16, 10)
+                     .cast("long").alias("__hk"),
+                     F.substring(h, 13, 20).alias("__ho"))
+    w = Window.partitionBy("__shard").orderBy("__ho", id_col)
+    return (work.withColumn("__shard",
+                            (F.col("__hk") % n_shards).cast("int"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select(id_col, F.col("__shard").alias("shard"), "pos"))
