@@ -506,13 +506,22 @@ output:
     assert sorted(r.id for r in out.collect()) == [100, 101, 102]
 
 
-def test_awk_raises_migration_error(spark):
-    with pytest.raises(ConfigError, match="bloblang"):
-        run_stream(spark, """
-input: {generate: {count: 1, mapping: "root.id = this.id"}}
+def test_awk_processor_runs(spark):
+    # awk is a real processor as of r3 (operators/awk_proc.py); a bad
+    # program still fails at config time with the component name
+    out = run_stream(spark, """
+input: {generate: {count: 1, mapping: 'root.content = "a b"'}}
 pipeline:
   processors:
-    - awk: {program: "{print $0}"}
+    - awk: {codec: text, program: "{print $2}"}
+""").collect()
+    assert out[0]["content"] == "b"
+    with pytest.raises(ConfigError, match="awk"):
+        run_stream(spark, """
+input: {generate: {count: 1}}
+pipeline:
+  processors:
+    - awk: {program: "{ oops ("}
 """)
 
 
