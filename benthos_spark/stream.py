@@ -302,6 +302,11 @@ def _build_input(spark: SparkSession, conf: dict,
                           max_per_poll=int(spec.get("max_per_poll",
                                                     100)),
                           client_factory=factory)
+    if kind in ("tcp_server", "udp_server"):
+        # deprecated aliases (lib/input/tcp_server.go:22,
+        # udp_server.go:21) of socket_server with the network pinned
+        spec = {**spec, "network": kind.split("_")[0]}
+        kind = "socket_server"
     if kind == "socket_server":
         # socket_server input (lib/input/socket_server.go:25): tcp /
         # udp / unix listener, bounded-drain like http_server

@@ -1092,3 +1092,36 @@ input:
   aws_s3: {bucket: my-bucket, prefix: data/, format: parquet}
 output: {memory: {}}
 """)
+
+
+def test_tcp_server_alias(spark, tmp_path):
+    """tcp_server / udp_server are deprecated aliases of socket_server
+    with the network pinned (lib/input/tcp_server.go:22)."""
+    import socket
+    import threading
+    import time
+    from benthos_spark.stream import run_stream
+
+    port_file = tmp_path / "port.txt"
+
+    def client():
+        for _ in range(150):
+            if port_file.exists() and port_file.read_text():
+                break
+            time.sleep(0.02)
+        host, _, port = port_file.read_text().rpartition(":")
+        with socket.create_connection((host, int(port)), timeout=5) as s:
+            s.sendall(b"via-alias\n")
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    out = run_stream(spark, f"""
+input:
+  tcp_server:
+    address: "127.0.0.1:0"
+    port_file: "{port_file}"
+    drain_ms: 2000
+output: {{memory: {{}}}}
+""").collect()
+    t.join(timeout=10)
+    assert [r.content for r in out] == ["via-alias"]
