@@ -61,10 +61,11 @@ def _default_factory(kind: str):
 
 def publish_output(df: DataFrame, kind: str, target,
                    client_factory=None,
-                   content_col: str = "content") -> int:
+                   content_col: str = "content") -> None:
     """Publish every row's content to `target` (a Column — interpolated
-    targets evaluate JVM-side).  One client per partition; executes the
-    frame as the output action and returns the row count."""
+    targets evaluate JVM-side).  One client per partition; the
+    foreachPartition IS the output action (no second pass over the
+    frame)."""
     if kind not in BUS_FAMILIES:
         raise ValueError(
             f"bus output {kind!r} unknown (have: {sorted(BUS_FAMILIES)})")
@@ -88,7 +89,6 @@ def publish_output(df: DataFrame, kind: str, target,
                 close()
 
     work.foreachPartition(send)
-    return df.count()
 
 
 def poll_input(spark: SparkSession, kind: str, target: str,
