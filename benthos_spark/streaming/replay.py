@@ -50,9 +50,22 @@ def replay_parquet(spark: SparkSession, path: str,
     out = transform(stream)
     name = "bs_replay_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="bs_replay_ckpt_")
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode).option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
+    # A replay is bounded by construction; the session's shuffle
+    # parallelism (sized for the batch tables) would create that many
+    # STATE STORE instances per stateful operator — checkpoint dirs,
+    # provider threads, and per-partition commit files dominate the
+    # runtime on small drains.  Pin the stream's state partitioning
+    # low; the conf only applies at query START, so restore right
+    # after (the running query keeps its value).
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         if not q.awaitTermination(await_secs):
             q.stop()
