@@ -633,8 +633,21 @@ def _truthy(v) -> bool:
     return str(v) != ""
 
 
+_POSIX_CLASSES = {
+    "alpha": "a-zA-Z", "digit": "0-9", "alnum": "a-zA-Z0-9",
+    "upper": "A-Z", "lower": "a-z", "space": r" \t\n\r\f\v",
+    "blank": r" \t", "xdigit": "0-9A-Fa-f",
+    "punct": r"!-/:-@\[-`{-~", "cntrl": r"\x00-\x1f\x7f",
+    "print": r"\x20-\x7e", "graph": r"\x21-\x7e",
+}
+
+
 def _ere(pattern: str):
-    # POSIX ERE ∩ Python re is near-total for practical patterns
+    # POSIX ERE ∩ Python re is near-total for practical patterns once
+    # bracket classes ([[:digit:]] etc.) translate to ranges
+    pattern = re.sub(
+        r"\[:(\w+):\]",
+        lambda m: _POSIX_CLASSES.get(m.group(1), m.group(0)), pattern)
     try:
         return re.compile(pattern)
     except re.error as exc:

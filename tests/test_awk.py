@@ -223,3 +223,15 @@ pipeline:
   processors:
     - awk: {codec: nope, program: "{ }"}
 """)
+
+
+def test_awk_posix_character_classes():
+    got, _, err = run_awk_message(
+        parse_program('{ gsub(/[[:digit:]]+/, "#"); print $0 }'),
+        "text", "a1b22c333", {})
+    assert err is None and got == "a#b#c#"
+    got, _, err = run_awk_message(
+        parse_program('{ if ($0 ~ /^[[:upper:]][[:lower:]]+$/)'
+                      ' print "name" }'),
+        "text", "Alice", {})
+    assert err is None and got == "name"
