@@ -69,7 +69,9 @@ def publish_output(df: DataFrame, kind: str, target,
     if kind not in BUS_FAMILIES:
         raise ValueError(
             f"bus output {kind!r} unknown (have: {sorted(BUS_FAMILIES)})")
-    factory = client_factory or _default_factory(kind)
+    if client_factory is None:
+        _default_factory(kind)()  # raises the package-naming error
+    factory = client_factory
     if isinstance(target, str):
         target = F.lit(target)
     body = (F.col(content_col) if content_col in df.columns
@@ -119,3 +121,66 @@ def poll_input(spark: SparkSession, kind: str, target: str,
         if close is not None:
             close()
     return spark.createDataFrame(rows, INGEST_SCHEMA)
+
+
+# family → (client pip package, reference output file) for keyed
+# document stores — write(target, key, document) contract
+DOC_STORE_FAMILIES = {
+    "elasticsearch": ("elasticsearch", "lib/output/elasticsearch.go"),
+    "aws_dynamodb": ("boto3", "lib/output/aws_dynamodb.go"),
+    "cassandra": ("cassandra-driver", "lib/output/cassandra.go"),
+    "azure_table_storage": ("azure-data-tables",
+                            "lib/output/azure_table_storage.go"),
+    "redis_hash": ("redis", "lib/output/redis_hash.go"),
+}
+
+
+def doc_store_output(df: DataFrame, kind: str, target,
+                     key, client_factory=None,
+                     content_col: str = "content") -> None:
+    """Keyed document-store outputs: one client per partition, each
+    row written as `client.write(target, key, document_json)` — the
+    minimal common contract of the ES index call, the DynamoDB
+    put_item, the Cassandra INSERT, the Azure table upsert, and the
+    redis HMSET.  `target` (index/table) and `key` (document id) are
+    Columns, so interpolations evaluate JVM-side.  Real SDK adapters
+    implement `write` over their native call; the default factory
+    raises the package-naming error like the bus bridge."""
+    if kind not in DOC_STORE_FAMILIES:
+        raise ValueError(
+            f"doc-store output {kind!r} unknown "
+            f"(have: {sorted(DOC_STORE_FAMILIES)})")
+    pkg, ref = DOC_STORE_FAMILIES[kind]
+
+    def default_factory():
+        raise RuntimeError(
+            f"{kind} output ({ref}): the {pkg!r} client package is not "
+            f"installed in this environment; register a zero-arg "
+            f"factory returning an object with "
+            f"write(target, key, document) under resources and pass it "
+            f"via client_resource")
+
+    if client_factory is None:
+        default_factory()  # raises at config time, driver-side
+    factory = client_factory
+    if isinstance(target, str):
+        target = F.lit(target)
+    if isinstance(key, str):
+        key = F.col(key)
+    body = (F.col(content_col) if content_col in df.columns
+            else F.to_json(F.struct(*df.columns)))
+    work = df.select(target.cast("string").alias("__target"),
+                     key.cast("string").alias("__key"),
+                     body.cast("string").alias("__doc"))
+
+    def send(rows):
+        client = factory()
+        try:
+            for r in rows:
+                client.write(r["__target"], r["__key"], r["__doc"])
+        finally:
+            close = getattr(client, "close", None)
+            if close is not None:
+                close()
+
+    work.foreachPartition(send)

@@ -926,6 +926,64 @@ def _run_output(df: DataFrame, conf: dict | None):
         # (collects, DLQ routing) reuse the materialized rows instead
         # of re-POSTing
         return sent.drop("__http_resp").localCheckpoint(eager=True)
+    from benthos_spark.sinks.bus import DOC_STORE_FAMILIES
+    if kind in DOC_STORE_FAMILIES:
+        # keyed document-store outputs (elasticsearch / aws_dynamodb /
+        # cassandra / azure_table_storage / redis_hash): the shared
+        # write(target, key, document) bridge with injectable clients
+        from benthos_spark.bloblang.field import interpolate
+        from benthos_spark.operators.control import resource
+        from benthos_spark.sinks.bus import doc_store_output
+        factory = (resource(str(spec["client_resource"]))
+                   if spec.get("client_resource") else None)
+        target = next((str(spec[f]) for f in
+                       ("index", "table", "key", "target")
+                       if spec.get(f)), "")
+        doc_id = str(spec.get("id", spec.get("doc_id", "")))
+        doc_store_output(
+            df, kind, interpolate(target),
+            interpolate(doc_id) if doc_id else F.lit(""),
+            client_factory=factory)
+        return df
+    if kind == "mongodb":
+        # mongodb output (internal/impl/mongodb/output.go): the
+        # processor's write operations with the result discarded
+        from benthos_spark.operators.control import resource
+        from benthos_spark.operators.kv_store import mongodb_map
+        factory = (resource(str(spec["client_resource"]))
+                   if spec.get("client_resource") else None)
+        work, helpers = df, []
+        f_col = d_col = None
+        if spec.get("filter_map"):
+            work = _mapping_json_col(work, str(spec["filter_map"]),
+                                     "__mongo_filter")
+            f_col = F.col("__mongo_filter")
+            helpers.append("__mongo_filter")
+        if spec.get("document_map"):
+            work = _mapping_json_col(work, str(spec["document_map"]),
+                                     "__mongo_doc")
+            d_col = F.col("__mongo_doc")
+            helpers.append("__mongo_doc")
+        out = mongodb_map(
+            work, str(spec.get("operation", "insert-one")),
+            str(spec.get("database", "db")),
+            str(spec.get("collection", "coll")),
+            filter_col=f_col, document_col=d_col,
+            upsert=bool(spec.get("upsert", False)),
+            client_factory=factory, url=str(spec.get("url", "")))
+        out.write.format("noop").mode("overwrite").save()
+        return df
+    if kind == "sql":
+        # sql output (lib/output/sql.go): INSERT per message through
+        # the processor's prepared-statement machinery, result dropped
+        from benthos_spark.operators.sql_exec import sql_query
+        args = [compile_condition(str(a)) for a in spec.get("args", [])]
+        out = sql_query(df, str(spec["data_source_name"]),
+                        str(spec["query"]), args_cols=args,
+                        result_codec="none",
+                        driver=spec.get("driver", "sqlite"))
+        out.write.format("noop").mode("overwrite").save()
+        return df
     from benthos_spark.sinks.bus import BUS_FAMILIES
     if kind in BUS_FAMILIES:
         # bus-family outputs: one shared per-partition publisher

@@ -277,6 +277,9 @@ def file_bus_client_factory(dir_path: str):
                 with open(fn, "a") as fh:
                     fh.write(f"{target}\t{payload.decode()}\n")
 
+            def write(self, target, key, document):
+                self.publish(f"{target}\t{key}", document.encode())
+
             def poll(self, target, max_n):
                 import glob
                 out = []

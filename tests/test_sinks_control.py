@@ -344,3 +344,78 @@ def test_bus_unknown_family_and_gate(spark):
         publish_output(df, "smoke-signal", "t")
     with pytest.raises(RuntimeError, match="boto3"):
         poll_input(spark, "aws_sqs", "q")
+
+
+def test_doc_store_output_and_sql_output(spark, tmp_path):
+    """Keyed doc-store outputs (write(target,key,doc) contract) and
+    output.sql / output.mongodb execute the frame as the sink action."""
+    import glob
+    import sqlite3
+    from benthos_spark.operators.control import register_resource
+    from benthos_spark.stream import run_stream
+    from benthos_spark.testkit import (fake_mongo_client_factory,
+                                       file_bus_client_factory)
+
+    store = str(tmp_path / "docs")
+    register_resource("file_store", file_bus_client_factory(store))
+    run_stream(spark, """
+input:
+  generate:
+    count: 2
+    mapping: |
+      root.content = "doc-" + this.id.string()
+      root.doc_key = "k" + this.id.string()
+output:
+  elasticsearch:
+    index: corpus
+    id: "${! doc_key }"
+    client_resource: file_store
+""")
+    lines = []
+    for fn in glob.glob(f"{store}/part-*"):
+        lines += open(fn).read().splitlines()
+    assert sorted(lines) == ["corpus\tk0\tdoc-0", "corpus\tk1\tdoc-1"]
+
+    # sql output: INSERT per message into sqlite
+    db = str(tmp_path / "out.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE msgs (body TEXT)")
+    con.commit()
+    con.close()
+    run_stream(spark, f"""
+input:
+  generate: {{count: 3, mapping: 'root.content = "m" + this.id.string()'}}
+output:
+  sql:
+    driver: sqlite
+    data_source_name: "{db}"
+    query: "INSERT INTO msgs (body) VALUES (?)"
+    args: ["content"]
+""")
+    con = sqlite3.connect(db)
+    rows = sorted(r[0] for r in con.execute("SELECT body FROM msgs"))
+    con.close()
+    assert rows == ["m0", "m1", "m2"]
+
+    # mongodb output: insert-one per message through the fake client
+    register_resource("fake_mongo_out", fake_mongo_client_factory)
+    out = run_stream(spark, """
+input:
+  generate: {count: 2, mapping: 'root.name = "n" + this.id.string()'}
+output:
+  mongodb:
+    operation: insert-one
+    collection: people
+    client_resource: fake_mongo_out
+    document_map: |
+      root.name = this.name
+""")
+    assert out.count() == 2  # pass-through frame survives the sink
+
+    import pytest
+    with pytest.raises(RuntimeError, match="cassandra-driver"):
+        run_stream(spark, """
+input: {generate: {count: 1, mapping: 'root.content = "x"'}}
+output:
+  cassandra: {table: t, id: "a"}
+""")
