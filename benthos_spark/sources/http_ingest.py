@@ -257,3 +257,120 @@ class SocketIngestServer:
             self._server.shutdown()
             self._server.server_close()
             self._server = None
+
+
+class WebsocketIngestServer:
+    """websocket input (lib/input/websocket.go:15): text messages over
+    RFC 6455, bounded-drain like the other network inputs.  The
+    protocol is implemented from the PUBLIC spec over the stdlib —
+    the upgrade handshake (Sec-WebSocket-Accept = base64(sha1(key ||
+    258EAFA5-E914-47DA-95CA-C5AB0DC85B11))) and the frame layer
+    (FIN/opcode, 7/16/64-bit lengths, client-to-server masking) —
+    since no websocket package ships in this container (the
+    real-where-stdlib-reaches doctrine, cf. snappy_py/lz4_py)."""
+
+    _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 path: str = "/ws", max_buffer: int = 100_000):
+        self._host, self._port, self._path = host, port, path
+        self._rows: deque = deque(maxlen=max_buffer)
+        self._lock = threading.Lock()
+        self._server = None
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> tuple[str, int]:
+        import base64
+        import hashlib
+        import socketserver
+        import struct
+        srv = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                # --- HTTP upgrade handshake
+                request = self.rfile.readline().decode("latin-1")
+                headers = {}
+                while True:
+                    line = self.rfile.readline().decode("latin-1")
+                    if line in ("\r\n", "\n", ""):
+                        break
+                    k, _, v = line.partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                path = request.split(" ")[1] if " " in request else "/"
+                key = headers.get("sec-websocket-key")
+                if (path.split("?")[0] != srv._path or key is None or
+                        "websocket" not in
+                        headers.get("upgrade", "").lower()):
+                    self.wfile.write(
+                        b"HTTP/1.1 400 Bad Request\r\n"
+                        b"Content-Length: 0\r\n\r\n")
+                    return
+                accept = base64.b64encode(hashlib.sha1(
+                    (key + srv._GUID).encode()).digest()).decode()
+                self.wfile.write(
+                    ("HTTP/1.1 101 Switching Protocols\r\n"
+                     "Upgrade: websocket\r\n"
+                     "Connection: Upgrade\r\n"
+                     f"Sec-WebSocket-Accept: {accept}\r\n\r\n")
+                    .encode())
+                # --- frame loop (text frames buffered; close → reply)
+                fragments: list[bytes] = []
+                while True:
+                    head = self.rfile.read(2)
+                    if len(head) < 2:
+                        return
+                    fin = bool(head[0] & 0x80)
+                    opcode = head[0] & 0x0F
+                    masked = bool(head[1] & 0x80)
+                    ln = head[1] & 0x7F
+                    if ln == 126:
+                        ln, = struct.unpack(">H", self.rfile.read(2))
+                    elif ln == 127:
+                        ln, = struct.unpack(">Q", self.rfile.read(8))
+                    mask = self.rfile.read(4) if masked else b""
+                    payload = self.rfile.read(ln)
+                    if masked:
+                        payload = bytes(
+                            b ^ mask[i % 4]
+                            for i, b in enumerate(payload))
+                    if opcode == 0x8:  # close → echo close, stop
+                        self.wfile.write(b"\x88\x00")
+                        return
+                    if opcode == 0x9:  # ping → pong
+                        self.wfile.write(
+                            bytes([0x8A, len(payload)]) + payload)
+                        continue
+                    if opcode in (0x1, 0x2, 0x0):
+                        fragments.append(payload)
+                        if fin:
+                            text = b"".join(fragments).decode(
+                                "utf-8", "replace")
+                            fragments = []
+                            if text:
+                                with srv._lock:
+                                    srv._rows.append(
+                                        (text,
+                                         {"websocket_path": path}))
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((self._host, self._port), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._server.server_address[:2]
+
+    def drain(self, spark: SparkSession) -> DataFrame:
+        with self._lock:
+            rows = list(self._rows)
+            self._rows.clear()
+        return spark.createDataFrame(rows, INGEST_SCHEMA)
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None

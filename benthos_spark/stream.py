@@ -302,6 +302,28 @@ def _build_input(spark: SparkSession, conf: dict,
                           max_per_poll=int(spec.get("max_per_poll",
                                                     100)),
                           client_factory=factory)
+    if kind == "websocket":
+        # websocket input (lib/input/websocket.go:15): RFC 6455 over
+        # stdlib (handshake + frame layer), bounded-drain
+        import time as _time
+
+        from benthos_spark.sources.http_ingest import \
+            WebsocketIngestServer
+        addr = str(spec.get("address", "127.0.0.1:0"))
+        whost, _, wport = addr.rpartition(":")
+        server = WebsocketIngestServer(
+            whost or "127.0.0.1", int(wport or 0),
+            path=str(spec.get("path", "/ws")),
+            max_buffer=int(spec.get("max_buffer", 100_000)))
+        bound = server.start()
+        if pf := spec.get("port_file"):
+            with open(str(pf), "w") as fh:
+                fh.write(f"{bound[0]}:{bound[1]}")
+        try:
+            _time.sleep(int(spec.get("drain_ms", 1000)) / 1000.0)
+            return server.drain(spark)
+        finally:
+            server.stop()
     if kind in ("tcp_server", "udp_server"):
         # deprecated aliases (lib/input/tcp_server.go:22,
         # udp_server.go:21) of socket_server with the network pinned

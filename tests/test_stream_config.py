@@ -1125,3 +1125,73 @@ output: {{memory: {{}}}}
 """).collect()
     t.join(timeout=10)
     assert [r.content for r in out] == ["via-alias"]
+
+
+def test_websocket_input(spark, tmp_path):
+    """input.websocket: a raw-socket RFC 6455 client (handshake +
+    masked text frames + ping + close) feeds the drain window."""
+    import base64
+    import hashlib
+    import os
+    import socket
+    import struct
+    import threading
+    import time
+    from benthos_spark.stream import run_stream
+
+    port_file = tmp_path / "ws_port.txt"
+    handshake_ok = {}
+
+    def mask_frame(opcode, payload):
+        mask = os.urandom(4)
+        head = bytes([0x80 | opcode])
+        n = len(payload)
+        if n < 126:
+            head += bytes([0x80 | n])
+        else:
+            head += bytes([0x80 | 126]) + struct.pack(">H", n)
+        return head + mask + bytes(
+            b ^ mask[i % 4] for i, b in enumerate(payload))
+
+    def client():
+        for _ in range(150):
+            if port_file.exists() and port_file.read_text():
+                break
+            time.sleep(0.02)
+        host, _, port = port_file.read_text().rpartition(":")
+        key = base64.b64encode(os.urandom(16)).decode()
+        with socket.create_connection((host, int(port)), timeout=5) as s:
+            s.sendall((f"GET /ws HTTP/1.1\r\nHost: {host}\r\n"
+                       "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                       f"Sec-WebSocket-Key: {key}\r\n"
+                       "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+            resp = s.recv(4096).decode("latin-1")
+            want = base64.b64encode(hashlib.sha1(
+                (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
+                .encode()).digest()).decode()
+            handshake_ok["accept"] = (
+                "101" in resp.split("\r\n")[0] and want in resp)
+            s.sendall(mask_frame(0x1, b"first message"))
+            s.sendall(mask_frame(0x9, b"ping!"))  # expect a pong back
+            pong = s.recv(64)
+            handshake_ok["pong"] = pong[:1] == b"\x8a"
+            s.sendall(mask_frame(0x1, "privet мир"
+                                 .encode("utf-8")))
+            s.sendall(mask_frame(0x8, b""))  # close
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    out = run_stream(spark, f"""
+input:
+  websocket:
+    address: "127.0.0.1:0"
+    path: /ws
+    port_file: "{port_file}"
+    drain_ms: 2500
+output: {{memory: {{}}}}
+""").collect()
+    t.join(timeout=10)
+    assert handshake_ok == {"accept": True, "pong": True}
+    assert sorted(r.content for r in out) == \
+        ["first message", "privet мир"]
+    assert all(r.meta["websocket_path"] == "/ws" for r in out)
