@@ -374,3 +374,53 @@ class WebsocketIngestServer:
             self._server.shutdown()
             self._server.server_close()
             self._server = None
+
+
+def websocket_send(url: str, messages: list[str],
+                   timeout_s: float = 10.0) -> None:
+    """Minimal RFC 6455 CLIENT (output side, lib/output/websocket.go):
+    handshake, send each message as a masked text frame, close.  Used
+    per partition by the websocket output — client-to-server frames
+    are masked as the spec requires."""
+    import base64
+    import hashlib
+    import os
+    import socket
+    import struct
+    from urllib.parse import urlparse
+
+    u = urlparse(url)
+    host = u.hostname or "127.0.0.1"
+    port = u.port or (443 if u.scheme == "wss" else 80)
+    if u.scheme == "wss":
+        raise ValueError("websocket output: wss:// needs TLS material; "
+                         "terminate TLS in front or use ws://")
+    path = u.path or "/"
+    key = base64.b64encode(os.urandom(16)).decode()
+    with socket.create_connection((host, port), timeout=timeout_s) as s:
+        s.sendall((f"GET {path} HTTP/1.1\r\nHost: {host}\r\n"
+                   "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                   f"Sec-WebSocket-Key: {key}\r\n"
+                   "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        resp = s.recv(4096).decode("latin-1")
+        if "101" not in resp.split("\r\n")[0]:
+            raise ConnectionError(
+                f"websocket handshake refused: {resp.splitlines()[0]!r}")
+        want = base64.b64encode(hashlib.sha1(
+            (key + WebsocketIngestServer._GUID).encode())
+            .digest()).decode()
+        if want not in resp:
+            raise ConnectionError("websocket accept-key mismatch")
+        for msg in messages:
+            payload = msg.encode()
+            mask = os.urandom(4)
+            n = len(payload)
+            if n < 126:
+                head = bytes([0x81, 0x80 | n])
+            elif n < (1 << 16):
+                head = bytes([0x81, 0x80 | 126]) + struct.pack(">H", n)
+            else:
+                head = bytes([0x81, 0x80 | 127]) + struct.pack(">Q", n)
+            s.sendall(head + mask + bytes(
+                b ^ mask[i % 4] for i, b in enumerate(payload)))
+        s.sendall(b"\x88\x80" + os.urandom(4))  # masked close

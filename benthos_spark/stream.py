@@ -948,6 +948,24 @@ def _run_output(df: DataFrame, conf: dict | None):
         # (collects, DLQ routing) reuse the materialized rows instead
         # of re-POSTing
         return sent.drop("__http_resp").localCheckpoint(eager=True)
+    if kind == "websocket":
+        # websocket output (lib/output/websocket.go): one RFC 6455
+        # client connection per partition, rows as masked text frames
+        from benthos_spark.sources.http_ingest import websocket_send
+        url = str(spec["url"])
+        content_col = str(spec.get("content_col", "content"))
+
+        def send_part(rows):
+            msgs = [r[content_col] for r in rows
+                    if r[content_col] is not None]
+            if msgs:
+                websocket_send(url, msgs)
+
+        cols = df.select(content_col) if content_col in df.columns \
+            else df.select(F.to_json(F.struct(*df.columns))
+                           .alias(content_col))
+        cols.foreachPartition(send_part)
+        return df
     from benthos_spark.sinks.bus import DOC_STORE_FAMILIES
     if kind in DOC_STORE_FAMILIES:
         # keyed document-store outputs (elasticsearch / aws_dynamodb /

@@ -1195,3 +1195,26 @@ output: {{memory: {{}}}}
     assert sorted(r.content for r in out) == \
         ["first message", "privet мир"]
     assert all(r.meta["websocket_path"] == "/ws" for r in out)
+
+
+def test_websocket_output(spark):
+    """output.websocket: rows publish to a live ws server as masked
+    text frames through the per-partition RFC 6455 client."""
+    from benthos_spark.sources.http_ingest import WebsocketIngestServer
+    from benthos_spark.stream import run_stream
+
+    server = WebsocketIngestServer(path="/sink")
+    host, port = server.start()
+    try:
+        run_stream(spark, f"""
+input:
+  generate: {{count: 3, mapping: 'root.content = "ws-" + this.id.string()'}}
+output:
+  websocket: {{url: "ws://{host}:{port}/sink"}}
+""")
+        import time
+        time.sleep(0.5)  # let handler threads flush the last frame
+        out = server.drain(spark).collect()
+    finally:
+        server.stop()
+    assert sorted(r.content for r in out) == ["ws-0", "ws-1", "ws-2"]
