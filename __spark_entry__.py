@@ -2384,6 +2384,42 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 43. awk processor gate: a pattern-action program over the documents
+#     table (per-record NF + an END summary), mirrored in SQL.  The
+#     general awk surface is not SQL-expressible; this pins the
+#     interpreter's record loop, field splitting, arithmetic, and
+#     print/END machinery under the driver's value gate.
+# ================================================================
+
+@_register("awk_pipeline", oracle="""
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS ln,
+         generate_subscripts(string_split(text, chr(10)), 1) AS i
+  FROM documents),
+counts AS (
+  SELECT doc_id, i,
+         length(list_filter(string_split_regex(ln, '[ \t]+'),
+                            x -> x <> '')) AS nf
+  FROM lines)
+SELECT doc_id,
+       string_agg(CAST(nf AS VARCHAR), chr(10) ORDER BY i)
+         || chr(10) || 'total ' || CAST(SUM(nf) AS VARCHAR)
+         AS content
+FROM counts GROUP BY doc_id
+""")
+def awk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.awk_proc import awk_process
+    docs = _t(spark, sf_dir, "documents")
+    frame = docs.select("doc_id", F.col("text").alias("content"))
+    out = awk_process(
+        frame,
+        '{ print NF; total += NF } END { print "total", total }',
+        codec="text")
+    return out.select("doc_id", "content")
+
+
+# ================================================================
 # 42. Deterministic corpus shuffle (training-order assignment):
 #     (shard, pos) from md5(seed||id) — one per-shard window, no
 #     global sort; reproducible across engines by construction.
@@ -2532,7 +2568,8 @@ _SUITES: dict[str, list[str]] = {
     "unarchive_explode": ["unarchive_json_map"],
     "bloblang_compiled": ["batch_functions"],
     "window_tumbling": ["window_sliding"],
-    "text_analysis": ["text_quality_langid", "pii_scrub"],
+    "text_analysis": ["text_quality_langid", "pii_scrub",
+                      "awk_pipeline"],
     "similarity_topk": ["similarity_lsh_topk", "similarity_ivf_topk",
                         "semantic_dedup"],
     "sharded_join_full_outer": ["sharded_join_collisions"],
