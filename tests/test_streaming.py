@@ -115,7 +115,9 @@ def test_replay_parquet_equals_batch(spark):
 
     src = tempfile.mkdtemp(prefix="bs_replay_t_src")
     try:
-        _events(spark).write.mode("overwrite").parquet(src)
+        # one part file so the single-file shim below can't land on an
+        # empty partition's output
+        _events(spark).coalesce(1).write.mode("overwrite").parquet(src)
 
         def xf(s):
             return tumbling_window_agg(
