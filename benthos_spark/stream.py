@@ -948,6 +948,29 @@ def _run_output(df: DataFrame, conf: dict | None):
         # (collects, DLQ routing) reuse the materialized rows instead
         # of re-POSTing
         return sent.drop("__http_resp").localCheckpoint(eager=True)
+    _OBJ_OUT = {"aws_s3": ("s3a", "hadoop-aws + aws-java-sdk-bundle"),
+                "gcp_cloud_storage": ("gs", "gcs-connector"),
+                "azure_blob_storage": ("abfss", "hadoop-azure"),
+                "hdfs": ("hdfs", "hadoop client")}
+    if kind in _OBJ_OUT:
+        # object-store outputs (lib/output/{aws_s3,...}.go): partitioned
+        # writes through the Hadoop FS schemes — the file output with a
+        # cloud URI; an actionable jar error in-container
+        scheme, jar = _OBJ_OUT[kind]
+        bucket = str(spec.get("bucket", spec.get("container", "")))
+        prefix = str(spec.get("path", spec.get("prefix", "")))
+        uri = f"{scheme}://{bucket}/{prefix}".rstrip("/")
+        try:
+            return _run_output(df, {"file": {
+                "path": uri,
+                **{k: v for k, v in spec.items()
+                   if k in ("format", "partition_by", "mode",
+                            "checkpoint", "timeout")}}})
+        except Exception as exc:
+            raise ConfigError(
+                f"output.{kind}: writing {uri!r} needs the {jar} jar "
+                f"and credentials via the Hadoop {scheme} "
+                f"configuration ({exc})") from exc
     if kind == "websocket":
         # websocket output (lib/output/websocket.go): one RFC 6455
         # client connection per partition, rows as masked text frames

@@ -419,3 +419,14 @@ input: {generate: {count: 1, mapping: 'root.content = "x"'}}
 output:
   cassandra: {table: t, id: "a"}
 """)
+
+
+def test_object_store_output_actionable_error(spark):
+    import pytest
+    from benthos_spark.stream import ConfigError, run_stream
+    with pytest.raises(ConfigError, match="hadoop-aws"):
+        run_stream(spark, """
+input: {generate: {count: 1, mapping: 'root.content = "x"'}}
+output:
+  aws_s3: {bucket: my-bucket, path: out/, format: parquet}
+""")
