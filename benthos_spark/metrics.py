@@ -153,6 +153,31 @@ def statsd_lines(metrics: dict, prefix: str = "benthos_spark") -> list[str]:
     return out
 
 
+def influx_lines(metrics: dict, measurement: str = "benthos_spark",
+                 tags: dict[str, str] | None = None,
+                 timestamp_ns: int | None = None) -> list[str]:
+    """The same dict in InfluxDB line protocol (the `influxdb` metric
+    target, lib/metrics/influxdb.go): one line per metric with
+    comma-escaped tags; pass `timestamp_ns` for a pinned timestamp or
+    leave None to let the server assign one."""
+    import numbers
+
+    def esc(s: str) -> str:
+        return (str(s).replace("\\", "\\\\").replace(",", "\\,")
+                .replace(" ", "\\ ").replace("=", "\\="))
+
+    tag_str = "".join(f",{esc(k)}={esc(v)}"
+                      for k, v in sorted((tags or {}).items()))
+    suffix = f" {int(timestamp_ns)}" if timestamp_ns is not None else ""
+    out = []
+    for name, value in sorted(metrics.items()):
+        if isinstance(value, numbers.Number) and not isinstance(value,
+                                                                bool):
+            out.append(f"{measurement}{tag_str} "
+                       f"{esc(name)}={float(value):g}{suffix}")
+    return out
+
+
 class SpanTracer:
     """Config-pipeline tracing (reference `tracer:` section,
     lib/tracer/jaeger.go).  The jaeger agent protocol needs a thrift

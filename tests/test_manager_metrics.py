@@ -250,3 +250,14 @@ tracer: {jaeger: {agent_address: "localhost:6831"}}
 input: {generate: {count: 1}}
 output: {memory: {}}
 """)
+
+
+def test_influx_lines():
+    from benthos_spark.metrics import influx_lines
+    lines = influx_lines({"batches": 3, "rate": 1.5, "skip": "str"},
+                         tags={"host": "a b", "env": "dev"},
+                         timestamp_ns=1700000000000000000)
+    assert lines == [
+        "benthos_spark,env=dev,host=a\\ b batches=3 1700000000000000000",
+        "benthos_spark,env=dev,host=a\\ b rate=1.5 1700000000000000000",
+    ]
