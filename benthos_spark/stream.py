@@ -1091,8 +1091,24 @@ def _build_resources(spark: SparkSession, conf: dict) -> dict:
     res = conf.get("resources") or {}
     caches = {}
     for name, c in (res.get("caches") or {}).items():
+        # cache types (lib/cache/): `file` = a pinned path; `memory`
+        # (the reference default) = a session-scoped temp path, gone
+        # with the process like the reference's in-proc map.  redis/
+        # memcached map to the kv_store client bridges; s3 via an s3a
+        # path needs a Hadoop-listing store (documented limitation of
+        # the local version glob).
+        ctype = str(c.get("type", "file" if c.get("path") else "memory"))
+        if ctype == "memory":
+            import tempfile
+            path = tempfile.mkdtemp(prefix=f"bs_cache_{name}_")
+        elif ctype == "file":
+            path = c["path"]
+        else:
+            raise ConfigError(
+                f"cache type {ctype!r}: only memory|file ship "
+                "in-container (redis/memcached → kv_store bridges)")
         caches[name] = CacheStore(
-            spark, c["path"], key=c.get("key", "key"),
+            spark, path, key=c.get("key", "key"),
             ttl_seconds=c.get("ttl"))
     ctx = {"spark": spark, "caches": caches}
     for name, procs in (res.get("processors") or {}).items():

@@ -173,3 +173,28 @@ def test_salted_join_matches_plain_join(spark):
     lj = salted_join(left, right, "k", salt=4, how="left")
     assert lj.count() == left.count()
     assert lj.filter("k = 'orphan'").collect()[0].payload is None
+
+
+def test_memory_cache_resource(spark):
+    """resources.caches type: memory (the reference default cache) —
+    a session-scoped store; set → get roundtrip through YAML."""
+    from benthos_spark.stream import run_stream
+
+    out = run_stream(spark, """
+resources:
+  caches:
+    scratch: {type: memory, key: k}
+input:
+  generate:
+    count: 3
+    mapping: |
+      root.k = "id-" + this.id.string()
+      root.v = this.id * 10
+pipeline:
+  processors:
+    - cache: {resource: scratch, operator: set, key: this.k, value: this.v}
+    - cache: {resource: scratch, operator: get, key: this.k, keep_key: true}
+output: {memory: {}}
+""")
+    rows = {r["k"]: r["value"] for r in out.collect()}
+    assert rows == {"id-0": 0, "id-1": 10, "id-2": 20}
