@@ -279,6 +279,8 @@ def _build_input(spark: SparkSession, conf: dict,
         try:
             return _build_input(spark, {"file": {"path": uri, **inner}},
                                 ctx)
+        except ConfigError:
+            raise  # a real config mistake, not a missing connector
         except Exception as exc:
             raise ConfigError(
                 f"input.{kind}: reading {uri!r} needs the {jar} jar on "
@@ -966,6 +968,8 @@ def _run_output(df: DataFrame, conf: dict | None):
                 **{k: v for k, v in spec.items()
                    if k in ("format", "partition_by", "mode",
                             "checkpoint", "timeout")}}})
+        except ConfigError:
+            raise  # a real config mistake, not a missing connector
         except Exception as exc:
             raise ConfigError(
                 f"output.{kind}: writing {uri!r} needs the {jar} jar "
