@@ -7,15 +7,22 @@ by Go channels.  Here the same config shape compiles to a single
 DataFrame DAG: input → transformations → sink, optimized end-to-end by
 Catalyst; acks/retries/checkpoints are Structured Streaming's.
 
-Supported config surface (v2):
+Supported config surface (v3):
 
     resources:
-      caches: {name: {path: dir, key: col, ttl: seconds}}
+      caches: {name: {type: memory|file, path, key, ttl}}
       processors: {name: [<processor>, ...]}      # `resource` targets
+    tracer: {json_file: {path}}                   # component spans
     input:
-      file: {paths: [p], format: parquet|csv|lines, header: bool}
+      file: {paths: [p], format: parquet|csv|lines|json,
+             codec: lines|delim:<s>|chunker:<n>|gzip|tar|zip|all-bytes}
       generate: {count: N, mapping: "<bloblang>"}
       broker: {inputs: [<input>, ...]}           # fan-in union
+      http_server (+ sync_response) / http_client / socket_server
+      (tcp/udp/unix; tcp_server/udp_server aliases) / websocket /
+      stdin / subprocess / sequence(.sharded_join) / read_until
+      aws_s3 / gcp_cloud_storage / azure_blob_storage / hdfs
+      kafka + 14 bus families (nats/sqs/kinesis/... via poll bridge)
     pipeline:
       processors:
         - bloblang: "<mapping>"
@@ -39,6 +46,8 @@ Supported config surface (v2):
         - archive / unarchive / merge_json / try / catch / log / metric
         - xml / jq / jmespath / sql / subprocess / resource / window
         - for_each / process_batch / parallel / process_field / noop
+        - awk: {codec, program} · redis / mongodb / dynamodb_partiql
+        - aws_lambda / sleep / sync_response
     output:
       memory: {}                                  # return the DataFrame
       file: {path: dir, format: parquet|csv, partition_by}
@@ -46,6 +55,10 @@ Supported config surface (v2):
       switch: {cases: [{check, output}, ...]}
       broker: {pattern: fan_out, outputs: [...]}
       dlq | drop_on_error | reject: {output, dlq}
+      kafka · websocket · sql · mongodb · elasticsearch/aws_dynamodb/
+      cassandra/azure_table_storage/redis_hash (doc-store bridge) ·
+      aws_s3/gcp_cloud_storage/azure_blob_storage/hdfs ·
+      14 bus families (publisher bridge)
 
 Unknown sections raise with the component name, mirroring the
 reference's config lint (internal/docs, run.go:194-200).
