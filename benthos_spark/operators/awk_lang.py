@@ -32,6 +32,17 @@ class AwkError(ValueError):
     pass
 
 
+class Strnum(str):
+    """Input-derived string (POSIX "numeric string" provenance).
+
+    Fields, FS-split values, interpreter input variables, and host
+    function results carry this marker; string *constants* and
+    concatenation results do not.  Comparison applies numeric
+    semantics only when both operands are numbers or numeric-looking
+    strnums — `"10" < "9"` stays a string comparison (true)."""
+    __slots__ = ()
+
+
 # ---------------------------------------------------------------- lexer
 
 _KEYWORDS = {"BEGIN", "END", "function", "if", "else", "while", "for",
@@ -605,7 +616,7 @@ class _Return(Exception):
 _NUMERIC_RE = re.compile(r"^[+-]?(\d+\.?\d*([eE][+-]?\d+)?"
                          r"|\.\d+([eE][+-]?\d+)?)$")
 
-UNINIT = ""
+UNINIT = Strnum("")
 
 
 def _to_num(v) -> float:
@@ -621,6 +632,10 @@ def _to_num(v) -> float:
 
 def _to_str(v, ofmt="%.6g") -> str:
     if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e16:
             return str(int(v))
         return ofmt % v
@@ -667,7 +682,7 @@ class Interp:
             "OFMT": "%.6g",
         }
         for k, v in (vars or {}).items():
-            self.globals[k] = v
+            self.globals[k] = Strnum(v) if isinstance(v, str) else v
         self.fields: list[str] = [""]
         self.out: list[str] = []
         self.locals_stack: list[dict] = []
@@ -698,7 +713,7 @@ class Interp:
 
     # -- fields
     def set_record(self, line: str):
-        self.fields = [line]
+        self.fields = [Strnum(line)]
         fs = _to_str(self._scope_get("FS"))
         if fs == " ":
             parts = line.split()
@@ -706,7 +721,7 @@ class Interp:
             parts = line.split(fs)
         else:
             parts = re.split(fs, line)
-        self.fields += parts
+        self.fields += [Strnum(p) for p in parts]
         self.globals["NF"] = float(len(parts))
 
     def _rebuild_record(self):
@@ -753,6 +768,9 @@ class Interp:
         except _Exit as e:
             if e.code is not None:
                 self.exit_code = int(_to_num(e.code))
+        except (_Break, _Continue, _Return) as e:
+            raise AwkError(f"{type(e).__name__.lstrip('_').lower()} "
+                           "statement outside its scope") from e
         try:
             for item in self.items:
                 if item[0] == "end":
@@ -760,6 +778,11 @@ class Interp:
         except _Exit as e:
             if e.code is not None:
                 self.exit_code = int(_to_num(e.code))
+        except (_Next, _Break, _Continue, _Return) as e:
+            # stray control flow in END must surface as an awk error,
+            # not an internal exception escaping the interpreter
+            raise AwkError(f"{type(e).__name__.lstrip('_').lower()} "
+                           "statement used in END action") from e
         return self.exit_code
 
     def output(self) -> str:
@@ -857,6 +880,8 @@ class Interp:
 
     def _out_str(self, v):
         if isinstance(v, float):
+            if not math.isfinite(v):
+                return _to_str(v)
             if v == int(v) and abs(v) < 1e16:
                 return str(int(v))
             return _to_str(self._scope_get("OFMT")) % v
@@ -951,18 +976,30 @@ class Interp:
 
     def _str_for_concat(self, v):
         if isinstance(v, float):
+            if not math.isfinite(v):
+                return _to_str(v)
             conv = _to_str(self._scope_get("CONVFMT"))
             if v == int(v) and abs(v) < 1e16:
                 return str(int(v))
             return conv % v
         return str(v)
 
+    @staticmethod
+    def _numericish(v) -> bool:
+        # POSIX: numbers always; strnums when numeric-looking or
+        # uninitialized; plain string constants never
+        if isinstance(v, float):
+            return True
+        if isinstance(v, Strnum):
+            s = str.strip(v)
+            return s == "" or _NUMERIC_RE.match(s) is not None
+        return False
+
     def _compare(self, op, a, b):
-        # strnum semantics: numeric compare unless both sides are
-        # strings and at least one is non-numeric-looking
-        a_num = isinstance(a, float) or _NUMERIC_RE.match(str(a).strip())
-        b_num = isinstance(b, float) or _NUMERIC_RE.match(str(b).strip())
-        if a_num and b_num:
+        # strnum semantics: numeric compare only when both operands
+        # are numeric or input-derived numeric strings — a string
+        # *constant* forces string comparison ("10" < "9" is true)
+        if self._numericish(a) and self._numericish(b):
             x, y = _to_num(a), _to_num(b)
         else:
             x, y = _to_str(a), _to_str(b)
@@ -1040,7 +1077,9 @@ class Interp:
                 self.locals_stack.pop()
         if name in self.hostfuncs:
             args = [self.eval(a) for a in arg_exprs]
-            return self.hostfuncs[name](*args)
+            res = self.hostfuncs[name](*args)
+            # host functions read message data → strnum provenance
+            return Strnum(res) if type(res) is str else res
         return self._builtin(name, arg_exprs)
 
     def _builtin(self, name, arg_exprs):
@@ -1084,7 +1123,7 @@ class Interp:
             else:
                 parts = re.split(fs, st)
             for i, p in enumerate(parts):
-                arr[str(i + 1)] = p
+                arr[str(i + 1)] = Strnum(p)
             return float(len(parts))
         if name in ("sub", "gsub"):
             pat = (arg_exprs[0][1] if arg_exprs[0][0] == "ere"
@@ -1139,13 +1178,22 @@ class Interp:
         if name == "atan2":
             return math.atan2(n(0), n(1))
         if name == "exp":
-            return math.exp(n(0))
+            try:
+                return math.exp(n(0))
+            except OverflowError:
+                return float("inf")
         if name == "log":
-            return math.log(n(0))
+            # goawk/Go math: log(0) = -inf, log(<0) = NaN (not a raise)
+            v = n(0)
+            if v == 0:
+                return float("-inf")
+            return math.log(v) if v > 0 else float("nan")
         if name == "sqrt":
-            return math.sqrt(n(0))
+            v = n(0)
+            return math.sqrt(v) if v >= 0 else float("nan")
         if name == "int":
-            return float(int(n(0)))
+            v = n(0)
+            return v if not math.isfinite(v) else float(int(v))
         if name == "rand":
             return self._rand.random()
         if name == "srand":

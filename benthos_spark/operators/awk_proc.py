@@ -412,8 +412,14 @@ def run_awk_message(ast, codec: str, content: str,
         if codec != "none":
             for k, v in ctx.meta.items():
                 variables[_VAR_INVALID.sub("_", k)] = v
-        records = ([" "] if codec != "text"
-                   else (content or "").removesuffix("\n").split("\n"))
+        if codec != "text":
+            records = [" "]
+        elif not content:
+            # empty stdin runs zero records in the reference (only
+            # BEGIN/END rules execute) — awk.go feeds goawk empty input
+            records = []
+        else:
+            records = content.removesuffix("\n").split("\n")
         interp = Interp(ast, funcs=ctx.host_funcs(), vars=variables)
         status = interp.run(records)
         if status != 0:
@@ -429,6 +435,11 @@ def run_awk_message(ast, codec: str, content: str,
         return new_content, ctx.meta, None
     except AwkError as exc:
         return content, meta, str(exc)
+    except Exception as exc:  # noqa: BLE001 — reference contract:
+        # any execution error flags the message and passes the
+        # original through (awk.go:855); a data-dependent runtime
+        # error must never fail the whole Spark task
+        return content, meta, f"awk runtime error: {exc}"
 
 
 def awk_process(df: DataFrame, program: str, codec: str = "text",

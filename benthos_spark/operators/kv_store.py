@@ -254,8 +254,13 @@ def dynamodb_partiql_map(df: DataFrame, query: str,
     imports boto3 (gated), tests inject fakes."""
     in_cols = df.columns
     if args_cols:
-        packed = F.to_json(F.struct(*[
-            c.alias(f"a{i}") for i, c in enumerate(args_cols)]))
+        # ignoreNullFields=false: a null arg must survive as an
+        # explicit null, or every later positional PartiQL parameter
+        # silently shifts left
+        packed = F.to_json(
+            F.struct(*[c.alias(f"a{i}")
+                       for i, c in enumerate(args_cols)]),
+            {"ignoreNullFields": "false"})
     else:
         packed = F.lit(None).cast("string")
     work = df.withColumn("__pq_args", packed)

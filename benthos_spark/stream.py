@@ -104,8 +104,12 @@ def _mapping_json_col(df: DataFrame, src: str, name: str) -> DataFrame:
     new = [c for c in work.columns if not c.startswith("__mjc_")]
     if not new:
         raise ConfigError(f"mapping for {name!r} assigns no fields")
+    # ignoreNullFields=false: a filter/document map may legitimately
+    # set a field to null ({"deleted_at": null}); dropping it changes
+    # the query
     work = work.withColumn(
-        name, F.to_json(F.struct(*[F.col(c) for c in new])))
+        name, F.to_json(F.struct(*[F.col(c) for c in new]),
+                        {"ignoreNullFields": "false"}))
     return work.select(*[F.col(s).alias(c) for c, s in saved.items()], name)
 
 
@@ -1249,3 +1253,7 @@ def run_stream(spark: SparkSession, config: dict | str) -> DataFrame:
         return out
     finally:
         server.stop()
+        if tracer is not None:
+            # sync path must flush spans too, or a tracer configured
+            # alongside http_server sync_response silently drops them
+            tracer.flush()

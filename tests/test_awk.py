@@ -235,3 +235,78 @@ def test_awk_posix_character_classes():
                       ' print "name" }'),
         "text", "Alice", {})
     assert err is None and got == "name"
+
+
+def test_awk_runtime_errors_flag_message_not_task():
+    """Data-dependent runtime errors must flag the message and pass
+    the original through (awk.go:855), never escape the interpreter:
+    math edge cases follow goawk/Go semantics (sqrt(-1)=nan,
+    log(0)=-inf), int(inf) stays inf, and a stray `next` in END is an
+    awk error, not an internal exception."""
+    # goawk math: no raise, IEEE values flow through formatting
+    got, _, err = run_awk_message(
+        parse_program('BEGIN { print sqrt(-1), log(0), exp(100000) }'),
+        "none", "orig", {})
+    assert err is None
+    assert got == "nan -inf inf"
+    got, _, err = run_awk_message(
+        parse_program('BEGIN { print int(log(0)) }'), "none", "x", {})
+    assert err is None and got == "-inf"
+    # stray control flow in END → message-level error, original through
+    got, _, err = run_awk_message(
+        parse_program('END { next }'), "none", "orig", {})
+    assert got == "orig" and err is not None and "next" in err
+    # a genuinely unexpected runtime error is trapped, not propagated
+    got, _, err = run_awk_message(
+        parse_program('BEGIN { printf "%d", exp(100000) }'),
+        "none", "orig", {})
+    assert got == "orig" and err is not None
+
+
+def test_awk_empty_text_runs_zero_records():
+    """Empty stdin runs zero main-rule records in the reference; only
+    BEGIN/END execute (goawk over empty input)."""
+    got, _, err = run_awk_message(
+        parse_program('{ print "ran" }'), "text", "", {})
+    assert err is None and got == ""
+    got, _, err = run_awk_message(
+        parse_program('BEGIN { print "b" } { print "ran" } '
+                      'END { print "e" }'), "text", "", {})
+    assert err is None and got == "b\ne"
+
+
+def test_awk_strnum_comparison_semantics():
+    """POSIX strnum: string *constants* compare as strings even when
+    numeric-looking; input-derived values (fields, vars, host fns)
+    compare numerically when they look numeric."""
+    # constants: string comparison ("10" < "9" is true)
+    got, _, err = run_awk_message(
+        parse_program('BEGIN { print ("10" < "9") ? "yes" : "no" }'),
+        "none", "x", {})
+    assert err is None and got == "yes"
+    # fields vs number: numeric
+    got, _, err = run_awk_message(
+        parse_program('{ print ($1 < 9) ? "lt" : "ge" }'),
+        "text", "10", {})
+    assert err is None and got == "ge"
+    # field vs string constant: string comparison per POSIX
+    got, _, err = run_awk_message(
+        parse_program('{ print ($1 < "9") ? "lt" : "ge" }'),
+        "text", "10", {})
+    assert err is None and got == "lt"
+    # two numeric-looking fields: numeric comparison
+    got, _, err = run_awk_message(
+        parse_program('{ print ($1 < $2) ? "lt" : "ge" }'),
+        "text", "9 10", {})
+    assert err is None and got == "lt"
+    # uninitialized vs number: numeric (uninit == 0)
+    got, _, err = run_awk_message(
+        parse_program('BEGIN { print (x < 1) ? "lt" : "ge" }'),
+        "none", "x", {})
+    assert err is None and got == "lt"
+    # split()-derived values are strnums
+    got, _, err = run_awk_message(
+        parse_program('BEGIN { split("10:9", a, ":"); '
+                      'print (a[1] > a[2]) ? "num" : "str" }'),
+        "none", "x", {})
+    assert err is None and got == "num"

@@ -192,3 +192,34 @@ pipeline:
         client_resource: fake_ddb
 """).collect()
     assert json.loads(out[0]["partiql_result"])[0]["params"]["S"] == "['k1']"
+
+
+def test_dynamodb_partiql_null_arg_preserves_position(spark):
+    """A null argument must survive as an explicit null parameter —
+    Spark's to_json default (ignoreNullFields) would drop it and shift
+    every later positional PartiQL parameter left."""
+    from benthos_spark.operators.kv_store import dynamodb_partiql_map
+    from benthos_spark.testkit import fake_dynamodb_client_factory
+
+    df = spark.createDataFrame([(1, "c")], "a long, c string")
+    row = dynamodb_partiql_map(
+        df, 'SELECT * FROM tbl WHERE "x" = ? AND "y" = ? AND "z" = ?',
+        args_cols=[F.col("a"), F.lit(None).cast("string"), F.col("c")],
+        client_factory=fake_dynamodb_client_factory).collect()[0]
+    items = json.loads(row["partiql_result"])
+    assert items[0]["params"]["S"] == "[1, None, 'c']"
+    assert row["_error"] is None
+
+
+def test_mongodb_filter_map_preserves_null_fields(spark):
+    """A document/filter map that sets a field to null must keep the
+    field in the serialized JSON ({"deleted_at": null} is a real
+    Mongo filter, not the same query as {})."""
+    from benthos_spark.stream import _mapping_json_col
+
+    df = spark.createDataFrame([("u1",)], "id string")
+    out = _mapping_json_col(
+        df, "root._id = this.id\nroot.deleted_at = null",
+        "mongo_filter").collect()[0]
+    assert json.loads(out["mongo_filter"]) == {"_id": "u1",
+                                               "deleted_at": None}

@@ -252,6 +252,56 @@ output: {memory: {}}
 """)
 
 
+def test_tracer_flushes_in_sync_response_path(spark, tmp_path):
+    """A tracer configured alongside http_server sync_response must
+    still flush its spans — the sync branch of run_stream has its own
+    finally path."""
+    import json
+    import threading
+    import time
+    import urllib.request
+    from benthos_spark.stream import run_stream
+
+    port_file = tmp_path / "port.txt"
+    spans_path = tmp_path / "spans.jsonl"
+
+    def client():
+        for _ in range(150):
+            if port_file.exists() and port_file.read_text():
+                break
+            time.sleep(0.02)
+        req = urllib.request.Request(
+            f"http://{port_file.read_text()}/post", data=b"hi")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            r.read()
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    run_stream(spark, f"""
+tracer:
+  json_file: {{path: "{spans_path}"}}
+input:
+  http_server:
+    address: "127.0.0.1:0"
+    path: /post
+    port_file: "{port_file}"
+    drain_ms: 2000
+    sync_response: true
+    sync_timeout: 30
+pipeline:
+  processors:
+    - bloblang: |
+        root = this
+        root.content = this.content.uppercase()
+    - sync_response: {{}}
+output:
+  memory: {{}}
+""")
+    t.join(timeout=60)
+    spans = [json.loads(l) for l in spans_path.read_text().splitlines()]
+    assert any(s["name"] == "processor:bloblang" for s in spans)
+
+
 def test_influx_lines():
     from benthos_spark.metrics import influx_lines
     lines = influx_lines({"batches": 3, "rate": 1.5, "skip": "str"},
