@@ -1726,6 +1726,37 @@ def jq_path_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 31a''. jq round-4 language surface through the interpreter tier:
+#        `def` + if/elif, `as` binding, reduce over range(), string
+#        interpolation, object construction (lib/processor/jq.go:18;
+#        semantics per the public jq manual).
+# ================================================================
+
+@_register("jq_advanced", oracle="""
+SELECT doc_id,
+       '{"doc_id":' || CAST(doc_id AS VARCHAR) ||
+       ',"tag":"' || lang || '-' ||
+       CASE WHEN n_chars < 200 THEN 'small'
+            WHEN n_chars < 500 THEN 'mid' ELSE 'large' END ||
+       '","adj":' || CAST(n_chars + 45 AS VARCHAR) || '}' AS content
+FROM documents WHERE doc_id < 2500
+""")
+def jq_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.operators.jq import jq_transform
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 2500)
+            .select("doc_id",
+                    F.to_json(F.struct("doc_id", "lang", "n_chars"))
+                    .alias("content")))
+    prog = ('.n_chars as $n | '
+            'def bucket: if $n < 200 then "small" '
+            'elif $n < 500 then "mid" else "large" end; '
+            '{doc_id, tag: "\\(.lang)-\\(bucket)", '
+            'adj: ((reduce range(0; 10) as $i (0; . + $i)) + $n)}')
+    return jq_transform(docs, prog).select("doc_id", "content")
+
+
+# ================================================================
 # 31b. unarchive json_map (lib/processor/unarchive.go:26): one JSON
 #      object per doc → one row per entry, key preserved as metadata.
 # ================================================================
@@ -2564,7 +2595,7 @@ _SUITES: dict[str, list[str]] = {
     "string_methods": ["compress_roundtrip", "xml_to_json",
                        "grok_extract", "parse_log_syslog"],
     "structured_methods": ["jq_general", "jq_path_fastpath",
-                           "jmespath_transform"],
+                           "jq_advanced", "jmespath_transform"],
     "unarchive_explode": ["unarchive_json_map"],
     "bloblang_compiled": ["batch_functions"],
     "window_tumbling": ["window_sliding"],

@@ -17,15 +17,30 @@ Spark-first split:
   path, same shape as the reference's per-message gojq closure but
   vectorized over record batches.
 
-Supported subset: identity, field access (+ optional `?`), indexing,
-iteration `[]`, pipe `|`, comma `,`, `select`, object/array construction,
-arithmetic `+ - * / %` with jq type rules (string/array concat, object
-merge), comparisons, `and/or/not`, alternative `//`, `$metadata`, string
-functions (`split/join/test/startswith/endswith/ltrimstr/rtrimstr`,
-`ascii_downcase/upcase`, `tostring/tonumber`), array functions
-(`length/keys/has/map/add/sort/sort_by/unique/reverse/first/last/min/max/
-range/flatten`), `floor/ceil/fabs`, `empty`, `type`. Unsupported syntax
-raises `JQCompileError` at plan-build time, never mid-job.
+Supported surface: identity, field access (+ optional `?`), indexing,
+iteration `[]`, recursive descent `..`, pipe `|`, comma `,`, `select`,
+object/array construction, arithmetic `+ - * / %` with jq type rules
+(string/array concat, object merge), comparisons, `and/or/not`,
+alternative `//`, `$metadata`, `as $var` bindings, `if/then/elif/else/
+end`, `try EXPR catch HANDLER`, `reduce`/`foreach`, user functions
+(`def f: ...;` and `def f(a; $b): ...;` with filter and value params,
+recursion allowed), the assignment family (`=`, `|=`, `+=`, `-=`, `*=`,
+`/=`, `%=`, `//=`) over path expressions, string interpolation
+`"\\(expr)"`, multi-argument calls `f(a; b)`, string functions
+(`split/join/test/capture/sub/gsub/startswith/endswith/ltrimstr/
+rtrimstr`, `ascii_downcase/upcase`, `tostring/tonumber/tojson/
+fromjson`), array/object functions (`length/keys/has/map/add/sort/
+sort_by/group_by/unique/unique_by/min_by/max_by/reverse/first/last/min/
+max/range/flatten/to_entries/from_entries/with_entries/any/all/
+contains`), path functions (`path/getpath/setpath/delpaths`), control
+(`empty/error/limit/first(f)/last(f)/until/while/recurse`),
+`floor/ceil/fabs/type`. Unsupported syntax raises `JQCompileError` at
+plan-build time, never mid-job.
+
+Known lexer limitation: a string interpolation whose inner expression
+itself contains a double-quoted string (`"\\(.a // "x")"`) mis-tokenizes
+— jq's lexer is modal there; ours is regex-based. Rewrite with a
+variable binding instead.
 """
 
 from __future__ import annotations
@@ -55,13 +70,20 @@ class JQError(RuntimeError):
 # ---------------------------------------------------------------- tokens
 
 _TOKEN_RE = re.compile(r"""
-    (?P<ws>\s+)
-  | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\.\.|//|==|!=|<=|>=|\||\.|\[|\]|\{|\}|\(|\)|,|:|\?|\+|-|\*|/|%|<|>)
+  | (?P<op>\.\.|//=|//|==|!=|<=|>=|\|=|\+=|-=|\*=|/=|%=
+         |\||\.|\[|\]|\{|\}|\(|\)|,|:|;|\?|\+|-|\*|/|%|<|>|=)
 """, re.VERBOSE)
+
+_ASSIGN_OPS = ("=", "|=", "+=", "-=", "*=", "/=", "%=", "//=")
+
+# idents that terminate an expression — never a zero-arg call
+_RESERVED = {"then", "elif", "else", "end", "catch", "as", "and", "or",
+             "def"}
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
@@ -116,11 +138,48 @@ class _Parser:
         return n
 
     def pipe(self) -> N:
+        if self.peek() == ("ident", "def"):
+            return self.funcdef()
         n = self.comma()
+        if self.peek() == ("ident", "as"):
+            # EXPR as $var | BODY — body input stays `.`, $var bound
+            self.next()
+            k, v = self.next()
+            if k != "var":
+                raise JQCompileError("jq: `as` needs a $variable pattern")
+            self.expect("|")
+            return N("bind", n, v[1:], self.pipe())
         while self.peek()[1] == "|":
             self.next()
-            n = N("pipe", n, self.comma())
+            n = N("pipe", n, self.pipe())
         return n
+
+    def funcdef(self) -> N:
+        # def name: body;  /  def name(a; $b): body;  — scope = rest
+        self.next()  # 'def'
+        k, name = self.next()
+        if k != "ident" or name in _RESERVED:
+            raise JQCompileError(f"jq: bad function name {name!r}")
+        params: list[str] = []
+        if self.peek()[1] == "(":
+            self.next()
+            while True:
+                pk, pv = self.next()
+                if pk == "var":
+                    params.append(pv)  # keeps the $
+                elif pk == "ident" and pv not in _RESERVED:
+                    params.append(pv)
+                else:
+                    raise JQCompileError(f"jq: bad parameter {pv!r}")
+                if self.peek()[1] == ";":
+                    self.next()
+                    continue
+                break
+            self.expect(")")
+        self.expect(":")
+        body = self.pipe()
+        self.expect(";")
+        return N("def", (name, params, body), self.pipe())
 
     def pipe_nocomma(self) -> N:
         # jq object values are ExpD: pipes allowed, commas separate pairs
@@ -138,10 +197,21 @@ class _Parser:
         return n
 
     def alt(self) -> N:
-        n = self.or_()
+        n = self.assign()
         while self.peek()[1] == "//":
             self.next()
-            n = N("alt", n, self.or_())
+            n = N("alt", n, self.assign())
+        return n
+
+    def assign(self) -> N:
+        # nonassoc, between `//` and `or` (jq parser.y precedence)
+        n = self.or_()
+        if self.peek()[1] in _ASSIGN_OPS:
+            op = self.next()[1]
+            rhs = self.or_()
+            if self.peek()[1] in _ASSIGN_OPS:
+                raise JQCompileError("jq: assignment is non-associative")
+            return N("assign", n, rhs, op)
         return n
 
     def or_(self) -> N:
@@ -215,10 +285,15 @@ class _Parser:
         k, v = self.next()
         if v == ".":
             k2, v2 = self.peek()
-            if k2 == "ident":
+            if k2 == "ident" and v2 not in _RESERVED:
                 self.next()
                 return N("field", N("identity"), v2)
+            if k2 == "str":
+                self.next()
+                return N("field", N("identity"), json.loads(v2))
             return N("identity")
+        if v == "..":
+            return N("call", "recurse", [])
         if v == "(":
             n = self.pipe()
             self.expect(")")
@@ -254,7 +329,7 @@ class _Parser:
             return N("lit", float(v) if "." in v or "e" in v.lower()
                      else int(v))
         if k == "str":
-            return N("lit", json.loads(v))
+            return _parse_string(v)
         if k == "var":
             return N("var", v[1:])
         if k == "ident":
@@ -263,15 +338,109 @@ class _Parser:
                                  "null": None}[v])
             if v == "not":
                 return N("call", "not", [])
+            if v == "if":
+                return self.if_expr()
+            if v == "try":
+                body = self.postfix()
+                handler = None
+                if self.peek() == ("ident", "catch"):
+                    self.next()
+                    handler = self.postfix()
+                return N("trycatch", body, handler)
+            if v in ("reduce", "foreach"):
+                src = self.postfix()
+                if self.next() != ("ident", "as"):
+                    raise JQCompileError(f"jq: {v} needs `as $var`")
+                vk, vv = self.next()
+                if vk != "var":
+                    raise JQCompileError(f"jq: {v} needs a $variable")
+                self.expect("(")
+                init = self.pipe()
+                self.expect(";")
+                update = self.pipe()
+                extract = None
+                if self.peek()[1] == ";":
+                    if v == "reduce":
+                        raise JQCompileError("jq: reduce takes 2 parts")
+                    self.next()
+                    extract = self.pipe()
+                self.expect(")")
+                return N(v, src, vv[1:], (init, update, extract))
+            if v in _RESERVED:
+                raise JQCompileError(f"jq: unexpected keyword {v!r}")
             if self.peek()[1] == "(":
                 self.next()
                 args = [self.pipe()]
-                while self.peek()[1] == ";":  # jq uses ';' — not tokenized
-                    raise JQCompileError("jq: multi-arg ';' unsupported")
+                while self.peek()[1] == ";":
+                    self.next()
+                    args.append(self.pipe())
                 self.expect(")")
                 return N("call", v, args)
             return N("call", v, [])
         raise JQCompileError(f"jq: unexpected token {v!r}")
+
+    def if_expr(self) -> N:
+        pairs = []
+        cond = self.pipe()
+        if self.next() != ("ident", "then"):
+            raise JQCompileError("jq: if needs `then`")
+        pairs.append((cond, self.pipe()))
+        els = None
+        while True:
+            t = self.next()
+            if t == ("ident", "elif"):
+                c2 = self.pipe()
+                if self.next() != ("ident", "then"):
+                    raise JQCompileError("jq: elif needs `then`")
+                pairs.append((c2, self.pipe()))
+            elif t == ("ident", "else"):
+                els = self.pipe()
+                if self.next() != ("ident", "end"):
+                    raise JQCompileError("jq: if needs `end`")
+                break
+            elif t == ("ident", "end"):
+                break
+            else:
+                raise JQCompileError(
+                    f"jq: expected elif/else/end, got {t[1]!r}")
+        return N("if", pairs, els)
+
+
+def _parse_string(tok: str) -> N:
+    """String literal token → lit node, or an `interp` node when it
+    contains jq interpolation segments `\\(expr)`."""
+    body = tok[1:-1]
+    if "\\(" not in body:
+        return N("lit", json.loads(tok))
+    parts: list[Any] = []  # literal str segments and N nodes
+    buf: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body) and body[i + 1] == "(":
+            depth, j = 1, i + 2
+            while j < len(body) and depth:
+                if body[j] == "(":
+                    depth += 1
+                elif body[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise JQCompileError("jq: unterminated interpolation")
+            if buf:
+                parts.append(json.loads('"' + "".join(buf) + '"'))
+                buf = []
+            parts.append(parse_jq(body[i + 2:j - 1]))
+            i = j
+        elif c == "\\":
+            buf.append(body[i:i + 2])
+            i += 2
+        else:
+            buf.append(c)
+            i += 1
+    if buf:
+        parts.append(json.loads('"' + "".join(buf) + '"'))
+    return N("interp", parts)
 
 
 def parse_jq(src: str) -> N:
@@ -451,12 +620,295 @@ def _eval(n: N, v: Any, env: dict[str, Any]) -> Iterator[Any]:
             yield dict(zip(keys, combo))
     elif kind == "call":
         yield from _call(n.a, n.b, v, env)
+    elif kind == "bind":
+        for val in _eval(n.a, v, env):
+            yield from _eval(n.c, v, {**env, n.b: val})
+    elif kind == "def":
+        name, params, body = n.a
+        funcs = dict(env.get("__funcs__") or {})
+        def_env = {**env}
+        funcs[(name, len(params))] = (params, body, def_env)
+        def_env["__funcs__"] = funcs  # includes itself → recursion
+        yield from _eval(n.b, v, def_env)
+    elif kind == "if":
+        def _if(i: int) -> Iterator[Any]:
+            if i == len(n.a):
+                if n.b is None:
+                    yield v  # omitted else defaults to `.`
+                else:
+                    yield from _eval(n.b, v, env)
+                return
+            cond, then = n.a[i]
+            for c in _eval(cond, v, env):
+                if _truthy(c):
+                    yield from _eval(then, v, env)
+                else:
+                    yield from _if(i + 1)
+        yield from _if(0)
+    elif kind == "trycatch":
+        try:
+            yield from list(_eval(n.a, v, env))
+        except JQError as e:
+            if n.b is not None:
+                yield from _eval(n.b, str(e), env)
+    elif kind == "reduce":
+        init, update, _ = n.c
+        for acc in _eval(init, v, env):
+            for x in _eval(n.a, v, env):
+                outs = list(_eval(update, acc, {**env, n.b: x}))
+                acc = outs[-1] if outs else None
+            yield acc
+    elif kind == "foreach":
+        init, update, extract = n.c
+        for acc in _eval(init, v, env):
+            for x in _eval(n.a, v, env):
+                env2 = {**env, n.b: x}
+                outs = list(_eval(update, acc, env2))
+                for o in outs:
+                    if extract is None:
+                        yield o
+                    else:
+                        yield from _eval(extract, o, env2)
+                if outs:
+                    acc = outs[-1]
+    elif kind == "assign":
+        yield from _assign(n, v, env)
+    elif kind == "closure":
+        # a filter argument bound to a `def` parameter: evaluate the
+        # original node in the argument-site env with the current input
+        argnode, cenv = n.a
+        yield from _eval(argnode, v, cenv)
+    elif kind == "interp":
+        streams = [[p] if isinstance(p, str)
+                   else [x if isinstance(x, str) else _dumps(x)
+                         for x in _eval(p, v, env)]
+                   for p in n.a]
+        for combo in product(*streams):
+            yield "".join(combo)
     else:  # pragma: no cover
         raise JQCompileError(f"jq: unknown node {kind}")
 
 
+# ------------------------------------------------------------- paths
+
+def _path_eval(n: N, v: Any, env: dict[str, Any]
+               ) -> Iterator[tuple[list, Any]]:
+    """Evaluate a *path expression*: yields (path, value-at-path)
+    pairs, the machinery behind jq assignment and `path()`
+    (gojq's invalid-path errors match)."""
+    kind = n.kind
+    if kind == "identity":
+        yield [], v
+    elif kind == "field":
+        for p, base in _path_eval(n.a, v, env):
+            if base is None:
+                yield p + [n.b], None
+            elif isinstance(base, dict):
+                yield p + [n.b], base.get(n.b)
+            else:
+                raise JQError(
+                    f"cannot index {_jqtype(base)} with \"{n.b}\"")
+    elif kind == "index":
+        for p, base in _path_eval(n.a, v, env):
+            for idx in _eval(n.b, v, env):
+                if base is None:
+                    yield p + [idx], None
+                elif isinstance(base, list) and isinstance(idx, int):
+                    i = idx if idx >= 0 else len(base) + idx
+                    yield p + [i], (base[i] if 0 <= i < len(base)
+                                    else None)
+                elif isinstance(base, dict) and isinstance(idx, str):
+                    yield p + [idx], base.get(idx)
+                else:
+                    raise JQError(f"cannot index {_jqtype(base)} "
+                                  f"with {_jqtype(idx)}")
+    elif kind == "iterate":
+        for p, base in _path_eval(n.a, v, env):
+            if isinstance(base, list):
+                for i, x in enumerate(base):
+                    yield p + [i], x
+            elif isinstance(base, dict):
+                for k, x in base.items():
+                    yield p + [k], x
+            else:
+                raise JQError(f"cannot iterate over {_jqtype(base)}")
+    elif kind == "pipe":
+        for p1, v1 in _path_eval(n.a, v, env):
+            for p2, v2 in _path_eval(n.b, v1, env):
+                yield p1 + p2, v2
+    elif kind == "comma":
+        yield from _path_eval(n.a, v, env)
+        yield from _path_eval(n.b, v, env)
+    elif kind == "try":
+        try:
+            yield from list(_path_eval(n.a, v, env))
+        except JQError:
+            pass
+    elif kind == "if":
+        def _ifp(i: int) -> Iterator[tuple[list, Any]]:
+            if i == len(n.a):
+                if n.b is None:
+                    yield [], v
+                else:
+                    yield from _path_eval(n.b, v, env)
+                return
+            cond, then = n.a[i]
+            for c in _eval(cond, v, env):
+                if _truthy(c):
+                    yield from _path_eval(then, v, env)
+                else:
+                    yield from _ifp(i + 1)
+        yield from _ifp(0)
+    elif kind == "call" and n.a == "select":
+        for cond in _eval(n.b[0], v, env):
+            if _truthy(cond):
+                yield [], v
+    elif kind == "call" and n.a == "empty":
+        return
+    elif kind == "call" and n.a == "getpath":
+        for p in _eval(n.b[0], v, env):
+            if not isinstance(p, list):
+                raise JQError("getpath: path must be an array")
+            yield list(p), _getpath(v, p)
+    else:
+        raise JQError(f"invalid path expression ({kind})")
+
+
+def _getpath(v: Any, path: list) -> Any:
+    for k in path:
+        if v is None:
+            return None
+        if isinstance(v, dict) and isinstance(k, str):
+            v = v.get(k)
+        elif isinstance(v, list) and isinstance(k, int):
+            i = k if k >= 0 else len(v) + k
+            v = v[i] if 0 <= i < len(v) else None
+        else:
+            raise JQError(
+                f"cannot index {_jqtype(v)} with {_jqtype(k)}")
+    return v
+
+
+def _setpath(v: Any, path: list, new: Any) -> Any:
+    if not path:
+        return new
+    k = path[0]
+    if isinstance(k, str):
+        if v is None:
+            v = {}
+        if not isinstance(v, dict):
+            raise JQError(f"cannot index {_jqtype(v)} with \"{k}\"")
+        out = dict(v)
+        out[k] = _setpath(out.get(k), path[1:], new)
+        return out
+    if isinstance(k, int):
+        if v is None:
+            v = []
+        if not isinstance(v, list):
+            raise JQError(f"cannot index {_jqtype(v)} with number")
+        i = k if k >= 0 else len(v) + k
+        if i < 0:
+            raise JQError("out of bounds negative array index")
+        out = list(v) + [None] * (i + 1 - len(v))
+        out[i] = _setpath(out[i], path[1:], new)
+        return out
+    raise JQError(f"invalid path component {_jqtype(k)}")
+
+
+def _delpath(v: Any, path: list) -> Any:
+    if v is None or not path:
+        return None if not path else v
+    k = path[0]
+    if len(path) == 1:
+        if isinstance(v, dict) and isinstance(k, str):
+            out = dict(v)
+            out.pop(k, None)
+            return out
+        if isinstance(v, list) and isinstance(k, int):
+            i = k if k >= 0 else len(v) + k
+            out = list(v)
+            if 0 <= i < len(out):
+                del out[i]
+            return out
+        raise JQError(
+            f"cannot delete {_jqtype(k)} key of {_jqtype(v)}")
+    if isinstance(v, dict) and isinstance(k, str):
+        if k not in v:
+            return v
+        out = dict(v)
+        out[k] = _delpath(out[k], path[1:])
+        return out
+    if isinstance(v, list) and isinstance(k, int):
+        i = k if k >= 0 else len(v) + k
+        if not 0 <= i < len(v):
+            return v
+        out = list(v)
+        out[i] = _delpath(out[i], path[1:])
+        return out
+    raise JQError(f"cannot index {_jqtype(v)} with {_jqtype(k)}")
+
+
+def _delpaths(v: Any, paths: list[list]) -> Any:
+    # longest-first so earlier deletions don't shift later indices
+    for p in sorted(paths, key=lambda p: [_sort_key(x) for x in p],
+                    reverse=True):
+        v = _delpath(v, p)
+    return v
+
+
+def _assign(n: N, v: Any, env: dict[str, Any]) -> Iterator[Any]:
+    lhs, rhs, op = n.a, n.b, n.c
+    if op == "|=":
+        out = v
+        dels: list[list] = []
+        for p, _ in _path_eval(lhs, v, env):
+            cur = _getpath(out, p)
+            upd = list(_eval(rhs, cur, env))
+            if upd:
+                out = _setpath(out, p, upd[0])
+            else:
+                dels.append(p)  # empty update deletes the path (jq1.6+)
+        yield _delpaths(out, dels)
+        return
+    # = and op= evaluate the RHS against the ORIGINAL input; each RHS
+    # value produces one output
+    for rv in _eval(rhs, v, env):
+        out = v
+        for p, _ in _path_eval(lhs, v, env):
+            if op == "=":
+                out = _setpath(out, p, rv)
+                continue
+            cur = _getpath(out, p)
+            if op == "+=":
+                nv = _add(cur, rv)
+            elif op == "//=":
+                nv = cur if _truthy(cur) else rv
+            else:
+                x, y = _tonum(cur), _tonum(rv)
+                if op == "-=":
+                    nv = x - y
+                elif op == "*=":
+                    nv = x * y
+                elif op == "/=":
+                    if y == 0:
+                        raise JQError("division by zero")
+                    nv = x / y
+                else:  # %=
+                    if y == 0:
+                        raise JQError("division by zero")
+                    nv = int(x) % int(y)
+            out = _setpath(out, p, nv)
+        yield out
+
+
 def _call(name: str, args: list[N], v: Any,
           env: dict[str, Any]) -> Iterator[Any]:
+    funcs = env.get("__funcs__") or {}
+    entry = funcs.get((name, len(args)))
+    if entry is not None:
+        yield from _call_userfunc(entry, args, v, env)
+        return
+
     def one(i: int) -> Any:
         outs = list(_eval(args[i], v, env))
         if len(outs) != 1:
@@ -552,9 +1004,9 @@ def _call(name: str, args: list[N], v: Any,
         yield out
     elif name == "reverse":
         yield list(reversed(v))
-    elif name == "first":
+    elif name == "first" and not args:
         yield v[0] if v else None
-    elif name == "last":
+    elif name == "last" and not args:
         yield v[-1] if v else None
     elif name in ("min", "max"):
         if not isinstance(v, list):
@@ -567,7 +1019,193 @@ def _call(name: str, args: list[N], v: Any,
             out.extend(x if isinstance(x, list) else [x])
         yield out
     elif name == "range":
-        yield from range(int(one(0)))
+        if len(args) == 1:
+            lo, hi, step = 0, _tonum(one(0)), 1
+        elif len(args) == 2:
+            lo, hi, step = _tonum(one(0)), _tonum(one(1)), 1
+        else:
+            lo, hi, step = (_tonum(one(0)), _tonum(one(1)),
+                            _tonum(one(2)))
+        if step == 0:
+            return
+        x = lo
+        while (x < hi) if step > 0 else (x > hi):
+            yield x
+            x += step
+    elif name == "limit":
+        cap = int(one(0))
+        for i, x in enumerate(_eval(args[1], v, env)):
+            if i >= cap:
+                break
+            yield x
+    elif name == "first" and len(args) == 1:
+        for x in _eval(args[0], v, env):
+            yield x
+            break
+    elif name == "last" and len(args) == 1:
+        got, lastv = False, None
+        for x in _eval(args[0], v, env):
+            got, lastv = True, x
+        if got:
+            yield lastv
+    elif name == "until":
+        # def until(cond; update): first state where cond holds
+        val = v
+        for _ in range(1_000_000):
+            if _truthy(_single(args[0], val, env)):
+                yield val
+                return
+            val = _single(args[1], val, env)
+        raise JQError("until: no fixpoint after 1e6 iterations")
+    elif name == "while":
+        # emits each state while cond holds
+        val = v
+        for _ in range(1_000_000):
+            if not _truthy(_single(args[0], val, env)):
+                return
+            yield val
+            val = _single(args[1], val, env)
+        raise JQError("while: no fixpoint after 1e6 iterations")
+    elif name == "recurse":
+        # def recurse(f): def r: ., (f | r); r.  default f = .[]?
+        def _rec(x: Any) -> Iterator[Any]:
+            yield x
+            if args:
+                for c in _eval(args[0], x, env):
+                    yield from _rec(c)
+            elif isinstance(x, list):
+                for c in x:
+                    yield from _rec(c)
+            elif isinstance(x, dict):
+                for c in x.values():
+                    yield from _rec(c)
+        yield from _rec(v)
+    elif name == "path":
+        for p, _pv in _path_eval(args[0], v, env):
+            yield p
+    elif name == "getpath":
+        p = one(0)
+        if not isinstance(p, list):
+            raise JQError("getpath: path must be an array")
+        try:
+            yield _getpath(v, p)
+        except JQError:
+            yield None
+    elif name == "setpath":
+        p = one(0)
+        if not isinstance(p, list):
+            raise JQError("setpath: path must be an array")
+        yield _setpath(v, p, one(1))
+    elif name == "delpaths":
+        ps = one(0)
+        if not isinstance(ps, list):
+            raise JQError("delpaths: paths must be an array")
+        yield _delpaths(v, [list(p) for p in ps])
+    elif name == "error":
+        msg = one(0) if args else v
+        raise JQError(msg if isinstance(msg, str) else _dumps(msg))
+    elif name == "to_entries":
+        if not isinstance(v, dict):
+            raise JQError(f"to_entries over {_jqtype(v)}")
+        yield [{"key": k, "value": x} for k, x in v.items()]
+    elif name == "from_entries":
+        if not isinstance(v, list):
+            raise JQError(f"from_entries over {_jqtype(v)}")
+        out = {}
+        for e in v:
+            if isinstance(e, dict):
+                k = e.get("key", e.get("k", e.get("name",
+                                                  e.get("Name"))))
+                val = e.get("value", e.get("v"))
+            else:
+                k, val = e, None
+            if not isinstance(k, str):
+                k = _dumps(k) if not isinstance(k, (int, float)) \
+                    else _tostr_num(k)
+            out[k] = val
+        yield out
+    elif name == "with_entries":
+        # def with_entries(f): to_entries | map(f) | from_entries
+        if not isinstance(v, dict):
+            raise JQError(f"with_entries over {_jqtype(v)}")
+        out = {}
+        for k, x in v.items():
+            for e in _eval(args[0], {"key": k, "value": x}, env):
+                out[e["key"]] = e.get("value")
+        yield out
+    elif name == "any" and not args:
+        yield isinstance(v, list) and any(_truthy(x) for x in v)
+    elif name == "all" and not args:
+        yield (not isinstance(v, list)) or all(_truthy(x) for x in v)
+    elif name == "any" and len(args) == 1:
+        yield isinstance(v, list) and any(
+            _truthy(o) for x in v for o in _eval(args[0], x, env))
+    elif name == "all" and len(args) == 1:
+        yield (not isinstance(v, list)) or all(
+            _truthy(o) for x in v for o in _eval(args[0], x, env))
+    elif name == "group_by":
+        if not isinstance(v, list):
+            raise JQError(f"cannot group {_jqtype(v)}")
+        keyed = sorted(((_single(args[0], x, env), x) for x in v),
+                       key=lambda kx: _sort_key(kx[0]))
+        out, cur, curk = [], [], object()
+        for k, x in keyed:
+            if cur and k != curk:
+                out.append(cur)
+                cur = []
+            curk = k
+            cur.append(x)
+        if cur:
+            out.append(cur)
+        yield out
+    elif name == "unique_by":
+        if not isinstance(v, list):
+            raise JQError(f"cannot unique {_jqtype(v)}")
+        seenk: list[Any] = []
+        out = []
+        for x in sorted(v, key=lambda x: _sort_key(
+                _single(args[0], x, env))):
+            k = _single(args[0], x, env)
+            if not seenk or seenk[-1] != k:
+                out.append(x)
+                seenk.append(k)
+        yield out
+    elif name in ("min_by", "max_by"):
+        if not isinstance(v, list):
+            raise JQError(f"cannot {name} {_jqtype(v)}")
+        if not v:
+            yield None
+        else:
+            pick = min if name == "min_by" else max
+            yield pick(v, key=lambda x: _sort_key(
+                _single(args[0], x, env)))
+    elif name == "contains":
+        yield _contains(v, one(0))
+    elif name == "tojson":
+        yield _dumps(v)
+    elif name == "fromjson":
+        try:
+            yield json.loads(_as_str(v, name))
+        except json.JSONDecodeError as e:
+            raise JQError(f"fromjson: {e}") from e
+    elif name == "capture":
+        mo = re.search(one(0), _as_str(v, name))
+        if mo:
+            yield {k: x for k, x in mo.groupdict().items()}
+    elif name in ("sub", "gsub"):
+        # replacement is a filter over the capture object — a plain
+        # string literal is the common case, `"\(.name)"` references
+        # named captures
+        pat = re.compile(one(0))
+        src_s = _as_str(v, name)
+
+        def _repl(mo: re.Match) -> str:
+            cap = {k: x for k, x in mo.groupdict().items()}
+            outs = list(_eval(args[1], cap, env))
+            if not outs or not isinstance(outs[0], str):
+                raise JQError(f"{name}: replacement must be a string")
+            return outs[0]
+        yield pat.sub(_repl, src_s, count=0 if name == "gsub" else 1)
     elif name == "floor":
         yield math.floor(_tonum(v))
     elif name == "ceil":
@@ -576,6 +1214,46 @@ def _call(name: str, args: list[N], v: Any,
         yield abs(_tonum(v))
     else:
         raise JQCompileError(f"jq: unsupported function {name!r}")
+
+
+def _call_userfunc(entry, args: list[N], v: Any,
+                   env: dict[str, Any]) -> Iterator[Any]:
+    """Invoke a `def`-defined function. Value params (`$x`) bind each
+    value of the argument evaluated in the CALLER's env/input (streams
+    fan out); filter params bind the argument as a zero-arg closure
+    over the caller's env, evaluated lazily at each use site."""
+    params, body, def_env = entry
+
+    def bind(i: int, acc_env: dict[str, Any]) -> Iterator[Any]:
+        if i == len(params):
+            yield from _eval(body, v, acc_env)
+            return
+        param, argnode = params[i], args[i]
+        if param.startswith("$"):
+            for val in _eval(argnode, v, env):
+                yield from bind(i + 1, {**acc_env, param[1:]: val})
+        else:
+            f2 = dict(acc_env.get("__funcs__") or {})
+            f2[(param, 0)] = ((), N("closure", (argnode, env)), acc_env)
+            yield from bind(i + 1, {**acc_env, "__funcs__": f2})
+
+    yield from bind(0, dict(def_env))
+
+
+def _contains(a: Any, b: Any) -> bool:
+    """jq `contains`: objects ⊇ recursively, arrays elementwise-any,
+    strings substring, scalars equality."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        return all(k in a and _contains(a[k], x) for k, x in b.items())
+    if isinstance(a, list) and isinstance(b, list):
+        return all(any(_contains(x, y) for x in a) for y in b)
+    if isinstance(a, str) and isinstance(b, str):
+        return b in a
+    return a == b
+
+
+def _tostr_num(x: float | int) -> str:
+    return str(int(x)) if float(x).is_integer() else str(x)
 
 
 def _as_str(v: Any, fn: str) -> str:

@@ -86,10 +86,12 @@ def test_errors():
     with pytest.raises(JQError):
         run(".[]", 42)
     assert run(".[]?", 42) is None          # ? suppresses the error
+    assert run(".a as $x | $x", {"a": 7}) == 7      # bindings now work
+    assert run("def f: . + 1; f", 2) == 3           # defs now work
     with pytest.raises(JQCompileError):
-        parse_jq(".a as $x | $x")            # bindings unsupported → build error
+        parse_jq("@base64")                  # formats unsupported → build error
     with pytest.raises(JQCompileError):
-        parse_jq("def f: .; f")
+        parse_jq(". as [$a] | $a")           # destructuring patterns
 
 
 # ---------------------------------------------------------------- static
@@ -159,3 +161,107 @@ output:
   memory: {}
 """)
     assert sorted(r.content for r in out.collect()) == ["30", "40", "50"]
+
+
+# ------------------------------------------------- jq manual vectors
+
+# (program, input-as-python, expected list of outputs) — re-expressed
+# from the public jq 1.6/1.7 manual examples for the round-4 surface:
+# reduce/foreach, try/catch, def (filter + value params, recursion),
+# the assignment family over path expressions, if/elif/else, as-
+# bindings, string interpolation, and the extended builtin set.
+MANUAL_VECTORS = [
+    ("reduce .[] as $x (0; . + $x)", [1, 2, 3, 4, 5], [15]),
+    ("foreach .[] as $item (0; . + $item)", [10, 2, 5, 3],
+     [10, 12, 17, 20]),
+    ("foreach .[] as $item (0; . + $item; [$item, . * 2])",
+     [10, 2, 5], [[10, 20], [2, 24], [5, 34]]),
+    ('try error("oops") catch .', None, ["oops"]),
+    ('try .a catch "err"', 1, ["err"]),
+    ("[.[] | try tonumber]", ["1", "bad", "3"], [[1, 3]]),
+    ("def inc: . + 1; [.[] | inc]", [1, 2, 3], [[2, 3, 4]]),
+    ("def f(x): x | x; f(.+1)", 1, [3]),
+    ("def fact: if . <= 1 then 1 else . * (. - 1 | fact) end; fact",
+     5, [120]),
+    ("def add($a; $b): $a + $b; add(1; 2)", None, [3]),
+    ("reduce range(1; 6) as $i (1; . * $i)", None, [120]),
+    (".a |= . + 1", {"a": 1, "b": 2}, [{"a": 2, "b": 2}]),
+    (".a = .b", {"a": 1, "b": 2}, [{"a": 2, "b": 2}]),
+    (".[] |= . * 2", [1, 2, 3], [[2, 4, 6]]),
+    (".a += 10", {"a": 1}, [{"a": 11}]),
+    ("(.a, .b) = 0", {"a": 1, "b": 2}, [{"a": 0, "b": 0}]),
+    ('.posts[0].title = "x"', {"posts": [{}]},
+     [{"posts": [{"title": "x"}]}]),
+    (".a //= 5", {"a": None}, [{"a": 5}]),
+    (".a.b |= empty", {"a": {"b": 1, "c": 2}}, [{"a": {"c": 2}}]),
+    ('if . > 5 then "big" elif . > 2 then "mid" else "small" end',
+     3, ["mid"]),
+    ('if . then "t" end', False, [False]),
+    (".x as $v | {saved: $v, double: (.y * 2)}", {"x": 1, "y": 3},
+     [{"saved": 1, "double": 6}]),
+    ('"\\(.a) and \\(.b)"', {"a": 1, "b": "two"}, ["1 and two"]),
+    ("[limit(3; .[])]", [1, 2, 3, 4, 5], [[1, 2, 3]]),
+    ("[range(2;8;2)]", None, [[2, 4, 6]]),
+    ("first(.[] | select(. > 2))", [1, 2, 3, 4], [3]),
+    ("to_entries", {"a": 1, "b": 2},
+     [[{"key": "a", "value": 1}, {"key": "b", "value": 2}]]),
+    ("from_entries", [{"key": "a", "value": 1}], [{"a": 1}]),
+    ("with_entries(.value += 1)", {"a": 1, "b": 2},
+     [{"a": 2, "b": 3}]),
+    ("any(. > 2)", [1, 2, 3], [True]),
+    ("all(. > 0)", [1, 2, 3], [True]),
+    ("path(.a[0].b)", None, [["a", 0, "b"]]),
+    ('getpath(["a","b"])', {"a": {"b": 7}}, [7]),
+    ('setpath(["a","b"]; 9)', {}, [{"a": {"b": 9}}]),
+    ('delpaths([["a"],["b",0]])', {"a": 1, "b": [5, 6], "c": 3},
+     [{"b": [6], "c": 3}]),
+    ("group_by(.k)", [{"k": 1, "v": "a"}, {"k": 2}, {"k": 1, "v": "b"}],
+     [[[{"k": 1, "v": "a"}, {"k": 1, "v": "b"}], [{"k": 2}]]]),
+    ("unique_by(.k)",
+     [{"k": 1, "v": "a"}, {"k": 1, "v": "b"}, {"k": 2}],
+     [[{"k": 1, "v": "a"}, {"k": 2}]]),
+    ("min_by(.x), max_by(.x)", [{"x": 3}, {"x": 1}, {"x": 2}],
+     [{"x": 1}, {"x": 3}]),
+    ("[..]", [[1]], [[[[1]], [1], 1]]),
+    ('contains("bar")', "foobar", [True]),
+    ('contains({"a":[1]})', {"a": [1, 2], "b": 1}, [True]),
+    ("tojson", {"a": 1}, ['{"a":1}']),
+    ("fromjson", "[1,2]", [[1, 2]]),
+    ('capture("(?P<user>[a-z]+)-(?P<id>[0-9]+)")', "ab-12",
+     [{"user": "ab", "id": "12"}]),
+    ('gsub("(?P<x>[aeiou])"; "[\\(.x)]")', "hello", ["h[e]ll[o]"]),
+    ('sub("l+"; "L")', "hello", ["heLo"]),
+    ("until(. > 100; . * 2)", 1, [128]),
+    ("[while(. < 20; . * 2)]", 1, [[1, 2, 4, 8, 16]]),
+    ("recurse(if . > 0 then . - 1 else empty end)", 2, [2, 1, 0]),
+    (".a[-1]", {"a": [1, 2, 3]}, [3]),
+    ('.["a b"]', {"a b": 4}, [4]),
+    ('."a b"', {"a b": 4}, [4]),
+    (".a | .b |= . + 1", {"a": {"b": 1}}, [{"b": 2}]),
+]
+
+
+@pytest.mark.parametrize("prog,inp,want", MANUAL_VECTORS)
+def test_jq_manual_vectors(prog, inp, want):
+    out = jq_eval_text(parse_jq(prog), json.dumps(inp))
+    got = json.loads(out)
+    assert got == (want[0] if len(want) == 1 else want)
+
+
+def test_jq_def_scoping_and_closures():
+    # filter params are call-by-name closures over the caller's env:
+    # $n resolves at the argument site even though `twice` never
+    # binds it
+    assert run(".n as $n | def twice(f): f | f; .n | twice(. + $n)",
+               {"n": 5}) == 15
+    # shadowing: the later def wins for the rest of its scope
+    assert run("def f: 1; def f: 2; f", None) == 2
+    # value params fan out over streams
+    assert run("def g($x): $x * 10; [g(.[])]", [1, 2]) == [10, 20]
+
+
+def test_jq_assignment_invalid_path_errors():
+    with pytest.raises(JQError):
+        run("(.a + 1) = 5", {"a": 1})
+    with pytest.raises(JQCompileError):
+        parse_jq(".a = .b = 1")  # nonassoc
