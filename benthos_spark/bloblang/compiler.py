@@ -348,10 +348,24 @@ def _compile_func(node: ast.FuncCall, scope: Scope):
         from pyspark.sql.window import Window
         return F.count("*").over(Window.partitionBy("batch_id"))
     if name == "count":
-        raise BloblangCompileError(
-            "count(): global arrival-order counters are non-deterministic "
-            "on a distributed engine (documented deviation, SURVEY §7); "
-            "use batch_index()/uuid_v4() or a stateful counter")
+        # count(name) (query/functions.go:200): a process-global named
+        # counter incremented per call in arrival order.  Arrival order
+        # doesn't exist on a distributed engine, so this compiles to a
+        # deterministic ordinal over the pinned batch order instead:
+        # row_number() over (batch_id, part_index).  Single-threaded
+        # runs match the reference exactly; distributed runs are
+        # deterministic but not arrival-ordered, and repeated
+        # count(<name>) calls inside one mapping share the row's
+        # ordinal rather than advancing per call (documented deviation,
+        # SURVEY §7).  The window is intentionally unpartitioned — a
+        # global counter is inherently serial; for scale-out ids use
+        # uuid_v4()/batch_index(), for streaming use stateful_counter.
+        # Requires the pinned-order columns (input batching policy or
+        # split_batches); without them the plan fails to resolve
+        # `batch_id`/`part_index` at build time.
+        from pyspark.sql.window import Window
+        return F.row_number().over(
+            Window.orderBy("batch_id", "part_index")).cast("long")
     # --- deprecated v3 aliases (query/deprecated_functions.go) ---
     if name == "echo":
         return F.lit(str(_lit_arg(args[0], "echo")) if args else "")

@@ -272,9 +272,11 @@ def test_unknown_function_and_method_errors():
         compile_mapping("root.x = this.a.wat()").apply(None)
 
 
-def test_count_documented_deviation():
-    with pytest.raises(BloblangCompileError, match="non-deterministic"):
-        compile_mapping('root.x = count("c")').apply(None)
+def test_count_compiles_to_ordinal():
+    # count() no longer raises — it compiles to a pinned-order ordinal
+    # (full semantics covered by test_count_windowed_ordinal)
+    m = compile_mapping('root.x = count("c")')
+    assert m is not None
 
 
 def test_variable_unknown_error():
@@ -471,3 +473,21 @@ root.ws = this.b.trim()
 """).collect()[0]
     assert out.cut == "1.2.0"
     assert out.ws == "pad"
+
+
+def test_count_windowed_ordinal(spark):
+    """count(name) (query/functions.go:200) compiles to a row_number
+    ordinal over the pinned batch order — single-threaded semantics
+    match the reference counter (1, 2, 3, ... in order); named
+    counters are independent sequences over the same pinned order."""
+    df = rows(spark,
+              [(0, 0, "a"), (0, 1, "b"), (1, 0, "c"), (1, 1, "d")],
+              "batch_id long, part_index long, content string")
+    out = (compile_mapping('root.n = count("foo")\nroot.c = this.content')
+           .apply(df, keep=("batch_id", "part_index")))
+    got = {(r.batch_id, r.part_index): r.n for r in out.collect()}
+    assert got == {(0, 0): 1, (0, 1): 2, (1, 0): 3, (1, 1): 4}
+    # the golden reference run: counter values follow arrival order,
+    # which IS the pinned order when single-threaded
+    vals = [r.n for r in out.orderBy("batch_id", "part_index").collect()]
+    assert vals == [1, 2, 3, 4]
