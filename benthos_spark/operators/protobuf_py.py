@@ -18,9 +18,15 @@ JSON mapping follows proto3 JSON (jsonpb): lowerCamelCase field names
 (original names accepted on input), 64-bit ints as strings, bytes as
 base64, enums by symbol, zero values omitted.
 
+oneof: exclusivity enforced — wire decode is last-field-wins within a
+group, JSON parse rejects multiple set members (proto3 JSON spec).
+Well-known types are pre-registered with their special JSON forms:
+Timestamp ⇄ RFC 3339, Duration ⇄ "1.5s", Any ⇄ {"@type", ...inline}
+(embedded type must be registered), wrappers ⇄ bare values, FieldMask
+⇄ comma-joined camelCase, Empty ⇄ {}.
+
 Unsupported (out of the reference's commonly-exercised surface):
-oneof (fields parse, no exclusivity), groups, extensions, Any /
-well-known-type special JSON forms.
+groups, extensions, Struct/Value/ListValue JSON forms.
 """
 
 from __future__ import annotations
@@ -72,11 +78,14 @@ def _tokens(src: str) -> list[str]:
 
 
 class Field:
-    __slots__ = ("name", "type", "number", "repeated", "map_kv")
+    __slots__ = ("name", "type", "number", "repeated", "map_kv",
+                 "oneof")
 
-    def __init__(self, name, type_, number, repeated=False, map_kv=None):
+    def __init__(self, name, type_, number, repeated=False, map_kv=None,
+                 oneof=None):
         self.name, self.type, self.number = name, type_, number
         self.repeated, self.map_kv = repeated, map_kv
+        self.oneof = oneof  # group name when member of a oneof
 
     @property
     def json_name(self) -> str:
@@ -125,14 +134,14 @@ def parse_proto(src: str) -> dict[str, Any]:
         full = prefix + name
         i += 2  # name {
         fields: dict[int, Field] = {}
-        oneof_depth = 0  # oneof members parse flat into the parent
+        oneof_stack: list[str] = []  # members parse flat, tagged w/ group
         while True:
             if i >= len(toks):
                 raise ProtoError(f"message {full}: unterminated body")
             t = toks[i]
             if t == "}":
-                if oneof_depth:  # closes a oneof block, not the message
-                    oneof_depth -= 1
+                if oneof_stack:  # closes a oneof block, not the message
+                    oneof_stack.pop()
                     i += 1
                     continue
                 break
@@ -150,7 +159,7 @@ def parse_proto(src: str) -> dict[str, Any]:
             if t == "oneof":
                 if i + 2 >= len(toks) or toks[i + 2] != "{":
                     raise ProtoError(f"message {full}: malformed oneof")
-                oneof_depth += 1
+                oneof_stack.append(toks[i + 1])
                 i += 3  # oneof name {
                 continue
             repeated = False
@@ -173,7 +182,9 @@ def parse_proto(src: str) -> dict[str, Any]:
                 raise ProtoError(
                     f"message {full}: malformed field near "
                     f"{' '.join(toks[i:i + 4])!r}") from exc
-            fields[num] = Field(fname, t, num, repeated)
+            fields[num] = Field(fname, t, num, repeated,
+                                oneof=(oneof_stack[-1] if oneof_stack
+                                       else None))
             i += 4
             while i < len(toks) and toks[i] not in (";", "}"):
                 i += 1  # field options [ ... ]
@@ -200,13 +211,44 @@ def parse_proto(src: str) -> dict[str, Any]:
     return {"package": package, "messages": messages, "enums": enums}
 
 
+# Well-known types are always resolvable (the reference links them via
+# protoregistry; `import "google/protobuf/*.proto"` needs no file on
+# disk).  Their JSON forms are special-cased per the proto3 JSON spec.
+_WKT_SOURCE = """
+syntax = "proto3";
+package google.protobuf;
+message Timestamp { int64 seconds = 1; int32 nanos = 2; }
+message Duration  { int64 seconds = 1; int32 nanos = 2; }
+message Any       { string type_url = 1; bytes value = 2; }
+message Empty     {}
+message FieldMask { repeated string paths = 1; }
+message DoubleValue { double value = 1; }
+message FloatValue  { float value = 1; }
+message Int64Value  { int64 value = 1; }
+message UInt64Value { uint64 value = 1; }
+message Int32Value  { int32 value = 1; }
+message UInt32Value { uint32 value = 1; }
+message BoolValue   { bool value = 1; }
+message StringValue { string value = 1; }
+message BytesValue  { bytes value = 1; }
+"""
+
+_WKT_WRAPPERS = {
+    "google.protobuf." + n for n in (
+        "DoubleValue", "FloatValue", "Int64Value", "UInt64Value",
+        "Int32Value", "UInt32Value", "BoolValue", "StringValue",
+        "BytesValue")}
+
+
 class ProtoRegistry:
     """Fully-qualified message/enum lookup across walked .proto files
-    (the processor's import_paths semantics)."""
+    (the processor's import_paths semantics).  google.protobuf
+    well-known types are pre-registered."""
 
     def __init__(self):
         self.messages: dict[str, dict[int, Field]] = {}
         self.enums: dict[str, dict[str, int]] = {}
+        self.add_source(_WKT_SOURCE)
 
     def add_source(self, src: str) -> "ProtoRegistry":
         p = parse_proto(src)
@@ -378,6 +420,13 @@ def _decode_message(buf: bytes, msg: str, reg: ProtoRegistry) -> dict:
         if field.repeated:
             out.setdefault(field.name, []).append(val)
         else:
+            if field.oneof is not None:
+                # oneof exclusivity: last field on the wire wins; any
+                # previously-decoded sibling of the group is dropped
+                for f2 in fields.values():
+                    if (f2.oneof == field.oneof
+                            and f2.name != field.name):
+                        out.pop(f2.name, None)
             out[field.name] = val
     return out
 
@@ -520,6 +569,10 @@ def message_to_json(buf: bytes, msg: str, reg: ProtoRegistry) -> str:
 
 
 def _jsonify(doc: dict, msg: str, reg: ProtoRegistry):
+    if msg.startswith("google.protobuf."):
+        special = _wkt_to_json(doc, msg, reg)
+        if special is not _NOT_WKT:
+            return special
     fields = {f.name: f for f in reg.messages[msg].values()}
     out = {}
     for k, v in doc.items():
@@ -547,21 +600,171 @@ def _jsonify_val(v, t: str, scope: str, reg: ProtoRegistry):
     return _jsonify(v, rname, reg)
 
 
+# ------------------------------------------------- well-known types
+
+_NOT_WKT = object()
+
+
+def _ts_to_rfc3339(seconds: int, nanos: int) -> str:
+    import datetime as dt
+    base = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + \
+        dt.timedelta(seconds=int(seconds))
+    s = base.strftime("%Y-%m-%dT%H:%M:%S")
+    return s + _frac(nanos) + "Z"
+
+
+def _frac(nanos: int) -> str:
+    # proto3 JSON: 0, 3, 6 or 9 fractional digits
+    n = abs(int(nanos))
+    if n == 0:
+        return ""
+    if n % 1_000_000 == 0:
+        return f".{n // 1_000_000:03d}"
+    if n % 1_000 == 0:
+        return f".{n // 1_000:06d}"
+    return f".{n:09d}"
+
+
+_RFC3339 = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})[Tt](\d{2}):(\d{2}):(\d{2})"
+    r"(?:\.(\d{1,9}))?([Zz]|[+-]\d{2}:\d{2})$")
+
+
+def _rfc3339_to_ts(text: str) -> tuple[int, int]:
+    import datetime as dt
+    m = _RFC3339.match(text)
+    if not m:
+        raise ProtoError(f"Timestamp: bad RFC 3339 value {text!r}")
+    y, mo, d, h, mi, s, frac, off = m.groups()
+    base = dt.datetime(int(y), int(mo), int(d), int(h), int(mi),
+                       int(s), tzinfo=dt.timezone.utc)
+    secs = int(base.timestamp())
+    if off not in ("Z", "z"):
+        sign = 1 if off[0] == "+" else -1
+        secs -= sign * (int(off[1:3]) * 3600 + int(off[4:6]) * 60)
+    nanos = int((frac or "").ljust(9, "0") or 0)
+    return secs, nanos
+
+
+def _dur_to_str(seconds: int, nanos: int) -> str:
+    sign = "-" if (seconds < 0 or nanos < 0) else ""
+    return f"{sign}{abs(int(seconds))}{_frac(nanos)}s"
+
+
+def _str_to_dur(text: str) -> tuple[int, int]:
+    m = re.fullmatch(r"(-?)(\d+)(?:\.(\d{1,9}))?s", text.strip())
+    if not m:
+        raise ProtoError(f"Duration: bad value {text!r}")
+    sign = -1 if m.group(1) else 1
+    secs = sign * int(m.group(2))
+    nanos = sign * int((m.group(3) or "").ljust(9, "0") or 0)
+    return secs, nanos
+
+
+def _wkt_to_json(doc: dict, msg: str, reg: ProtoRegistry):
+    short = msg[len("google.protobuf."):]
+    if short == "Timestamp":
+        return _ts_to_rfc3339(doc.get("seconds", 0), doc.get("nanos", 0))
+    if short == "Duration":
+        return _dur_to_str(doc.get("seconds", 0), doc.get("nanos", 0))
+    if msg in _WKT_WRAPPERS:
+        v = doc.get("value")
+        t = reg.messages[msg][1].type
+        if v is None:  # wire-absent = zero value
+            v = {"string": "", "bytes": "", "bool": False,
+                 "double": 0.0, "float": 0.0}.get(t, 0)
+        return _jsonify_val(v, t, msg, reg)
+    if short == "FieldMask":
+        # camelCase paths joined by commas
+        paths = doc.get("paths", [])
+        cc = [p.split("_")[0] + "".join(w.title()
+                                        for w in p.split("_")[1:])
+              for p in paths]
+        return ",".join(cc)
+    if short == "Empty":
+        return {}
+    if short == "Any":
+        type_url = doc.get("type_url", "")
+        inner_name = type_url.split("/")[-1]
+        if inner_name not in reg.messages:
+            raise ProtoError(
+                f"Any: embedded type {type_url!r} is not registered "
+                "(add its .proto to import_paths)")
+        raw = base64.b64decode(doc.get("value", "") or "")
+        inner = _jsonify(_decode_message(raw, inner_name, reg),
+                         inner_name, reg)
+        if not isinstance(inner, dict):  # embedded WKT special form
+            return {"@type": type_url, "value": inner}
+        return {"@type": type_url, **inner}
+    return _NOT_WKT
+
+
+def _wkt_from_json(v, msg: str, reg: ProtoRegistry):
+    short = msg[len("google.protobuf."):]
+    if short == "Timestamp":
+        secs, nanos = _rfc3339_to_ts(str(v))
+        return {"seconds": secs, "nanos": nanos}
+    if short == "Duration":
+        secs, nanos = _str_to_dur(str(v))
+        return {"seconds": secs, "nanos": nanos}
+    if msg in _WKT_WRAPPERS:
+        return {"value": _num(v)}
+    if short == "FieldMask":
+        snake = [re.sub(r"([A-Z])", lambda m: "_" + m.group(1).lower(),
+                        p) for p in str(v).split(",") if p]
+        return {"paths": snake}
+    if short == "Empty":
+        return {}
+    if short == "Any":
+        if not isinstance(v, dict) or "@type" not in v:
+            raise ProtoError("Any: JSON form needs an @type key")
+        type_url = v["@type"]
+        inner_name = type_url.split("/")[-1]
+        if inner_name not in reg.messages:
+            raise ProtoError(
+                f"Any: embedded type {type_url!r} is not registered")
+        if inner_name.startswith("google.protobuf.") and "value" in v \
+                and _wkt_to_json({}, inner_name, reg) is not _NOT_WKT:
+            inner_doc = _wkt_from_json(v["value"], inner_name, reg)
+        else:
+            inner_doc = _dejsonify(
+                {k: x for k, x in v.items() if k != "@type"},
+                inner_name, reg)
+        raw = _encode_message(inner_doc, inner_name, reg)
+        return {"type_url": type_url,
+                "value": base64.b64encode(raw).decode("ascii")}
+    return _NOT_WKT
+
+
 def json_to_message(text: str, msg: str, reg: ProtoRegistry) -> bytes:
     doc = json.loads(text)
     return _encode_message(_dejsonify(doc, msg, reg), msg, reg)
 
 
-def _dejsonify(doc: dict, msg: str, reg: ProtoRegistry):
+def _dejsonify(doc, msg: str, reg: ProtoRegistry):
+    if msg.startswith("google.protobuf."):
+        special = _wkt_from_json(doc, msg, reg)
+        if special is not _NOT_WKT:
+            return special
     by_name: dict[str, Field] = {}
     for f in reg.messages[msg].values():
         by_name[f.name] = f
         by_name[f.json_name] = f
     out = {}
+    oneof_seen: dict[str, str] = {}
     for k, v in doc.items():
         f = by_name.get(k)
         if f is None:
             raise ProtoError(f"{msg}: unknown field {k!r}")
+        if f.oneof is not None:
+            # proto3 JSON: a parser must reject multiple members of
+            # the same oneof
+            prev = oneof_seen.get(f.oneof)
+            if prev is not None and prev != f.name:
+                raise ProtoError(
+                    f"{msg}: oneof {f.oneof!r} set more than once "
+                    f"({prev!r} and {f.name!r})")
+            oneof_seen[f.oneof] = f.name
         if f.map_kv:
             out[f.name] = v
         elif f.type in SCALARS or f.type not in SCALARS and \

@@ -465,3 +465,83 @@ def test_lz4_property_roundtrip():
 
     roundtrip()
     never_crashes()
+
+
+def test_protobuf_oneof_exclusivity():
+    """proto3 spec: wire decode keeps only the LAST oneof member seen;
+    the JSON parser rejects multiple set members of one group."""
+    import json
+    from benthos_spark.operators.protobuf_py import (
+        ProtoError, ProtoRegistry, json_to_message, message_to_json)
+    reg = ProtoRegistry().add_source("""
+syntax = "proto3";
+message Event {
+  oneof body { string text = 1; int32 code = 2; }
+}
+""")
+    b1 = json_to_message('{"text": "a"}', "Event", reg)
+    b2 = json_to_message('{"code": 5}', "Event", reg)
+    # concatenated messages merge field-wise; the later member wins
+    out = json.loads(message_to_json(b1 + b2, "Event", reg))
+    assert out == {"code": 5}
+    out = json.loads(message_to_json(b2 + b1, "Event", reg))
+    assert out == {"text": "a"}
+    with pytest.raises(ProtoError, match="oneof"):
+        json_to_message('{"text": "a", "code": 1}', "Event", reg)
+
+
+def test_protobuf_wkt_json_forms():
+    """proto3 JSON spec vectors: Timestamp ⇄ RFC 3339, Duration ⇄
+    "Ns" with 0/3/6/9 fraction digits, Any ⇄ {"@type", ...inline},
+    wrappers ⇄ bare values, FieldMask ⇄ camelCase CSV, Empty ⇄ {}."""
+    import json
+    from benthos_spark.operators.protobuf_py import (
+        ProtoError, ProtoRegistry, json_to_message, message_to_json)
+    reg = ProtoRegistry().add_source("""
+syntax = "proto3";
+package t;
+message Env {
+  google.protobuf.Timestamp at = 1;
+  google.protobuf.Duration took = 2;
+  google.protobuf.Any payload = 3;
+  google.protobuf.Int64Value big = 4;
+  google.protobuf.StringValue name = 5;
+  google.protobuf.FieldMask mask = 6;
+  google.protobuf.Empty nothing = 7;
+}
+message Inner { string name = 1; int64 n = 2; }
+""")
+
+    def roundtrip(doc):
+        return json.loads(message_to_json(
+            json_to_message(json.dumps(doc), "t.Env", reg), "t.Env", reg))
+
+    doc = {"at": "2021-03-02T10:00:20.021Z",
+           "took": "1.000340012s",
+           "payload": {"@type": "type.googleapis.com/t.Inner",
+                       "name": "x", "n": "9007199254740993"},
+           "big": "123456789012345",
+           "name": "hello",
+           "mask": "userId,displayName"}
+    back = roundtrip(doc)
+    assert back["at"] == "2021-03-02T10:00:20.021Z"
+    assert back["took"] == "1.000340012s"
+    assert back["payload"] == {"@type": "type.googleapis.com/t.Inner",
+                               "name": "x", "n": "9007199254740993"}
+    assert back["big"] == "123456789012345"  # wrapper = bare value
+    assert back["name"] == "hello"
+    assert back["mask"] == "userId,displayName"
+    # fraction-digit classes and signs
+    assert roundtrip({"took": "-0.5s"})["took"] == "-0.500s"
+    assert roundtrip({"took": "3s"})["took"] == "3s"
+    assert roundtrip({"took": "0.000001s"})["took"] == "0.000001s"
+    # timestamp offsets normalize to Z
+    assert roundtrip({"at": "2021-01-01T00:00:00+02:00"})["at"] == \
+        "2020-12-31T22:00:00Z"
+    # Any with an unregistered embedded type is an error
+    with pytest.raises(ProtoError, match="not registered"):
+        json_to_message(json.dumps(
+            {"payload": {"@type": "type.googleapis.com/x.Nope"}}),
+            "t.Env", reg)
+    with pytest.raises(ProtoError, match="RFC 3339"):
+        json_to_message('{"at": "yesterday"}', "t.Env", reg)
