@@ -176,6 +176,66 @@ def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
         walk, schema="shard string, key string, ext string, content binary")
 
 
+def decode_blob_entries(src: str, data: bytes, codec: str):
+    """The reference codec stack (internal/codec/reader.go:206-246)
+    over ONE in-memory blob: yields (content, meta) pairs.  Used by
+    inputs that fetch bytes through a client (sftp) rather than a
+    Hadoop path — the path-based read_codec keeps its JVM fast paths."""
+    import gzip as _gz
+    import io
+    import tarfile
+    import zipfile
+
+    parts = codec.split("/")
+    gzip_wrap = parts[0] == "gzip" and len(parts) > 1
+    if gzip_wrap:
+        parts = parts[1:]
+    head = parts[0]
+    rest = "/".join(parts[1:])
+    if gzip_wrap or head == "gzip" or (src.endswith(".gz")
+                                       and head != "all-bytes"):
+        data = _gz.decompress(data)
+    if head == "gzip":
+        head = "all-bytes"
+    if head == "all-bytes":
+        yield data.decode("utf-8", "replace"), {"path": src}
+    elif head == "lines" or head.startswith("delim:"):
+        sep = head.split(":", 1)[1] if ":" in head else "\n"
+        text = data.decode("utf-8", "replace")
+        for ln in text.removesuffix(sep).split(sep):
+            yield ln, {"path": src}
+    elif head.startswith("chunker:"):
+        n = int(head.split(":", 1)[1])
+        for off in range(0, len(data), n):
+            yield (data[off:off + n].decode("utf-8", "replace"),
+                   {"path": src, "chunk": str(off // n)})
+    elif head == "tar":
+        with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+            for m in tf.getmembers():
+                if not m.isfile():
+                    continue
+                payload = tf.extractfile(m).read()
+                if rest == "lines":
+                    for ln in payload.decode("utf-8",
+                                             "replace").splitlines():
+                        yield ln, {"path": src, "entry": m.name}
+                else:
+                    yield (payload.decode("utf-8", "replace"),
+                           {"path": src, "entry": m.name})
+    elif head == "zip":
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            for name in zf.namelist():
+                if name.endswith("/"):
+                    continue
+                yield (zf.read(name).decode("utf-8", "replace"),
+                       {"path": src, "entry": name})
+    else:
+        raise ValueError(
+            f"codec {codec!r} unrecognised (reader.go:206: all-bytes, "
+            "lines, delim:<sep>, chunker:<n>, gzip, tar, zip + "
+            "gzip-wrapped combos)")
+
+
 def read_codec(spark: SparkSession, path: str, codec: str) -> DataFrame:
     """The reference codec stack for raw-file inputs
     (internal/codec/reader.go:206-246): all-bytes, lines, delim:<sep>,

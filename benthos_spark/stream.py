@@ -303,6 +303,19 @@ def _build_input(spark: SparkSession, conf: dict,
                 f"input.{kind}: reading {uri!r} needs the {jar} jar on "
                 f"the cluster classpath and credentials via the Hadoop "
                 f"{scheme} configuration ({exc})") from exc
+    if kind == "sftp":
+        # sftp input (lib/input/sftp.go:45): injectable-client bridge
+        # over the codec stack, bounded by the matched file list
+        from benthos_spark.operators.control import resource
+        from benthos_spark.sources.sftp import read_sftp
+        factory = (resource(str(spec["client_resource"]))
+                   if spec.get("client_resource") else None)
+        return read_sftp(
+            spark, [str(p) for p in spec.get("paths", [])],
+            codec=str(spec.get("codec", "all-bytes")),
+            client_factory=factory,
+            delete_on_finish=bool(spec.get("delete_on_finish", False)),
+            spec=spec)
     from benthos_spark.sinks.bus import BUS_FAMILIES
     if kind in BUS_FAMILIES:
         # bus-family inputs (nats/nsq/mqtt/amqp/redis_*/gcp_pubsub/
@@ -1067,6 +1080,18 @@ def _run_output(df: DataFrame, conf: dict | None):
                         result_codec="none",
                         driver=spec.get("driver", "sqlite"))
         out.write.format("noop").mode("overwrite").save()
+        return df
+    if kind == "sftp":
+        # sftp output (lib/output/sftp.go:26): injectable-client bridge
+        # over the codec stack, one client per partition
+        from benthos_spark.bloblang.field import interpolate
+        from benthos_spark.operators.control import resource
+        from benthos_spark.sources.sftp import write_sftp
+        factory = (resource(str(spec["client_resource"]))
+                   if spec.get("client_resource") else None)
+        write_sftp(df, interpolate(str(spec["path"])),
+                   codec=str(spec.get("codec", "all-bytes")),
+                   client_factory=factory, spec=spec)
         return df
     from benthos_spark.sinks.bus import BUS_FAMILIES
     if kind in BUS_FAMILIES:

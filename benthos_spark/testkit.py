@@ -295,6 +295,40 @@ def file_bus_client_factory(dir_path: str):
     return factory
 
 
+def fake_sftp_client_factory(root_dir: str):
+    """sftp contract double: the paramiko SFTPClient surface
+    (listdir/open/remove/mkdir/close) mapped onto a local directory —
+    remote path "/a/b.txt" lives at <root_dir>/a/b.txt.  Executors
+    share the local FS in local mode, so output tests observe writes."""
+    def factory():
+        import os
+
+        def local(path):
+            return os.path.join(root_dir, path.lstrip("/"))
+
+        class FakeSftpClient:
+            def listdir(self, path="."):
+                return sorted(os.listdir(local(path)))
+
+            def open(self, path, mode="rb"):
+                if "w" in mode or "a" in mode:
+                    os.makedirs(os.path.dirname(local(path)),
+                                exist_ok=True)
+                return open(local(path), mode)
+
+            def remove(self, path):
+                os.remove(local(path))
+
+            def mkdir(self, path):
+                os.makedirs(local(path), exist_ok=True)
+
+            def close(self):
+                pass
+
+        return FakeSftpClient()
+    return factory
+
+
 def fake_dynamodb_client_factory():
     """boto3 dynamodb execute_statement contract double: SELECTs
     return one item echoing the parameters; INSERTs return no items."""

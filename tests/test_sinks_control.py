@@ -430,3 +430,88 @@ input: {generate: {count: 1, mapping: 'root.content = "x"'}}
 output:
   aws_s3: {bucket: my-bucket, path: out/, format: parquet}
 """)
+
+
+def test_sftp_input_output_roundtrip(spark, tmp_path):
+    """input.sftp / output.sftp (lib/input/sftp.go:45,
+    lib/output/sftp.go:26): injectable-client bridge over the codec
+    stack — glob paths, lines codec, delete_on_finish; output with
+    interpolated per-message paths and append codec."""
+    import gzip
+    import os
+    from benthos_spark.operators.control import register_resource
+    from benthos_spark.stream import run_stream
+    from benthos_spark.testkit import fake_sftp_client_factory
+
+    root = str(tmp_path / "remote")
+    os.makedirs(f"{root}/in", exist_ok=True)
+    with open(f"{root}/in/a.txt", "w") as fh:
+        fh.write("l1\nl2\n")
+    with open(f"{root}/in/b.txt", "w") as fh:
+        fh.write("l3\n")
+    with open(f"{root}/in/skip.dat", "w") as fh:
+        fh.write("nope\n")
+    with gzip.open(f"{root}/in/c.gz", "wt") as fh:
+        fh.write("l4\n")
+    register_resource("fake_sftp", fake_sftp_client_factory(root))
+
+    out = run_stream(spark, """
+input:
+  sftp:
+    paths: ["/in/*.txt", "/in/c.gz"]
+    codec: lines
+    client_resource: fake_sftp
+output:
+  memory: {}
+""").collect()
+    assert sorted(r.content for r in out) == ["l1", "l2", "l3", "l4"]
+    assert all(r.meta["sftp_path"].startswith("/in/") for r in out)
+
+    # output: one remote file per message via interpolated path
+    run_stream(spark, """
+input:
+  generate:
+    count: 2
+    mapping: |
+      root.content = "body-" + this.id.string()
+      root.name = "f" + this.id.string()
+output:
+  sftp:
+    path: "/out/${! name }.txt"
+    codec: all-bytes
+    client_resource: fake_sftp
+""")
+    assert open(f"{root}/out/f0.txt").read() == "body-0"
+    assert open(f"{root}/out/f1.txt").read() == "body-1"
+
+    # append codec: all messages into one remote file
+    run_stream(spark, """
+input:
+  generate: {count: 3, mapping: 'root.content = "m" + this.id.string()'}
+output:
+  sftp: {path: "/out/all.log", codec: append, client_resource: fake_sftp}
+""")
+    assert sorted(open(f"{root}/out/all.log").read().splitlines()) == \
+        ["m0", "m1", "m2"]
+
+    # delete_on_finish removes consumed remote files
+    run_stream(spark, """
+input:
+  sftp:
+    paths: ["/in/b.txt"]
+    codec: all-bytes
+    delete_on_finish: true
+    client_resource: fake_sftp
+output: {memory: {}}
+""")
+    assert not os.path.exists(f"{root}/in/b.txt")
+
+
+def test_sftp_gated_without_client(spark):
+    import pytest
+    from benthos_spark.stream import run_stream
+    with pytest.raises(RuntimeError, match="paramiko"):
+        run_stream(spark, """
+input: {sftp: {paths: ["/x.txt"]}}
+output: {memory: {}}
+""")
