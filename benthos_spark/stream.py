@@ -316,6 +316,21 @@ def _build_input(spark: SparkSession, conf: dict,
             client_factory=factory,
             delete_on_finish=bool(spec.get("delete_on_finish", False)),
             spec=spec)
+    if kind in ("nats_jetstream", "nats_stream"):
+        # durable-subscription semantics (internal/impl/nats/
+        # jetstream_input.go; v3 lib/input/nats_stream.go:16): ack
+        # floor tracked per durable name, drains resume after it
+        from benthos_spark.operators.control import resource
+        from benthos_spark.sinks.bus import jetstream_poll_input
+        factory = (resource(str(spec["client_resource"]))
+                   if spec.get("client_resource") else None)
+        return jetstream_poll_input(
+            spark, str(spec.get("stream", spec.get("cluster_id", ""))),
+            subject=str(spec.get("subject", "")),
+            durable=str(spec.get("durable", spec.get("durable_name",
+                                                     ""))),
+            max_n=int(spec.get("max_n", 1000)),
+            client_factory=factory)
     from benthos_spark.sinks.bus import BUS_FAMILIES
     if kind in BUS_FAMILIES:
         # bus-family inputs (nats/nsq/mqtt/amqp/redis_*/gcp_pubsub/

@@ -515,3 +515,88 @@ def test_sftp_gated_without_client(spark):
 input: {sftp: {paths: ["/x.txt"]}}
 output: {memory: {}}
 """)
+
+
+def test_jetstream_durable_resume(spark):
+    """JetStream durable-subscription semantics (internal/impl/nats/
+    jetstream_input.go): a durable consumer's drain resumes after its
+    ack floor; an ephemeral consumer redelivers from the start;
+    metadata carries stream/subject/sequence/durable."""
+    from benthos_spark.operators.control import register_resource
+    from benthos_spark.sinks.bus import jetstream_reset_cursor
+    from benthos_spark.stream import run_stream
+
+    log = [(i, f"msg-{i}") for i in range(1, 6)]  # server-side stream
+
+    def factory():
+        class FakeJetStream:
+            def fetch(self, stream, subject, start_seq, max_n):
+                return [(s, p) for s, p in log if s > start_seq][:max_n]
+        return FakeJetStream()
+
+    register_resource("fake_js", factory)
+    jetstream_reset_cursor("work")
+    cfg = """
+input:
+  nats_jetstream:
+    stream: ORDERS
+    subject: orders.*
+    durable: work
+    client_resource: fake_js
+output: {memory: {}}
+"""
+    out = run_stream(spark, cfg).collect()
+    assert sorted(r.content for r in out) == [f"msg-{i}"
+                                              for i in range(1, 6)]
+    m = out[0].meta
+    assert m["nats_stream"] == "ORDERS" and m["nats_durable"] == "work"
+    assert {r.meta["nats_sequence"] for r in out} == \
+        {str(i) for i in range(1, 6)}
+
+    # second drain: nothing below the ack floor
+    assert run_stream(spark, cfg).count() == 0
+    # new messages appear → only they are delivered
+    log.extend([(6, "msg-6"), (7, "msg-7")])
+    out2 = run_stream(spark, cfg).collect()
+    assert sorted(r.content for r in out2) == ["msg-6", "msg-7"]
+
+    # ephemeral consumer (no durable): always delivers from the start
+    eph = cfg.replace("    durable: work\n", "")
+    assert run_stream(spark, eph).count() == 7
+    assert run_stream(spark, eph).count() == 7
+
+
+def test_stream_bus_continuous_multibatch(spark):
+    """Continuous bus bridge: rate-source foreachBatch drains the
+    client incrementally — one long-lived client, multiple
+    micro-batches, monotonic bus_offset in meta, idle auto-stop."""
+    from benthos_spark.sinks.bus import stream_bus_input
+
+    feed = [[f"a{i}" for i in range(3)],
+            [],  # an empty poll between bursts must not stop the query
+            [f"b{i}" for i in range(2)]]
+    state = {"polls": 0, "clients": 0}
+    got = []
+
+    def factory():
+        state["clients"] += 1
+
+        class BurstClient:
+            def poll(self, target, max_n):
+                i = state["polls"]
+                state["polls"] += 1
+                return feed[i] if i < len(feed) else []
+        return BurstClient()
+
+    drained = stream_bus_input(
+        spark, "nats", "subj",
+        sink=lambda df, batch_id: got.extend(
+            (r.content, r.meta["bus_offset"], r.meta["bus_batch"])
+            for r in df.collect()),
+        client_factory=factory, idle_stop_after=2, timeout=120)
+    assert drained == 5
+    assert state["clients"] == 1          # ONE client for the query
+    assert sorted(x[0] for x in got) == ["a0", "a1", "a2", "b0", "b1"]
+    offsets = sorted(int(x[1]) for x in got)
+    assert offsets == [0, 1, 2, 3, 4]     # monotonic, no gaps
+    assert len({x[2] for x in got}) >= 2  # genuinely multi-batch
