@@ -2574,6 +2574,23 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# Trained language-ID (llm/langid_model.py, tools/train_langid.py):
+# hashed char-n-gram softmax + Unicode-script shortcuts.  No SQL
+# oracle — a crc32-hashed softmax isn't DuckDB-expressible; the value
+# gate is the labeled-holdout accuracy test in tests/test_llm.py
+# (≥90% on unseen sentences, exact on script languages) plus the
+# driver's rows-only check here.
+# ================================================================
+
+@_register("langid_model_detect")
+def langid_model_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.text import lang_id_model
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return docs.select(
+        "doc_id", lang_id_model(F.col("text")).alias("lang_pred"))
+
+
+# ================================================================
 # Suite merges.  The driver's correctness sweep evaluates only the
 # FIRST 50 entries of queries() (observed r1+r2: the checked set is
 # exactly insertion-order positions 0-49 both rounds, unchanged as new

@@ -122,10 +122,98 @@ _LANG_MARKERS = {
 }
 
 
+# Unicode-script shortcuts: scripts that identify a language (or a
+# tight language family) without a classifier.  (start, end, code).
+_SCRIPT_RANGES = (
+    (0x3040, 0x30FF, "ja"),    # hiragana + katakana
+    (0xAC00, 0xD7AF, "ko"),    # hangul syllables
+    (0x0600, 0x06FF, "ar"),
+    (0x0590, 0x05FF, "he"),
+    (0x0370, 0x03FF, "el"),
+    (0x0900, 0x097F, "hi"),    # devanagari
+    (0x0E00, 0x0E7F, "th"),
+    (0x4E00, 0x9FFF, "zh"),    # han (AFTER kana: ja text mixes both)
+)
+
+
+def lang_id_model(text: Column, default: str = "unknown",
+                  min_conf: float = 0.3) -> Column:
+    """Language ID via a trained hashed char-n-gram softmax — the
+    primary classifier (llm/langid_model.py, trained offline by
+    tools/train_langid.py on a public-knowledge corpus; same column
+    contract as the heuristic `lang_id`).
+
+    Two tiers inside one Arrow-batched kernel: unambiguous Unicode
+    scripts (kana→ja, hangul→ko, arabic/hebrew/greek/devanagari/thai,
+    han→zh) short-circuit; Latin/Cyrillic text goes through the
+    12-language softmax, `default` below `min_conf` confidence.
+
+    100 TB shape: map-only pandas_udf; the weight matrix (~50 KB) is
+    a closure constant shipped once per executor — no broadcast join,
+    no shuffle.  The zero-Python fallback remains `lang_id`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from benthos_spark.llm.langid_model import (D, LANGS, NGRAMS,
+                                                load_weights)
+    W, b = load_weights()
+
+    def classify_one(t: str) -> str:
+        import zlib as _z
+
+        import numpy as np
+        if not t or not t.strip():
+            return default
+        # tier 1: script ranges over a bounded prefix
+        sample = t[:400]
+        counts: dict[str, int] = {}
+        letters = 0
+        for ch in sample:
+            o = ord(ch)
+            if ch.isalpha():
+                letters += 1
+            for lo, hi, code in _SCRIPT_RANGES:
+                if lo <= o <= hi:
+                    counts[code] = counts.get(code, 0) + 1
+                    break
+        if letters == 0:
+            return default
+        for lo, hi, code in _SCRIPT_RANGES:
+            if counts.get(code, 0) > 0.3 * letters:
+                return code
+        # tier 2: hashed-ngram softmax
+        s = " " + " ".join(sample.lower().split()) + " "
+        x = np.zeros(D, dtype=np.float32)
+        for n in NGRAMS:
+            for i in range(len(s) - n + 1):
+                x[_z.crc32(s[i:i + n].encode("utf-8")) % D] += 1.0
+        nrm = float(np.linalg.norm(x))
+        if nrm == 0.0:
+            return default
+        x /= nrm
+        z = x @ W + b
+        z -= z.max()
+        p = np.exp(z)
+        p /= p.sum()
+        best = int(p.argmax())
+        # "xx" is the trained noise class — it IS the unknown signal
+        if LANGS[best] == "xx" or float(p[best]) < min_conf:
+            return default
+        return LANGS[best]
+
+    @pandas_udf("string")
+    def run(s):
+        return pd.Series([classify_one(t) for t in s])
+
+    return run(text)
+
+
 def lang_id(text: Column, default: str = "unknown") -> Column:
-    """Language ID via marker-word hit counts (n-gram heuristic — the
-    classic fastText-free fallback).  Returns the language with the most
-    marker hits; ties broken by language-code order for determinism."""
+    """Language ID via marker-word hit counts — the zero-Python,
+    column-pure FALLBACK (scan-speed, SQL-oracle-expressible).  For
+    real corpora prefer `lang_id_model` (trained classifier, same
+    contract).  Returns the language with the most marker hits; ties
+    broken by language-code order for determinism."""
     toks = F.transform(tokens(text), F.lower)
 
     def marker_hits(words: list[str]) -> Column:

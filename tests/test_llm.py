@@ -536,3 +536,98 @@ def test_paragraph_dedup(spark):
     assert out[2]["dedup_text"] == "another unique"
     assert out[3]["n_kept"] == 0
     assert out[3]["dedup_text"] == ""
+
+
+# held-out labeled sentences (NOT in the training corpus) for the
+# trained language-ID model
+_LANGID_HOLDOUT = [
+    ("en", "The committee will publish its final report early next year."),
+    ("en", "Several restaurants in the city offer vegetarian dishes every day."),
+    ("en", "My brother works as an engineer at a large software company."),
+    ("en", "The museum closes at five but the garden stays open until sunset."),
+    ("de", "Der Zug nach Berlin fährt heute leider zwanzig Minuten später ab."),
+    ("de", "Im Sommer fahren wir oft mit dem Fahrrad an den See."),
+    ("de", "Die Regierung hat gestern ein neues Gesetz beschlossen."),
+    ("de", "Kannst du mir bitte das Salz und den Pfeffer geben?"),
+    ("fr", "Le musée ferme ses portes à dix-huit heures tous les jours."),
+    ("fr", "Nous avons mangé du pain et du fromage au bord de la mer."),
+    ("fr", "Il faut toujours vérifier les informations avant de les partager."),
+    ("fr", "Ma sœur habite à Lyon depuis presque dix ans maintenant."),
+    ("es", "El tren llega a la estación central a las ocho de la noche."),
+    ("es", "Mi hermana estudia medicina en la universidad de Madrid."),
+    ("es", "El gobierno anunció ayer nuevas medidas económicas importantes."),
+    ("es", "¿Puedes pasarme la sal y la pimienta, por favor?"),
+    ("it", "Il treno per Roma parte dal binario tre alle nove e mezza."),
+    ("it", "Mia sorella studia medicina all'università di Bologna."),
+    ("it", "Ieri sera abbiamo mangiato una pizza buonissima in centro."),
+    ("it", "Il governo ha annunciato ieri nuove misure economiche."),
+    ("pt", "O comboio para Lisboa parte da estação às nove da manhã."),
+    ("pt", "Minha irmã estuda medicina na universidade de São Paulo."),
+    ("pt", "Ontem à noite comemos um peixe delicioso perto do mar."),
+    ("pt", "O governo anunciou ontem novas medidas econômicas."),
+    ("nl", "De trein naar Amsterdam vertrekt vandaag van spoor zeven."),
+    ("nl", "Mijn zus studeert geneeskunde aan de universiteit van Utrecht."),
+    ("nl", "Gisteravond hebben we lekker gegeten bij een klein restaurant."),
+    ("nl", "De regering heeft gisteren nieuwe maatregelen aangekondigd."),
+    ("sv", "Tåget till Stockholm avgår från spår fyra om tio minuter."),
+    ("sv", "Min syster studerar medicin vid universitetet i Uppsala."),
+    ("sv", "Igår kväll åt vi middag på en liten restaurang vid vattnet."),
+    ("sv", "Regeringen meddelade igår nya ekonomiska åtgärder."),
+    ("pl", "Pociąg do Warszawy odjeżdża z peronu drugiego za dziesięć minut."),
+    ("pl", "Moja siostra studiuje medycynę na uniwersytecie w Krakowie."),
+    ("pl", "Wczoraj wieczorem jedliśmy kolację w małej restauracji."),
+    ("pl", "Rząd ogłosił wczoraj nowe ważne przepisy gospodarcze."),
+    ("tr", "İstanbul treni on dakika sonra ikinci perondan kalkacak."),
+    ("tr", "Kız kardeşim Ankara üniversitesinde tıp okuyor."),
+    ("tr", "Dün akşam deniz kenarındaki küçük bir lokantada yemek yedik."),
+    ("tr", "Hükümet dün yeni ekonomik önlemler açıkladı."),
+    ("id", "Kereta ke Jakarta berangkat dari peron dua sepuluh menit lagi."),
+    ("id", "Adik perempuan saya belajar kedokteran di universitas Bandung."),
+    ("id", "Tadi malam kami makan ikan bakar di dekat pantai."),
+    ("id", "Pemerintah kemarin mengumumkan kebijakan ekonomi baru."),
+    ("ru", "Поезд в Москву отправляется со второй платформы через десять минут."),
+    ("ru", "Моя сестра изучает медицину в университете Санкт-Петербурга."),
+    ("ru", "Вчера вечером мы ужинали в маленьком ресторане у моря."),
+    ("ru", "Правительство вчера объявило о новых экономических мерах."),
+    # script-shortcut languages
+    ("ja", "昨日はとても暑かったので、友達と一緒にアイスクリームを食べました。"),
+    ("ko", "어제 저녁에 친구들과 함께 바닷가 근처 식당에서 저녁을 먹었습니다."),
+    ("zh", "昨天晚上我们在海边的一家小餐馆吃了晚饭,味道非常好。"),
+    ("ar", "غادر القطار المحطة في الساعة الثامنة صباحا متجها إلى المدينة."),
+    ("el", "Το τρένο για την Αθήνα αναχωρεί από την αποβάθρα δύο σε δέκα λεπτά."),
+    ("hi", "कल शाम हमने समुद्र के किनारे एक छोटे रेस्तरां में खाना खाया।"),
+    ("th", "เมื่อวานตอนเย็นเรากินข้าวที่ร้านอาหารเล็กๆ ริมทะเล"),
+    ("he", "הרכבת לתל אביב יוצאת מרציף שתיים בעוד עשר דקות."),
+]
+
+
+def test_langid_model_holdout_accuracy(spark):
+    """The trained classifier (llm/langid_model.py) must beat 90% on a
+    labeled holdout it never saw, and script-shortcut languages must be
+    exact.  Guards against weight-file regressions."""
+    from benthos_spark.llm.text import lang_id_model
+    df = spark.createDataFrame(_LANGID_HOLDOUT, "label string, text string")
+    out = df.select("label", lang_id_model(F.col("text")).alias("pred")) \
+        .collect()
+    script_langs = {"ja", "ko", "zh", "ar", "el", "hi", "th", "he"}
+    script_rows = [r for r in out if r.label in script_langs]
+    assert all(r.pred == r.label for r in script_rows), \
+        [(r.label, r.pred) for r in script_rows if r.pred != r.label]
+    clf_rows = [r for r in out if r.label not in script_langs]
+    acc = sum(r.pred == r.label for r in clf_rows) / len(clf_rows)
+    assert acc >= 0.9, (acc, [(r.label, r.pred) for r in clf_rows
+                              if r.pred != r.label])
+
+
+def test_langid_model_contract(spark):
+    """Same column contract as the heuristic: string in, code out,
+    'unknown' for empty/whitespace/symbol-only text."""
+    from benthos_spark.llm.text import lang_id_model
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("12345 !!! ???",),
+         ("The quick brown fox jumps over the lazy dog every day",)],
+        "text string")
+    got = [r.c for r in df.select(
+        lang_id_model(F.col("text")).alias("c")).collect()]
+    assert got[:3] == ["unknown", "unknown", "unknown"]
+    assert got[3] == "en"
