@@ -100,6 +100,22 @@ def main() -> None:
             t = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
 
+    # Suite hosts (queries() entries that union-merge members for the
+    # driver's 50-row correctness gate) re-run every member, so their
+    # wall time double-charges the per-operator numbers above.  Time
+    # them once, reported under a separate key and excluded from the
+    # headline totals, so BENCH vs CORRECTNESS timing lines up.
+    suite_hosts: dict[str, float] = {}
+    if hasattr(entry, "base_queries"):
+        merged = entry.queries()
+        for name, fn in merged.items():
+            if qs.get(name) is fn:
+                continue  # unmerged: already timed above
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            suite_hosts[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "full_query_suite_wall",
@@ -108,6 +124,8 @@ def main() -> None:
         "queries": timings,
         "headline_subset_wall": round(
             sum(timings[n] for n in HEADLINE), 3),
+        "suite_hosts": suite_hosts,
+        "suite_hosts_wall": round(sum(suite_hosts.values()), 3),
         "n_queries": len(suite),
         "passes": passes,
         "agg": "min",

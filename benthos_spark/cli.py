@@ -1,4 +1,4 @@
-"""Engine CLI: run / lint / blobl / test.
+"""Engine CLI: run / lint / blobl / echo / test.
 
 Reference: the benthos binary's subcommands (lib/service/run.go:158-316;
 `benthos lint` lib/service/lint.go; `benthos blobl` lib/service/blobl/;
@@ -71,6 +71,39 @@ def _cmd_blobl(args) -> int:
     return 0
 
 
+def _cmd_echo(args) -> int:
+    """`benthos echo` (lib/service/run.go:225-254): parse the config
+    and print a normalised version after environment variables have
+    been resolved.  Deviation: the reference materialises every
+    schema default into the output; our configs are sparse-by-design,
+    so echo emits the env-resolved, canonically-ordered config as
+    given, with `--set path=value` overrides applied (readConfig's
+    --set, lib/config)."""
+    import yaml
+
+    from benthos_spark.stream import load_config
+    try:
+        conf = load_config(args.config)
+    except Exception as e:
+        print(f"Echo error: {e}", file=sys.stderr)
+        return 1
+    for item in args.set or []:
+        path, sep, raw = item.partition("=")
+        if not sep:
+            print(f"Echo error: --set expects path=value, got {item!r}",
+                  file=sys.stderr)
+            return 1
+        value = yaml.safe_load(raw)
+        node = conf
+        keys = path.split(".")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = value
+    print(yaml.safe_dump(conf, sort_keys=False, default_flow_style=False),
+          end="")
+    return 0
+
+
 def _cmd_test(args) -> int:
     from benthos_spark.session import get_spark
     from benthos_spark.testkit import run_test_file
@@ -124,6 +157,13 @@ def main(argv: list[str] | None = None) -> int:
     blobl_p = sub.add_parser("blobl", help="Bloblang REPL over stdin JSON")
     blobl_p.add_argument("mapping")
     blobl_p.set_defaults(fn=_cmd_blobl)
+
+    echo_p = sub.add_parser(
+        "echo", help="parse a config and echo back a normalised version")
+    echo_p.add_argument("-c", "--config", required=True)
+    echo_p.add_argument("--set", action="append", metavar="PATH=VALUE",
+                        help="override a config field (dotted path)")
+    echo_p.set_defaults(fn=_cmd_echo)
 
     test_p = sub.add_parser("test", help="run YAML golden test cases")
     test_p.add_argument("path")

@@ -43,6 +43,7 @@ BUS_FAMILIES = {
     "aws_sns": ("boto3", "lib/output/sns.go"),
     "pulsar": ("pulsar-client", "lib/output/pulsar.go"),
     "zmq_push": ("pyzmq", "lib/output/zmq4.go"),
+    "nanomsg": ("pynng", "lib/output/nanomsg.go"),
 }
 
 

@@ -66,6 +66,8 @@ reference's config lint (internal/docs, run.go:194-200).
 
 from __future__ import annotations
 
+import os
+import re
 from typing import Any
 
 import yaml
@@ -113,12 +115,35 @@ def _mapping_json_col(df: DataFrame, src: str, name: str) -> DataFrame:
     return work.select(*[F.col(s).alias(c) for c, s in saved.items()], name)
 
 
+_ENV_VAR_RE = re.compile(r"\$\{[0-9A-Za-z_.]+(:((\$\{[^}]+\})|[^}])+)?\}")
+_ESCAPED_ENV_RE = re.compile(
+    r"\$\{(\{[0-9A-Za-z_.]+(:((\$\{[^}]+\})|[^}])+)?\})\}")
+
+
+def replace_env_variables(text: str) -> str:
+    """Substitute `${FOO}` / `${FOO:default}` from the process
+    environment before YAML parse; `${{FOO}}` escapes to a literal
+    `${FOO}`.  Unset/empty vars resolve to the default or the empty
+    string.  Bloblang interpolations (`${! expr}`) never match: the
+    char after `${` must be [0-9A-Za-z_.].
+
+    Reference: lib/util/text/env_vars.go:31-51 (applied to config
+    bytes at lib/config/refs.go:44)."""
+    def sub(m: re.Match) -> str:
+        body = m.group(0)[2:-1]
+        name, colon, default = body.partition(":")
+        return os.environ.get(name) or (default if colon else "")
+
+    return _ESCAPED_ENV_RE.sub(r"$\1", _ENV_VAR_RE.sub(sub, text))
+
+
 def load_config(text_or_path: str) -> dict:
-    """Parse a YAML config (readConfig, lib/config/config.go)."""
+    """Parse a YAML config (readConfig, lib/config/config.go) after
+    environment-variable substitution."""
     if "\n" not in text_or_path and text_or_path.endswith((".yaml", ".yml")):
         with open(text_or_path) as fh:
-            return yaml.safe_load(fh)
-    return yaml.safe_load(text_or_path)
+            return yaml.safe_load(replace_env_variables(fh.read()))
+    return yaml.safe_load(replace_env_variables(text_or_path))
 
 
 # ---------------------------------------------------------------- inputs

@@ -86,3 +86,40 @@ def test_cli_test_runner():
     r = _run_cli(["test", GOLDEN])
     assert r.returncode == 0
     assert r.stdout.count("PASS") == 4
+
+
+def test_cli_echo_normalises_with_env_and_set(tmp_path, monkeypatch):
+    conf = tmp_path / "c.yaml"
+    conf.write_text("""
+input:
+  file:
+    paths: ["${DATA_DIR:/tmp/in}/x.jsonl"]
+pipeline:
+  processors:
+    - bloblang: 'root.y = "${{NOT_AN_ENV}}"'
+output:
+  drop: {}
+""")
+    env = dict(os.environ, DATA_DIR="/srv/data")
+    r = subprocess.run(
+        [sys.executable, "-m", "benthos_spark", "echo", "-c", str(conf),
+         "--set", "output.drop=null", "--set", "http.address=0.0.0.0:4195"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    import yaml
+    out = yaml.safe_load(r.stdout)
+    # env var resolved, default untouched when var set
+    assert out["input"]["file"]["paths"] == ["/srv/data/x.jsonl"]
+    # ${{FOO}} escapes to a literal ${FOO} (env_vars.go:49)
+    assert out["pipeline"]["processors"][0]["bloblang"] == (
+        'root.y = "${NOT_AN_ENV}"')
+    assert out["output"]["drop"] is None
+    assert out["http"]["address"] == "0.0.0.0:4195"
+
+
+def test_replace_env_variables_defaults_and_bloblang_interps():
+    from benthos_spark.stream import replace_env_variables as rep
+    assert rep("${__BS_UNSET_VAR__:fallback}") == "fallback"
+    assert rep("${__BS_UNSET_VAR__}") == ""
+    # Bloblang interpolation is untouched (char after ${ not alnum)
+    assert rep('${! meta("key") }') == '${! meta("key") }'

@@ -600,3 +600,36 @@ def test_stream_bus_continuous_multibatch(spark):
     offsets = sorted(int(x[1]) for x in got)
     assert offsets == [0, 1, 2, 3, 4]     # monotonic, no gaps
     assert len({x[2] for x in got}) >= 2  # genuinely multi-batch
+
+
+def test_nanomsg_family_roundtrip(spark, tmp_path):
+    """nanomsg (lib/input/nanomsg.go:14, lib/output/nanomsg.go) rides
+    the shared bus bridge like the other 14 families."""
+    from benthos_spark.operators.control import register_resource
+    from benthos_spark.stream import run_stream
+    from benthos_spark.testkit import file_bus_client_factory
+
+    store = str(tmp_path / "nano")
+    register_resource("nano_bus", file_bus_client_factory(store))
+    run_stream(spark, """
+input:
+  generate:
+    count: 2
+    mapping: 'root.content = "n-" + this.id.string()'
+output:
+  nanomsg:
+    urls: ["tcp://127.0.0.1:5555"]
+    socket_type: PUSH
+    subject: pipe
+    client_resource: nano_bus
+""")
+    out = run_stream(spark, """
+input:
+  nanomsg:
+    subject: pipe
+    client_resource: nano_bus
+output:
+  memory: {}
+""").collect()
+    assert sorted(r.content for r in out) == ["n-0", "n-1"]
+    assert all(r.meta["bus_kind"] == "nanomsg" for r in out)
