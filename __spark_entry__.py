@@ -1305,7 +1305,8 @@ FROM s
 """)
 def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.text import gopher_signals
-    docs = _t(spark, sf_dir, "documents")
+    from benthos_spark.operators.scale import ensure_scan_parallelism
+    docs = ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
     sig = gopher_signals(F.col("text"), min_words=30)
     return docs.select(
         "doc_id",
@@ -1970,7 +1971,8 @@ FROM m
 @_register("text_quality_langid", oracle=_langid_oracle())
 def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.text import lang_id, quality_score
-    docs = _t(spark, sf_dir, "documents")
+    from benthos_spark.operators.scale import ensure_scan_parallelism
+    docs = ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),

@@ -67,9 +67,10 @@ def token_hash_frame(df: DataFrame, text: str = "text",
     explode → codegen md5 → collect_list+sort plan, which paid a
     (id, pos, hash) shuffle for the reassembly."""
     from benthos_spark.llm.text import materialize_cols
+    from benthos_spark.operators.scale import ensure_scan_parallelism
     toks = F.split(F.trim(F.col(text)), r"\s+")
     return materialize_cols(
-        df.select(F.col(id_col), F.col(text)),
+        ensure_scan_parallelism(df.select(F.col(id_col), F.col(text))),
         th=F.transform(toks, hash48)).select(id_col, "th")
 
 
@@ -356,6 +357,8 @@ def embedding_near_dup_pairs(df: DataFrame, vec: str = "embedding",
     `planes=None` derives bands×8 deterministic hyperplanes from the
     embedding dimensionality (one LIMIT-1 probe to read it)."""
     from benthos_spark.llm.similarity import cosine, hyperplane_sketch
+    from benthos_spark.operators.scale import ensure_scan_parallelism
+    df = ensure_scan_parallelism(df)
     if exact:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"))
@@ -468,8 +471,10 @@ def exact_substring_pairs(df: DataFrame, text: str = "text",
     long verbatim overlap; hash collisions are the same accepted
     48-bit risk the decontamination op documents."""
     from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
-    toks = materialize_cols(df.select(F.col(id_col), F.col(text)),
-                            __toks=tokens(F.col(text)))
+    from benthos_spark.operators.scale import ensure_scan_parallelism
+    toks = materialize_cols(
+        ensure_scan_parallelism(df.select(F.col(id_col), F.col(text))),
+        __toks=tokens(F.col(text)))
     grams = (toks.select(F.col(id_col),
                          F.explode(word_ngrams(F.col("__toks"), k))
                          .alias("g"))
@@ -544,7 +549,9 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     (embedding_near_dup_pairs) without changing this plan's shape.
     """
     from benthos_spark.llm.similarity import _assign_corpus_flat
+    from benthos_spark.operators.scale import ensure_scan_parallelism
 
+    df = ensure_scan_parallelism(df)
     assigned = (_assign_corpus_flat(df.select(id_col, vec), centroids,
                                     vec)
                 .withColumnRenamed("__list", "cluster"))
@@ -613,6 +620,9 @@ def paragraph_dedup(df: DataFrame, text: str = "text",
     operator exists to remove."""
     from pyspark.sql import Window
 
+    from benthos_spark.operators.scale import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     paras = (df.select(F.col(id_col),
                        F.posexplode(F.split(F.col(text), "\n"))
                        .alias("idx", "para"))

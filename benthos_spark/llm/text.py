@@ -364,10 +364,12 @@ def repetition_signals(df: DataFrame, text: str = "text",
     per-row sort+fold alternative at sf0.1 (codegen vs interpreted
     lambdas); at larger scale group on md5(gram) to fix the shuffle key
     width if gram strings are long."""
+    from benthos_spark.operators.scale import ensure_scan_parallelism
     t = F.col(text)
     base = materialize_cols(
-        df.select(F.col(id_col), dup_line_frac(t).alias("dup_line_frac"),
-                  tokens(t).alias("__toks")),
+        ensure_scan_parallelism(df.select(F.col(id_col), F.col(text)))
+        .select(F.col(id_col), dup_line_frac(t).alias("dup_line_frac"),
+                tokens(t).alias("__toks")),
         __toks=F.col("__toks"))
     def _tag(n):
         # nb: a `lambda g, n=n:` two-param form would be taken by
@@ -473,7 +475,9 @@ def unigram_counts(df: DataFrame, text: str = "text") -> DataFrame:
     map-side partial aggregation, one shuffle on the token.  At 100 TB
     this is the LM-training pass of a CCNet-style quality pipeline;
     cache/write the result and reuse it across scoring runs."""
-    return (df.select(F.explode(tokens(F.col(text))).alias("token"))
+    from benthos_spark.operators.scale import ensure_scan_parallelism
+    return (ensure_scan_parallelism(df.select(F.col(text)))
+            .select(F.explode(tokens(F.col(text))).alias("token"))
             .filter(F.col("token") != "")
             .groupBy("token").agg(F.count("*").alias("n")))
 

@@ -53,3 +53,28 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     match (verify with .explain(): no Exchange above either scan)."""
     return spark.table(left_table).join(spark.table(right_table),
                                         on=on, how=how)
+
+
+def ensure_scan_parallelism(df: DataFrame,
+                            min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a DataFrame whose upstream scan
+    under-parallelizes the cluster — the "50k documents in one parquet
+    row group" case, where an expensive per-row kernel (HOF folds,
+    n-gram explodes, Arrow-batched classifiers) would otherwise run on
+    one or two cores while the rest idle.
+
+    Fires only when the current partition count is below half the
+    default parallelism, so on real deployments (a 100 TB table
+    arrives as tens of thousands of splits) this is a metadata check
+    and NO shuffle.  When it does fire, the one round-robin exchange
+    of the small corpus is repaid immediately by the fan-out of the
+    kernel work.  Values are unchanged either way — only row placement
+    moves, which no operator in this repo depends on except the
+    pinned-order batch ops (which order explicitly).
+    """
+    if df.isStreaming:  # no partition introspection on streams
+        return df
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df

@@ -120,3 +120,23 @@ def test_repetition_gram_counts_partial_agg(spark, sf_dir):
     # the per-(doc,n,gram) count must map-side combine before shuffling
     plan = plan_of(spark, sf_dir, "text_repetition")
     assert "partial_count" in plan
+
+
+def test_ensure_scan_parallelism_floor_and_noop(spark, tmp_path):
+    """ensure_scan_parallelism: an under-partitioned scan (single
+    row-group file) is repartitioned to default parallelism; an
+    already-parallel frame passes through untouched (same plan, no
+    Exchange added)."""
+    from benthos_spark.operators.scale import ensure_scan_parallelism
+
+    p = str(tmp_path / "one.parquet")
+    spark.range(0, 10_000).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    assert narrow.rdd.getNumPartitions() <= 2
+    floored = ensure_scan_parallelism(narrow)
+    assert (floored.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
+    assert floored.count() == 10_000
+
+    wide = spark.range(0, 1000, numPartitions=64)
+    assert ensure_scan_parallelism(wide) is wide

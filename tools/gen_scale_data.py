@@ -52,7 +52,36 @@ TYPES = [f"{a} {b}" for a in ("STANDARD", "SMALL", "LARGE", "ECONOMY", "PROMO")
 
 
 def _write(out: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    """Write `name.parquet` — a single file when small, else a
+    DIRECTORY of ~16 MB part files (Spark reads either transparently).
+    A 100 TB table arrives as tens of thousands of objects, never one
+    file; a single >128 MB local file would scan as ONE partition
+    (spark.sql.files.maxPartitionBytes) and serialize every query,
+    which is a fixture artifact, not an engine property."""
+    path = os.path.join(out, f"{name}.parquet")
+    if os.path.isfile(path):
+        os.remove(path)
+    elif os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path)
+    # Row groups are the parquet split unit: a single-group file scans
+    # as ONE task no matter what maxPartitionBytes says, so aim for
+    # ≥32 groups on any table big enough to matter.
+    rg = max(4096, table.num_rows // 32)
+    # nbytes is the in-memory Arrow size; parquet compresses ~4x for
+    # this data, so 64 MB in-memory ≈ 16 MB on disk per part file
+    nbytes = table.nbytes
+    target = 64 << 20
+    if nbytes <= 2 * target:
+        pq.write_table(table, path, row_group_size=rg)
+    else:
+        os.makedirs(path, exist_ok=True)
+        n_shards = (nbytes + target - 1) // target
+        rows_per = (table.num_rows + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            pq.write_table(table.slice(i * rows_per, rows_per),
+                           os.path.join(path, f"part-{i:05d}.parquet"),
+                           row_group_size=rg)
     print(f"  {name}: {table.num_rows} rows")
 
 
@@ -113,7 +142,7 @@ def gen(sf: float, out: str) -> None:
         "o_orderstatus": np.array(["O", "F", "P"])[
             rng.choice(3, n_ord, p=[0.49, 0.49, 0.02])],
         "o_totalprice": np.round(rng.uniform(850, 356000, n_ord), 2),
-        "o_orderdate": pa.array(o_dates),
+        "o_orderdate": pa.array(o_dates.astype("datetime64[us]")),
         "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)],
     }))
 
@@ -140,7 +169,7 @@ def gen(sf: float, out: str) -> None:
         "l_returnflag": np.array(["A", "N", "R"])[
             rng.choice(3, n_li, p=[0.25, 0.5, 0.25])],
         "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
-        "l_shipdate": pa.array(l_ship),
+        "l_shipdate": pa.array(l_ship.astype("datetime64[us]")),
     }))
 
     n_ev = int(100000 * k)
@@ -150,7 +179,7 @@ def gen(sf: float, out: str) -> None:
     ts.sort()
     _write(out, "events", pa.table({
         "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
-        "ts": pa.array(ts),
+        "ts": pa.array(ts.astype("datetime64[us]")),
         "user_id": pa.array(rng.integers(0, n_users, n_ev)),
         "event_type": np.array(EVENT_TYPES)[
             rng.choice(5, n_ev, p=[0.35, 0.35, 0.1, 0.15, 0.05])],
