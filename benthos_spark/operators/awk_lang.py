@@ -375,9 +375,6 @@ class _Parser:
                         "print redirection/pipes unsupported: message "
                         "processors write message content, not files")
                 return (t.val, args, None)
-            if kw == "getline":
-                raise AwkError("getline unsupported: messages are the "
-                               "only input")
         return ("expr", self.parse_simple())
 
     def parse_opt_stmt(self):
@@ -562,6 +559,31 @@ class _Parser:
                 self.eat("op", "]")
                 return ("index", t.val, idx)
             return ("var", t.val)
+        if t.kind == "kw" and t.val == "getline":
+            # Plain `getline` / `getline var` read the NEXT record of
+            # the message (the reference wires message content to
+            # goawk's stdin, awk.go:828-832).  File/command forms
+            # have no meaning for a message processor and raise.
+            self.next()
+            target = None
+            nt = self.peek()
+            if nt.kind == "name":
+                self.next()
+                if self.at("op", "["):
+                    self.next()
+                    idx = self.parse_expr_list("]")
+                    self.eat("op", "]")
+                    target = ("index", nt.val, idx)
+                else:
+                    target = ("var", nt.val)
+            elif nt.kind == "op" and nt.val == "$":
+                self.next()
+                target = ("field", self.parse_primary_for_field())
+            if self.at("op", "<"):
+                raise AwkError(
+                    "getline from a file unsupported: the message is "
+                    "the only input")
+            return ("getline", target)
         raise AwkError(f"unexpected token {t!r} in expression")
 
     def parse_primary_for_field(self):
@@ -688,6 +710,8 @@ class Interp:
         self.locals_stack: list[dict] = []
         self.exit_code = 0
         self._rand = __import__("random").Random(0)
+        self._records: list[str] = []
+        self._rec_i = 0
 
     # -- scoping
     def _scope_get(self, name):
@@ -746,15 +770,28 @@ class Interp:
                                  float(idx))
         self._rebuild_record()
 
+    # -- record stream (shared with getline: one cursor, POSIX-style)
+    def _next_record(self) -> str | None:
+        if self._rec_i >= len(self._records):
+            return None
+        rec = self._records[self._rec_i]
+        self._rec_i += 1
+        self.globals["NR"] = _to_num(self.globals["NR"]) + 1
+        self.globals["FNR"] = _to_num(self.globals["FNR"]) + 1
+        return rec
+
     # -- program driver
     def run(self, records: list[str]) -> int:
+        self._records = records
+        self._rec_i = 0
         try:
             for item in self.items:
                 if item[0] == "begin":
                     self.exec_stmts(item[1])
-            for rec in records:
-                self.globals["NR"] = _to_num(self.globals["NR"]) + 1
-                self.globals["FNR"] = _to_num(self.globals["FNR"]) + 1
+            while True:
+                rec = self._next_record()
+                if rec is None:
+                    break
                 self.set_record(rec)
                 try:
                     for item in self.items:
@@ -903,6 +940,23 @@ class Interp:
             return 1.0 if _ere(node[1]).search(self.get_field(0)) else 0.0
         if kind == "group":
             return self.eval(node[1])
+        if kind == "getline":
+            rec = self._next_record()
+            if rec is None:
+                return 0.0
+            target = node[1]
+            if target is None:
+                self.set_record(rec)
+            elif target[0] == "var":
+                self._scope_set(target[1], Strnum(rec))
+            elif target[0] == "index":
+                arr = self._array(target[1])
+                key = self._subscript(target[2])
+                arr[key] = Strnum(rec)
+            elif target[0] == "field":
+                self.set_field(int(_to_num(self.eval(target[1]))),
+                               Strnum(rec))
+            return 1.0
         if kind == "var":
             v = self._scope_get(node[1])
             if isinstance(v, dict):

@@ -120,6 +120,15 @@ VECTORS = [
     ("none", '{ print json_length("foo") }', '{"foo":[1, 2, "three"]}',
      {}, '3', False),
     ("none", '{ exit 1 }', 'hello world', {}, 'hello world', True),
+    # plain getline / getline var consume the NEXT record of the
+    # message (reference wires content to goawk stdin, awk.go:828-832)
+    ("text", '{ if ((getline nxt) > 0) print $0 "+" nxt;'
+             ' else print $0 "|last" }',
+     'a\nb\nc', {}, 'a+b\nc|last', False),
+    ("text", '{ n = 0; while ((getline line) > 0) n++; print NR, n }',
+     'x\ny\nz', {}, '3 2', False),
+    ("text", '{ getline; print $0, NF }', 'a b\nc d e', {},
+     'c d e 3', False),
 ]
 
 
@@ -175,8 +184,10 @@ def test_awk_multi_record_text():
 
 
 def test_awk_unsupported_constructs_raise():
-    with pytest.raises(AwkError, match="getline"):
-        parse_program('{ getline line }')
+    # plain getline is supported (message records); the FILE form is
+    # a plan-time error — a message processor has no filesystem input
+    with pytest.raises(AwkError, match="getline from a file"):
+        parse_program('{ getline line < "f.txt" }')
     with pytest.raises(AwkError, match="redirection"):
         parse_program('{ print "x" > "/tmp/f" }')
     got, _, err = run_awk_message(
