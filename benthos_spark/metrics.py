@@ -188,9 +188,10 @@ class SpanTracer:
     scale-path tracer); these spans cover the config-build and
     action phases the UI can't attribute to Benthos components."""
 
-    def __init__(self, path: str | None = None):
+    def __init__(self, path: str | None = None, exporter=None):
         import uuid
         self.path = path
+        self.exporter = exporter  # e.g. jaeger_udp.JaegerUdpExporter
         self.trace_id = uuid.uuid4().hex
         self.spans: list[dict] = []
         self._stack: list[str] = []
@@ -226,4 +227,6 @@ class SpanTracer:
             with open(self.path, "a") as fh:
                 for s in self.spans:
                     fh.write(json.dumps(s, sort_keys=True) + "\n")
+        if self.exporter is not None and self.spans:
+            self.exporter.emit(self.spans)
         return self.spans

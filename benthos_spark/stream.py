@@ -1237,14 +1237,25 @@ def _build_stream_ctx(spark: SparkSession,
         (tkind, tspec), = tconf.items()
         tspec = tspec or {}
         if tkind == "jaeger":
-            raise ConfigError(
-                "tracer.jaeger needs the jaeger thrift agent client "
-                "(documented deviation): use tracer.json_file "
-                "{path: spans.jsonl} for component spans and the Spark "
-                "UI / event log for executor-side stage timing")
-        if tkind != "json_file":
+            # agent protocol = compact-thrift emitBatch over UDP 6831;
+            # hand-rolled encoder, no thrift client dependency
+            from benthos_spark.jaeger_udp import JaegerUdpExporter
+            from benthos_spark.operators.control import resource
+            transport = None
+            if tspec.get("transport_resource"):
+                transport = resource(tspec["transport_resource"])
+            agent = tspec.get("agent_address", "127.0.0.1:6831")
+            host, _, port = agent.rpartition(":")
+            exporter = JaegerUdpExporter(
+                tspec.get("service_name", "benthos_spark"),
+                host=host or "127.0.0.1", port=int(port),
+                transport=transport)
+            ctx["tracer"] = SpanTracer(path=tspec.get("path"),
+                                       exporter=exporter)
+        elif tkind == "json_file":
+            ctx["tracer"] = SpanTracer(path=tspec.get("path"))
+        else:
             raise ConfigError(f"tracer type not recognised: {tkind!r}")
-        ctx["tracer"] = SpanTracer(path=tspec.get("path"))
     tracer = ctx.get("tracer")
     df = _build_input(spark, conf["input"], ctx)
     if (batching := conf["input"].get("batching") if

@@ -244,12 +244,123 @@ output:
     assert len({s["trace_id"] for s in spans}) == 1
     assert all(s["end_us"] >= s["start_us"] for s in spans)
 
-    with pytest.raises(ConfigError, match="jaeger"):
-        run_stream(spark, """
-tracer: {jaeger: {agent_address: "localhost:6831"}}
-input: {generate: {count: 1}}
-output: {memory: {}}
+def test_tracer_jaeger_udp_agent(spark):
+    """tracer.jaeger ships compact-thrift emitBatch datagrams to a
+    live UDP socket (the agent's 6831 surface)."""
+    import socket
+
+    from benthos_spark.stream import run_stream
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(5)
+    port = sock.getsockname()[1]
+    run_stream(spark, f"""
+tracer:
+  jaeger:
+    agent_address: "127.0.0.1:{port}"
+    service_name: svc-under-test
+input: {{generate: {{count: 2, mapping: 'root.id = this.id'}}}}
+pipeline:
+  processors:
+    - bloblang: 'root.id2 = this.id + 1'
+output: {{memory: {{}}}}
 """)
+    data, _ = sock.recvfrom(65536)
+    sock.close()
+    # compact message header: protocol id, ONEWAY<<5 | version 1
+    assert data[0] == 0x82 and data[1] == (4 << 5) | 0x01
+    assert b"emitBatch" in data
+    assert b"svc-under-test" in data
+    assert b"processor:bloblang" in data
+
+
+def test_jaeger_compact_encoding_roundtrip():
+    """Decode our own emitBatch datagram with an independent minimal
+    compact-protocol reader: ids, times, names and tags all survive."""
+    from benthos_spark.jaeger_udp import encode_emit_batch
+
+    spans = [{
+        "trace_id": "00000000000000ab00000000000000cd",
+        "span_id": "00000000000000ef",
+        "parent_span_id": None,
+        "name": "op-one",
+        "start_us": 1_700_000_000_000_000,
+        "end_us": 1_700_000_000_250_000,
+        "attributes": {"k1": "v1", "k2": "v2"},
+    }]
+    data = encode_emit_batch(spans, "svc", seq_id=7)
+
+    pos = 0
+
+    def u8():
+        nonlocal pos
+        pos += 1
+        return data[pos - 1]
+
+    def varint():
+        nonlocal pos
+        shift = out = 0
+        while True:
+            b = u8()
+            out |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                return out
+
+    def zig():
+        n = varint()
+        return (n >> 1) ^ -(n & 1)
+
+    def read_binary():
+        nonlocal pos
+        n = varint()
+        pos += n
+        return data[pos - n:pos]
+
+    def read_struct():
+        last = 0
+        fields = {}
+        while True:
+            b = u8()
+            if b == 0:
+                return fields
+            ctype = b & 0x0F
+            delta = b >> 4
+            fid = last + delta if delta else zig()
+            last = fid
+            if ctype == 0x06 or ctype == 0x05:
+                fields[fid] = zig()
+            elif ctype == 0x08:
+                fields[fid] = read_binary()
+            elif ctype == 0x0C:
+                fields[fid] = read_struct()
+            elif ctype == 0x09:
+                head = u8()
+                n = head >> 4
+                if n == 15:
+                    n = varint()
+                fields[fid] = [read_struct() for _ in range(n)]
+            elif ctype in (0x01, 0x02):
+                fields[fid] = ctype == 0x01
+            else:
+                raise AssertionError(f"unexpected ctype {ctype}")
+
+    assert u8() == 0x82
+    assert u8() == (4 << 5) | 0x01
+    assert varint() == 7                      # seq id
+    assert read_binary() == b"emitBatch"
+    args = read_struct()
+    batch = args[1]
+    assert batch[1][1] == b"svc"              # Process.serviceName
+    (span,) = batch[2]
+    assert span[1] == 0xCD and span[2] == 0xAB  # traceIdLow/High
+    assert span[3] == 0xEF and span[4] == 0
+    assert span[5] == b"op-one"
+    assert span[8] == 1_700_000_000_000_000
+    assert span[9] == 250_000
+    tags = {t[1]: t[3] for t in span[10]}
+    assert tags == {b"k1": b"v1", b"k2": b"v2"}
 
 
 def test_tracer_flushes_in_sync_response_path(spark, tmp_path):
