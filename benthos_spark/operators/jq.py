@@ -34,8 +34,17 @@ sort_by/group_by/unique/unique_by/min_by/max_by/reverse/first/last/min/
 max/range/flatten/to_entries/from_entries/with_entries/any/all/
 contains`), path functions (`path/getpath/setpath/delpaths`), control
 (`empty/error/limit/first(f)/last(f)/until/while/recurse`),
-`floor/ceil/fabs/type`. Unsupported syntax raises `JQCompileError` at
-plan-build time, never mid-job.
+`floor/ceil/fabs/type`, array/string slices `.[2:5]`, destructuring
+`as [$a, $b]` / `as {k: $x, $y}` patterns, format strings (`@text
+@json @csv @tsv @html @uri @sh @base64 @base64d`, bare or applied to
+interpolations `@base64 "\\(.x)"`), type filters (`numbers/strings/
+booleans/arrays/objects/nulls/iterables/scalars/values`), object
+multiplication `*` (deep merge), string `*` n repetition,
+`paths/leaf_paths/keys_unsorted/splits/indices/implode/explode/
+utf8bytelength`, date builtins (`now/todate/fromdate/gmtime/mktime/
+strftime/strptime` + iso8601 aliases), `env`/`$ENV`,
+`isnan/isinfinite/isnormal/infinite/nan/abs/halt_error`.  Unsupported
+syntax raises `JQCompileError` at plan-build time, never mid-job.
 
 Known lexer limitation: a string interpolation whose inner expression
 itself contains a double-quoted string (`"\\(.a // "x")"`) mis-tokenizes
@@ -74,6 +83,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<fmt>@[A-Za-z0-9_]+)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>\.\.|//=|//|==|!=|<=|>=|\|=|\+=|-=|\*=|/=|%=
          |\||\.|\[|\]|\{|\}|\(|\)|,|:|;|\?|\+|-|\*|/|%|<|>|=)
@@ -142,17 +152,48 @@ class _Parser:
             return self.funcdef()
         n = self.comma()
         if self.peek() == ("ident", "as"):
-            # EXPR as $var | BODY — body input stays `.`, $var bound
+            # EXPR as PATTERN | BODY — body input stays `.`; the
+            # pattern is $var or an array/object destructuring form
             self.next()
-            k, v = self.next()
-            if k != "var":
-                raise JQCompileError("jq: `as` needs a $variable pattern")
+            pat = self.as_pattern()
             self.expect("|")
-            return N("bind", n, v[1:], self.pipe())
+            return N("bind", n, pat, self.pipe())
         while self.peek()[1] == "|":
             self.next()
             n = N("pipe", n, self.pipe())
         return n
+
+    def as_pattern(self):
+        """Destructuring pattern: $var, [p, ...], {key: p, $shorthand}."""
+        k, v = self.next()
+        if k == "var":
+            return ("var", v[1:])
+        if v == "[":
+            pats = [self.as_pattern()]
+            while self.peek()[1] == ",":
+                self.next()
+                pats.append(self.as_pattern())
+            self.expect("]")
+            return ("arr", pats)
+        if v == "{":
+            pairs = []
+            while True:
+                kk, kv = self.next()
+                if kk == "var":  # {$a} binds .a to $a
+                    pairs.append((kv[1:], ("var", kv[1:])))
+                elif kk in ("ident", "str"):
+                    key = json.loads(kv) if kk == "str" else kv
+                    self.expect(":")
+                    pairs.append((key, self.as_pattern()))
+                else:
+                    raise JQCompileError(f"jq: bad pattern key {kv!r}")
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            self.expect("}")
+            return ("obj", pairs)
+        raise JQCompileError(f"jq: bad `as` pattern at {v!r}")
 
     def funcdef(self) -> N:
         # def name: body;  /  def name(a; $b): body;  — scope = rest
@@ -271,10 +312,25 @@ class _Parser:
                 if self.peek()[1] == "]":
                     self.next()
                     n = N("iterate", n)
+                elif self.peek()[1] == ":":
+                    self.next()
+                    end = self.pipe()
+                    self.expect("]")
+                    n = N("slice", n, (None, end))
                 else:
                     idx = self.pipe()
-                    self.expect("]")
-                    n = N("index", n, idx)
+                    if self.peek()[1] == ":":
+                        self.next()
+                        if self.peek()[1] == "]":
+                            self.next()
+                            n = N("slice", n, (idx, None))
+                        else:
+                            end = self.pipe()
+                            self.expect("]")
+                            n = N("slice", n, (idx, end))
+                    else:
+                        self.expect("]")
+                        n = N("index", n, idx)
             elif v == "?":
                 self.next()
                 n = N("try", n)
@@ -330,6 +386,15 @@ class _Parser:
                      else int(v))
         if k == "str":
             return _parse_string(v)
+        if k == "fmt":
+            # @base64 etc.: bare → format the input; followed by a
+            # string literal → format only the interpolated segments
+            name = v[1:]
+            if name not in _FORMATS:
+                raise JQCompileError(f"jq: unknown format @{name}")
+            if self.peek()[0] == "str":
+                return _parse_string(self.next()[1], fmt=name)
+            return N("format", name)
         if k == "var":
             return N("var", v[1:])
         if k == "ident":
@@ -406,9 +471,10 @@ class _Parser:
         return N("if", pairs, els)
 
 
-def _parse_string(tok: str) -> N:
+def _parse_string(tok: str, fmt: str | None = None) -> N:
     """String literal token → lit node, or an `interp` node when it
-    contains jq interpolation segments `\\(expr)`."""
+    contains jq interpolation segments `\\(expr)`.  With `fmt`, each
+    interpolated value runs through @fmt before joining."""
     body = tok[1:-1]
     if "\\(" not in body:
         return N("lit", json.loads(tok))
@@ -440,7 +506,7 @@ def _parse_string(tok: str) -> N:
             i += 1
     if buf:
         parts.append(json.loads('"' + "".join(buf) + '"'))
-    return N("interp", parts)
+    return N("interp", parts, fmt)
 
 
 def parse_jq(src: str) -> N:
@@ -448,6 +514,43 @@ def parse_jq(src: str) -> N:
 
 
 # ---------------------------------------------------------------- eval
+
+def _deep_merge(a: dict, b: dict) -> dict:
+    """jq object multiplication: recursive merge, right side wins on
+    non-object conflicts."""
+    out = dict(a)
+    for k, bv in b.items():
+        av = out.get(k)
+        out[k] = (_deep_merge(av, bv)
+                  if isinstance(av, dict) and isinstance(bv, dict)
+                  else bv)
+    return out
+
+
+def _destructure(pat, val: Any, env: dict[str, Any]) -> None:
+    """Bind an `as` pattern: $var / [p, ...] / {key: p}.  Missing
+    elements bind null, like jq."""
+    if isinstance(pat, str):  # legacy plain-name form
+        env[pat] = val
+        return
+    kind = pat[0]
+    if kind == "var":
+        env[pat[1]] = val
+    elif kind == "arr":
+        if val is None:
+            val = []
+        if not isinstance(val, list):
+            raise JQError(f"cannot destructure {_jqtype(val)} as array")
+        for i, p in enumerate(pat[1]):
+            _destructure(p, val[i] if i < len(val) else None, env)
+    else:  # obj
+        if val is None:
+            val = {}
+        if not isinstance(val, dict):
+            raise JQError(f"cannot destructure {_jqtype(val)} as object")
+        for key, p in pat[1]:
+            _destructure(p, val.get(key), env)
+
 
 def _truthy(v: Any) -> bool:
     return v is not None and v is not False
@@ -594,6 +697,13 @@ def _eval(n: N, v: Any, env: dict[str, Any]) -> Iterator[Any]:
                     yield [x for x in a if x not in b]
                 elif n.c == "/" and isinstance(a, str) and isinstance(b, str):
                     yield a.split(b)
+                elif (n.c == "*" and isinstance(a, dict)
+                      and isinstance(b, dict)):
+                    yield _deep_merge(a, b)
+                elif n.c == "*" and isinstance(a, str) and isinstance(
+                        b, (int, float)) and not isinstance(b, bool):
+                    # jq: string * n repeats; n <= 0 yields null
+                    yield a * int(b) if b > 0 else None
                 else:
                     x, y = _tonum(a), _tonum(b)
                     if n.c == "-":
@@ -622,7 +732,9 @@ def _eval(n: N, v: Any, env: dict[str, Any]) -> Iterator[Any]:
         yield from _call(n.a, n.b, v, env)
     elif kind == "bind":
         for val in _eval(n.a, v, env):
-            yield from _eval(n.c, v, {**env, n.b: val})
+            env2 = dict(env)
+            _destructure(n.b, val, env2)
+            yield from _eval(n.c, v, env2)
     elif kind == "def":
         name, params, body = n.a
         funcs = dict(env.get("__funcs__") or {})
@@ -679,12 +791,33 @@ def _eval(n: N, v: Any, env: dict[str, Any]) -> Iterator[Any]:
         argnode, cenv = n.a
         yield from _eval(argnode, v, cenv)
     elif kind == "interp":
+        def render(x: Any) -> str:
+            if n.b is not None:
+                return _format(n.b, x)
+            return x if isinstance(x, str) else _dumps(x)
         streams = [[p] if isinstance(p, str)
-                   else [x if isinstance(x, str) else _dumps(x)
-                         for x in _eval(p, v, env)]
+                   else [render(x) for x in _eval(p, v, env)]
                    for p in n.a]
         for combo in product(*streams):
             yield "".join(combo)
+    elif kind == "format":
+        yield _format(n.a, v)
+    elif kind == "slice":
+        start_n, end_n = n.b
+        for base in _eval(n.a, v, env):
+            for s in ([None] if start_n is None
+                      else _eval(start_n, v, env)):
+                for e in ([None] if end_n is None
+                          else _eval(end_n, v, env)):
+                    if base is None:
+                        yield None
+                        continue
+                    if not isinstance(base, (list, str)):
+                        raise JQError(
+                            f"cannot slice {_jqtype(base)}")
+                    lo = None if s is None else int(math.floor(s))
+                    hi = None if e is None else int(math.ceil(e))
+                    yield base[lo:hi]
     else:  # pragma: no cover
         raise JQCompileError(f"jq: unknown node {kind}")
 
@@ -1212,8 +1345,203 @@ def _call(name: str, args: list[N], v: Any,
         yield math.ceil(_tonum(v))
     elif name == "fabs":
         yield abs(_tonum(v))
+    elif name in ("numbers", "strings", "booleans", "arrays",
+                  "objects", "nulls", "iterables", "scalars",
+                  "values") and not args:
+        t = _jqtype(v)
+        ok = {"numbers": t == "number", "strings": t == "string",
+              "booleans": t == "boolean", "arrays": t == "array",
+              "objects": t == "object", "nulls": t == "null",
+              "iterables": t in ("array", "object"),
+              "scalars": t not in ("array", "object"),
+              "values": t != "null"}[name]
+        if ok:
+            yield v
+    elif name == "keys_unsorted":
+        if not isinstance(v, dict):
+            raise JQError(f"{_jqtype(v)} has no keys")
+        yield list(v.keys())
+    elif name in ("paths", "leaf_paths") and not args:
+        def walk(x: Any, p: list) -> Iterator[list]:
+            if isinstance(x, dict):
+                items: Any = x.items()
+            elif isinstance(x, list):
+                items = enumerate(x)
+            else:
+                return
+            for k, child in items:
+                cp = p + [k]
+                if name == "paths" or not isinstance(child,
+                                                     (dict, list)):
+                    yield cp
+                yield from walk(child, cp)
+        yield from walk(v, [])
+    elif name == "splits" and len(args) in (1, 2):
+        s = _as_str(v, "splits")
+        for pat in _eval(args[0], v, env):
+            flags = re.I if (len(args) > 1 and "i" in (_single(
+                args[1], v, env) or "")) else 0
+            yield from re.split(re.compile(pat, flags), s)
+    elif name == "indices" and len(args) == 1:
+        for needle in _eval(args[0], v, env):
+            if isinstance(v, str) and isinstance(needle, str):
+                if not needle:
+                    yield []
+                    continue
+                out, i = [], v.find(needle)
+                while i != -1:
+                    out.append(i)
+                    i = v.find(needle, i + 1)
+                yield out
+            elif isinstance(v, list) and isinstance(needle, list):
+                yield [i for i in range(len(v) - len(needle) + 1)
+                       if v[i:i + len(needle)] == needle]
+            elif isinstance(v, list):
+                yield [i for i, x in enumerate(v) if x == needle]
+            elif v is None:
+                yield None
+            else:
+                raise JQError("cannot get indices of "
+                              f"{_jqtype(v)}")
+    elif name == "explode":
+        yield [ord(c) for c in _as_str(v, "explode")]
+    elif name == "implode":
+        if not isinstance(v, list):
+            raise JQError("implode input must be an array")
+        yield "".join(chr(int(c)) for c in v)
+    elif name == "utf8bytelength":
+        yield len(_as_str(v, "utf8bytelength").encode("utf-8"))
+    elif name == "env" and not args:
+        import os
+        yield dict(os.environ)
+    elif name == "isnan":
+        yield isinstance(v, float) and math.isnan(v)
+    elif name == "isinfinite":
+        yield isinstance(v, float) and math.isinf(v)
+    elif name == "infinite":
+        yield math.inf
+    elif name == "nan":
+        yield math.nan
+    elif name == "isnormal":
+        yield (isinstance(v, (int, float))
+               and not isinstance(v, bool)
+               and v != 0 and math.isfinite(v))
+    elif name == "now":
+        import time as _time
+        yield _time.time()
+    elif name in ("todate", "todateiso8601"):
+        import time as _time
+        yield _time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                             _time.gmtime(int(_tonum(v))))
+    elif name in ("fromdate", "fromdateiso8601"):
+        import calendar
+        import time as _time
+        yield calendar.timegm(_time.strptime(
+            _as_str(v, name), "%Y-%m-%dT%H:%M:%SZ"))
+    elif name == "gmtime":
+        yield _jq_gmtime(_tonum(v))
+    elif name == "mktime":
+        import calendar
+        if not isinstance(v, list) or len(v) < 6:
+            raise JQError("mktime requires a broken-down time array")
+        yield calendar.timegm((int(v[0]), int(v[1]) + 1, int(v[2]),
+                               int(v[3]), int(v[4]), int(v[5]),
+                               0, 0, 0))
+    elif name == "strftime" and len(args) == 1:
+        import time as _time
+        fmt = _as_str(_single(args[0], v, env), "strftime")
+        bt = v if isinstance(v, list) else _jq_gmtime(_tonum(v))
+        st = _time.struct_time((
+            int(bt[0]), int(bt[1]) + 1, int(bt[2]), int(bt[3]),
+            int(bt[4]), int(bt[5]), (int(bt[6]) - 1) % 7,
+            int(bt[7]) + 1, 0))
+        yield _time.strftime(fmt, st)
+    elif name == "strptime" and len(args) == 1:
+        import time as _time
+        fmt = _as_str(_single(args[0], v, env), "strptime")
+        st = _time.strptime(_as_str(v, "strptime"), fmt)
+        yield [st.tm_year, st.tm_mon - 1, st.tm_mday, st.tm_hour,
+               st.tm_min, float(st.tm_sec), (st.tm_wday + 1) % 7,
+               st.tm_yday - 1]
+    elif name == "date":
+        import time as _time
+        yield _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
+    elif name == "abs":
+        x = _tonum(v)
+        yield abs(x)
+    elif name == "halt_error":
+        raise JQError(v if isinstance(v, str) else _dumps(v))
     else:
         raise JQCompileError(f"jq: unsupported function {name!r}")
+
+
+def _jq_gmtime(epoch: float) -> list:
+    """Broken-down UTC time, jq layout: [year, month 0-based, mday,
+    hour, min, sec (fractional), wday 0=Sunday, yday 0-based]."""
+    import time as _time
+    st = _time.gmtime(int(epoch))
+    return [st.tm_year, st.tm_mon - 1, st.tm_mday, st.tm_hour,
+            st.tm_min, st.tm_sec + (epoch - int(epoch)),
+            (st.tm_wday + 1) % 7, st.tm_yday - 1]
+
+
+_FORMATS = {"text", "json", "html", "uri", "csv", "tsv", "sh",
+            "base64", "base64d"}
+
+
+def _format(name: str, x: Any) -> str:
+    """jq @format strings (jq manual 'Format strings and escaping')."""
+    import base64 as _b64
+    if name == "text":
+        return x if isinstance(x, str) else _dumps(x)
+    if name == "json":
+        return _dumps(x)
+    if name == "html":
+        s = _format("text", x)
+        return (s.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace("'", "&#39;")
+                .replace('"', "&quot;"))
+    if name == "uri":
+        from urllib.parse import quote
+        return quote(_format("text", x), safe="")
+    if name in ("csv", "tsv"):
+        if not isinstance(x, list):
+            raise JQError(f"@{name} input must be an array")
+        cells = []
+        for c in x:
+            if c is None:
+                cells.append("")
+            elif isinstance(c, bool):
+                cells.append("true" if c else "false")
+            elif isinstance(c, (int, float)):
+                cells.append(_tostr_num(c))
+            elif isinstance(c, str):
+                if name == "csv":
+                    cells.append('"' + c.replace('"', '""') + '"')
+                else:
+                    cells.append(c.replace("\\", "\\\\")
+                                 .replace("\t", "\\t")
+                                 .replace("\n", "\\n")
+                                 .replace("\r", "\\r"))
+            else:
+                raise JQError(f"@{name} cell cannot be "
+                              f"{_jqtype(c)}")
+        return ("," if name == "csv" else "\t").join(cells)
+    if name == "sh":
+        def q(s: Any) -> str:
+            t = _format("text", s)
+            return "'" + t.replace("'", "'\\''") + "'"
+        if isinstance(x, list):
+            return " ".join(q(c) for c in x)
+        return q(x)
+    if name == "base64":
+        return _b64.b64encode(
+            _format("text", x).encode("utf-8")).decode("ascii")
+    if name == "base64d":
+        s = _as_str(x, "@base64d")
+        pad = s + "=" * (-len(s) % 4)
+        return _b64.b64decode(pad).decode("utf-8", "replace")
+    raise JQError(f"unknown format @{name}")
 
 
 def _call_userfunc(entry, args: list[N], v: Any,
@@ -1299,7 +1627,8 @@ def jq_eval_text(prog: N, text: str | None, raw: bool = False,
             value = json.loads(text) if text is not None else None
         except (json.JSONDecodeError, TypeError) as e:
             raise JQError(f"invalid JSON content: {e}") from e
-    env = {"metadata": metadata or {}}
+    import os
+    env = {"metadata": metadata or {}, "ENV": dict(os.environ)}
     outs = list(_eval(prog, value, env))
     if not outs:
         return None

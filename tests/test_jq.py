@@ -88,10 +88,10 @@ def test_errors():
     assert run(".[]?", 42) is None          # ? suppresses the error
     assert run(".a as $x | $x", {"a": 7}) == 7      # bindings now work
     assert run("def f: . + 1; f", 2) == 3           # defs now work
+    # formats and destructuring patterns are supported now; a bad
+    # format name is still a build-time error
     with pytest.raises(JQCompileError):
-        parse_jq("@base64")                  # formats unsupported → build error
-    with pytest.raises(JQCompileError):
-        parse_jq(". as [$a] | $a")           # destructuring patterns
+        parse_jq("@nosuchformat")
 
 
 # ---------------------------------------------------------------- static
@@ -238,6 +238,45 @@ MANUAL_VECTORS = [
     ('.["a b"]', {"a b": 4}, [4]),
     ('."a b"', {"a b": 4}, [4]),
     (".a | .b |= . + 1", {"a": {"b": 1}}, [{"b": 2}]),
+    # --- round-4 additions: slices, formats, destructuring, dates ---
+    (".[1:3]", [1, 2, 3, 4], [[2, 3]]),
+    (".[1:3]", "abcde", ["bc"]),
+    (".[:2]", [1, 2, 3], [[1, 2]]),
+    (".[-2:]", [1, 2, 3], [[2, 3]]),
+    (".a[1:]", {"a": [1, 2, 3]}, [[2, 3]]),
+    ("@base64", "hi", ["aGk="]),
+    ("@base64d", "aGk=", ["hi"]),
+    ("@csv", [1, "a,b", None], ['1,"a,b",']),
+    ("@tsv", ["a\tb", 2], ["a\\tb\t2"]),
+    ("@uri", "a b&c", ["a%20b%26c"]),
+    ("@html", "<i>", ["&lt;i&gt;"]),
+    ("@sh", ["a b", "c"], ["'a b' 'c'"]),
+    ('@base64 "x\\(.)y"', "Q", ["xUQ==y"]),
+    ("{a: 1, c: {d: 1}} * {b: 2, c: {e: 2}}", None,
+     [{"a": 1, "b": 2, "c": {"d": 1, "e": 2}}]),
+    ('"ab" * 3', None, ["ababab"]),
+    ('"ab" * 0', None, [None]),
+    ("[.[] | numbers]", [1, "a", None, 2], [[1, 2]]),
+    ("[paths]", {"a": {"b": 1}}, [[["a"], ["a", "b"]]]),
+    ("[leaf_paths]", {"a": {"b": 1}}, [[["a", "b"]]]),
+    ("keys_unsorted", {"b": 1, "a": 2}, [["b", "a"]]),
+    ('[splits(",")]', "a,b", [["a", "b"]]),
+    ("explode", "hi", [[104, 105]]),
+    ("implode", [104, 105], ["hi"]),
+    ('indices(",")', "a,b,c", [[1, 3]]),
+    ("indices([1,2])", [0, 1, 2, 1, 2], [[1, 3]]),
+    ("utf8bytelength", "\u00fc", [2]),
+    ("todate", 1700000000, ["2023-11-14T22:13:20Z"]),
+    ("fromdate", "2023-11-14T22:13:20Z", [1700000000]),
+    ("gmtime | mktime", 1700000000, [1700000000]),
+    ('strftime("%Y")', 1700000000, ["2023"]),
+    ('strptime("%Y-%m-%d") | mktime', "2023-01-02", [1672617600]),
+    ("isnan", 1, [False]),
+    ("infinite > 1e308", None, [True]),
+    (".[] as [$a, $b] | $a + $b", [[1, 2], [3, 4]], [3, 7]),
+    (". as {a: $x, $b} | [$x, $b]", {"a": 1, "b": 2}, [[1, 2]]),
+    ("env | type", None, ["object"]),
+    ("$ENV | type", None, ["object"]),
 ]
 
 
