@@ -46,10 +46,9 @@ strftime/strptime` + iso8601 aliases), `env`/`$ENV`,
 `isnan/isinfinite/isnormal/infinite/nan/abs/halt_error`.  Unsupported
 syntax raises `JQCompileError` at plan-build time, never mid-job.
 
-Known lexer limitation: a string interpolation whose inner expression
-itself contains a double-quoted string (`"\\(.a // "x")"`) mis-tokenizes
-— jq's lexer is modal there; ours is regex-based. Rewrite with a
-variable binding instead.
+String literals lex through a modal scanner (like jq's own lexer), so
+interpolations may nest strings and further interpolations arbitrarily
+(`"\\(.a // "x")"`, `"outer \\("inner \\(.v)")"`).
 """
 
 from __future__ import annotations
@@ -96,9 +95,49 @@ _RESERVED = {"then", "elif", "else", "end", "catch", "as", "and", "or",
              "def"}
 
 
+def _scan_string(src: str, i: int) -> tuple[str, int]:
+    """Scan a string literal starting at src[i] == '"', honouring
+    escapes AND interpolation segments `\\( ... )` — the inner
+    expression may itself contain strings (which may contain further
+    interpolations), so the paren balance must treat them as opaque.
+    jq's lexer is modal here; a flat regex cannot be.  Returns the
+    full token text (quotes included) and the index after it."""
+    j = i + 1
+    while j < len(src):
+        c = src[j]
+        if c == "\\":
+            if j + 1 < len(src) and src[j + 1] == "(":
+                depth, j = 1, j + 2
+                while j < len(src) and depth:
+                    if src[j] == "\\":
+                        j += 2
+                    elif src[j] == '"':
+                        _, j = _scan_string(src, j)
+                    else:
+                        if src[j] == "(":
+                            depth += 1
+                        elif src[j] == ")":
+                            depth -= 1
+                        j += 1
+                if depth:
+                    raise JQCompileError(
+                        "jq: unterminated interpolation")
+                continue
+            j += 2
+            continue
+        if c == '"':
+            return src[i:j + 1], j + 1
+        j += 1
+    raise JQCompileError("jq: unterminated string literal")
+
+
 def _tokenize(src: str) -> list[tuple[str, str]]:
     out, i = [], 0
     while i < len(src):
+        if src[i] == '"':
+            tok, i = _scan_string(src, i)
+            out.append(("str", tok))
+            continue
         m = _TOKEN_RE.match(src, i)
         if not m:
             raise JQCompileError(f"jq: bad character {src[i]!r} at {i}")
@@ -486,11 +525,17 @@ def _parse_string(tok: str, fmt: str | None = None) -> N:
         if c == "\\" and i + 1 < len(body) and body[i + 1] == "(":
             depth, j = 1, i + 2
             while j < len(body) and depth:
-                if body[j] == "(":
-                    depth += 1
-                elif body[j] == ")":
-                    depth -= 1
-                j += 1
+                if body[j] == "\\":
+                    j += 2
+                elif body[j] == '"':
+                    # nested string literal is opaque to the balance
+                    _, j = _scan_string(body, j)
+                else:
+                    if body[j] == "(":
+                        depth += 1
+                    elif body[j] == ")":
+                        depth -= 1
+                    j += 1
             if depth:
                 raise JQCompileError("jq: unterminated interpolation")
             if buf:

@@ -277,6 +277,10 @@ MANUAL_VECTORS = [
     (". as {a: $x, $b} | [$x, $b]", {"a": 1, "b": 2}, [[1, 2]]),
     ("env | type", None, ["object"]),
     ("$ENV | type", None, ["object"]),
+    # modal string lexer: nested strings/interpolations inside \( )
+    ('"\\(.a // "x")"', {}, ["x"]),
+    ('"a\\(.x | join(")"))b"', {"x": ["1", "2"]}, ["a1)2b"]),
+    ('"outer \\("inner \\(.v)")"', {"v": 7}, ["outer inner 7"]),
 ]
 
 
