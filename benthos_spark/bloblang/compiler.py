@@ -475,7 +475,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "round":
         return F.round(target, int(arg_lit(0)) if args else 0)
     if name == "log":
-        return F.log(F.lit(2.718281828459045), target)
+        return F.log(target)  # natural log (methods.go `log`)
     if name == "log10":
         return F.log10(target)
     if name == "max":
@@ -649,13 +649,19 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.when(target.startswith("-"), -total) \
                 .otherwise(total).cast("long")
     if name in ("encrypt_aes", "decrypt_aes"):
-        # methods_strings.go:300/352; Spark supports cbc/gcm/ecb —
-        # ctr/ofb have no JVM builtin (compile error lists these)
+        # methods_strings.go:300/352.  cbc/gcm/ecb ride the JVM
+        # builtin (codegen); the reference's ctr/ofb modes have no
+        # Spark builtin and run through an Arrow-batched kernel over
+        # the `cryptography` package (gated import).
         scheme = str(arg_lit(0, "scheme")).lower()
+        if scheme in ("ctr", "ofb"):
+            from benthos_spark.functions.strings import aes_stream_mode
+            return aes_stream_mode(name, scheme, target,
+                                   arg_col(1), arg_col(2))
         if scheme not in ("cbc", "gcm", "ecb"):
             raise BloblangCompileError(
-                f"{name} scheme {scheme!r}: Spark builtin supports "
-                "cbc|gcm|ecb")
+                f"{name} scheme {scheme!r}: supported modes are "
+                "cbc|gcm|ecb (JVM builtin) and ctr|ofb (Python kernel)")
         key = arg_col(1).cast("binary")
         iv = arg_col(2).cast("binary") if len(args) > 2 else F.lit(b"")
         if name == "encrypt_aes":

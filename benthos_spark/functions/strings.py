@@ -344,3 +344,44 @@ def json_to_yaml(c: Column) -> Column:
         return pd.Series(out)
 
     return op(c)
+
+
+def aes_stream_mode(name: str, scheme: str, target: Column,
+                    key: Column, iv: Column) -> Column:
+    """AES-CTR / AES-OFB for encrypt_aes/decrypt_aes
+    (methods_strings.go:300,352): the reference's stream-cipher modes
+    have no Spark builtin, so they run as an Arrow-batched kernel over
+    the `cryptography` package (plan-time gated)."""
+    try:
+        import cryptography  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ValueError(
+            f"{name} scheme {scheme!r} needs the 'cryptography' "
+            "package (pip install cryptography)") from e
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    enc = name == "encrypt_aes"
+
+    @pandas_udf("binary")
+    def kern(vals: pd.Series, keys: pd.Series,
+             ivs: pd.Series) -> pd.Series:
+        from cryptography.hazmat.primitives.ciphers import (Cipher,
+                                                            algorithms,
+                                                            modes)
+        out = []
+        for v, k, i in zip(vals, keys, ivs):
+            if v is None or k is None or i is None:
+                out.append(None)
+                continue
+            mode = modes.CTR(bytes(i)) if scheme == "ctr" \
+                else modes.OFB(bytes(i))
+            op_ctx = Cipher(algorithms.AES(bytes(k)), mode)
+            op = op_ctx.encryptor() if enc else op_ctx.decryptor()
+            out.append(op.update(bytes(v)) + op.finalize())
+        return pd.Series(out)
+
+    res = kern(target.cast("binary"), key.cast("binary"),
+               iv.cast("binary"))
+    return res if enc else res.cast("string")

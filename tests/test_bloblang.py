@@ -423,6 +423,45 @@ root.fy = "[1, 2]".parse_json("array<int>").format_yaml()
     assert out.fy.strip() == "- 1\n- 2"
 
 
+def test_aes_ctr_ofb_stream_modes(spark):
+    """The reference's ctr/ofb AES modes (methods_strings.go:300) run
+    through the Arrow kernel; ciphertext matches the cryptography
+    package's ground truth and roundtrips."""
+    key = b"0123456789abcdef0123456789abcdef"
+    iv = b"abcdef9876543210"
+    df = spark.createDataFrame([("hello world", key, iv)],
+                               "msg STRING, k BINARY, iv BINARY")
+    ct = map_text(
+        df, 'root.ct = this.msg.encrypt_aes("ctr", this.k, this.iv)'
+    ).collect()[0].ct
+    from cryptography.hazmat.primitives.ciphers import (Cipher,
+                                                        algorithms,
+                                                        modes)
+    ref = Cipher(algorithms.AES(key), modes.CTR(iv)).encryptor()
+    assert bytes(ct) == ref.update(b"hello world") + ref.finalize()
+    back = spark.createDataFrame([(bytes(ct), key, iv)],
+                                 "ct BINARY, k BINARY, iv BINARY")
+    assert map_text(
+        back, 'root.pt = this.ct.decrypt_aes("ctr", this.k, this.iv)'
+    ).collect()[0].pt == "hello world"
+    ofb = map_text(
+        df, 'root.ct = this.msg.encrypt_aes("ofb", this.k, this.iv)'
+    ).collect()[0].ct
+    back2 = spark.createDataFrame([(bytes(ofb), key, iv)],
+                                  "ct BINARY, k BINARY, iv BINARY")
+    assert map_text(
+        back2, 'root.pt = this.ct.decrypt_aes("ofb", this.k, this.iv)'
+    ).collect()[0].pt == "hello world"
+
+
+def test_log_method_natural(spark):
+    import math
+    df = spark.createDataFrame([(math.e,)], "n DOUBLE")
+    out = map_text(df, "root.l = this.n.log()\n"
+                       "root.l10 = (100.0).log10()").collect()[0]
+    assert abs(out.l - 1.0) < 1e-12 and out.l10 == 2.0
+
+
 def test_file_function(spark, tmp_path):
     p = tmp_path / "snippet.txt"
     p.write_text("hello-from-file")
