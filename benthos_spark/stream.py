@@ -1274,11 +1274,16 @@ def _build_stream_ctx(spark: SparkSession,
         # (lib/buffer/); Spark owns flow control, so only `none` is
         # meaningful — anything else would silently change delivery
         # guarantees, so reject it loudly (SURVEY 'not ported')
-        if list(buf) not in ([], ["none"]):
+        # `memory` (lib/buffer/memory.go) only smooths producer/
+        # consumer backpressure — a no-op under Spark's scheduler, so
+        # accept it for config portability.  Anything else (disk-
+        # backed v4 buffers etc.) WOULD change delivery guarantees:
+        # reject loudly.
+        if list(buf) not in ([], ["none"], ["memory"]):
             raise ConfigError(
                 f"buffer {list(buf)}: the buffer layer is subsumed by "
-                "Spark's scheduler/backpressure; only `buffer: {none: {}}` "
-                "is accepted")
+                "Spark's scheduler/backpressure; `none` and `memory` "
+                "are accepted as no-ops")
     for proc in (conf.get("pipeline") or {}).get("processors", []):
         if tracer is not None:
             pname = (next(iter(proc)) if isinstance(proc, dict)

@@ -1218,3 +1218,26 @@ output:
     finally:
         server.stop()
     assert sorted(r.content for r in out) == ["ws-0", "ws-1", "ws-2"]
+
+
+def test_buffer_memory_accepted_as_noop(spark):
+    """buffer.memory (lib/buffer/memory.go) only smooths backpressure;
+    Spark's scheduler subsumes it, so configs carrying it still run."""
+    from benthos_spark.stream import run_stream
+    out = run_stream(spark, """
+input: {generate: {count: 2, mapping: 'root.content = "m" + this.id.string()'}}
+buffer: {memory: {limit: 524288000}}
+output: {memory: {}}
+""")
+    assert sorted(r.content for r in out.collect()) == ["m0", "m1"]
+
+
+def test_buffer_unknown_kind_rejected(spark):
+    import pytest
+    from benthos_spark.stream import ConfigError, run_stream
+    with pytest.raises(ConfigError, match="buffer"):
+        run_stream(spark, """
+input: {generate: {count: 1}}
+buffer: {sqlite: {path: /tmp/x.db}}
+output: {memory: {}}
+""")
