@@ -244,153 +244,6 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
 
 
-@_register("q6_forecast_revenue", oracle="""
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_lines
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
-""")
-def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6: pure scan-side query — every predicate reaches the
-    parquet reader (PushedFilters on date/discount/quantity), then a
-    single global decimal aggregate.  The zero-shuffle baseline the
-    optimizer should hit at any scale."""
-    li = _t(spark, sf_dir, "lineitem")
-    f = (li.filter((F.col("l_shipdate") >=
-                    F.lit("1996-01-01").cast("timestamp"))
-                   & (F.col("l_shipdate") <
-                      F.lit("1997-01-01").cast("timestamp"))
-                   & F.col("l_discount").between(0.05, 0.07)
-                   & (F.col("l_quantity") < 24)))
-    return f.agg(
-        F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount")))
-        .cast("double").alias("revenue"),
-        F.count("*").alias("n_lines"))
-
-
-@_register("q10_returned_items", oracle="""
-SELECT c.c_custkey, c.c_name, n.n_name,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-    AS revenue
-FROM customer c
-JOIN orders o   ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n   ON n.n_nationkey = c.c_nationkey
-WHERE l.l_returnflag = 'R'
-  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
-GROUP BY c.c_custkey, c.c_name, n.n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
-""")
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: top returned-revenue customers.  Orders filter to a
-    half-year window BEFORE the fact join (partition-prunable at
-    scale); customer/nation are broadcast; total-order top-20 with a
-    deterministic tiebreak."""
-    cust = F.broadcast(_t(spark, sf_dir, "customer")
-                       .select("c_custkey", "c_name", "c_nationkey"))
-    nat = F.broadcast(_t(spark, sf_dir, "nation")
-                      .select("n_nationkey", "n_name"))
-    orders = (_t(spark, sf_dir, "orders")
-              .filter((F.col("o_orderdate") >=
-                       F.lit("1997-01-01").cast("timestamp"))
-                      & (F.col("o_orderdate") <
-                         F.lit("1997-07-01").cast("timestamp")))
-              .select("o_orderkey", "o_custkey"))
-    li = (_t(spark, sf_dir, "lineitem")
-          .filter(F.col("l_returnflag") == "R")
-          .select("l_orderkey", "l_extendedprice", "l_discount"))
-    rev = (_dec(F.col("l_extendedprice"))
-           * (F.lit(1) - _dec(F.col("l_discount"))))
-    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-            .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
-            .groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.sum(rev).cast("double").alias("revenue"))
-            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-            .limit(20))
-
-
-@_register("q14_promo_effect", oracle="""
-SELECT CAST(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN
-         CAST(l.l_extendedprice AS DECIMAL(18,2))
-         * (1 - CAST(l.l_discount AS DECIMAL(18,2))) ELSE 0 END)
-       / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-  AS promo_revenue_pct,
-  COUNT(*) AS n_lines
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
-  AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
-""")
-def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share.  One month of the fact table
-    (pushed date filter) joins the broadcast part dimension; the
-    conditional/total ratio stays decimal-exact until the last cast."""
-    part = F.broadcast(_t(spark, sf_dir, "part")
-                       .select("p_partkey", "p_type"))
-    li = (_t(spark, sf_dir, "lineitem")
-          .filter((F.col("l_shipdate") >=
-                   F.lit("1997-03-01").cast("timestamp"))
-                  & (F.col("l_shipdate") <
-                     F.lit("1997-04-01").cast("timestamp")))
-          .select("l_partkey", "l_extendedprice", "l_discount"))
-    rev = (_dec(F.col("l_extendedprice"))
-           * (F.lit(1) - _dec(F.col("l_discount"))))
-    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
-        F.lit(0).cast("decimal(18,2)"))
-    return (li.join(part, li.l_partkey == part.p_partkey)
-            .agg((F.lit(100.0) * F.sum(promo) / F.sum(rev))
-                 .cast("double").alias("promo_revenue_pct"),
-                 F.count("*").alias("n_lines")))
-
-
-@_register("q18_large_volume_customer", oracle="""
-WITH big AS (
-  SELECT l_orderkey FROM lineitem
-  GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
-SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-       o.o_totalprice,
-       CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
-FROM customer c
-JOIN orders o   ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
-GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-         o.o_totalprice
-ORDER BY o.o_totalprice DESC, o.o_orderkey
-LIMIT 100
-""")
-def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: large-volume orders.  The HAVING subquery is a
-    fact-only pre-aggregation (map-side combine on the order key);
-    its small output semi-joins back before the dimension joins, so
-    the expensive join fan-out only sees qualifying orders."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    big = (li.groupBy("l_orderkey")
-           .agg(F.sum("l_quantity").alias("__sq"))
-           .filter(F.col("__sq") > 250)
-           .select("l_orderkey"))
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-    cust = F.broadcast(_t(spark, sf_dir, "customer")
-                       .select("c_custkey", "c_name"))
-    return (li.join(F.broadcast(big), "l_orderkey")
-            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                     "o_totalprice")
-            .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
-            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-            .limit(100))
-
-
 # ================================================================
 # 2. filter processor (lib/processor/filter.go) — predicate pushdown.
 # ================================================================
@@ -2751,6 +2604,154 @@ def langid_model_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # null-padded column dtypes).  The standalone entries stay registered
 # after position 49 so tools/check_oracle.py still gates each operator
 # individually.
+@_register("q6_forecast_revenue", oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-side query — every predicate reaches the
+    parquet reader (PushedFilters on date/discount/quantity), then a
+    single global decimal aggregate.  The zero-shuffle baseline the
+    optimizer should hit at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = (li.filter((F.col("l_shipdate") >=
+                    F.lit("1996-01-01").cast("timestamp"))
+                   & (F.col("l_shipdate") <
+                      F.lit("1997-01-01").cast("timestamp"))
+                   & F.col("l_discount").between(0.05, 0.07)
+                   & (F.col("l_quantity") < 24)))
+    return f.agg(
+        F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount")))
+        .cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"))
+
+
+@_register("q10_returned_items", oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top returned-revenue customers.  Orders filter to a
+    half-year window BEFORE the fact join (partition-prunable at
+    scale); customer/nation are broadcast; total-order top-20 with a
+    deterministic tiebreak."""
+    cust = F.broadcast(_t(spark, sf_dir, "customer")
+                       .select("c_custkey", "c_name", "c_nationkey"))
+    nat = F.broadcast(_t(spark, sf_dir, "nation")
+                      .select("n_nationkey", "n_name"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >=
+                       F.lit("1997-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") <
+                         F.lit("1997-07-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (_dec(F.col("l_extendedprice"))
+           * (F.lit(1) - _dec(F.col("l_discount"))))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+@_register("q14_promo_effect", oracle="""
+SELECT CAST(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l.l_discount AS DECIMAL(18,2))) ELSE 0 END)
+       / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+  AS promo_revenue_pct,
+  COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""")
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share.  One month of the fact table
+    (pushed date filter) joins the broadcast part dimension; the
+    conditional/total ratio stays decimal-exact until the last cast."""
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .select("p_partkey", "p_type"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >=
+                   F.lit("1997-03-01").cast("timestamp"))
+                  & (F.col("l_shipdate") <
+                     F.lit("1997-04-01").cast("timestamp")))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    rev = (_dec(F.col("l_extendedprice"))
+           * (F.lit(1) - _dec(F.col("l_discount"))))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .agg((F.lit(100.0) * F.sum(promo) / F.sum(rev))
+                 .cast("double").alias("promo_revenue_pct"),
+                 F.count("*").alias("n_lines")))
+
+
+@_register("q18_large_volume_customer", oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice,
+       CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""")
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders.  The HAVING subquery is a
+    fact-only pre-aggregation (map-side combine on the order key);
+    its small output semi-joins back before the dimension joins, so
+    the expensive join fan-out only sees qualifying orders."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__sq"))
+           .filter(F.col("__sq") > 250)
+           .select("l_orderkey"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = F.broadcast(_t(spark, sf_dir, "customer")
+                       .select("c_custkey", "c_name"))
+    return (li.join(F.broadcast(big), "l_orderkey")
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100))
+
+
+
 # ================================================================
 
 # Pre-suite snapshot: per-operator timing surface for bench.py (suite
