@@ -435,6 +435,69 @@ def embedding_near_dup_pairs(df: DataFrame, vec: str = "embedding",
     return pairs.distinct()
 
 
+def connected_components_two_phase(edges: DataFrame, src: str = "id_a",
+                                   dst: str = "id_b",
+                                   max_iter: int = 40) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round fallback `connected_components`
+    documents for ADVERSARIAL graphs (long chains, high diameter),
+    where min-label propagation would need diameter rounds.
+
+    large-star: every node u links its larger neighbors to
+    m = min(N(u) ∪ {u}).  small-star: orient edges large→small, then
+    link all smaller neighbors (and u) to the minimum.  Alternating
+    the two converges to min-rooted stars in O(log n) rounds; each
+    round is one groupBy + one join on the node id, same shuffle
+    shape as a label-prop round, with localCheckpoint lineage
+    truncation.  Convergence = stable distinct-edge count + xxhash
+    sum (two O(1)-result aggregates).
+
+    Returns (doc_id, component), component = min node id — identical
+    contract to connected_components.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    nodes = (e.select(F.col("u").alias("n"))
+             .union(e.select(F.col("v").alias("n"))).distinct()
+             .localCheckpoint(eager=True))
+    e = e.distinct().localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        # ---- large-star ----
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        e = (sym.join(m, "u")
+             .filter(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint(eager=True))
+        # ---- small-star ----
+        oriented = e.select(F.greatest("u", "v").alias("u"),
+                            F.least("u", "v").alias("v"))
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = oriented.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v"))
+        selfs = m.select(F.col("u"), F.col("m").alias("v"))
+        e = (nbrs.union(selfs)
+             .filter(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint(eager=True))
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+            .alias("h")).first()
+        if (sig["n"], sig["h"]) == prev_sig:
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # stars: e = (child, root); roots/isolated nodes map to themselves
+    return (nodes.join(e, nodes.n == e.u, "left")
+            .select(F.col("n").alias("doc_id"),
+                    F.coalesce(F.col("v"), F.col("n"))
+                    .alias("component")))
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
                          max_iter: int = 50) -> DataFrame:
@@ -451,7 +514,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     O(log n)-round alternating large-star/small-star construction
     (Kiveris et al., "Connected Components in MapReduce and Beyond")
     here: same per-round shuffle cost, fewer rounds, no intermediate
-    edge blow-up.  Swap in large-star/small-star if feeding this
+    edge blow-up.  Swap in connected_components_two_phase (below) when feeding
     adversarial long-chain graphs.
 
     Scale notes: labels only ever decrease, so convergence is detected

@@ -631,3 +631,32 @@ def test_langid_model_contract(spark):
         lang_id_model(F.col("text")).alias("c")).collect()]
     assert got[:3] == ["unknown", "unknown", "unknown"]
     assert got[3] == "en"
+
+
+def test_connected_components_two_phase_matches_and_beats_diameter(spark):
+    """Large-star/small-star (Kiveris et al. 2014): equivalent labels
+    on general graphs, and O(log n) rounds where label propagation
+    needs diameter rounds — a 200-edge chain resolves to ONE component
+    within 12 alternations while 50 label-prop rounds cannot."""
+    import random
+
+    from benthos_spark.llm.dedup import (connected_components,
+                                         connected_components_two_phase)
+
+    random.seed(7)
+    pairs = [(i, j) for i in range(10) for j in range(i + 1, 10)]
+    pairs += [(100 + i, 100 + (i + 1) % 15) for i in range(15)]
+    pairs += [(500, 501)]
+    random.shuffle(pairs)
+    e = spark.createDataFrame(pairs, "id_a long, id_b long")
+    lp = {(r.doc_id, r.component)
+          for r in connected_components(e).collect()}
+    tp = {(r.doc_id, r.component)
+          for r in connected_components_two_phase(e).collect()}
+    assert lp == tp and len({c for _, c in tp}) == 3
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(200)],
+                                  "id_a long, id_b long")
+    got = connected_components_two_phase(chain, max_iter=12).collect()
+    assert {r.component for r in got} == {0}
+    assert len(got) == 201
