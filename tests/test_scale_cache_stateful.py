@@ -198,3 +198,44 @@ output: {memory: {}}
 """)
     rows = {r["k"]: r["value"] for r in out.collect()}
     assert rows == {"id-0": 0, "id-1": 10, "id-2": 20}
+
+
+def test_salted_join_actually_balances_the_hot_key(spark):
+    """The point of salting is runtime balance, not just equivalence:
+    with one key holding 90% of rows, the plain shuffle puts ~90% of
+    the join input in one partition; salt=16 spreads the hot key so no
+    shuffle partition holds more than a few times its fair share."""
+    import pyspark.sql.functions as F
+
+    from benthos_spark.operators.scale import salted_join
+
+    n = 200_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("v"))
+    dim = spark.range(1000).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("w"))
+
+    def max_partition_share(df):
+        sizes = (df.groupBy(F.spark_partition_id().alias("p")).count()
+                 .agg(F.max("count")).first()[0])
+        return sizes / n
+
+    # AQE would re-coalesce these small test partitions and hide the
+    # layout; disable it so partition ids reflect the shuffle hash.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plain = skewed.hint("shuffle_hash").join(dim, "k")
+        salted = salted_join(skewed.hint("shuffle_hash"), dim, "k",
+                             salt=16)
+        assert salted.count() == plain.count()
+        share_plain = max_partition_share(plain)
+        share_salted = max_partition_share(salted)
+        # hot key ≈ 0.9 of rows in ONE partition unsalted; salted
+        # spreads it across 16 salt values → worst partition falls
+        # below a third of the unsalted straggler
+        assert share_plain > 0.8
+        assert share_salted < max(0.3, share_plain / 3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
