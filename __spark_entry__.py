@@ -2252,7 +2252,8 @@ FROM ev WHERE user_id % 50 = 0 GROUP BY 2
 """)
 def streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.streaming import (dedupe_within_watermark,
-                                         replay_parquet, session_agg,
+                                         replay_parquet_many,
+                                         session_agg,
                                          sliding_window_agg,
                                          tumbling_window_agg)
     from benthos_spark.streaming.stateful import running_counter
@@ -2266,52 +2267,61 @@ def streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # watermarks reject; the instant is the same either way here
         return s.withColumn("ts", F.col("ts").cast("timestamp"))
 
-    tumb = replay_parquet(spark, path, lambda s: tumbling_window_agg(
-        fix_ts(s), "ts", "5 minutes", ["event_type"],
-        [F.count("*").alias("n"),
-         F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-          .alias("total")], watermark="10 minutes"),
-        output_mode="complete").select(
-        F.lit("tumbling").alias("part"), F.col("event_type").alias("k"),
-        F.unix_timestamp("window.start").alias("window_start"), "n", "total")
+    # Five stateful mechanisms through the real incremental engine.
+    # Drained CONCURRENTLY (replay_parquet_many): each bounded drain
+    # is dominated by fixed engine setup, so the gate costs ≈ the
+    # slowest member instead of the sum of five.
+    tumb_t, slid_t, sess_t, dedup_t, cnt_t = replay_parquet_many(
+        spark, [
+            (path, lambda s: tumbling_window_agg(
+                fix_ts(s), "ts", "5 minutes", ["event_type"],
+                [F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                  .cast("double").alias("total")],
+                watermark="10 minutes"), "complete"),
+            (path, lambda s: sliding_window_agg(
+                fix_ts(s), "ts", "10 minutes", "5 minutes",
+                ["event_type"], [F.count("*").alias("n")],
+                watermark="10 minutes"), "complete"),
+            (path, lambda s: session_agg(
+                fix_ts(s), "ts", "30 minutes", ["user_id"],
+                [F.count("*").alias("n")],
+                watermark="30 minutes"), "complete"),
+            (path, lambda s: dedupe_within_watermark(
+                fix_ts(s).withColumn(
+                    "dk", F.concat("event_type", F.lit("-"),
+                                   (F.col("user_id") % 97)
+                                   .cast("string"))),
+                ["dk"], "ts", "60 minutes"), "append"),
+            # per-row cumulative counts → final count per key = max.
+            # Input bounded to a 1/50 user slice: the kernel emits one
+            # Python row per input row by contract, so the gate
+            # exercises applyInPandasWithState without dominating the
+            # suite walltime.
+            (path, lambda s: running_counter(
+                s.filter(F.col("user_id") % 50 == 0)
+                 .select(F.col("event_type")), "event_type"), "append"),
+        ])
 
-    slid = replay_parquet(spark, path, lambda s: sliding_window_agg(
-        fix_ts(s), "ts", "10 minutes", "5 minutes", ["event_type"],
-        [F.count("*").alias("n")], watermark="10 minutes"),
-        output_mode="complete").select(
+    tumb = tumb_t.select(
+        F.lit("tumbling").alias("part"), F.col("event_type").alias("k"),
+        F.unix_timestamp("window.start").alias("window_start"), "n",
+        "total")
+    slid = slid_t.select(
         F.lit("sliding").alias("part"), F.col("event_type").alias("k"),
         F.unix_timestamp("window.start").alias("window_start"), "n",
         F.lit(None).cast("double").alias("total"))
-
-    sess = replay_parquet(spark, path, lambda s: session_agg(
-        fix_ts(s), "ts", "30 minutes", ["user_id"],
-        [F.count("*").alias("n")], watermark="30 minutes"),
-        output_mode="complete").select(
+    sess = sess_t.select(
         F.lit("session").alias("part"),
         F.col("user_id").cast("string").alias("k"),
         F.unix_timestamp("session_window.start").alias("window_start"),
         "n", F.lit(None).cast("double").alias("total"))
-
-    dedup = replay_parquet(spark, path, lambda s: dedupe_within_watermark(
-        fix_ts(s).withColumn(
-            "dk", F.concat("event_type", F.lit("-"),
-                           (F.col("user_id") % 97).cast("string"))),
-        ["dk"], "ts", "60 minutes"),
-        output_mode="append").select(
+    dedup = dedup_t.select(
         F.lit("dedupe").alias("part"), F.col("dk").alias("k"),
         F.lit(None).cast("long").alias("window_start"),
         F.lit(None).cast("long").alias("n"),
         F.lit(None).cast("double").alias("total"))
-
-    # per-row cumulative counts → final count per key is the max.
-    # Input bounded to a 1/50 user slice: the kernel emits one Python
-    # row per input row by contract, so the gate exercises the
-    # applyInPandasWithState machinery without making this one member
-    # dominate the suite walltime.
-    cnt = replay_parquet(spark, path, lambda s: running_counter(
-        s.filter(F.col("user_id") % 50 == 0).select(F.col("event_type")),
-        "event_type"),
-        output_mode="append").groupBy("event_type").agg(
+    cnt = cnt_t.groupBy("event_type").agg(
         F.max("n").alias("n")).select(
         F.lit("counter").alias("part"), F.col("event_type").alias("k"),
         F.lit(None).cast("long").alias("window_start"), "n",

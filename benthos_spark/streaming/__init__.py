@@ -7,7 +7,8 @@ that surface (batch policy → tumbling windows) and adds the documented
 superset: event-time windows + watermarks + session windows.
 """
 
-from benthos_spark.streaming.replay import replay_parquet  # noqa: F401
+from benthos_spark.streaming.replay import (replay_parquet,  # noqa: F401
+                                            replay_parquet_many)
 from benthos_spark.streaming.windows import (  # noqa: F401
     batch_policy_window, dedupe_within_watermark, session_agg,
     sliding_window_agg, stateful_counter, tumbling_window_agg,

@@ -21,18 +21,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def replay_parquet(spark: SparkSession, path: str,
-                   transform: Callable[[DataFrame], DataFrame],
-                   output_mode: str = "append",
-                   await_secs: int = 600) -> DataFrame:
-    """Read `path` (parquet) as a file-source stream with its batch
-    schema, apply `transform`, drain through Trigger.AvailableNow into
-    a memory sink, and return the sink's table.
-
-    output_mode: `complete` for windowed aggregations (emits final
-    state regardless of watermark progress — the stream-equals-batch
-    contract), `append` for row streams (dedupe), `update` for
-    stateful operators."""
+def _start_replay(spark: SparkSession, path: str,
+                  transform: Callable[[DataFrame], DataFrame],
+                  output_mode: str):
+    """Start one AvailableNow drain; returns (query, sink_name,
+    cleanup_dirs).  Caller owns shuffle-partition pinning and await."""
     import os
 
     schema = spark.read.parquet(path).schema
@@ -50,29 +43,73 @@ def replay_parquet(spark: SparkSession, path: str,
     out = transform(stream)
     name = "bs_replay_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="bs_replay_ckpt_")
-    # A replay is bounded by construction; the session's shuffle
-    # parallelism (sized for the batch tables) would create that many
-    # STATE STORE instances per stateful operator — checkpoint dirs,
-    # provider threads, and per-partition commit files dominate the
-    # runtime on small drains.  Pin the stream's state partitioning
-    # low; the conf only applies at query START, so restore right
-    # after (the running query keeps its value).
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    dirs = [ckpt] + ([src_dir] if src_dir else [])
+    return q, name, dirs
+
+
+def replay_parquet_many(spark: SparkSession,
+                        specs: list[tuple],
+                        await_secs: int = 600) -> list[DataFrame]:
+    """Drain several replays CONCURRENTLY: start every query, then
+    await them all.  A bounded replay's wall time is dominated by
+    fixed engine setup (checkpoint dirs, state-store providers,
+    micro-batch planning), so overlapping the drains makes a
+    multi-mechanism gate cost ≈ the slowest member instead of the sum.
+
+    specs: (path, transform, output_mode) triples; returns the sink
+    tables in the same order."""
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    # see replay_parquet: pin state partitioning low for ALL starts,
+    # restore once after the last query has latched its conf
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    started = []
     try:
-        q = (out.writeStream.format("memory").queryName(name)
-             .outputMode(output_mode).option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
+        for path, transform, output_mode in specs:
+            started.append(_start_replay(spark, path, transform,
+                                         output_mode))
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+    tables = []
     try:
-        if not q.awaitTermination(await_secs):
-            q.stop()
-            raise TimeoutError(
-                f"replay of {path} did not drain in {await_secs}s")
+        for q, name, _dirs in started:
+            if not q.awaitTermination(await_secs):
+                q.stop()
+                raise TimeoutError(
+                    f"replay did not drain in {await_secs}s")
+            tables.append(spark.table(name))
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-        if src_dir:
-            shutil.rmtree(src_dir, ignore_errors=True)
-    return spark.table(name)
+        for q, _name, dirs in started:
+            if q.isActive:
+                q.stop()
+            for d in dirs:
+                shutil.rmtree(d, ignore_errors=True)
+    return tables
+
+
+def replay_parquet(spark: SparkSession, path: str,
+                   transform: Callable[[DataFrame], DataFrame],
+                   output_mode: str = "append",
+                   await_secs: int = 600) -> DataFrame:
+    """Read `path` (parquet) as a file-source stream with its batch
+    schema, apply `transform`, drain through Trigger.AvailableNow into
+    a memory sink, and return the sink's table.
+
+    output_mode: `complete` for windowed aggregations (emits final
+    state regardless of watermark progress — the stream-equals-batch
+    contract), `append` for row streams (dedupe), `update` for
+    stateful operators.
+
+    A replay is bounded by construction; the session's shuffle
+    parallelism (sized for the batch tables) would create that many
+    STATE STORE instances per stateful operator — checkpoint dirs,
+    provider threads, and per-partition commit files dominate the
+    runtime on small drains.  Pin the stream's state partitioning
+    low; the conf only applies at query START, so restore right
+    after (the running query keeps its value)."""
+    return replay_parquet_many(
+        spark, [(path, transform, output_mode)],
+        await_secs=await_secs)[0]
