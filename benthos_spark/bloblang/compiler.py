@@ -436,6 +436,9 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.coalesce(target, arg_col(0))
     if name == "catch":
         return F.coalesce(target, arg_col(0))
+    if name == "not":
+        # methods.go `not`: boolean negation of the target value
+        return ~target.cast("boolean")
     if name == "not_null":
         return F.when(target.isNotNull(), target).otherwise(
             F.raise_error(F.lit("value is null")))

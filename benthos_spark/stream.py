@@ -478,7 +478,14 @@ def _apply_processor(df: DataFrame, conf: Any,
 
     if kind == "bloblang":
         return map_text(df, str(spec))
-    if kind == "filter":
+    if kind in ("filter", "filter_parts"):
+        # v4 check form (Bloblang string) or v3 structured condition
+        # (lib/condition/*.go dict schema); filter_parts is the
+        # per-part alias — identical here, parts ARE rows
+        if isinstance(spec, dict):
+            from benthos_spark.operators.conditions import (
+                apply_condition_filter)
+            return apply_condition_filter(df, spec, ctx=ctx)
         return df.filter(compile_condition(str(spec)))
     if kind == "bounds_check":
         fld = compile_condition(str(spec["field"]))
@@ -506,8 +513,17 @@ def _apply_processor(df: DataFrame, conf: Any,
     if kind == "switch":
         cases = []
         for case in spec:
+            # v4 `check:` (Bloblang string) or v3 `condition:`
+            # (structured lib/condition schema)
             check = case.get("check")
-            cond = compile_condition(str(check)) if check else None
+            if check:
+                cond = compile_condition(str(check))
+            elif (c3 := case.get("condition")) is not None:
+                from benthos_spark.operators.conditions import (
+                    compile_condition_spec)
+                cond = compile_condition_spec(c3, ctx=ctx)
+            else:
+                cond = None
             procs = case.get("processors", [])
             cases.append((cond, lambda d, procs=procs: sub(d, procs)))
         return switch_branches(df, cases)
@@ -1196,7 +1212,10 @@ def _build_resources(spark: SparkSession, conf: dict) -> dict:
         caches[name] = CacheStore(
             spark, path, key=c.get("key", "key"),
             ttl_seconds=c.get("ttl"))
-    ctx = {"spark": spark, "caches": caches}
+    ctx = {"spark": spark, "caches": caches,
+           # named v3 conditions (resources.conditions, lib/condition/
+           # resource.go) — referenced by {resource: name} condition specs
+           "condition_resources": dict(res.get("conditions") or {})}
     for name, procs in (res.get("processors") or {}).items():
         register_resource(
             name, lambda d, procs=procs: _apply_pipeline(d, procs, ctx))

@@ -75,6 +75,13 @@ root.o = this.a.or(99)
     assert (r.p, r.o) == (5, 99)
 
 
+def test_not_method(spark):
+    # methods.go `not`: boolean negation as a method
+    df = rows(spark, [(True,), (False,)], "flag BOOLEAN")
+    out = map_text(df, "root.r = this.flag.not()")
+    assert [r.r for r in out.collect()] == [False, True]
+
+
 def test_if_else_chain(spark):
     df = rows(spark, [(1,), (5,), (20,)], "v INT")
     out = map_text(df, """

@@ -1,0 +1,200 @@
+"""v3 structured condition schema tests (reference lib/condition/*.go:
+text/number/metadata/json/jmespath/check_field/check_interpolation/
+boolean combinators/count/bounds_check/static/processor_failed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.datamodel import to_messages
+from benthos_spark.operators.conditions import (
+    ConditionError, apply_condition_filter, compile_condition_spec)
+from benthos_spark.stream import run_stream
+
+
+def msgs(spark, payloads, metas=None, batch=None):
+    rows = []
+    for i, p in enumerate(payloads):
+        rows.append((batch[i] if batch else 0, i, p,
+                     (metas[i] if metas else {})))
+    df = spark.createDataFrame(
+        rows, "batch_id long, part_index int, content string, "
+              "meta map<string,string>")
+    return df.withColumn("_error", F.lit(None).cast("string"))
+
+
+def picks(df, spec):
+    out = apply_condition_filter(df, spec)
+    return [r.content for r in out.orderBy("part_index").collect()]
+
+
+def test_text_operators(spark):
+    df = msgs(spark, ["Hello World", "goodbye", "127.0.0.1", "HELLO"])
+    assert picks(df, {"text": {"operator": "contains", "arg": "hello"}}) \
+        == ["Hello World", "HELLO"]
+    assert picks(df, {"text": {"operator": "contains_cs",
+                               "arg": "Hello"}}) == ["Hello World"]
+    assert picks(df, {"text": {"operator": "prefix", "arg": "GOOD"}}) \
+        == ["goodbye"]
+    assert picks(df, {"text": {"operator": "regexp_exact",
+                               "arg": "[A-Z]+"}}) == ["HELLO"]
+    assert picks(df, {"text": {"operator": "is", "arg": "ipv4"}}) \
+        == ["127.0.0.1"]
+    assert picks(df, {"text": {"operator": "enum",
+                               "arg": ["goodbye", "HELLO"]}}) \
+        == ["goodbye", "HELLO"]
+    assert picks(df, {"text": {"operator": "contains_any",
+                               "arg": ["WORLD", "bye"]}}) \
+        == ["Hello World", "goodbye"]
+
+
+def test_number_and_static(spark):
+    df = msgs(spark, ["1", "5.5", "20"])
+    assert picks(df, {"number": {"operator": "greater_than", "arg": 5}}) \
+        == ["5.5", "20"]
+    assert picks(df, {"number": {"operator": "less_than", "arg": 2}}) \
+        == ["1"]
+    assert picks(df, {"static": True}) == ["1", "5.5", "20"]
+    assert picks(df, {"static": False}) == []
+
+
+def test_metadata_operators(spark):
+    df = msgs(spark, ["a", "b", "c"],
+              metas=[{"topic": "foo", "n": "5"},
+                     {"topic": "Bar"},
+                     {"n": "50"}])
+    assert picks(df, {"metadata": {"operator": "equals", "key": "topic",
+                                   "arg": "BAR"}}) == ["b"]
+    assert picks(df, {"metadata": {"operator": "exists",
+                                   "key": "topic"}}) == ["a", "b"]
+    assert picks(df, {"metadata": {"operator": "greater_than", "key": "n",
+                                   "arg": 10}}) == ["c"]
+    assert picks(df, {"metadata": {"operator": "has_prefix",
+                                   "key": "topic", "arg": "f"}}) == ["a"]
+
+
+def test_json_operators(spark):
+    df = msgs(spark, ['{"a": {"b": 7}, "tags": ["x", "y"]}',
+                      '{"a": {"b": "7"}}',
+                      '{"tags": ["z"]}'])
+    assert picks(df, {"json": {"operator": "exists", "path": "a.b"}}) \
+        == ['{"a": {"b": 7}, "tags": ["x", "y"]}', '{"a": {"b": "7"}}']
+    # number-normalized equality: 7 == 7 and "7" cast-compares too
+    # (documented: get_json_object strips string quotes)
+    assert picks(df, {"json": {"operator": "equals", "path": "a.b",
+                               "arg": 7}}) \
+        == ['{"a": {"b": 7}, "tags": ["x", "y"]}', '{"a": {"b": "7"}}']
+    assert picks(df, {"json": {"operator": "contains", "path": "tags",
+                               "arg": "y"}}) \
+        == ['{"a": {"b": 7}, "tags": ["x", "y"]}']
+
+
+def test_json_equals_object_arg(spark):
+    # object args: key-order-insensitive struct compare + key-set guard
+    df = msgs(spark, ['{"a": {"x": 1, "y": 2}}',
+                      '{"a": {"y": 2, "x": 1}}',
+                      '{"a": {"x": 1, "y": 2, "z": 3}}',
+                      '{"a": {"x": 9}}'])
+    spec = {"json": {"operator": "equals", "path": "a",
+                     "arg": {"x": 1, "y": 2}}}
+    assert picks(df, spec) == ['{"a": {"x": 1, "y": 2}}',
+                               '{"a": {"y": 2, "x": 1}}']
+
+
+def test_jmespath_condition(spark):
+    df = msgs(spark, ['{"n": 3}', '{"n": 30}', "not json"])
+    assert picks(df, {"jmespath": {"query": "n > `10`"}}) == ['{"n": 30}']
+
+
+def test_check_field_recursion(spark):
+    df = msgs(spark, ['{"inner": "urgent: fix"}', '{"inner": "calm"}'])
+    spec = {"check_field": {
+        "path": "inner",
+        "condition": {"text": {"operator": "contains", "arg": "urgent"}}}}
+    assert picks(df, spec) == ['{"inner": "urgent: fix"}']
+
+
+def test_boolean_combinators(spark):
+    df = msgs(spark, ["aa", "ab", "bb"])
+    a = {"text": {"operator": "contains", "arg": "a"}}
+    b = {"text": {"operator": "contains", "arg": "b"}}
+    assert picks(df, {"and": [a, b]}) == ["ab"]
+    assert picks(df, {"or": [a, b]}) == ["aa", "ab", "bb"]
+    assert picks(df, {"xor": [a, b]}) == ["aa", "bb"]
+    assert picks(df, {"not": a}) == ["bb"]
+
+
+def test_all_any_batch_scoped(spark):
+    df = msgs(spark, ["a1", "a2", "b1", "a3"], batch=[0, 0, 1, 1])
+    a = {"text": {"operator": "prefix", "arg": "a"}}
+    # all: batch 0 has every part matching; batch 1 does not
+    assert picks(df, {"all": a}) == ["a1", "a2"]
+    assert picks(df, {"any": a}) == ["a1", "a2", "b1", "a3"]
+
+
+def test_count_condition(spark):
+    # count.go: false (reset) on every Nth check
+    df = msgs(spark, [str(i) for i in range(6)])
+    assert picks(df, {"count": {"arg": 3}}) == ["0", "1", "3", "4"]
+
+
+def test_bounds_check_condition(spark):
+    df = msgs(spark, ["x", "xxxx", "xx"])
+    assert picks(df, {"bounds_check": {"min_part_size": 2}}) \
+        == ["xxxx", "xx"]
+    assert picks(df, {"bounds_check": {"max_part_size": 2}}) \
+        == ["x", "xx"]
+
+
+def test_processor_failed(spark):
+    df = msgs(spark, ["good", "bad"]).withColumn(
+        "_error", F.when(F.col("content") == "bad", F.lit("boom")))
+    assert picks(df, {"processor_failed": {}}) == ["bad"]
+    assert picks(df, {"not": {"processor_failed": {}}}) == ["good"]
+
+
+def test_unknown_type_raises(spark):
+    df = msgs(spark, ["x"])
+    with pytest.raises(ConditionError, match="not recognised"):
+        compile_condition_spec({"nope": {}})
+
+
+def test_yaml_filter_structured_and_switch_condition(spark):
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 10
+    mapping: |
+      root.id = this.id
+      root.content = "msg-" + this.id.string()
+pipeline:
+  processors:
+    - filter:
+        text: {operator: contains, arg: "msg"}
+    - filter:
+        not:
+          text: {operator: suffix, arg: "3"}
+output: {memory: {}}
+""")
+    vals = sorted(r.content for r in out.collect())
+    assert len(vals) == 9 and "msg-3" not in vals
+
+
+def test_resource_condition_via_yaml(spark):
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 4
+    mapping: |
+      root.content = "item-" + this.id.string()
+resources:
+  conditions:
+    only_even:
+      text: {operator: regexp_partial, arg: "[02]$"}
+pipeline:
+  processors:
+    - filter: {resource: only_even}
+output: {memory: {}}
+""")
+    assert sorted(r.content for r in out.collect()) == ["item-0", "item-2"]

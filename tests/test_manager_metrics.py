@@ -131,11 +131,19 @@ input:
   generate: {count: 1, mapping: "root.id = this.id"}
 buffer: {none: {}}
 """)
+    # memory (lib/buffer/memory.go) is accepted as a no-op — Spark owns
+    # producer/consumer flow control
+    build_stream(spark, """
+input:
+  generate: {count: 1, mapping: "root.id = this.id"}
+buffer: {memory: {limit: 1000}}
+""")
+    # disk-backed buffers WOULD change delivery guarantees: loud reject
     with pytest.raises(ConfigError, match="buffer"):
         build_stream(spark, """
 input:
   generate: {count: 1, mapping: "root.id = this.id"}
-buffer: {memory: {limit: 1000}}
+buffer: {sqlite: {path: /tmp/x.db}}
 """)
 
 
