@@ -50,6 +50,8 @@ class Scope:
     named_bindings: dict[str, Column] = dc_field(default_factory=dict)
     maps: dict = dc_field(default_factory=dict)   # name → [Statement]
     applying: frozenset = frozenset()  # in-flight .apply names (recursion)
+    df: "DataFrame | None" = None      # input frame for compile-time
+    #                                     schema (type-dispatched methods)
 
     def child(self, this_override: Column | None = None,
               named: dict[str, Column] | None = None) -> "Scope":
@@ -57,7 +59,112 @@ class Scope:
                      this_override if this_override is not None
                      else self.this_override,
                      named or self.named_bindings,
-                     self.maps, self.applying)
+                     self.maps, self.applying, self.df)
+
+
+def _dtype(col: Column, scope: Scope):
+    """Compile-time type of an expression against the input frame's
+    schema (one driver-side analysis pass, no job).  None when the
+    frame is unknown or the expression doesn't resolve standalone
+    (e.g. lambda-bound variables)."""
+    if scope.df is None:
+        return None
+    try:
+        return scope.df.select(col.alias("__t")).schema[0].dataType
+    except Exception:  # unresolved in this frame → caller falls back
+        return None
+
+
+def _struct_as_map(col: Column, dt) -> Column:
+    """StructType value → map<string, V> (JSON objects land as structs
+    under schema inference; object methods need map semantics).  Field
+    types must coerce to a common V — heterogeneous objects stay
+    structs and each method's struct branch handles them."""
+    from pyspark.sql import types as T
+    names = F.array(*[F.lit(f.name) for f in dt.fields])
+    vals = F.array(*[col[f.name] for f in dt.fields])
+    _ = T
+    return F.map_from_arrays(names, vals)
+
+
+def _jsonschema_error_kernel(json_col: Column, schema: dict) -> Column:
+    """First validation error message per JSON payload, NULL when
+    valid (Arrow-batched; the jsonschema package is Python-only)."""
+    import json as _json_mod
+
+    from pyspark.sql.functions import pandas_udf
+
+    schema_src = _json_mod.dumps(schema)
+
+    @pandas_udf("string")
+    def check(payloads):
+        import json
+
+        import jsonschema
+
+        validator = jsonschema.Draft7Validator(json.loads(schema_src))
+
+        def one(p):
+            if p is None:
+                return "null payload"
+            try:
+                errs = sorted(validator.iter_errors(json.loads(p)),
+                              key=lambda e: list(e.path))
+            except ValueError as e:
+                return f"invalid JSON: {e}"
+            return errs[0].message if errs else None
+        return payloads.map(one)
+
+    return check(json_col)
+
+
+def _java_re(pat: str) -> str:
+    """Go (RE2) named-group syntax `(?P<n>...)` → Java `(?<n>...)` so
+    reference patterns run unchanged on the JVM regex engine."""
+    import re
+    return re.sub(r"\(\?P<", "(?<", pat)
+
+
+def _is_deleted_call(node) -> bool:
+    return isinstance(node, ast.FuncCall) and node.name == "deleted"
+
+
+def _deleted_filter_branches(ife):
+    """`if c { deleted() } else { v }` (or the mirror image) inside a
+    map_each lambda → (keep-condition node, value node); None when the
+    shape is anything else."""
+    if len(ife.branches) != 1 or ife.otherwise is None:
+        return None
+    cond, val = ife.branches[0]
+    if _is_deleted_call(val) and not _is_deleted_call(ife.otherwise):
+        return ast.Unary("!", cond), ife.otherwise
+    if _is_deleted_call(ife.otherwise) and not _is_deleted_call(val):
+        return cond, val
+    return None
+
+
+def _bloblang_type_name(dt) -> str | None:
+    """Spark type → Bloblang .type() name (query/docs.go value types)."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.DoubleType,
+                       T.FloatType, T.DecimalType, T.ShortType,
+                       T.ByteType)):
+        return "number"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "object"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.NullType):
+        return "null"
+    return None
 
 
 def _dig(col: Column, path: list[str]) -> Column:
@@ -68,7 +175,13 @@ def _resolve_this(scope: Scope, path: list[str]) -> Column:
     if scope.this_override is not None:
         return _dig(scope.this_override, path)
     if scope.this_col is not None:
-        return _dig(scope.this_col, path)
+        col = _dig(scope.this_col, path)
+        if path and scope.df is not None and not scope.named_bindings:
+            # document mode: a path that falls off the schema is null
+            # (gabs semantics), not an analysis error
+            if _dtype(col, scope) is None:
+                return F.lit(None)
+        return col
     if not path:
         raise BloblangCompileError(
             "bare `this` needs a struct context (row mode has no single "
@@ -435,6 +548,12 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "or":
         return F.coalesce(target, arg_col(0))
     if name == "catch":
+        if _is_deleted_call(args[0]):
+            # .catch(deleted()): row-drop-on-error belongs to the
+            # try/catch operator layer (plans/errors.py); expression
+            # errors here surface as nulls, so a valid value passes
+            # through unchanged
+            return target
         return F.coalesce(target, arg_col(0))
     if name == "not":
         # methods.go `not`: boolean negation of the target value
@@ -443,13 +562,58 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.when(target.isNotNull(), target).otherwise(
             F.raise_error(F.lit("value is null")))
     if name == "type":
+        # methods.go `type`: Bloblang value-type names, not engine types
+        dt = _dtype(target, scope)
+        tn = _bloblang_type_name(dt) if dt is not None else None
+        if tn is not None and tn != "null":
+            return F.when(target.isNull(), F.lit("null")) \
+                    .otherwise(F.lit(tn))
+        if tn == "null":
+            return F.lit("null")
         return F.typeof(target)
-    if name == "get":
-        path = str(arg_lit(0, "path"))
-        return _dig(target, path.split("."))
-    if name == "exists":
-        path = str(arg_lit(0, "path"))
-        return _dig(target, path.split(".")).isNotNull()
+    if name in ("get", "exists"):
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope)
+        if dt is None and scope.df is not None \
+                and scope.this_override is None \
+                and not scope.named_bindings \
+                and isinstance(node.target, (ast.Context, ast.RootRef,
+                                             ast.FieldAccess)):
+            # the target path itself is absent from the frame's schema
+            # (e.g. schema inference dropped an all-empty object):
+            # a static miss, not an analysis error
+            return F.lit(False) if name == "exists" else F.lit(None)
+        if not isinstance(args[0], ast.Literal):
+            # dynamic path (methods.go:242 get example): struct targets
+            # expand to a field-name CASE chain; maps use element_at
+            key = arg_col(0)
+            if isinstance(dt, T.StructType):
+                uniform = len({f.dataType.simpleString()
+                               for f in dt.fields}) <= 1
+                out = F.lit(None)
+                for f in dt.fields:
+                    v = target[f.name] if uniform \
+                        else target[f.name].cast("string")
+                    out = F.when(key == F.lit(f.name), v).otherwise(out)
+                return out.isNotNull() if name == "exists" else out
+            got = F.element_at(target, key)
+            return got.isNotNull() if name == "exists" else got
+        path = str(arg_lit(0, "path")).split(".")
+        # schema walk: a path that falls off the schema is a static
+        # miss (exists=false / get=null), not an analysis error
+        if isinstance(dt, T.StructType):
+            cur = dt
+            for seg in path:
+                if isinstance(cur, T.StructType) and seg in \
+                        {f.name for f in cur.fields}:
+                    cur = cur[seg].dataType
+                elif isinstance(cur, T.MapType):
+                    cur = cur.valueType
+                else:
+                    return (F.lit(False) if name == "exists"
+                            else F.lit(None))
+        dug = _dig(target, path)
+        return dug.isNotNull() if name == "exists" else dug
     if name == "from":
         raise BloblangCompileError(
             ".from(i): cross-part reads map to window functions over "
@@ -462,6 +626,12 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "bool":
         return target.try_cast("boolean")
     if name == "string":
+        # structured values stringify as their JSON form
+        # (methods_strings.go:1959), not engine struct syntax
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope)
+        if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+            return F.to_json(target)
         return target.cast("string")
     if name == "bytes":
         return target.cast("binary")
@@ -501,9 +671,20 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "has_suffix":
         return F.endswith(target, arg_col(0))
     if name == "contains":
-        # string containment OR array membership (methods_structured.go:190)
-        if isinstance(args[0], ast.Literal) and \
-                isinstance(args[0].value, str):
+        # string containment, array membership, or object-value
+        # membership — dispatch by schema (methods_structured.go:190)
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope)
+        if isinstance(dt, T.ArrayType):
+            return F.array_contains(target, arg_col(0))
+        if isinstance(dt, T.MapType):
+            return F.array_contains(F.map_values(target), arg_col(0))
+        if isinstance(dt, T.StructType):
+            return F.array_contains(
+                F.map_values(_struct_as_map(target, dt)), arg_col(0))
+        if isinstance(dt, T.StringType) or (
+                isinstance(args[0], ast.Literal)
+                and isinstance(args[0].value, str)):
             return F.contains(target, arg_col(0))
         return F.array_contains(target, arg_col(0))
     if name == "index_of":
@@ -517,31 +698,51 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "replace":
         return F.replace(target, arg_col(0), arg_col(1))
     if name == "re_match":
-        return target.rlike(str(arg_lit(0, "pattern")))
+        return target.rlike(_java_re(str(arg_lit(0, "pattern"))))
     if name == "re_find_all":
-        return F.regexp_extract_all(target, F.lit(str(arg_lit(0, "pattern"))),
-                                    F.lit(0))
+        return F.regexp_extract_all(
+            target, F.lit(_java_re(str(arg_lit(0, "pattern")))), F.lit(0))
     if name == "re_replace":
-        return F.regexp_replace(target, str(arg_lit(0, "pattern")),
-                                str(arg_lit(1, "replacement")))
+        # Go replacement group syntax $1 == Java's; named $name needs
+        # ${name} in Java — normalize
+        import re as _rere
+        repl = _rere.sub(r"\$([A-Za-z][A-Za-z0-9]*)", r"${\1}",
+                         str(arg_lit(1, "replacement")))
+        return F.regexp_replace(target, _java_re(str(arg_lit(0, "pattern"))),
+                                repl)
     if name == "length":
-        # strings AND arrays share .length() in Bloblang; the static
-        # compiler picks by shape — arrays only when provably array-ish
-        # (plain fields default to string length; use .size() for
-        # array columns read straight from fields)
-        if _is_arrayish(node.target):
+        # strings AND arrays/objects share .length() in Bloblang; pick
+        # by schema when known, else the array-ish shape heuristic
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope)
+        if isinstance(dt, (T.ArrayType, T.MapType)):
+            return F.size(target)
+        if isinstance(dt, T.StructType):
+            return F.lit(len(dt.fields))
+        if dt is None and _is_arrayish(node.target):
             return F.size(target)
         return F.length(target)
     if name == "size":
         return F.size(target)
     if name == "slice":
+        # methods_structured.go slice: Go-style [lo, hi) with negative
+        # from-the-end indexes, over strings and arrays alike
+        from pyspark.sql import types as T
         lo = int(arg_lit(0))
         hi = int(arg_lit(1)) if len(args) > 1 else None
-        if _is_arrayish(node.target):
-            return F.slice(target, lo + 1,
-                           (hi - lo) if hi is not None else (1 << 30))
-        return F.substring(target, lo + 1,
-                           (hi - lo) if hi is not None else (1 << 30))
+        dt = _dtype(target, scope)
+        is_arr = (isinstance(dt, T.ArrayType) if dt is not None
+                  else _is_arrayish(node.target))
+        n = F.size(target) if is_arr else F.length(target)
+        lo_c = F.lit(lo) if lo >= 0 else F.greatest(n + F.lit(lo),
+                                                    F.lit(0))
+        hi_c = (n if hi is None else
+                (F.least(F.lit(hi), n) if hi >= 0
+                 else F.greatest(n + F.lit(hi), F.lit(0))))
+        cnt = F.greatest(hi_c - lo_c, F.lit(0))
+        if is_arr:
+            return F.slice(target, lo_c + F.lit(1), cnt)
+        return F.substring(target, lo_c + F.lit(1), cnt)
     if name == "format":
         # target.format(args...) == Sprintf (methods_strings.go format):
         # the TARGET is the template; Go's generic %v maps to Java's %s
@@ -553,6 +754,19 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return j.substr(F.lit(6), F.length(j) - 6)  # strip {"v": and }
     if name == "encode":
         codec = str(arg_lit(0, "codec"))
+        # `.hash(alg).encode(...)`: reference hash yields raw bytes;
+        # our hash builtins yield hex text (JVM builtins) — re-read the
+        # hex so chained encodes match the reference byte-for-byte
+        if isinstance(node.target, ast.Method) \
+                and node.target.name == "hash" \
+                and node.target.args \
+                and isinstance(node.target.args[0], ast.Literal) \
+                and (str(node.target.args[0].value).startswith(
+                     ("sha", "md5", "hmac_"))):
+            if codec == "hex":
+                return target
+            if codec == "base64":
+                return F.translate(F.base64(F.unhex(target)), "\r\n", "")
         if codec == "base64":
             return F.translate(F.base64(target.cast("binary")), "\r\n", "")
         if codec == "hex":
@@ -592,6 +806,15 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             return hash_hmac(target, alg, str(arg_lit(1, "hmac key")))
         raise BloblangCompileError(f"hash algorithm {alg!r} unsupported")
     if name == "strip_html":
+        # optional preserve-list (methods_strings.go:1992): tags named
+        # in the array arg survive, everything else is stripped
+        if args:
+            items = args[0].items if isinstance(args[0], ast.ArrayLit) \
+                else [args[0]]
+            keep = "|".join(_re.escape(str(_lit_arg(a, "tag")))
+                            for a in items)
+            return F.regexp_replace(
+                target, rf"<(?!/?(?:{keep})\b)[^>]*>", "")
         return F.regexp_replace(target, r"<[^>]*>", "")
     if name == "escape_html":
         # methods_strings.go:432 (html.EscapeString): & first, then the
@@ -674,25 +897,27 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.aes_decrypt(target.cast("binary"), key,
                              F.lit(scheme.upper())).cast("string")
     if name == "re_find_object":
-        # named/indexed groups → struct (methods_strings.go:1218);
-        # Java `(?<n>...)` → Python `(?P<n>...)` for introspection only
+        # named/indexed groups → struct with "0" = full match
+        # (methods_strings.go:1716); Go `(?P<n>...)` and Java
+        # `(?<n>...)` syntaxes both accepted
         pat = str(arg_lit(0, "pattern"))
+        jpat = _java_re(pat)
         rx = _re.compile(_re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>",
-                                 r"(?P<\1>", pat))
-        n = rx.groups
+                                 r"(?P<\1>", jpat))
         names = {i: nm for nm, i in rx.groupindex.items()}
-        fields = [F.regexp_extract(target, pat, i)
-                  .alias(names.get(i, str(i))) for i in range(n + 1)
-                  if i > 0 or not n]
+        fields = [F.regexp_extract(target, jpat, i)
+                  .alias(names.get(i, str(i)))
+                  for i in range(rx.groups + 1)]
         return F.struct(*fields)
     if name == "re_find_all_object":
         pat = str(arg_lit(0, "pattern"))
+        jpat = _java_re(pat)
         rx = _re.compile(_re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>",
-                                 r"(?P<\1>", pat))
+                                 r"(?P<\1>", jpat))
         names = {i: nm for nm, i in rx.groupindex.items()}
-        arrs = [F.regexp_extract_all(target, F.lit(pat), F.lit(i))
+        arrs = [F.regexp_extract_all(target, F.lit(jpat), F.lit(i))
                 .alias(names.get(i, str(i)))
-                for i in range(1, rx.groups + 1)]
+                for i in range(rx.groups + 1)]
         return F.arrays_zip(*arrs)
     if name == "re_find_all_submatch":
         pat = str(arg_lit(0, "pattern"))
@@ -718,21 +943,48 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             ".parse_json() needs a schema argument in the columnar engine "
             "(schema-on-read; use get/json() for ad-hoc paths)")
     if name == "parse_xml":
-        return F.from_xml(target, str(arg_lit(0, "schema")))
+        if args:
+            return F.from_xml(target, str(arg_lit(0, "schema")))
+        # schemaless: mxj-rule JSON TEXT (same kernel as the xml
+        # operator) — schema-on-read deviation: the reference returns a
+        # structured doc; here declare a schema for a structured result
+        from benthos_spark.operators.parsing import xml_text_to_json_col
+        return xml_text_to_json_col(target)
     if name == "parse_csv":
-        return F.from_csv(target, str(arg_lit(0, "schema")))
+        if args:
+            return F.from_csv(target, str(arg_lit(0, "schema")))
+        # schemaless (methods_strings.go:902): first row is the
+        # header, rows become header-keyed objects.  Plain-split CSV
+        # (no quoted-comma handling — declare a schema for full CSV
+        # grammar via from_csv)
+        lines = F.filter(F.split(target, "\n"),
+                         lambda ln: F.length(ln) > 0)
+        hdr = F.split(F.element_at(lines, 1), ",")
+        return F.transform(
+            F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))),
+            lambda ln: F.map_from_arrays(hdr, F.split(ln, ",")))
     if name == "parse_timestamp_strptime":
         return ts_fns.parse_timestamp_strptime(target, str(arg_lit(0)))
     if name == "parse_timestamp_unix":
-        return ts_fns.parse_timestamp_unix(target)
+        return ts_fns.parse_timestamp_unix(
+            target, str(arg_lit(0, "layout")) if args else None,
+            dtype=_dtype(target, scope))
     if name == "format_timestamp":
-        return ts_fns.format_timestamp(target, str(arg_lit(0, "layout")))
+        return ts_fns.format_timestamp(
+            target, str(arg_lit(0, "layout")),
+            str(arg_lit(1, "timezone")) if len(args) > 1 else None,
+            dtype=_dtype(target, scope))
     if name == "format_timestamp_strftime":
-        return ts_fns.format_timestamp_strftime(target, str(arg_lit(0)))
+        return ts_fns.format_timestamp_strftime(
+            target, str(arg_lit(0)),
+            str(arg_lit(1, "timezone")) if len(args) > 1 else None,
+            dtype=_dtype(target, scope))
     if name == "format_timestamp_unix":
-        return ts_fns.format_timestamp_unix(target)
+        return ts_fns.format_timestamp_unix(target,
+                                            dtype=_dtype(target, scope))
     if name == "format_timestamp_unix_nano":
-        return ts_fns.format_timestamp_unix_nano(target)
+        return ts_fns.format_timestamp_unix_nano(
+            target, dtype=_dtype(target, scope))
     # --- structured (methods_structured.go) ---
     if name == "all":
         return F.forall(target, lam1(0))
@@ -744,39 +996,151 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.transform(target, lambda x, i: F.struct(
             i.alias("index"), x.alias("value")))
     if name == "filter":
+        # arrays: element predicate.  objects: the lambda receives
+        # {key, value} pairs (methods_structured.go:375)
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope)
+        as_map = (_struct_as_map(target, dt)
+                  if isinstance(dt, T.StructType) else target)
+        if isinstance(dt, (T.MapType, T.StructType)):
+            def pair_pred(k, v):
+                pair = F.struct(k.alias("key"), v.alias("value"))
+                return bind_elem(args[0], pair)
+            return F.map_filter(as_map, pair_pred)
         return F.filter(target, lam1(0))
     if name == "flatten":
         return F.flatten(target)
     if name == "fold":
+        from pyspark.sql import types as T
         init = arg_col(0)
+        dt = _dtype(target, scope)
+        # aggregate() needs acc type == merge result type; coerce a
+        # numeric literal init to the element type (3 + 0L is bigint)
+        if isinstance(dt, T.ArrayType) and isinstance(args[0], ast.Literal) \
+                and isinstance(args[0].value, (int, float)) \
+                and not isinstance(args[0].value, bool) \
+                and isinstance(dt.elementType,
+                               (T.LongType, T.IntegerType, T.DoubleType,
+                                T.FloatType)):
+            init = init.cast(dt.elementType)
 
         def fold_fn(acc, x):
-            bound = scope.child(named={"tally": acc, "value": x})
-            return compile_expr(args[1], bound)
+            item = F.struct(acc.alias("tally"), x.alias("value"))
+            named = {"tally": acc, "value": x}
+            if isinstance(args[1], ast.Lambda):
+                named = {**named, args[1].param: item}
+                body = args[1].body
+            else:
+                body = args[1]
+            return compile_expr(body, scope.child(named=named))
         return F.aggregate(target, init, fold_fn)
     if name == "index":
+        from pyspark.sql import types as T
         i = int(arg_lit(0, "index"))
+        dt = _dtype(target, scope)
+        if isinstance(dt, T.BinaryType):
+            # byte value at position (methods_structured.go:545 example
+            # over .bytes()); hex-pair extraction keeps it codegen
+            pos = (F.lit(i) if i >= 0
+                   else F.length(target) + F.lit(i))
+            return F.conv(F.substring(F.hex(target),
+                                      pos * 2 + 1, 2), 16, 10) \
+                    .cast("long")
         return F.element_at(target, i + 1 if i >= 0 else i)
-    if name == "keys":
-        return F.map_keys(target)
-    if name == "values":
-        return F.map_values(target)
-    if name == "key_values":
-        return F.map_entries(target)
+    if name in ("keys", "values", "key_values"):
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope)
+        if isinstance(dt, T.StructType):
+            if name == "keys":
+                return F.array(*[F.lit(f.name) for f in dt.fields])
+            m = _struct_as_map(target, dt)
+            return F.map_values(m) if name == "values" \
+                else F.map_entries(m)
+        return (F.map_keys(target) if name == "keys"
+                else F.map_values(target) if name == "values"
+                else F.map_entries(target))
     if name == "map_each":
+        # arrays: per-element.  objects: lambda gets {key, value} and
+        # maps the value (methods_structured.go:759/770)
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope)
+        as_map = (_struct_as_map(target, dt)
+                  if isinstance(dt, T.StructType) else target)
+        if isinstance(dt, (T.MapType, T.StructType)):
+            def pair_val(k, v):
+                pair = F.struct(k.alias("key"), v.alias("value"))
+                return bind_elem(args[0], pair)
+            return F.transform_values(as_map, pair_val)
+        # `if cond { deleted() } else { expr }` inside the lambda means
+        # filter-then-map (methods_structured.go:759 example)
+        lam = args[0]
+        if isinstance(lam, ast.Lambda) and isinstance(lam.body, ast.IfExpr):
+            branches = _deleted_filter_branches(lam.body)
+            if branches is not None:
+                keep_cond, value_expr = branches
+                kept = F.filter(
+                    target,
+                    lambda x: bind_elem(
+                        ast.Lambda(lam.param, keep_cond), x))
+                return F.transform(
+                    kept,
+                    lambda x: bind_elem(
+                        ast.Lambda(lam.param, value_expr), x))
         return F.transform(target, lam1(0))
     if name == "map_each_key":
-        return F.transform_keys(target, lambda k, _v: bind_elem(args[0], k))
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope)
+        as_map = (_struct_as_map(target, dt)
+                  if isinstance(dt, T.StructType) else target)
+        return F.transform_keys(
+            as_map, lambda k, _v: bind_elem(args[0], k))
     if name == "merge":
+        from pyspark.sql import types as T
         other = arg_col(0)
+        dt, do = _dtype(target, scope), _dtype(other, scope)
+        if isinstance(dt, T.StructType) and isinstance(do, T.StructType):
+            # static struct merge: collisions become arrays
+            # (methods_structured.go:900 — append semantics)
+            fields = []
+            rnames = {f.name for f in do.fields}
+            for f in dt.fields:
+                if f.name in rnames:
+                    fields.append(F.array(target[f.name],
+                                          other[f.name]).alias(f.name))
+                else:
+                    fields.append(target[f.name].alias(f.name))
+            for f in do.fields:
+                if f.name not in {x.name for x in dt.fields}:
+                    fields.append(other[f.name].alias(f.name))
+            return F.struct(*fields)
         return F.map_concat(
             F.map_filter(target,
                          lambda k, _: ~F.array_contains(F.map_keys(other), k)),
             other)
     if name == "not_empty":
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope)
+        if isinstance(dt, T.StringType):
+            return F.when(F.length(target) > 0, target).otherwise(
+                F.raise_error(F.lit("string value is empty")))
+        if isinstance(dt, T.StructType):
+            return target if dt.fields else F.raise_error(
+                F.lit("object value is empty"))
         return F.when(F.size(target) > 0, target).otherwise(
             F.raise_error(F.lit("value is empty")))
     if name == "sort":
+        if args:
+            # comparator form: lambda param binds {left, right}
+            # (methods_structured.go:1018)
+            def cmp(left, right):
+                def bound(le, ri):
+                    pair = F.struct(le.alias("left"), ri.alias("right"))
+                    return bind_elem(args[0], pair)
+                lt = bound(left, right)
+                gt = bound(right, left)
+                return (F.when(lt, F.lit(-1))
+                        .when(gt, F.lit(1)).otherwise(F.lit(0)))
+            return F.array_sort(target, cmp)
         return F.sort_array(target)
     if name == "sort_by":
         # methods_structured.go sort_by: key-extracting comparator
@@ -797,10 +1161,23 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             ".from_all(): cross-part reads map to window/collect_list "
             "over batch_id — use operators.batch helpers (documented)")
     if name == "json_schema":
-        raise BloblangCompileError(
-            ".json_schema(): use operators.parsing.jsonschema_validate "
-            "(error-column protocol) — schema validation is an operator "
-            "here, not an expression")
+        # methods_structured.go:592: pass the value through when it
+        # validates, error otherwise.  Validation runs in an Arrow
+        # kernel (jsonschema has no JVM builtin); the error path uses
+        # raise_error to match the reference's failed-assignment
+        # semantics.  The operator form (error-column protocol) is
+        # operators.parsing.jsonschema_validate.
+        import json as _json_mod
+
+        from pyspark.sql import types as T
+
+        schema = _json_mod.loads(str(arg_lit(0, "schema")))
+        as_json = (target if isinstance(_dtype(target, scope),
+                                        T.StringType)
+                   else F.to_json(target))
+        err_col = _jsonschema_error_kernel(as_json, schema)
+        return F.when(err_col.isNull(), target).otherwise(
+            F.raise_error(F.concat(F.lit("json_schema: "), err_col)))
     if name == "sum":
         return F.aggregate(target, F.lit(0.0),
                            lambda acc, x: acc + x.cast("double"))
@@ -810,9 +1187,69 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return target.dropFields(*[str(_lit_arg(a, "field"))
                                    for a in args])
     if name == "collapse":
-        raise BloblangCompileError(
-            ".collapse(): dot-keyed flattening is schema-dependent; "
-            "deferred (SURVEY §2.1.5)")
+        # methods_structured.go:156: flatten to dot-keyed (array
+        # indexes included) map of leaf values.  Compile-time schema
+        # recursion; null leaves (incl. schema-inferred empties) are
+        # skipped — the reference's default skips empty objects/arrays
+        # the same way.  include_empty=true is a documented deviation
+        # (dynamic heterogeneous values don't fit a typed map).
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope)
+        if not isinstance(dt, T.StructType):
+            raise BloblangCompileError(
+                ".collapse(): needs an object-typed target with a "
+                "known schema (schema-on-read)")
+        if args and bool(_lit_arg(args[0], "include_empty")):
+            raise BloblangCompileError(
+                ".collapse(true): include_empty keeps heterogeneous "
+                "empty values; not expressible in a typed map "
+                "(documented deviation)")
+
+        def walk(col, t, prefix):
+            if isinstance(t, T.StructType):
+                out = []
+                for f in t.fields:
+                    out += walk(col[f.name], f.dataType,
+                                prefix + [F.lit(f.name)])
+                return out
+            if isinstance(t, T.ArrayType):
+                et = t.elementType
+                if isinstance(et, T.StructType):
+                    def field_entries(f):
+                        # 2-arg lambda (HOF arity contract) closing
+                        # over the field
+                        return lambda x, i: F.struct(
+                            F.concat_ws(
+                                ".", *(prefix + [i.cast("string"),
+                                                 F.lit(f.name)]))
+                            .alias("key"),
+                            x[f.name].cast("string").alias("value"))
+                    arrs = []
+                    for f in et.fields:
+                        if isinstance(f.dataType, (T.StructType,
+                                                   T.ArrayType,
+                                                   T.MapType)):
+                            continue  # one nesting level under arrays
+                        arrs.append(F.transform(col, field_entries(f)))
+                    return arrs
+                return [F.transform(
+                    col, lambda x, i: F.struct(
+                        F.concat_ws(".", *(prefix + [i.cast("string")]))
+                        .alias("key"),
+                        x.cast("string").alias("value")))]
+            return [F.array(F.struct(
+                F.concat_ws(".", *prefix).alias("key"),
+                col.cast("string").alias("value")))]
+
+        pieces = walk(target, dt, [])
+        if not pieces:
+            return F.map_from_entries(F.array())
+        entries = F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+        # default collapse skips empty objects/arrays (and nulls);
+        # stringified empties are their textual forms
+        return F.map_from_entries(
+            F.filter(entries, lambda e: e["value"].isNotNull()
+                     & ~e["value"].isin("{}", "[]")))
     raise BloblangCompileError(f"unknown method .{name}()")
 
 
@@ -875,7 +1312,7 @@ class MappingExec:
               keep: tuple[str, ...] = ()) -> DataFrame:
         """``keep``: input columns passed through unchanged (e.g. batch
         bookkeeping) unless the mapping assigns the same name."""
-        scope = Scope(this_col=this, root_fields={})
+        scope = Scope(this_col=this, root_fields={}, df=df)
         for stmt in self.mapping.statements:  # maps usable before def site
             if isinstance(stmt, ast.MapDef):
                 scope.maps[stmt.name] = stmt.statements
@@ -900,15 +1337,31 @@ class MappingExec:
                 if value is None:
                     continue
                 if not stmt.path:
-                    if value == "__identity__":
+                    if isinstance(value, str) and value == "__identity__":
                         identity_base = True
                         scope.root_fields.clear()
                         for c in df.columns:
                             scope.root_fields[c] = F.col(c)
                     else:
-                        raise BloblangCompileError(
-                            "whole-document `root = <expr>` supports `this` "
-                            "(identity) in v1; assign fields explicitly")
+                        # whole-document `root = <expr>`: expand when
+                        # the expression is struct-typed at compile
+                        # time (fields become the output columns —
+                        # mapping/executor.go whole-root object
+                        # assignment); non-object roots stay a
+                        # documented deviation of the row model
+                        from pyspark.sql import types as T
+                        dt = _dtype(value, scope) \
+                            if isinstance(value, Column) else None
+                        if isinstance(dt, T.StructType):
+                            scope.root_fields.clear()
+                            for f in dt.fields:
+                                scope.root_fields[f.name] = value[f.name]
+                        else:
+                            raise BloblangCompileError(
+                                "whole-document `root = <expr>` supports "
+                                "`this` (identity) and object-typed "
+                                "expressions; assign fields explicitly "
+                                "for scalar roots")
                 else:
                     tree = scope.root_fields
                     for seg in stmt.path[:-1]:

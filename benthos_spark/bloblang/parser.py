@@ -34,6 +34,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<comment>\#[^\n]*)
   | (?P<newline>\n)
   | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<tstring>"{3}(?:[^"]|"(?!"{2}))*"{3})
   | (?P<string>"(?:\\.|[^"\\])*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
@@ -71,15 +72,28 @@ def _tokenize(src: str) -> list[_Tok]:
             line += 1
             col = 1
         else:
-            if kind not in ("ws", "comment"):
-                toks.append(_Tok(kind.upper(), text, line, col))
-            col += len(text)
+            if kind == "tstring":
+                # triple-quoted raw string (query_parser.go tripleQuote):
+                # surfaces as a STRING token; may span lines
+                toks.append(_Tok("STRING", text, line, col))
+                nl = text.count("\n")
+                if nl:
+                    line += nl
+                    col = len(text) - text.rfind("\n")
+                else:
+                    col += len(text)
+            else:
+                if kind not in ("ws", "comment"):
+                    toks.append(_Tok(kind.upper(), text, line, col))
+                col += len(text)
         i = m.end()
     toks.append(_Tok("EOF", "", line, col))
     return toks
 
 
 def _unquote(s: str) -> str:
+    if s.startswith('"""'):
+        return s[3:-3]  # triple-quoted strings are raw, no escapes
     body = s[1:-1]
     return (body.replace(r"\"", '"').replace(r"\n", "\n")
                 .replace(r"\t", "\t").replace(r"\\", "\\"))

@@ -268,10 +268,11 @@ def filepath_join(parts: Column) -> Column:
 
 
 def filepath_split(c: Column) -> Column:
-    """`.filepath_split()` (methods_strings.go:569) → [dir, file]."""
+    """`.filepath_split()` (methods_strings.go:569) → [dir, file].
+    Go's filepath.Split: dir keeps its trailing separator and is ""
+    when the path has none."""
     return F.array(
-        F.coalesce(F.nullif(F.regexp_extract(c, r"^(.*)/[^/]*$", 1), F.lit("")),
-                   F.lit(".")),
+        F.regexp_extract(c, r"^(.*/)?[^/]*$", 1),
         F.regexp_extract(c, r"([^/]*)$", 1))
 
 

@@ -33,7 +33,10 @@ _GO_TO_JAVA = [
     ("03", "hh"), ("04", "mm"), ("05", "ss"), ("06", "yy"),
     ("Jan", "MMM"), ("January", "MMMM"), ("Mon", "EEE"), ("Monday", "EEEE"),
     ("PM", "a"), ("pm", "a"), (".000000000", ".SSSSSSSSS"),
-    (".000000", ".SSSSSS"), (".000", ".SSS"), ("-07:00", "XXX"),
+    (".000000", ".SSSSSS"), (".000", ".SSS"),
+    # `.9…` = trimmed optional fraction; format_timestamp post-trims
+    (".999999999", ".SSSSSSSSS"), (".999999", ".SSSSSS"),
+    (".999", ".SSS"), ("-07:00", "XXX"),
     ("-0700", "Z"), ("Z07:00", "XXX"), ("Z0700", "XX"), ("MST", "zzz"),
     ("1", "M"), ("2", "d"), ("3", "h"),
 ]
@@ -83,6 +86,45 @@ def strftime_to_java(pattern: str) -> str:
     return "".join(out)
 
 
+def as_timestamp(c: Column, dtype=None) -> Column:
+    """Coerce a timestamp-ish value (reference IGetTimestamp: RFC3339
+    string, unix seconds int/float, or native timestamp) to
+    TimestampType.  `dtype` is the compile-time type when known."""
+    from pyspark.sql import types as T
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return c
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.DoubleType,
+                          T.FloatType, T.DecimalType)):
+        # fractional unix seconds keep microsecond precision
+        return F.timestamp_micros(
+            (c.cast("double") * F.lit(1_000_000)).cast("long"))
+    # string or UNKNOWN type: go through a string view so every cast
+    # stays analyzable (timestamp_ntz → double is an analysis error);
+    # ISO forms via cast, "y-M-d H:m:s" via try_to_timestamp, numeric
+    # strings as unix seconds
+    s = c.cast("string")
+    return F.coalesce(
+        s.try_cast("timestamp"),
+        F.try_to_timestamp(s),
+        F.timestamp_micros(
+            (s.try_cast("double") * F.lit(1_000_000)).cast("long")))
+
+
+def _with_tz(ts: Column, tz: str | None) -> Column:
+    """Shift wall-clock to `tz` for formatting (session runs UTC)."""
+    if not tz or tz.upper() == "UTC":
+        return ts
+    return F.from_utc_timestamp(ts, tz)
+
+
+def _trim_fraction(s: Column) -> Column:
+    """Go's `.999...` layout fragments trim trailing zeros (and the
+    dot when the fraction is empty); Java always zero-pads."""
+    return F.regexp_replace(
+        F.regexp_replace(s, r"(\.\d*?)0+(?=\D|$)", r"$1"),
+        r"\.(?=\D|$)", "")
+
+
 def parse_timestamp(c: Column, go_layout: str) -> Column:
     """`.parse_timestamp(layout)` (methods_strings.go:1173)."""
     return F.try_to_timestamp(c, F.lit(go_layout_to_java(go_layout)))
@@ -93,26 +135,38 @@ def parse_timestamp_strptime(c: Column, pattern: str) -> Column:
     return F.try_to_timestamp(c, F.lit(strftime_to_java(pattern)))
 
 
-def parse_timestamp_unix(c: Column) -> Column:
-    """`.parse_timestamp_unix()` (methods_strings.go:1126)."""
-    return F.timestamp_seconds(c.cast("long"))
+def parse_timestamp_unix(c: Column, go_layout: str | None = None,
+                         dtype=None) -> Column:
+    """`.parse_timestamp_unix(layout?)` (methods_strings.go:1126):
+    parse a timestamp string → unix SECONDS (the reference returns the
+    epoch int, not a time value)."""
+    ts = (F.try_to_timestamp(c, F.lit(go_layout_to_java(go_layout)))
+          if go_layout else as_timestamp(c, dtype))
+    return F.unix_timestamp(ts)
 
 
-def format_timestamp(c: Column, go_layout: str) -> Column:
-    """`.format_timestamp(layout)` (methods_strings.go:1293)."""
-    return F.date_format(c, go_layout_to_java(go_layout))
+def format_timestamp(c: Column, go_layout: str, tz: str | None = None,
+                     dtype=None) -> Column:
+    """`.format_timestamp(layout, tz?)` (methods_strings.go:1293)."""
+    ts = _with_tz(as_timestamp(c, dtype), tz)
+    out = F.date_format(ts, go_layout_to_java(go_layout))
+    if ".9" in go_layout:
+        out = _trim_fraction(out)
+    return out
 
 
-def format_timestamp_strftime(c: Column, pattern: str) -> Column:
-    """`.format_timestamp_strftime(fmt)` (methods_strings.go:1362)."""
-    return F.date_format(c, strftime_to_java(pattern))
+def format_timestamp_strftime(c: Column, pattern: str,
+                              tz: str | None = None, dtype=None) -> Column:
+    """`.format_timestamp_strftime(fmt, tz?)` (methods_strings.go:1362)."""
+    ts = _with_tz(as_timestamp(c, dtype), tz)
+    return F.date_format(ts, strftime_to_java(pattern))
 
 
-def format_timestamp_unix(c: Column) -> Column:
+def format_timestamp_unix(c: Column, dtype=None) -> Column:
     """`.format_timestamp_unix()` (methods_strings.go:1413)."""
-    return F.unix_timestamp(c)
+    return F.unix_timestamp(as_timestamp(c, dtype))
 
 
-def format_timestamp_unix_nano(c: Column) -> Column:
+def format_timestamp_unix_nano(c: Column, dtype=None) -> Column:
     """`.format_timestamp_unix_nano()` (methods_strings.go:1441)."""
-    return F.unix_micros(c) * 1000
+    return F.unix_micros(as_timestamp(c, dtype)) * 1000

@@ -226,6 +226,34 @@ def _xml_elem_to_obj(elem):
     return obj
 
 
+def xml_text_to_json_col(source: Column) -> Column:
+    """Schemaless XML → mxj-rule JSON text as a Column (the
+    `.parse_xml()` no-schema method form; parse failures → NULL)."""
+    import json
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    _ = pd
+
+    @pandas_udf("string")
+    def op(payloads):
+        def one(p):
+            if p is None:
+                return None
+            try:
+                root = ET.fromstring(p)
+                return json.dumps({root.tag: _xml_elem_to_obj(root)},
+                                  separators=(",", ":"), sort_keys=True,
+                                  ensure_ascii=False)
+            except ET.ParseError:
+                return None
+        return payloads.map(one)
+
+    return op(source)
+
+
 def xml_to_json(df: DataFrame, source: Column | None = None,
                 alias: str = "content",
                 error_col: str = "_error") -> DataFrame:

@@ -408,7 +408,7 @@ root.expl = {"id": 7, "xs": [1, 2]}.explode("xs")
 ''').collect()[0]
     assert out.esc == "a&lt;b&gt;&amp;c" and out.roundtrip == "a<b>&c"
     assert out.uesc == " hi"
-    assert out.fsplit == ["/a/b", "c.txt"] and out.fjoin == "a/b"
+    assert out.fsplit == ["/a/b/", "c.txt"] and out.fjoin == "a/b"
     assert out.unq == "quoted" and out.rmany == "a[b]&c"
     assert out.dur_ns == 5_400_000_000_000
     assert (out.obj.key, out.obj.val) == ("a", "1")

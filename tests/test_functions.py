@@ -80,9 +80,9 @@ def test_regex_methods(spark):
 
 def test_filepath(spark):
     assert one(spark, fn.filepath_split(F.col("s")), s="/a/b/c.txt") == \
-        ["/a/b", "c.txt"]
+        ["/a/b/", "c.txt"]  # Go filepath.Split keeps the trailing sep
     assert one(spark, fn.filepath_split(F.col("s")), s="c.txt") == \
-        [".", "c.txt"]
+        ["", "c.txt"]  # no separator -> empty dir (Go filepath.Split)
     got = one(spark, fn.filepath_join(F.array(F.lit("a"), F.lit("b"))))
     assert got == "a/b"
 

