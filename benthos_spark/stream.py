@@ -199,6 +199,21 @@ def _build_input(spark: SparkSession, conf: dict,
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
+    if kind == "read_until":
+        # read_until (lib/input/read_until.go:26): consume the child
+        # input until the check fires; v4 `check` (Bloblang) or v3
+        # `condition` (structured schema) both compile to the same
+        # windowed cut
+        from benthos_spark.sources.files import read_until as _ru
+        inner = _build_input(spark, spec["input"], ctx)
+        check = spec.get("check", spec.get("condition"))
+        if isinstance(check, dict):
+            from benthos_spark.operators.conditions import (
+                compile_condition_spec)
+            stop = compile_condition_spec(check, ctx=ctx)
+        else:
+            stop = compile_condition(str(check))
+        return _ru(inner, stop)
     if kind == "sequence":
         # sequence input + sharded_join (lib/input/sequence.go:24,
         # 142-188): inputs consumed in order; optional id-keyed deep
@@ -805,7 +820,13 @@ def _apply_processor(df: DataFrame, conf: Any,
         # check — loop while ANY row passes (the reference checks the
         # batch head; any() is the columnar batch analogue)
         from benthos_spark.operators.control import while_loop
-        cond = compile_condition(str(spec["check"]))
+        check = spec.get("check", spec.get("condition"))
+        if isinstance(check, dict):  # v3 structured condition schema
+            from benthos_spark.operators.conditions import (
+                compile_condition_spec)
+            cond = compile_condition_spec(check, ctx=ctx)
+        else:
+            cond = compile_condition(str(check))
         return while_loop(
             df,
             # isEmpty() short-circuits on the first non-empty partition

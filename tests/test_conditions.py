@@ -181,6 +181,46 @@ output: {memory: {}}
     assert len(vals) == 9 and "msg-3" not in vals
 
 
+def test_read_until_input_with_structured_condition(spark):
+    out = run_stream(spark, """
+input:
+  read_until:
+    input:
+      generate:
+        count: 10
+        mapping: |
+          root.id = this.id
+          root.content = "n-" + this.id.string()
+    condition:
+      text: {operator: suffix, arg: "4"}
+output: {memory: {}}
+""")
+    # rows up to and including the first match survive
+    assert sorted(r.content for r in out.collect()) == [
+        "n-0", "n-1", "n-2", "n-3", "n-4"]
+
+
+def test_while_structured_condition_compiles(spark):
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 3
+    mapping: |
+      root.content = "v"
+      root.n = this.id
+pipeline:
+  processors:
+    - while:
+        max_loops: 5
+        condition:
+          number: {operator: less_than, arg: 1}
+        processors:
+          - bloblang: root = this
+output: {memory: {}}
+""")
+    assert out.count() == 3
+
+
 def test_resource_condition_via_yaml(spark):
     out = run_stream(spark, """
 input:
