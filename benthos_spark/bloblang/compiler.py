@@ -932,24 +932,26 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "parse_yaml":
         from benthos_spark.functions.strings import yaml_to_json
         j = yaml_to_json(target)
-        return F.from_json(j, str(arg_lit(0, "schema"))) if args else j
+        # schemaless → VARIANT via the JSON bridge
+        return F.from_json(j, str(arg_lit(0, "schema"))) if args \
+            else F.parse_json(j)
     if name == "format_yaml":
         from benthos_spark.functions.strings import json_to_yaml
         return json_to_yaml(F.to_json(target))
     if name == "parse_json":
         if args:
             return F.from_json(target, str(arg_lit(0, "schema")))
-        raise BloblangCompileError(
-            ".parse_json() needs a schema argument in the columnar engine "
-            "(schema-on-read; use get/json() for ad-hoc paths)")
+        # schemaless → VARIANT (Spark's native schemaless value);
+        # declare a schema for typed columns, or read paths with
+        # variant_get/get_json_object
+        return F.parse_json(target)
     if name == "parse_xml":
         if args:
             return F.from_xml(target, str(arg_lit(0, "schema")))
-        # schemaless: mxj-rule JSON TEXT (same kernel as the xml
-        # operator) — schema-on-read deviation: the reference returns a
-        # structured doc; here declare a schema for a structured result
+        # schemaless: mxj-rule JSON via the xml operator's kernel,
+        # surfaced as VARIANT (Spark's schemaless value type)
         from benthos_spark.operators.parsing import xml_text_to_json_col
-        return xml_text_to_json_col(target)
+        return F.parse_json(xml_text_to_json_col(target))
     if name == "parse_csv":
         if args:
             return F.from_csv(target, str(arg_lit(0, "schema")))

@@ -414,7 +414,8 @@ root.expl = {"id": 7, "xs": [1, 2]}.explode("xs")
     assert (out.obj.key, out.obj.val) == ("a", "1")
     assert [(r.key, r.val) for r in out.objs] == [("a", "1"), ("b", "22")]
     assert out.sub == [["a=1", "a", "1"], ["b=22", "b", "22"]]
-    assert out.yaml == '{"k":[3,1,2]}'
+    # schemaless parse_yaml yields VARIANT (engine-native schemaless)
+    assert out.yaml.toJson() == '{"k":[3,1,2]}'
     assert [r.v for r in out.sorted] == [1, 3]
     assert [(r.id, r.xs) for r in out.expl] == [(7, 1), (7, 2)]
 

@@ -26,12 +26,6 @@ SKIP = {
               "harness sets; file() itself is covered by unit tests",
     "decode#0b": "expected output is raw non-JSON text; decode() is "
                 "value-checked in test_functions",
-    "parse_json#0": "schema-on-read: schemaless parse returns columnar "
-                    "types only with a declared schema",
-    "parse_xml#0": "schemaless parse_xml yields mxj JSON text, not a "
-                   "struct (schema-on-read)",
-    "parse_yaml#0": "schemaless parse_yaml yields JSON text, not a "
-                    "struct (schema-on-read)",
     "format_yaml#0": "expected output is raw YAML text (non-JSON); "
                      "covered by YAML roundtrip unit tests",
     "reverse#0b": "whole-document scalar root (row model keeps object "

@@ -24,6 +24,8 @@ def _norm(v):
     import datetime as _dt
     if isinstance(v, bool):
         return v
+    if type(v).__name__ == "VariantVal":
+        return _norm(json.loads(v.toJson()))
     if isinstance(v, _dt.datetime):
         s = v.strftime("%Y-%m-%dT%H:%M:%S")
         if v.microsecond:
