@@ -1153,11 +1153,21 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
                     .when(kl > kr, F.lit(1)).otherwise(F.lit(0)))
         return F.array_sort(target, cmp)
     if name == "explode":
-        # methods_structured.go explode(path): one element of the array
-        # at `path` per output entry, rest of the document duplicated
+        # methods_structured.go explode(path): one element of the
+        # array/object at `path` per output entry, rest of the
+        # document duplicated
+        from pyspark.sql import types as T
         path = str(arg_lit(0, "path"))
-        arr = _dig(target, path.split("."))
-        return F.transform(arr, lambda x: target.withField(path, x))
+        inner = _dig(target, path.split("."))
+        idt = _dtype(inner, scope)
+        if isinstance(idt, T.StructType):
+            # object explode (methods_structured.go:321): one output
+            # field per key, each the doc with `path` swapped for that
+            # key's value — static struct-of-structs
+            return F.struct(*[
+                target.withField(path, inner[f.name]).alias(f.name)
+                for f in idt.fields])
+        return F.transform(inner, lambda x: target.withField(path, x))
     if name == "from_all":
         raise BloblangCompileError(
             ".from_all(): cross-part reads map to window/collect_list "

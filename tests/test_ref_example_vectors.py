@@ -34,8 +34,6 @@ SKIP = {
                    "not expressible in a typed map",
     "explode#0": "explode at whole root multiplies documents; the "
                  "operator form (unarchive/explode) covers it",
-    "explode#0b": "object-explode builds a dynamic object at whole "
-                  "root; operator form covers it",
     "map_each_key#0b": "map-typed whole root with nothing()-key "
                        "passthrough; keys aren't static columns",
 }
