@@ -2602,6 +2602,36 @@ def langid_model_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", lang_id_model(F.col("text")).alias("lang_pred"))
 
 
+@_register("langid_model_pinned", oracle="""
+SELECT * FROM (VALUES (0,'en'),(1,'fr'),(2,'es'),(3,'de'),(4,'pt'),
+                      (5,'it'),(6,'ru'),(7,'zh'),(8,'ja'),(9,'nl'))
+AS t(sample_id, lang_pred)
+""")
+def langid_model_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end value gate for the trained hashed-n-gram language-ID
+    model: deterministic inference on fixed pangram-style samples,
+    pinned against the predictions at train time (golden vector — a
+    retrain must re-pin).  Corpus-scale inference is
+    `langid_model_detect`; holdout accuracy is tested in pytest."""
+    from benthos_spark.llm.text import lang_id_model
+    samples = [
+        "The quick brown fox jumps over the lazy dog and runs away",
+        "Le renard brun rapide saute par-dessus le chien paresseux",
+        "El zorro marrón rápido salta sobre el perro perezoso",
+        "Der schnelle braune Fuchs springt über den faulen Hund",
+        "O rápido raposo marrom pula sobre o cão preguiçoso",
+        "La volpe marrone veloce salta sopra il cane pigro",
+        "Быстрая коричневая лиса прыгает через ленивую собаку",
+        "敏捷的棕色狐狸跳过了懒惰的狗然后跑走了",
+        "すばやい茶色のキツネは怠け者の犬を飛び越えます",
+        "Snelle bruine vos springt over de luie hond heen vandaag",
+    ]
+    df = spark.createDataFrame(list(enumerate(samples)),
+                               "sample_id int, text string")
+    return df.select("sample_id",
+                     lang_id_model(F.col("text")).alias("lang_pred"))
+
+
 @_register("condition_v3_filter", oracle="""
 SELECT doc_id FROM documents
 WHERE position('the' IN lower(text)) > 0
@@ -2816,7 +2846,7 @@ _SUITES: dict[str, list[str]] = {
     "bloblang_compiled": ["batch_functions"],
     "window_tumbling": ["window_sliding"],
     "text_analysis": ["text_quality_langid", "pii_scrub",
-                      "awk_pipeline"],
+                      "awk_pipeline", "langid_model_pinned"],
     "similarity_topk": ["similarity_lsh_topk", "similarity_ivf_topk",
                         "semantic_dedup"],
     "sharded_join_full_outer": ["sharded_join_collisions"],
