@@ -194,6 +194,29 @@ def parse_go_duration(s: str) -> float:
     return -total if neg else total
 
 
+def rate_limit_stage(df: "DataFrame", count: int,
+                     interval: str) -> "DataFrame":
+    """`rate_limit` processor + `local` resource (lib/processor/
+    rate_limit.go:18, lib/ratelimit/local.go): block so at most
+    `count` messages pass per `interval`.  Columnar analogue: each
+    partition paces itself at count/interval — a per-EXECUTOR-slot
+    cap, so cluster-wide throughput is parallelism × count/interval
+    (documented; the reference's limiter is process-local too, and a
+    multi-node benthos deployment multiplies the same way).  For
+    ingest-side control prefer the source options
+    (max_files_per_trigger / maxOffsetsPerTrigger)."""
+    per_row = parse_go_duration(interval) / max(int(count), 1)
+
+    def op(batches):
+        import time
+        for pdf in batches:
+            if per_row > 0 and len(pdf):
+                time.sleep(per_row * len(pdf))
+            yield pdf
+
+    return df.mapInPandas(op, schema=df.schema)
+
+
 def sleep_stage(df: "DataFrame", duration: str) -> "DataFrame":
     """`sleep` processor (lib/processor/sleep.go:21): the reference
     sleeps `duration` per message to inject latency in tests and to

@@ -905,6 +905,20 @@ def _apply_processor(df: DataFrame, conf: Any,
         # reference's per-message throughput semantics
         from benthos_spark.operators.control import sleep_stage
         return sleep_stage(df, str(spec.get("duration", "0s")))
+    if kind == "rate_limit":
+        # rate_limit processor referencing resources.rate_limits
+        # (lib/processor/rate_limit.go:18); `local` is the only
+        # in-process algorithm in the reference too
+        name = str(spec.get("resource", spec) if isinstance(spec, dict)
+                   else spec)
+        rl = (ctx.get("rate_limits") or {}).get(name)
+        if rl is None:
+            raise ConfigError(
+                f"rate_limit resource {name!r} not registered "
+                "(resources.rate_limits)")
+        from benthos_spark.operators.control import rate_limit_stage
+        return rate_limit_stage(df, int(rl.get("count", 1000)),
+                                str(rl.get("interval", "1s")))
     if kind == "window":
         # batch policy (lib/message/batch/policy.go) as an event-time
         # window; aggs: {name: "count"} | {name: "sum:col"} | min/max/avg
@@ -1236,7 +1250,13 @@ def _build_resources(spark: SparkSession, conf: dict) -> dict:
     ctx = {"spark": spark, "caches": caches,
            # named v3 conditions (resources.conditions, lib/condition/
            # resource.go) — referenced by {resource: name} condition specs
-           "condition_resources": dict(res.get("conditions") or {})}
+           "condition_resources": dict(res.get("conditions") or {}),
+           # named rate limits (resources.rate_limits, lib/ratelimit/):
+           # {name: {local: {count, interval}}} or flat {count, interval}
+           "rate_limits": {
+               name: (spec.get("local", spec) if isinstance(spec, dict)
+                      else {})
+               for name, spec in (res.get("rate_limits") or {}).items()}}
     for name, procs in (res.get("processors") or {}).items():
         register_resource(
             name, lambda d, procs=procs: _apply_pipeline(d, procs, ctx))
