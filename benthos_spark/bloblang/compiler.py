@@ -52,6 +52,7 @@ class Scope:
     applying: frozenset = frozenset()  # in-flight .apply names (recursion)
     df: "DataFrame | None" = None      # input frame for compile-time
     #                                     schema (type-dispatched methods)
+    dtype_cache: dict = dc_field(default_factory=dict)  # shared memo
 
     def child(self, this_override: Column | None = None,
               named: dict[str, Column] | None = None) -> "Scope":
@@ -59,20 +60,156 @@ class Scope:
                      this_override if this_override is not None
                      else self.this_override,
                      named or self.named_bindings,
-                     self.maps, self.applying, self.df)
+                     self.maps, self.applying, self.df,
+                     self.dtype_cache)
 
 
-def _dtype(col: Column, scope: Scope):
-    """Compile-time type of an expression against the input frame's
-    schema (one driver-side analysis pass, no job).  None when the
-    frame is unknown or the expression doesn't resolve standalone
-    (e.g. lambda-bound variables)."""
+def _walk_schema(dt, path: list[str]):
+    """Walk a dot path through a known dtype; None = fell off."""
+    from pyspark.sql import types as T
+    for seg in path:
+        if isinstance(dt, T.StructType):
+            names = {f.name: f.dataType for f in dt.fields}
+            if seg not in names:
+                return None
+            dt = names[seg]
+        elif isinstance(dt, T.MapType):
+            dt = dt.valueType
+        else:
+            return None
+    return dt
+
+
+def _this_dtype(scope: Scope):
+    """Dtype of the document column (`this_col`), probed once per
+    mapping and memoized."""
+    if scope.this_col is None or scope.df is None:
+        return None
+    key = ("__this__", id(scope.this_col))
+    if key not in scope.dtype_cache:
+        try:
+            scope.dtype_cache[key] = scope.df.select(
+                scope.this_col.alias("__t")).schema[0].dataType
+        except Exception:
+            scope.dtype_cache[key] = None
+    return scope.dtype_cache[key]
+
+
+_STRING_RESULT_METHODS = {
+    "string", "uppercase", "lowercase", "capitalize", "trim",
+    "strip_html", "encode", "decode", "quote", "unquote", "join",
+    "format", "replace", "replace_many", "re_replace", "escape_html",
+    "unescape_html", "escape_url_query", "unescape_url_query",
+    "format_timestamp", "format_timestamp_strftime", "format_yaml",
+    "hash",
+}
+_TYPE_PRESERVING_METHODS = {
+    "sort", "unique", "not_null", "not_empty", "or", "catch", "apply",
+    "reverse", "slice",
+}
+
+
+def _node_dtype(node, scope: Scope):
+    """Pure-Python dtype inference (no JVM round-trips): plain paths
+    walk the frame/document schema; method chains propagate through a
+    small signature table.  None = unknown → callers fall back to the
+    shape heuristics that predate schema dispatch."""
+    from pyspark.sql import types as T
+    if scope.named_bindings or scope.this_override is not None:
+        return None  # lambda-bound context: not walkable
+    if isinstance(node, ast.Context):
+        if scope.this_col is not None:
+            base = _this_dtype(scope)
+            return None if base is None else _walk_schema(base, node.path)
+        if not node.path or scope.df is None:
+            return None
+        names = {f.name: f.dataType for f in scope.df.schema.fields}
+        if node.path[0] not in names:
+            return None
+        return _walk_schema(names[node.path[0]], node.path[1:])
+    if isinstance(node, ast.FieldAccess):
+        base = _node_dtype(node.target, scope)
+        return None if base is None else _walk_schema(base, [node.name])
+    if isinstance(node, ast.Literal):
+        v = node.value
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        return None
+    if isinstance(node, ast.Method):
+        m = node.name
+        if m == "bytes":
+            return T.BinaryType()
+        if m in _STRING_RESULT_METHODS:
+            return T.StringType()
+        if m == "number":
+            return T.DoubleType()
+        if m == "bool":
+            return T.BooleanType()
+        if m in ("split", "re_find_all", "filepath_split"):
+            return T.ArrayType(T.StringType())
+        if m in ("parse_json", "parse_yaml", "parse_xml") \
+                and not node.args:
+            return T.VariantType()
+        if m == "keys":
+            return T.ArrayType(T.StringType())
+        if m in _TYPE_PRESERVING_METHODS:
+            return _node_dtype(node.target, scope)
+        return None
+    return None
+
+
+def _path_absent(node, scope: Scope) -> bool:
+    """True ONLY when the node is a plain path that provably falls off
+    the known schema (missing column / dropped empty object); unknown
+    or unwalkable contexts are never 'absent'."""
+    if scope.named_bindings or scope.this_override is not None:
+        return False
+    if isinstance(node, ast.FieldAccess):
+        base = _node_dtype(node.target, scope)
+        return base is not None and _walk_schema(base, [node.name]) is None
+    if isinstance(node, ast.Context):
+        if scope.this_col is not None:
+            base = _this_dtype(scope)
+            return base is not None \
+                and _walk_schema(base, node.path) is None
+        if node.path and scope.df is not None:
+            names = {f.name: f.dataType for f in scope.df.schema.fields}
+            if node.path[0] not in names:
+                return True
+            return _walk_schema(names[node.path[0]],
+                                node.path[1:]) is None
+    return False
+
+
+def _dtype(col: Column, scope: Scope, node=None):
+    """Compile-time type of an expression.  With `node`: pure-Python
+    inference only — NEVER a Spark analysis (method dispatch must not
+    cost a JVM round-trip per call; unknown → heuristics).  Without
+    `node` (whole-root expansion, document-column probe): one memoized
+    analysis pass."""
     if scope.df is None:
         return None
+    if node is not None:
+        return _node_dtype(node, scope)
     try:
-        return scope.df.select(col.alias("__t")).schema[0].dataType
+        key = str(col._jc)  # expression string; cheap vs analysis
+    except Exception:
+        key = None
+    if key is not None and key in scope.dtype_cache:
+        return scope.dtype_cache[key]
+    try:
+        out = scope.df.select(col.alias("__t")).schema[0].dataType
     except Exception:  # unresolved in this frame → caller falls back
-        return None
+        out = None
+    if key is not None:
+        scope.dtype_cache[key] = out
+    return out
 
 
 def _struct_as_map(col: Column, dt) -> Column:
@@ -175,13 +312,14 @@ def _resolve_this(scope: Scope, path: list[str]) -> Column:
     if scope.this_override is not None:
         return _dig(scope.this_override, path)
     if scope.this_col is not None:
-        col = _dig(scope.this_col, path)
         if path and scope.df is not None and not scope.named_bindings:
             # document mode: a path that falls off the schema is null
-            # (gabs semantics), not an analysis error
-            if _dtype(col, scope) is None:
+            # (gabs semantics), not an analysis error.  Pure schema
+            # walk — no per-path analysis round-trips.
+            base = _this_dtype(scope)
+            if base is not None and _walk_schema(base, path) is None:
                 return F.lit(None)
-        return col
+        return _dig(scope.this_col, path)
     if not path:
         raise BloblangCompileError(
             "bare `this` needs a struct context (row mode has no single "
@@ -563,7 +701,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             F.raise_error(F.lit("value is null")))
     if name == "type":
         # methods.go `type`: Bloblang value-type names, not engine types
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         tn = _bloblang_type_name(dt) if dt is not None else None
         if tn is not None and tn != "null":
             return F.when(target.isNull(), F.lit("null")) \
@@ -573,13 +711,9 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.typeof(target)
     if name in ("get", "exists"):
         from pyspark.sql import types as T
-        dt = _dtype(target, scope)
-        if dt is None and scope.df is not None \
-                and scope.this_override is None \
-                and not scope.named_bindings \
-                and isinstance(node.target, (ast.Context, ast.RootRef,
-                                             ast.FieldAccess)):
-            # the target path itself is absent from the frame's schema
+        dt = _dtype(target, scope, node.target)
+        if dt is None and _path_absent(node.target, scope):
+            # the target path is PROVABLY absent from the schema
             # (e.g. schema inference dropped an all-empty object):
             # a static miss, not an analysis error
             return F.lit(False) if name == "exists" else F.lit(None)
@@ -629,7 +763,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         # structured values stringify as their JSON form
         # (methods_strings.go:1959), not engine struct syntax
         from pyspark.sql import types as T
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
             return F.to_json(target)
         return target.cast("string")
@@ -674,7 +808,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         # string containment, array membership, or object-value
         # membership — dispatch by schema (methods_structured.go:190)
         from pyspark.sql import types as T
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         if isinstance(dt, T.ArrayType):
             return F.array_contains(target, arg_col(0))
         if isinstance(dt, T.MapType):
@@ -714,7 +848,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         # strings AND arrays/objects share .length() in Bloblang; pick
         # by schema when known, else the array-ish shape heuristic
         from pyspark.sql import types as T
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         if isinstance(dt, (T.ArrayType, T.MapType)):
             return F.size(target)
         if isinstance(dt, T.StructType):
@@ -730,7 +864,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         from pyspark.sql import types as T
         lo = int(arg_lit(0))
         hi = int(arg_lit(1)) if len(args) > 1 else None
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         is_arr = (isinstance(dt, T.ArrayType) if dt is not None
                   else _is_arrayish(node.target))
         n = F.size(target) if is_arr else F.length(target)
@@ -970,23 +1104,23 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "parse_timestamp_unix":
         return ts_fns.parse_timestamp_unix(
             target, str(arg_lit(0, "layout")) if args else None,
-            dtype=_dtype(target, scope))
+            dtype=_dtype(target, scope, node.target))
     if name == "format_timestamp":
         return ts_fns.format_timestamp(
             target, str(arg_lit(0, "layout")),
             str(arg_lit(1, "timezone")) if len(args) > 1 else None,
-            dtype=_dtype(target, scope))
+            dtype=_dtype(target, scope, node.target))
     if name == "format_timestamp_strftime":
         return ts_fns.format_timestamp_strftime(
             target, str(arg_lit(0)),
             str(arg_lit(1, "timezone")) if len(args) > 1 else None,
-            dtype=_dtype(target, scope))
+            dtype=_dtype(target, scope, node.target))
     if name == "format_timestamp_unix":
         return ts_fns.format_timestamp_unix(target,
-                                            dtype=_dtype(target, scope))
+                                            dtype=_dtype(target, scope, node.target))
     if name == "format_timestamp_unix_nano":
         return ts_fns.format_timestamp_unix_nano(
-            target, dtype=_dtype(target, scope))
+            target, dtype=_dtype(target, scope, node.target))
     # --- structured (methods_structured.go) ---
     if name == "all":
         return F.forall(target, lam1(0))
@@ -1001,7 +1135,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         # arrays: element predicate.  objects: the lambda receives
         # {key, value} pairs (methods_structured.go:375)
         from pyspark.sql import types as T
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         as_map = (_struct_as_map(target, dt)
                   if isinstance(dt, T.StructType) else target)
         if isinstance(dt, (T.MapType, T.StructType)):
@@ -1015,7 +1149,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "fold":
         from pyspark.sql import types as T
         init = arg_col(0)
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         # aggregate() needs acc type == merge result type; coerce a
         # numeric literal init to the element type (3 + 0L is bigint)
         if isinstance(dt, T.ArrayType) and isinstance(args[0], ast.Literal) \
@@ -1039,7 +1173,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "index":
         from pyspark.sql import types as T
         i = int(arg_lit(0, "index"))
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         if isinstance(dt, T.BinaryType):
             # byte value at position (methods_structured.go:545 example
             # over .bytes()); hex-pair extraction keeps it codegen
@@ -1051,7 +1185,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.element_at(target, i + 1 if i >= 0 else i)
     if name in ("keys", "values", "key_values"):
         from pyspark.sql import types as T
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         if isinstance(dt, T.StructType):
             if name == "keys":
                 return F.array(*[F.lit(f.name) for f in dt.fields])
@@ -1065,7 +1199,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         # arrays: per-element.  objects: lambda gets {key, value} and
         # maps the value (methods_structured.go:759/770)
         from pyspark.sql import types as T
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         as_map = (_struct_as_map(target, dt)
                   if isinstance(dt, T.StructType) else target)
         if isinstance(dt, (T.MapType, T.StructType)):
@@ -1091,7 +1225,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.transform(target, lam1(0))
     if name == "map_each_key":
         from pyspark.sql import types as T
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         as_map = (_struct_as_map(target, dt)
                   if isinstance(dt, T.StructType) else target)
         return F.transform_keys(
@@ -1099,7 +1233,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "merge":
         from pyspark.sql import types as T
         other = arg_col(0)
-        dt, do = _dtype(target, scope), _dtype(other, scope)
+        dt, do = _dtype(target, scope, node.target), _dtype(other, scope, args[0])
         if isinstance(dt, T.StructType) and isinstance(do, T.StructType):
             # static struct merge: collisions become arrays
             # (methods_structured.go:900 — append semantics)
@@ -1121,7 +1255,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             other)
     if name == "not_empty":
         from pyspark.sql import types as T
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         if isinstance(dt, T.StringType):
             return F.when(F.length(target) > 0, target).otherwise(
                 F.raise_error(F.lit("string value is empty")))
@@ -1184,7 +1318,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         from pyspark.sql import types as T
 
         schema = _json_mod.loads(str(arg_lit(0, "schema")))
-        as_json = (target if isinstance(_dtype(target, scope),
+        as_json = (target if isinstance(_dtype(target, scope, node.target),
                                         T.StringType)
                    else F.to_json(target))
         err_col = _jsonschema_error_kernel(as_json, schema)
@@ -1206,7 +1340,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         # the same way.  include_empty=true is a documented deviation
         # (dynamic heterogeneous values don't fit a typed map).
         from pyspark.sql import types as T
-        dt = _dtype(target, scope)
+        dt = _dtype(target, scope, node.target)
         if not isinstance(dt, T.StructType):
             raise BloblangCompileError(
                 ".collapse(): needs an object-typed target with a "
