@@ -44,6 +44,10 @@ BUS_FAMILIES = {
     "pulsar": ("pulsar-client", "lib/output/pulsar.go"),
     "zmq_push": ("pyzmq", "lib/output/zmq4.go"),
     "nanomsg": ("pynng", "lib/output/nanomsg.go"),
+    "azure_queue_storage": ("azure-storage-queue",
+                            "lib/output/azure_queue_storage.go"),
+    "gcp_bigquery": ("google-cloud-bigquery",
+                     "lib/output/writer/gcp_bigquery.go"),
 }
 
 

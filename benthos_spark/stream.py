@@ -137,6 +137,37 @@ def replace_env_variables(text: str) -> str:
     return _ESCAPED_ENV_RE.sub(r"$\1", _ENV_VAR_RE.sub(sub, text))
 
 
+def _duration_s(v) -> float:
+    """Accept numeric seconds or Go duration strings ('5s', '100ms')."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    from benthos_spark.operators.control import parse_go_duration
+    return parse_go_duration(str(v))  # already seconds
+
+
+def _section_component(section, what: str) -> tuple[str | None, dict]:
+    """Normalize a typed config section to (kind, spec).  Accepts the
+    v4 one-key form ({jaeger: {...}}), the v3 `type`-discriminator form
+    ({type: jaeger, jaeger: {...}, none: {}} — auto-generated configs
+    materialize EVERY type's defaults side by side), and a bare string
+    kind."""
+    if section is None:
+        return None, {}
+    if isinstance(section, str):
+        return section, {}
+    if not isinstance(section, dict):
+        raise ConfigError(f"{what}: expected a component, got {section!r}")
+    if "type" in section:
+        kind = str(section["type"])
+        return kind, section.get(kind)
+    body = {k: v for k, v in section.items() if k != "label"}
+    if len(body) != 1:
+        raise ConfigError(
+            f"{what}: expected one component, got {sorted(body)}")
+    (kind, spec), = body.items()
+    return kind, spec
+
+
 def load_config(text_or_path: str) -> dict:
     """Parse a YAML config (readConfig, lib/config/config.go) after
     environment-variable substitution."""
@@ -153,12 +184,25 @@ def _build_input(spark: SparkSession, conf: dict,
     if isinstance(conf, dict):
         # `batching` rides alongside the component (lib/input/batcher.go)
         conf = {k: v for k, v in conf.items() if k != "batching"}
-    if not isinstance(conf, dict) or len(conf) != 1:
+    kind, spec = _section_component(conf, "input")
+    if kind is None:
         raise ConfigError(f"input: expected one component, got {conf!r}")
-    (kind, spec), = conf.items()
-    spec = spec or {}
+    if not isinstance(spec, dict):
+        spec = {} if spec in (None, "") else spec
+    # v3 connector names (pre-cloud-prefix rename, lib/input/legacy
+    # registrations) — same components
+    _V3_ALIASES = {"s3": "aws_s3", "sqs": "aws_sqs",
+                   "kinesis": "aws_kinesis", "sns": "aws_sns",
+                   "gcs": "gcp_cloud_storage",
+                   "kinesis_firehose": "aws_kinesis_firehose",
+                   "tcp": "socket", "udp": "socket",
+                   "kafka_balanced": "kafka"}
+    kind = _V3_ALIASES.get(kind, kind)
     if kind == "file":
-        paths = spec.get("paths") or [spec["path"]]
+        paths = spec.get("paths") or ([spec["path"]] if spec.get("path")
+                                      else None)
+        if not paths:
+            raise ConfigError("file input needs `paths` (or `path`)")
         fmt = spec.get("format", "parquet")
         if spec.get("codec"):
             # reference codec stack (internal/codec/reader.go:206):
@@ -194,6 +238,9 @@ def _build_input(spark: SparkSession, conf: dict,
         mapping = spec.get("mapping")
         return map_text(df, mapping) if mapping else df
     if kind == "broker":
+        if not spec.get("inputs"):
+            raise ConfigError("broker input needs at least one entry "
+                              "in `inputs`")
         dfs = [_build_input(spark, c, ctx) for c in spec["inputs"]]
         out = dfs[0]
         for d in dfs[1:]:
@@ -205,6 +252,8 @@ def _build_input(spark: SparkSession, conf: dict,
         # `condition` (structured schema) both compile to the same
         # windowed cut
         from benthos_spark.sources.files import read_until as _ru
+        if not spec.get("input"):
+            raise ConfigError("read_until needs a child `input`")
         inner = _build_input(spark, spec["input"], ctx)
         check = spec.get("check", spec.get("condition"))
         if isinstance(check, dict):
@@ -223,6 +272,9 @@ def _build_input(spark: SparkSession, conf: dict,
         # shuffle partitions the id space for free.
         from benthos_spark.operators.joins import sharded_join_merge
         from benthos_spark.sources.files import sequence as seq_input
+        if not spec.get("inputs"):
+            raise ConfigError("sequence input needs at least one entry "
+                              "in `inputs`")
         dfs = [_build_input(spark, c, ctx) for c in spec["inputs"]]
         out = seq_input(spark, dfs)
         sj = spec.get("sharded_join") or {}
@@ -262,14 +314,31 @@ def _build_input(spark: SparkSession, conf: dict,
         # time into a bounded frame (codec=lines); dev-tool path, the
         # `benthos -c` pipe-through use case
         import sys
-        lines = [(ln.rstrip("\n"),) for ln in sys.stdin]
+        try:
+            lines = [(ln.rstrip("\n"),) for ln in sys.stdin]
+        except (OSError, ValueError):
+            # closed/captured stdin (pytest capture, detached daemon):
+            # same as an immediately-EOF pipe
+            lines = []
         return spark.createDataFrame(lines, "content STRING")
     if kind == "socket":
         # socket/tcp input (lib/input/socket.go): Structured Streaming's
         # socket source — dev-mode only, like the reference's
+        host = spec.get("host", "127.0.0.1")
+        port = spec.get("port")
+        addr = str(spec.get("address", ""))
+        if port is None and ":" in addr:
+            host, _, port = addr.rpartition(":")
+        if port is None:
+            if str(spec.get("network", "")) == "unix" or addr:
+                raise ConfigError(
+                    "socket input: unix-domain sockets have no Spark "
+                    "socket source; use network tcp with host:port "
+                    "(or the socket_server input, which serves unix)")
+            raise ConfigError("socket input needs `port` (or `address`)")
         return (spark.readStream.format("socket")
-                .option("host", spec.get("host", "127.0.0.1"))
-                .option("port", int(spec["port"]))
+                .option("host", host)
+                .option("port", int(port))
                 .load().withColumnRenamed("value", "content"))
     if kind == "http_server":
         # http_server input (lib/input/http_server.go:41): POSTed
@@ -443,12 +512,14 @@ def _build_input(spark: SparkSession, conf: dict,
             spark, str(spec["url"]), count=int(spec.get("count", 1)),
             method=str(spec.get("verb", "GET")),
             headers=spec.get("headers"),
-            timeout_s=float(spec.get("timeout", 10)),
+            timeout_s=_duration_s(spec.get("timeout", 10)),
             codec=str(spec.get("codec", "all-bytes")))
     if kind == "subprocess":
         # subprocess input (lib/input/subprocess.go:24): run to
         # completion, stdout lines become parts
         from benthos_spark.sources.http_ingest import subprocess_input
+        if not spec.get("name"):
+            raise ConfigError("subprocess input needs a command `name`")
         return subprocess_input(spark, str(spec["name"]),
                                 args=spec.get("args"),
                                 codec=str(spec.get("codec", "lines")))
@@ -456,19 +527,76 @@ def _build_input(spark: SparkSession, conf: dict,
         # kafka input (lib/input/kafka.go:31): wrapper over the
         # spark-sql-kafka source; needs the package jar on the cluster
         from benthos_spark.sources.files import read_kafka
-        return read_kafka(
-            spark,
-            ",".join(spec["addresses"]) if isinstance(
-                spec.get("addresses"), list) else str(spec["addresses"]),
-            ",".join(spec["topics"]) if isinstance(
-                spec.get("topics"), list) else str(spec["topics"]),
-            starting_offsets=str(spec.get("starting_offsets", "earliest")),
-            streaming=bool(spec.get("stream", True)))
+        try:
+            return read_kafka(
+                spark,
+                ",".join(spec["addresses"]) if isinstance(
+                    spec.get("addresses"), list)
+                else str(spec["addresses"]),
+                ",".join(spec["topics"]) if isinstance(
+                    spec.get("topics"), list) else str(spec["topics"]),
+                starting_offsets=str(
+                    spec.get("starting_offsets", "earliest")),
+                streaming=bool(spec.get("stream", True)))
+        except Exception as e:
+            if "Failed to find data source" in str(e):
+                raise ConfigError(
+                    "kafka input: the spark-sql-kafka-0-10 connector "
+                    "jar is not installed in this environment; deploy "
+                    "with --packages org.apache.spark:spark-sql-"
+                    "kafka-0-10_2.13 (scale path)") from e
+            raise
+    if kind == "csv":
+        # csv input (lib/input/csv.go:24): native CSV scan; the
+        # reference's parse_header_row maps to Spark's header option
+        paths = spec.get("paths") or ([spec["path"]]
+                                      if spec.get("path") else None)
+        if not paths:
+            raise ConfigError("csv input needs `paths`")
+        return (spark.read
+                .option("header", bool(spec.get("parse_header_row", True)))
+                .option("sep", str(spec.get("delimiter", ",")))
+                .csv(list(paths)))
+    if kind == "resource":
+        # resource input (lib/input/resource.go): named input from
+        # resources.inputs
+        name = str(spec if not isinstance(spec, dict)
+                   else spec.get("resource", ""))
+        reg = (ctx or {}).get("input_resources") or {}
+        if name not in reg:
+            raise ConfigError(
+                f"input resource {name!r} not registered "
+                "(resources.inputs)")
+        return _build_input(spark, reg[name], ctx)
+    if kind == "inproc":
+        # inproc input (lib/input/inproc.go): in-process pipe by name —
+        # the registry is per-session (streams mode wires it)
+        name = str(spec if not isinstance(spec, dict)
+                   else spec.get("name", ""))
+        reg = (ctx or {}).get("inproc") or {}
+        if name not in reg:
+            raise ConfigError(
+                f"inproc pipe {name!r} has no registered producer "
+                "(streams-mode wiring)")
+        return reg[name]
+    if kind == "dynamic":
+        # dynamic input (lib/input/dynamic.go): runtime-swappable set;
+        # statically it compiles to a broker over the initial inputs
+        inputs = (spec.get("inputs") or {})
+        if not inputs:
+            raise ConfigError(
+                "dynamic input needs at least one initial entry in "
+                "`inputs` (runtime CRUD is a streams-mode surface)")
+        dfs = [_build_input(spark, c, ctx) for c in inputs.values()]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
     from benthos_spark.template import lookup_template
     if (tmpl := lookup_template("input", kind)) is not None:
         return _build_input(spark, tmpl.expand(spark, spec), ctx)
     raise ConfigError(f"unknown input type {kind!r} "
-                      "(supported: file, generate, broker)")
+                      "(see COVERAGE.md §2.3 for the registry)")
 
 
 # ---------------------------------------------------------------- processors
@@ -481,7 +609,14 @@ def _apply_processor(df: DataFrame, conf: Any,
 
     ctx = ctx or {}
     if isinstance(conf, dict) and len(conf) == 1:
+        # fast path: the overwhelmingly common one-key form.  Keep
+        # non-dict specs (filter takes a bare string) untouched.
         (kind, spec), = conf.items()
+    elif isinstance(conf, dict):
+        kind, spec = _section_component(conf, "processor")
+        if kind is None:
+            raise ConfigError(
+                f"processor: expected one component, got {conf!r}")
     else:
         raise ConfigError(f"processor: expected one component, got {conf!r}")
     spec = {} if spec is None else spec
@@ -982,10 +1117,12 @@ def _apply_processor(df: DataFrame, conf: Any,
 
 def _run_output(df: DataFrame, conf: dict | None):
     conf = conf or {"memory": {}}
-    if not isinstance(conf, dict) or len(conf) != 1:
+    if isinstance(conf, dict) and "batching" in conf:
+        conf = {k: v for k, v in conf.items() if k != "batching"}
+    kind, spec = _section_component(conf, "output")
+    if kind is None:
         raise ConfigError(f"output: expected one component, got {conf!r}")
-    (kind, spec), = conf.items()
-    spec = spec or {}
+    spec = spec if isinstance(spec, dict) else {}
     if kind == "memory":
         if df.isStreaming:
             name = spec.get("name", "stream_out")
@@ -1294,9 +1431,11 @@ def _build_stream_ctx(spark: SparkSession,
         # span lines; the jaeger agent protocol is out of reach
         # in-container, so that kind fails with the migration
         from benthos_spark.metrics import SpanTracer
-        (tkind, tspec), = tconf.items()
+        tkind, tspec = _section_component(tconf, "tracer")
         tspec = tspec or {}
-        if tkind == "jaeger":
+        if tkind == "none" or tkind is None:
+            pass  # lib/tracer/none.go — explicit no-op tracer
+        elif tkind == "jaeger":
             # agent protocol = compact-thrift emitBatch over UDP 6831;
             # hand-rolled encoder, no thrift client dependency
             from benthos_spark.jaeger_udp import JaegerUdpExporter
@@ -1339,9 +1478,11 @@ def _build_stream_ctx(spark: SparkSession,
         # accept it for config portability.  Anything else (disk-
         # backed v4 buffers etc.) WOULD change delivery guarantees:
         # reject loudly.
-        if list(buf) not in ([], ["none"], ["memory"]):
+        bkind = (_section_component(buf, "buffer")[0]
+                 if buf else None)
+        if bkind not in (None, "none", "memory"):
             raise ConfigError(
-                f"buffer {list(buf)}: the buffer layer is subsumed by "
+                f"buffer {bkind!r}: the buffer layer is subsumed by "
                 "Spark's scheduler/backpressure; `none` and `memory` "
                 "are accepted as no-ops")
     for proc in (conf.get("pipeline") or {}).get("processors", []):
@@ -1365,8 +1506,8 @@ def run_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     if server is None:
         if tracer is None:
             return _run_output(df, conf.get("output"))
-        okind = (next(iter(conf["output"])) if conf.get("output")
-                 else "memory")
+        okind = (_section_component(conf["output"], "output")[0]
+                 if conf.get("output") else "memory")
         with tracer.span(f"output:{okind}"):
             out = _run_output(df, conf.get("output"))
         tracer.flush()
