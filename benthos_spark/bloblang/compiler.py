@@ -53,21 +53,35 @@ class Scope:
     df: "DataFrame | None" = None      # input frame for compile-time
     #                                     schema (type-dispatched methods)
     dtype_cache: dict = dc_field(default_factory=dict)  # shared memo
+    named_dtypes: dict = dc_field(default_factory=dict)  # lambda elem types
+    override_dtype: object = None      # dtype of this_override (bare form)
+    var_dtypes: dict = dc_field(default_factory=dict)    # $var dtypes
 
     def child(self, this_override: Column | None = None,
-              named: dict[str, Column] | None = None) -> "Scope":
+              named: dict[str, Column] | None = None,
+              named_dtypes: dict | None = None,
+              override_dtype=None) -> "Scope":
         return Scope(self.this_col, self.root_fields, self.variables,
                      this_override if this_override is not None
                      else self.this_override,
                      named or self.named_bindings,
                      self.maps, self.applying, self.df,
-                     self.dtype_cache)
+                     self.dtype_cache,
+                     named_dtypes if named_dtypes is not None
+                     else self.named_dtypes,
+                     override_dtype if override_dtype is not None
+                     else (self.override_dtype
+                           if this_override is None else None),
+                     self.var_dtypes)
 
 
 def _walk_schema(dt, path: list[str]):
     """Walk a dot path through a known dtype; None = fell off."""
     from pyspark.sql import types as T
     for seg in path:
+        if isinstance(dt, T.ArrayType) and seg.lstrip("-").isdigit():
+            dt = dt.elementType
+            continue
         if isinstance(dt, T.StructType):
             names = {f.name: f.dataType for f in dt.fields}
             if seg not in names:
@@ -115,9 +129,17 @@ def _node_dtype(node, scope: Scope):
     small signature table.  None = unknown → callers fall back to the
     shape heuristics that predate schema dispatch."""
     from pyspark.sql import types as T
-    if scope.named_bindings or scope.this_override is not None:
-        return None  # lambda-bound context: not walkable
     if isinstance(node, ast.Context):
+        if node.path and node.path[0] in scope.named_dtypes:
+            base = scope.named_dtypes[node.path[0]]
+            return None if base is None \
+                else _walk_schema(base, node.path[1:])
+        if scope.this_override is not None:
+            return (None if scope.override_dtype is None
+                    else _walk_schema(scope.override_dtype, node.path))
+        if scope.named_bindings and node.path \
+                and node.path[0] in scope.named_bindings:
+            return None  # bound but dtype unknown
         if scope.this_col is not None:
             base = _this_dtype(scope)
             return None if base is None else _walk_schema(base, node.path)
@@ -127,6 +149,18 @@ def _node_dtype(node, scope: Scope):
         if node.path[0] not in names:
             return None
         return _walk_schema(names[node.path[0]], node.path[1:])
+    if isinstance(node, ast.VarRef):
+        return scope.var_dtypes.get(node.name)
+    if isinstance(node, ast.FuncCall) and node.name == "json":
+        base = (_this_dtype(scope) if scope.this_col is not None
+                else None)
+        if base is None:
+            return None
+        if not node.args:
+            return base
+        if isinstance(node.args[0], ast.Literal):
+            return _walk_schema(base, str(node.args[0].value).split("."))
+        return None
     if isinstance(node, ast.FieldAccess):
         base = _node_dtype(node.target, scope)
         return None if base is None else _walk_schema(base, [node.name])
@@ -140,6 +174,16 @@ def _node_dtype(node, scope: Scope):
             return T.DoubleType()
         if isinstance(v, str):
             return T.StringType()
+        return None
+    if isinstance(node, ast.Binary):
+        if node.op in ("==", "!=", ">", "<", ">=", "<=", "&&", "||"):
+            return T.BooleanType()
+        if node.op in ("+", "|"):
+            lt = _node_dtype(node.left, scope)
+            rt = _node_dtype(node.right, scope)
+            if isinstance(lt, T.StringType) or isinstance(rt,
+                                                          T.StringType):
+                return T.StringType()
         return None
     if isinstance(node, ast.Method):
         m = node.name
@@ -160,6 +204,9 @@ def _node_dtype(node, scope: Scope):
             return T.ArrayType(T.StringType())
         if m in _TYPE_PRESERVING_METHODS:
             return _node_dtype(node.target, scope)
+        if m == "from_all":
+            base = _node_dtype(node.target, scope)
+            return None if base is None else T.ArrayType(base)
         return None
     return None
 
@@ -214,13 +261,14 @@ def _dtype(col: Column, scope: Scope, node=None):
 
 def _struct_as_map(col: Column, dt) -> Column:
     """StructType value → map<string, V> (JSON objects land as structs
-    under schema inference; object methods need map semantics).  Field
-    types must coerce to a common V — heterogeneous objects stay
-    structs and each method's struct branch handles them."""
-    from pyspark.sql import types as T
+    under schema inference; object methods need map semantics).
+    Heterogeneous field types unify on their string form — the
+    dynamic-document doctrine's lowest common denominator."""
+    uniform = len({f.dataType.simpleString() for f in dt.fields}) <= 1
     names = F.array(*[F.lit(f.name) for f in dt.fields])
-    vals = F.array(*[col[f.name] for f in dt.fields])
-    _ = T
+    vals = F.array(*[(col[f.name] if uniform
+                      else col[f.name].cast("string"))
+                     for f in dt.fields])
     return F.map_from_arrays(names, vals)
 
 
@@ -266,17 +314,61 @@ def _is_deleted_call(node) -> bool:
     return isinstance(node, ast.FuncCall) and node.name == "deleted"
 
 
-def _deleted_filter_branches(ife):
-    """`if c { deleted() } else { v }` (or the mirror image) inside a
-    map_each lambda → (keep-condition node, value node); None when the
-    shape is anything else."""
-    if len(ife.branches) != 1 or ife.otherwise is None:
-        return None
-    cond, val = ife.branches[0]
-    if _is_deleted_call(val) and not _is_deleted_call(ife.otherwise):
-        return ast.Unary("!", cond), ife.otherwise
-    if _is_deleted_call(ife.otherwise) and not _is_deleted_call(val):
-        return cond, val
+def _deleted_filter_branches(node):
+    """An if/match expression that yields deleted() on some branches
+    (the element-drop idiom inside map_each, methods_structured.go:759)
+    → (keep-condition node, value node); None when no branch deletes.
+
+    keep = the same expression with every branch value replaced by a
+    True/False literal (deleted → False); value = the expression with
+    deleted branches nulled (they're filtered before the transform)."""
+    def has_deleted(v):
+        if _is_deleted_call(v):
+            return True
+        if isinstance(v, (ast.IfExpr, ast.MatchExpr)):
+            return _deleted_filter_branches(v) is not None
+        return False
+
+    def booled(v):
+        if _is_deleted_call(v):
+            return ast.Literal(False)
+        if isinstance(v, (ast.IfExpr, ast.MatchExpr)):
+            nested = _deleted_filter_branches(v)
+            if nested is not None:
+                return nested[0]  # nested keep-condition
+        return ast.Literal(True)
+
+    def nulled(v):
+        if _is_deleted_call(v):
+            return ast.Literal(None)
+        if isinstance(v, (ast.IfExpr, ast.MatchExpr)):
+            nested = _deleted_filter_branches(v)
+            if nested is not None:
+                return nested[1]  # nested value expression
+        return v
+
+    if isinstance(node, ast.IfExpr):
+        vals = [v for _, v in node.branches] + (
+            [node.otherwise] if node.otherwise is not None else [])
+        if not any(has_deleted(v) for v in vals):
+            return None
+        keep = ast.IfExpr([(c, booled(v)) for c, v in node.branches],
+                          booled(node.otherwise)
+                          if node.otherwise is not None
+                          else ast.Literal(True))
+        val = ast.IfExpr([(c, nulled(v)) for c, v in node.branches],
+                         nulled(node.otherwise)
+                         if node.otherwise is not None else None)
+        return keep, val
+    if isinstance(node, ast.MatchExpr):
+        vals = [v for _, v in node.cases]
+        if not any(has_deleted(v) for v in vals):
+            return None
+        keep = ast.MatchExpr(node.subject,
+                             [(c, booled(v)) for c, v in node.cases])
+        val = ast.MatchExpr(node.subject,
+                            [(c, nulled(v)) for c, v in node.cases])
+        return keep, val
     return None
 
 
@@ -305,7 +397,12 @@ def _bloblang_type_name(dt) -> str | None:
 
 
 def _dig(col: Column, path: list[str]) -> Column:
-    return reduce(lambda c, seg: c[seg], path, col)
+    def step(c, seg):
+        if seg.lstrip("-").isdigit():
+            i = int(seg)  # gabs `.0` array-index segment
+            return F.element_at(c, i + 1 if i >= 0 else i)
+        return c[seg]
+    return reduce(step, path, col)
 
 
 def _resolve_this(scope: Scope, path: list[str]) -> Column:
@@ -362,6 +459,20 @@ def _lit(value) -> Column:
     return F.lit(value)
 
 
+def _literal_item(node: ast.Node, scope: Scope):
+    """Compile an array/object literal member; deleted() branches
+    become null (dropped at serialization / compacted in arrays).
+    Returns (column, had_droppable_branch)."""
+    stripped = _deleted_filter_branches(node) \
+        if isinstance(node, (ast.IfExpr, ast.MatchExpr)) else None
+    if stripped is not None:
+        _, nulled = stripped
+        return _compile(nulled, scope), True
+    if isinstance(node, ast.IfExpr) and node.otherwise is None:
+        return _compile(node, scope), True  # else-less if → Nothing
+    return _compile(node, scope), False
+
+
 def _lit_arg(node: ast.Node, what: str):
     """Extract a python literal argument (parse-time constant, like the
     reference's function args)."""
@@ -387,12 +498,25 @@ def _compile(node: ast.Node, scope: Scope):
     if isinstance(node, ast.Literal):
         return _lit(node.value)
     if isinstance(node, ast.ArrayLit):
-        return F.array(*[compile_expr(i, scope) for i in node.items])
+        # deleted()/else-less-if items are omitted from array literals
+        # (query_literal_parser.go — Nothing results are dropped);
+        # compile them to null and compact
+        cols, drop_any = [], False
+        for i in node.items:
+            c, dropped = _literal_item(i, scope)
+            drop_any = drop_any or dropped
+            cols.append(c)
+        arr = F.array(*cols)
+        return F.array_compact(arr) if drop_any else arr
     if isinstance(node, ast.ObjectLit):
         if all(isinstance(k, ast.Literal) for k, _ in node.entries):
+            # deleted()/else-less-if values compile to null; the JSON
+            # serialization omits null fields, matching the
+            # reference's Nothing-field omission
             fields = []
             for k, v in node.entries:
-                fields.append(compile_expr(v, scope).alias(str(k.value)))
+                c, _ = _literal_item(v, scope)
+                fields.append(c.alias(str(k.value)))
             return F.struct(*fields)
         # dynamic keys (query_literal_parser.go:59 — key may be any
         # query): a MAP column. Spark maps need one value type, so
@@ -428,7 +552,7 @@ def _compile(node: ast.Node, scope: Scope):
         return _compile_method(node, scope)
     if isinstance(node, ast.FieldAccess):
         target = compile_expr(node.target, scope)
-        return target[node.name]
+        return _dig(target, [node.name])
     raise BloblangCompileError(f"cannot compile node {node!r}")
 
 
@@ -582,8 +706,10 @@ def _compile_func(node: ast.FuncCall, scope: Scope):
         import socket
         return F.lit(socket.gethostname())
     if name == "env":
+        # functions.go env: unset variables resolve to "" (not null)
         import os
-        return F.lit(os.environ.get(str(_lit_arg(args[0], "env var"))))
+        return F.lit(os.environ.get(str(_lit_arg(args[0], "env var")),
+                                    ""))
     if name == "random_int":
         seed = _lit_arg(args[0], "random_int seed") if args else 0
         return (F.rand(int(seed)) * (2 ** 31 - 1)).cast("long")
@@ -666,15 +792,27 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     def arg_lit(i, what="argument"):
         return _lit_arg(args[i], f".{name}() {what}")
 
-    def bind_elem(node, x):
+    def _elem_dt():
+        from pyspark.sql import types as T
+        tdt = _dtype(target, scope, node.target)
+        return tdt.elementType if isinstance(tdt, T.ArrayType) else None
+
+    def bind_elem(lnode, x):
         """Compile a lambda-position argument against element `x`:
         `name -> body` binds the name (outer `this` stays visible);
-        the bare form rebinds `this` to the element."""
-        if isinstance(node, ast.Lambda):
+        the bare form rebinds `this` to the element.  The element's
+        dtype rides along so schema-dispatched methods keep working
+        inside lambdas."""
+        if isinstance(lnode, ast.Lambda):
             named = dict(scope.named_bindings)
-            named[node.param] = x
-            return compile_expr(node.body, scope.child(named=named))
-        return compile_expr(node, scope.child(this_override=x))
+            named[lnode.param] = x
+            ndt = dict(scope.named_dtypes)
+            ndt[lnode.param] = _elem_dt()
+            return compile_expr(lnode.body,
+                                scope.child(named=named,
+                                            named_dtypes=ndt))
+        return compile_expr(lnode, scope.child(
+            this_override=x, override_dtype=_elem_dt()))
 
     def lam1(i):
         """Element lambda for args[i] (either syntax form)."""
@@ -1207,21 +1345,21 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
                 pair = F.struct(k.alias("key"), v.alias("value"))
                 return bind_elem(args[0], pair)
             return F.transform_values(as_map, pair_val)
-        # `if cond { deleted() } else { expr }` inside the lambda means
-        # filter-then-map (methods_structured.go:759 example)
+        # deleted() on an if/match branch inside the lambda (either
+        # syntax form) means filter-then-map (methods_structured.go:759)
         lam = args[0]
-        if isinstance(lam, ast.Lambda) and isinstance(lam.body, ast.IfExpr):
-            branches = _deleted_filter_branches(lam.body)
-            if branches is not None:
-                keep_cond, value_expr = branches
-                kept = F.filter(
-                    target,
-                    lambda x: bind_elem(
-                        ast.Lambda(lam.param, keep_cond), x))
-                return F.transform(
-                    kept,
-                    lambda x: bind_elem(
-                        ast.Lambda(lam.param, value_expr), x))
+        body = lam.body if isinstance(lam, ast.Lambda) else lam
+        branches = _deleted_filter_branches(body)
+        if branches is not None:
+            keep_cond, value_expr = branches
+
+            def rebind(expr_node):
+                if isinstance(lam, ast.Lambda):
+                    return lambda x: bind_elem(
+                        ast.Lambda(lam.param, expr_node), x)
+                return lambda x: bind_elem(expr_node, x)
+            kept = F.filter(target, rebind(keep_cond))
+            return F.transform(kept, rebind(value_expr))
         return F.transform(target, lam1(0))
     if name == "map_each_key":
         from pyspark.sql import types as T
@@ -1236,19 +1374,21 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         dt, do = _dtype(target, scope, node.target), _dtype(other, scope, args[0])
         if isinstance(dt, T.StructType) and isinstance(do, T.StructType):
             # static struct merge: collisions become arrays
-            # (methods_structured.go:900 — append semantics)
-            fields = []
+            # (methods_structured.go:900 — append semantics); fields
+            # sorted by name like Go's map marshalling
+            fields = {}
             rnames = {f.name for f in do.fields}
             for f in dt.fields:
                 if f.name in rnames:
-                    fields.append(F.array(target[f.name],
-                                          other[f.name]).alias(f.name))
+                    fields[f.name] = F.array(target[f.name],
+                                             other[f.name])
                 else:
-                    fields.append(target[f.name].alias(f.name))
+                    fields[f.name] = target[f.name]
             for f in do.fields:
-                if f.name not in {x.name for x in dt.fields}:
-                    fields.append(other[f.name].alias(f.name))
-            return F.struct(*fields)
+                if f.name not in fields:
+                    fields[f.name] = other[f.name]
+            return F.struct(*[fields[n].alias(n)
+                              for n in sorted(fields)])
         return F.map_concat(
             F.map_filter(target,
                          lambda k, _: ~F.array_contains(F.map_keys(other), k)),
@@ -1303,9 +1443,20 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
                 for f in idt.fields])
         return F.transform(inner, lambda x: target.withField(path, x))
     if name == "from_all":
-        raise BloblangCompileError(
-            ".from_all(): cross-part reads map to window/collect_list "
-            "over batch_id — use operators.batch helpers (documented)")
+        # .from_all() (query/methods.go): the target evaluated for
+        # every part of the batch → array.  Window collect_list over
+        # batch_id in part order — no shuffle beyond the batch key the
+        # frame already carries.
+        from pyspark.sql.window import Window
+        if scope.df is None or "batch_id" not in scope.df.columns:
+            raise BloblangCompileError(
+                ".from_all(): needs the message shape (batch_id/"
+                "part_index columns) — cross-part reads are windows "
+                "over the batch key")
+        w = (Window.partitionBy("batch_id").orderBy("part_index")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+        return F.collect_list(target).over(w)
     if name == "json_schema":
         # methods_structured.go:592: pass the value through when it
         # validates, error otherwise.  Validation runs in an Arrow
@@ -1472,6 +1623,11 @@ class MappingExec:
                 continue
             if isinstance(stmt, ast.LetAssign):
                 scope.variables[stmt.name] = compile_expr(stmt.value, scope)
+                # one analysis per `let` at most (memoized): variables
+                # feed later schema dispatch
+                scope.var_dtypes[stmt.name] = (
+                    _dtype(scope.variables[stmt.name], scope, stmt.value)
+                    or _dtype(scope.variables[stmt.name], scope))
             elif isinstance(stmt, ast.MetaAssign):
                 meta_updates.append(
                     (stmt.key, compile_expr(stmt.value, scope)))
@@ -1486,8 +1642,16 @@ class MappingExec:
                     if isinstance(value, str) and value == "__identity__":
                         identity_base = True
                         scope.root_fields.clear()
-                        for c in df.columns:
-                            scope.root_fields[c] = F.col(c)
+                        tdt = _this_dtype(scope)
+                        if tdt is not None and hasattr(tdt, "fields"):
+                            # document mode: identity = the parsed
+                            # document's fields, not the frame columns
+                            for f in tdt.fields:
+                                scope.root_fields[f.name] = \
+                                    this[f.name]
+                        else:
+                            for c in df.columns:
+                                scope.root_fields[c] = F.col(c)
                     else:
                         # whole-document `root = <expr>`: expand when
                         # the expression is struct-typed at compile
@@ -1502,19 +1666,37 @@ class MappingExec:
                             scope.root_fields.clear()
                             for f in dt.fields:
                                 scope.root_fields[f.name] = value[f.name]
+                        elif dt is not None:
+                            # scalar/array root: single `root` column
+                            # (serialization layers emit it as the
+                            # whole document body)
+                            scope.root_fields.clear()
+                            scope.root_fields["root"] = value
                         else:
                             raise BloblangCompileError(
                                 "whole-document `root = <expr>` supports "
-                                "`this` (identity) and object-typed "
+                                "`this` (identity) and typed "
                                 "expressions; assign fields explicitly "
-                                "for scalar roots")
+                                "when the root type can't be inferred")
                 else:
                     tree = scope.root_fields
-                    for seg in stmt.path[:-1]:
-                        tree = tree.setdefault(seg, {})
-                        if isinstance(tree, Column):
-                            raise BloblangCompileError(
-                                f"root.{'.'.join(stmt.path)} under a non-object")
+                    for i, seg in enumerate(stmt.path[:-1]):
+                        nxt = tree.setdefault(seg, {})
+                        if isinstance(nxt, Column):
+                            # assigning under an existing struct column
+                            # (identity base): expand its fields into a
+                            # mutable subtree via the known schema
+                            from pyspark.sql import types as T
+                            dt = _dtype(nxt, scope)
+                            if isinstance(dt, T.StructType):
+                                nxt = {f.name: nxt[f.name]
+                                       for f in dt.fields}
+                                tree[seg] = nxt
+                            else:
+                                raise BloblangCompileError(
+                                    f"root.{'.'.join(stmt.path)} under "
+                                    "a non-object")
+                        tree = nxt
                     if value is _DELETED_FIELD:
                         tree.pop(stmt.path[-1], None)
                     else:
@@ -1522,9 +1704,6 @@ class MappingExec:
             else:  # pragma: no cover
                 raise BloblangCompileError(f"unknown statement {stmt!r}")
 
-        out = df
-        if drop_cond is not None:
-            out = out.filter(~F.coalesce(drop_cond, F.lit(False)))
         cols = [F.col(k) for k in keep
                 if k in df.columns and k not in scope.root_fields]
         for name, val in scope.root_fields.items():
@@ -1536,7 +1715,16 @@ class MappingExec:
             # meta updates ride along as extra output columns in row mode
             cols.append(val.cast("string").alias(f"meta_{key or 'root'}"))
         _ = identity_base
-        return out.select(*cols)
+        if drop_cond is not None:
+            # project FIRST, then filter: assignments (incl. cross-part
+            # windows like .from_all()) see the whole batch before any
+            # deleted() rows leave it — the reference evaluates every
+            # statement against the full batch too
+            keep_col = ~F.coalesce(drop_cond, F.lit(False))
+            return (df.select(*cols, keep_col.alias("__bl_keep__"))
+                      .filter(F.col("__bl_keep__"))
+                      .drop("__bl_keep__"))
+        return df.select(*cols)
 
     def _root_value(self, stmt: ast.RootAssign, scope: Scope,
                     df: DataFrame, this: Column | None):
@@ -1550,6 +1738,14 @@ class MappingExec:
             return None, _DELETED_FIELD
         if isinstance(node, ast.Context) and not node.path and not stmt.path:
             return None, "__identity__"
+        if isinstance(node, ast.MatchExpr) and node.subject is None \
+                and not stmt.path \
+                and any(_is_deleted_call(v) for _, v in node.cases):
+            # `root = match { cond => deleted() }` — the bare-match
+            # filter form; rewrite to the equivalent if-chain
+            node = ast.IfExpr(
+                [(c if c is not None else ast.Literal(True), v)
+                 for c, v in node.cases], None)
         if isinstance(node, ast.IfExpr) and not stmt.path:
             # if cond { deleted() } else { this } — filter pattern
             drop = None

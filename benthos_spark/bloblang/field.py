@@ -18,8 +18,13 @@ from pyspark.sql import functions as F
 _INTERP = re.compile(r"\$\{!\s*(.*?)\s*\}")
 
 
-def interpolate(template: str) -> Column:
-    """Compile an interpolated field to a Column."""
+def interpolate(template: str, this: Column | None = None,
+                df=None) -> Column:
+    """Compile an interpolated field to a Column.
+
+    ``this`` (optional) binds the document context so `json(...)` /
+    `this.x` inside the query read the parsed payload rather than
+    top-level columns; ``df`` enables compile-time schema dispatch."""
     from benthos_spark.bloblang.compiler import Scope, compile_expr
     from benthos_spark.bloblang.parser import parse_query
 
@@ -29,7 +34,8 @@ def interpolate(template: str) -> Column:
         if m.start() > pos:
             parts.append(F.lit(template[pos:m.start()]))
         node = parse_query(m.group(1))
-        col = compile_expr(node, Scope(this_col=None, root_fields={}))
+        col = compile_expr(node, Scope(this_col=this, root_fields={},
+                                       df=df))
         parts.append(col.cast("string"))
         pos = m.end()
     if pos == 0:

@@ -1,0 +1,432 @@
+"""Dynamic-document Bloblang evaluator — the content-doctrine fallback.
+
+The compiler (compiler.py) is the fast path: mappings become Column
+expressions over typed frames.  The v3 legacy processors (`json`,
+`text`) and their interpolated fields operate on arbitrary per-message
+JSON where one batch can hold conflicting shapes — schema inference
+would mangle them.  This module interprets a *parsed query AST*
+directly over a Python document, Arrow-batched by the caller, covering
+the expression subset those surfaces use: paths, literals, arithmetic/
+comparison/boolean/coalesce operators, if/match, common methods, and
+the json/meta/content functions.
+
+Reference: internal/bloblang/query/ (Exec semantics); clean-room
+interpretation of the same public grammar the compiler handles.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import math
+import re
+
+from benthos_spark.bloblang import ast
+from benthos_spark.bloblang.parser import parse_query
+
+
+class EvalError(ValueError):
+    pass
+
+
+_MISSING = object()
+
+
+def _dig(doc, path):
+    cur = doc
+    for seg in path:
+        if isinstance(cur, dict):
+            if seg not in cur:
+                return _MISSING
+            cur = cur[seg]
+        elif isinstance(cur, list) and seg.lstrip("-").isdigit():
+            i = int(seg)
+            if -len(cur) <= i < len(cur):
+                cur = cur[i]
+            else:
+                return _MISSING
+        else:
+            return _MISSING
+    return cur
+
+
+def _num(v):
+    if isinstance(v, bool):
+        raise EvalError("bool in numeric op")
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        try:
+            f = float(v)
+            return int(f) if f.is_integer() and "." not in v else f
+        except ValueError as e:
+            raise EvalError(f"not a number: {v!r}") from e
+    raise EvalError(f"not a number: {v!r}")
+
+
+def _truthy_pair(op, left, right):
+    ln, rn = _num(left), _num(right)
+    if op == "+":
+        if isinstance(left, str) or isinstance(right, str):
+            # string concat wins when either side is a string literal
+            if isinstance(left, str) and isinstance(right, str):
+                return left + right
+        return ln + rn
+    if op == "-":
+        return ln - rn
+    if op == "*":
+        return ln * rn
+    if op == "/":
+        return ln / rn
+    if op == "%":
+        return ln % rn
+    raise EvalError(f"op {op}")
+
+
+class Interp:
+    """Evaluate query ASTs against one document (+ metadata)."""
+
+    def __init__(self, doc, meta=None, content=None):
+        self.doc = doc
+        self.meta = meta or {}
+        self.content = content
+        self.vars: dict = {}
+
+    # -- entry points ------------------------------------------------
+    def eval(self, node):
+        v = self._eval(node)
+        return None if v is _MISSING else v
+
+    # -- core --------------------------------------------------------
+    def _eval(self, node):
+        if isinstance(node, ast.Literal):
+            return node.value
+        if isinstance(node, ast.Context):
+            if node.path and node.path[0] in self.vars:
+                return _dig({node.path[0]: self.vars[node.path[0]]},
+                            node.path)
+            return _dig(self.doc, node.path) if node.path else self.doc
+        if isinstance(node, ast.VarRef):
+            if node.name not in self.vars:
+                raise EvalError(f"unknown variable ${node.name}")
+            return self.vars[node.name]
+        if isinstance(node, ast.FieldAccess):
+            base = self._eval(node.target)
+            if base is _MISSING or base is None:
+                return _MISSING
+            return _dig(base, [node.name])
+        if isinstance(node, ast.ArrayLit):
+            out = []
+            for i in node.items:
+                v = self._eval(i)
+                if v is not _MISSING:
+                    out.append(v)
+            return out
+        if isinstance(node, ast.ObjectLit):
+            out = {}
+            for k, v in node.entries:
+                key = self._eval(k) if not isinstance(k, ast.Literal) \
+                    else k.value
+                val = self._eval(v)
+                if val is not _MISSING:
+                    out[str(key)] = val
+            return out
+        if isinstance(node, ast.Unary):
+            v = self._eval(node.operand)
+            return (not bool(v)) if node.op == "!" else -_num(v)
+        if isinstance(node, ast.Binary):
+            return self._binary(node)
+        if isinstance(node, ast.IfExpr):
+            for cond, val in node.branches:
+                if self._bool(self._eval(cond)):
+                    return self._eval(val)
+            return self._eval(node.otherwise) \
+                if node.otherwise is not None else _MISSING
+        if isinstance(node, ast.MatchExpr):
+            subject = (self._eval(node.subject)
+                       if node.subject is not None else self.doc)
+            saved = self.doc
+            try:
+                self.doc = subject
+                for case, val in node.cases:
+                    if case is None:
+                        return self._eval(val)
+                    cv = self._eval(case)
+                    hit = (cv is True if isinstance(cv, bool)
+                           else cv == subject)
+                    if hit:
+                        return self._eval(val)
+            finally:
+                self.doc = saved
+            return _MISSING
+        if isinstance(node, ast.FuncCall):
+            return self._func(node)
+        if isinstance(node, ast.Method):
+            return self._method(node)
+        raise EvalError(f"cannot interpret node {type(node).__name__}")
+
+    def _bool(self, v):
+        if v is _MISSING or v is None:
+            raise EvalError("null/missing used as condition")
+        return bool(v)
+
+    def _binary(self, node):
+        op = node.op
+        if op == "|":
+            left = self._eval(node.left)
+            if left is _MISSING or left is None:
+                return self._eval(node.right)
+            return left
+        if op == "&&":
+            return self._bool(self._eval(node.left)) \
+                and self._bool(self._eval(node.right))
+        if op == "||":
+            return self._bool(self._eval(node.left)) \
+                or self._bool(self._eval(node.right))
+        left = self._eval(node.left)
+        right = self._eval(node.right)
+        if op in ("==", "!="):
+            def norm(v):
+                if v is _MISSING:
+                    return None
+                if isinstance(v, bool):
+                    return v
+                if isinstance(v, (int, float)):
+                    return float(v)
+                return v
+            eq = norm(left) == norm(right)
+            return eq if op == "==" else not eq
+        if left is _MISSING or right is _MISSING:
+            raise EvalError("missing operand")
+        if op in (">", "<", ">=", "<="):
+            ln, rn = _num(left), _num(right)
+            return {"<": ln < rn, ">": ln > rn,
+                    "<=": ln <= rn, ">=": ln >= rn}[op]
+        if op == "+" and isinstance(left, str) and isinstance(right, str):
+            return left + right
+        return _truthy_pair(op, left, right)
+
+    # -- functions ---------------------------------------------------
+    def _func(self, node):
+        name = node.name
+        args = [self.eval(a) for a in node.args]
+        if name == "json":
+            doc = self.doc
+            if args:
+                return _dig(doc, str(args[0]).split("."))
+            return doc
+        if name in ("meta", "metadata", "root_meta"):
+            if args:
+                return self.meta.get(str(args[0]))
+            return dict(self.meta)
+        if name == "content":
+            return self.content if self.content is not None \
+                else _json.dumps(self.doc, separators=(",", ":"),
+                                 sort_keys=True)
+        if name == "env":
+            import os
+            return os.environ.get(str(args[0]), "")
+        if name == "error":
+            return None
+        if name == "errored":
+            return False
+        if name == "throw":
+            raise EvalError(str(args[0]))
+        raise EvalError(f"function {name}() not interpretable "
+                        "(dynamic-document subset)")
+
+    # -- methods -----------------------------------------------------
+    def _method(self, node):
+        name = node.name
+        target = self._eval(node.target)
+
+        def arg(i, default=None):
+            if i < len(node.args):
+                return self.eval(node.args[i])
+            return default
+
+        if name == "catch":
+            try:
+                t = self._eval(node.target)
+                if t is _MISSING:
+                    raise EvalError("missing")
+                return t
+            except EvalError:
+                return arg(0)
+        if target is _MISSING:
+            if name == "or":
+                return arg(0)
+            if name == "exists":
+                return False
+            raise EvalError(f".{name}() on a missing value")
+        if name == "or":
+            return target if target is not None else arg(0)
+        if name == "number":
+            try:
+                return _num(target)
+            except EvalError:
+                if node.args:
+                    return arg(0)
+                raise
+        if name == "string":
+            if isinstance(target, str):
+                return target
+            return _json.dumps(target, separators=(",", ":"),
+                               sort_keys=True)
+        if name == "bool":
+            return bool(target)
+        if name == "uppercase":
+            return str(target).upper()
+        if name == "lowercase":
+            return str(target).lower()
+        if name == "capitalize":
+            return str(target).capitalize()
+        if name == "trim":
+            return str(target).strip(str(arg(0))) if node.args \
+                else str(target).strip()
+        if name == "trim_space":
+            return str(target).strip()
+        if name == "length":
+            return len(target)
+        if name == "split":
+            return str(target).split(str(arg(0)))
+        if name == "join":
+            sep = str(arg(0, ""))
+            return sep.join(str(x) for x in target)
+        if name == "contains":
+            if isinstance(target, str):
+                return str(arg(0)) in target
+            if isinstance(target, dict):
+                return arg(0) in target.values()
+            return arg(0) in target
+        if name == "replace":
+            return str(target).replace(str(arg(0)), str(arg(1)))
+        if name == "re_replace":
+            return re.sub(str(arg(0)), str(arg(1)), str(target))
+        if name == "re_match":
+            return re.search(str(arg(0)), str(target)) is not None
+        if name == "slice":
+            lo = int(arg(0, 0))
+            hi = arg(1)
+            return target[lo:int(hi)] if hi is not None else target[lo:]
+        if name == "index":
+            i = int(arg(0, 0))
+            return target[i]
+        if name == "keys":
+            return sorted(target.keys())
+        if name == "values":
+            return list(target.values())
+        if name == "sum":
+            return sum(_num(x) for x in target)
+        if name == "floor":
+            return math.floor(_num(target))
+        if name == "ceil":
+            return math.ceil(_num(target))
+        if name == "round":
+            return round(_num(target))
+        if name == "abs":
+            return abs(_num(target))
+        if name == "type":
+            if target is None:
+                return "null"
+            if isinstance(target, bool):
+                return "bool"
+            if isinstance(target, (int, float)):
+                return "number"
+            if isinstance(target, str):
+                return "string"
+            if isinstance(target, list):
+                return "array"
+            return "object"
+        if name == "exists":
+            return _dig(target, str(arg(0)).split(".")) is not _MISSING
+        if name == "get":
+            got = _dig(target, str(arg(0)).split("."))
+            return None if got is _MISSING else got
+        if name == "parse_json":
+            return _json.loads(str(target))
+        if name == "format_json" or name == "string_json":
+            return _json.dumps(target, separators=(",", ":"),
+                               sort_keys=True)
+        if name == "uppercase_first":
+            s = str(target)
+            return s[:1].upper() + s[1:]
+        if name == "map_each":
+            lam = node.args[0]
+            out = []
+            for item in target:
+                out.append(self._eval_bound(lam, item))
+            return [x for x in out if x is not _MISSING]
+        if name == "filter":
+            lam = node.args[0]
+            return [item for item in target
+                    if self._bool(self._eval_bound(lam, item))]
+        if name == "sort":
+            return sorted(target)
+        if name == "unique":
+            seen, out = set(), []
+            for x in target:
+                k = _json.dumps(x, sort_keys=True, default=str)
+                if k not in seen:
+                    seen.add(k)
+                    out.append(x)
+            return out
+        raise EvalError(f".{name}() not interpretable "
+                        "(dynamic-document subset)")
+
+    def _eval_bound(self, lam, item):
+        if isinstance(lam, ast.Lambda):
+            saved = self.vars.get(lam.param, _MISSING)
+            self.vars[lam.param] = item
+            try:
+                return self._eval(lam.body)
+            finally:
+                if saved is _MISSING:
+                    self.vars.pop(lam.param, None)
+                else:
+                    self.vars[lam.param] = saved
+        saved_doc = self.doc
+        try:
+            self.doc = item
+            return self._eval(lam)
+        finally:
+            self.doc = saved_doc
+
+
+_INTERP_RE = re.compile(r"\$\{!\s*(.*?)\s*\}")
+
+
+def compile_template(template: str):
+    """Pre-parse an interpolated template → callable(doc, meta,
+    content) -> str.  Mirrors field.interpolate for the dynamic
+    kernel."""
+    parts: list = []
+    pos = 0
+    for m in _INTERP_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(template[pos:m.start()])
+        parts.append(parse_query(m.group(1)))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(template[pos:])
+
+    def render(doc, meta=None, content=None) -> str:
+        out = []
+        for p in parts:
+            if isinstance(p, str):
+                out.append(p)
+                continue
+            v = Interp(doc, meta, content).eval(p)
+            if v is None:
+                out.append("null")
+            elif isinstance(v, bool):
+                out.append("true" if v else "false")
+            elif isinstance(v, float) and v.is_integer():
+                out.append(str(int(v)))
+            elif isinstance(v, (dict, list)):
+                out.append(_json.dumps(v, separators=(",", ":"),
+                                       sort_keys=True))
+            else:
+                out.append(str(v))
+        return "".join(out)
+
+    return render

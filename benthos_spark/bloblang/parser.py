@@ -91,6 +91,24 @@ def _tokenize(src: str) -> list[_Tok]:
     return toks
 
 
+def _rebase_coalesce(target, inner):
+    """`x.(a | b)`: rebase each coalesce alternative onto the target
+    path (`x.a | x.b`); non-path operands stay as written."""
+    from benthos_spark.bloblang import ast as _ast
+    if isinstance(inner, _ast.Binary) and inner.op == "|":
+        return _ast.Binary("|", _rebase_coalesce(target, inner.left),
+                           _rebase_coalesce(target, inner.right))
+    if isinstance(inner, _ast.Context):
+        node = target
+        for seg in inner.path:
+            node = _ast.FieldAccess(node, seg)
+        return node
+    if isinstance(inner, _ast.FieldAccess):
+        return _ast.FieldAccess(_rebase_coalesce(target, inner.target),
+                                inner.name)
+    return inner
+
+
 def _unquote(s: str) -> str:
     if s.startswith('"""'):
         return s[3:-3]  # triple-quoted strings are raw, no escapes
@@ -245,6 +263,17 @@ class _Parser:
                     break
                 stmts.append(self.parse_statement())
             return ast.MapDef(name, stmts)
+        if tok.kind == "IDENT" and tok.text not in _KEYWORDS:
+            # naked relative assignment `path = expr` ≡ `root.path = expr`
+            # (mapping_parser.go:78 — assignment targets default to root)
+            save = self.pos
+            head = self.next().text
+            path = [head] + self._parse_path_tail()
+            nxt = self.peek(skip_nl=False)
+            if nxt.kind == "OP" and nxt.text == "=":
+                self.next()
+                return ast.RootAssign(path, self.parse_expr())
+            self.pos = save
         raise BloblangParseError(
             f"expected 'root', 'meta' or 'let' statement, found {tok.text!r}",
             tok.line, tok.col)
@@ -257,6 +286,8 @@ class _Parser:
                 path.append(seg.text)
             elif seg.kind == "STRING":
                 path.append(_unquote(seg.text))
+            elif seg.kind == "NUMBER" and "." not in seg.text:
+                path.append(seg.text)  # array index segment (gabs `.0`)
             else:
                 raise BloblangParseError(
                     f"expected path segment, found {seg.text!r}",
@@ -334,7 +365,20 @@ class _Parser:
             if self.accept("OP", "."):
                 # a trailing dot continues the chain on the next line
                 # (reference style: `this.xs.\n  filter(...)`)
+                nxt = self.peek(skip_nl=True)
+                if nxt.kind == "OP" and nxt.text == "(":
+                    # parenthesized path-coalesce segment
+                    # `x.(a | b).c` ≡ (x.a | x.b).c (field_parser.go
+                    # path expressions)
+                    self.next(skip_nl=True)
+                    inner = self.parse_expr()
+                    self.expect("OP", ")")
+                    node = _rebase_coalesce(node, inner)
+                    continue
                 seg = self.next(skip_nl=True)
+                if seg.kind == "NUMBER" and "." not in seg.text:
+                    node = ast.FieldAccess(node, seg.text)
+                    continue
                 if seg.kind not in ("IDENT", "STRING"):
                     raise BloblangParseError(
                         f"expected field or method name, found {seg.text!r}",

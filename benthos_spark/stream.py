@@ -700,6 +700,13 @@ def _apply_processor(df: DataFrame, conf: Any,
         return archive_join(df, group, value, order,
                             delimiter=spec.get("delimiter", "\n"))
     if kind == "unarchive":
+        if "parts" not in spec and "format" in spec \
+                and "content" in df.columns:
+            # content-doctrine form (lib/processor/unarchive.go): the
+            # payload itself holds the archive
+            from benthos_spark.operators.legacy_doc import (
+                unarchive_content_stage)
+            return unarchive_content_stage(df, str(spec["format"]))
         from benthos_spark.operators import unarchive_explode
         return unarchive_explode(
             df, compile_condition(str(spec["parts"])),
@@ -1040,6 +1047,17 @@ def _apply_processor(df: DataFrame, conf: Any,
         # reference's per-message throughput semantics
         from benthos_spark.operators.control import sleep_stage
         return sleep_stage(df, str(spec.get("duration", "0s")))
+    if kind in ("json", "text"):
+        # v3 legacy content-doctrine processors (lib/processor/
+        # {json,text}.go): dynamic per-document semantics → the
+        # Arrow-batched document interpreter (operators/legacy_doc.py)
+        from benthos_spark.operators.legacy_doc import json_stage, text_stage
+        if "content" not in df.columns:
+            raise ConfigError(
+                f"{kind} processor operates on the message `content` "
+                "column (content doctrine); map typed columns with "
+                "bloblang instead")
+        return (json_stage if kind == "json" else text_stage)(df, spec)
     if kind == "rate_limit":
         # rate_limit processor referencing resources.rate_limits
         # (lib/processor/rate_limit.go:18); `local` is the only

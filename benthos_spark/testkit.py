@@ -43,20 +43,139 @@ def _input_df(spark: SparkSession, parts: list[dict]):
     return rows_to_messages(spark, rows)
 
 
-def _apply_target(spark, df, case: dict):
-    if "target_mapping" in case:
-        from benthos_spark.bloblang import compile_mapping
-        schema = case.get("content_schema")
-        this = F.from_json(F.col("content"), schema) if schema else None
-        return compile_mapping(case["target_mapping"]).apply(
-            df, this=this, keep=("batch_id", "part_index"))
-    if "target_processors" in case:
-        from benthos_spark.stream import _apply_processor
-        for proc in case["target_processors"]:
-            df = _apply_processor(df, proc)
-        return df
-    raise ValueError(f"case {case.get('name')!r}: needs target_mapping "
-                     "or target_processors")
+def _resolve_pointer(doc: dict, pointer: str):
+    """RFC-6901-ish pointer ('/pipeline/processors') into a config doc
+    (the reference's target_processors path form, case.go:51)."""
+    cur = doc
+    for seg in pointer.strip("/").split("/"):
+        if isinstance(cur, list):
+            cur = cur[int(seg)]
+        else:
+            cur = cur[seg]
+    return cur
+
+
+def _doc_mode_frame(spark, df, contents: list[str | None]):
+    """Document mode for reference tests: infer the batch's JSON schema
+    and expose `this` as the parsed document.  Returns (df, this_col)
+    — this_col None when the contents aren't JSON documents."""
+    docs = [c for c in contents
+            if c and c.lstrip()[:1] in ("{", "[")]
+    if not docs or len(docs) != len([c for c in contents if c]):
+        return df, None
+    if docs[0].lstrip().startswith("["):
+        # array document: schema_of_json on the sample (read.json would
+        # explode the elements into rows)
+        row = spark.range(1).select(
+            F.schema_of_json(F.lit(docs[0]))).head()
+        return df, F.from_json(F.col("content"), row[0])
+    inferred = spark.read.json(
+        spark.sparkContext.parallelize(docs)).schema
+    if not inferred.fields or any(
+            f.name.startswith("_corrupt") for f in inferred.fields):
+        return df, None
+    return df, F.from_json(F.col("content"), inferred)
+
+
+def _go_floats(c):
+    """Go's json.Marshal prints float64 6.0 as `6`; Spark's to_json
+    prints `6.0`.  Canonicalize trailing-.0 floats in serialized JSON
+    so content_equals compares Go-style text."""
+    return F.regexp_replace(c, r"(\d)\.0(?=[,\]\}])", r"$1")
+
+
+def _reserialize_content(out, keep_meta: bool):
+    """Mapped columns → a JSON `content` string (Go json.Marshal sorts
+    object keys, so both engines agree on field order when the struct
+    fields are alphabetical — schema inference already sorts them).
+    A single `root` column (whole-document scalar/array root) IS the
+    body: strings pass through raw, everything else serializes."""
+    from pyspark.sql import types as T
+    aux = [c for c in ("batch_id", "part_index", "meta", "_error")
+           if c in out.columns]
+    payload = [c for c in out.columns if c not in aux]
+    if payload == ["content"]:
+        return out
+    cols = [F.col(c) for c in aux]
+    if payload == ["root"]:
+        dt = out.schema["root"].dataType
+        body = (F.col("root") if isinstance(dt, (T.StringType,
+                                                 T.BinaryType))
+                else _go_floats(F.to_json(F.col("root"))))
+        cols.append(body.alias("content"))
+    else:
+        cols.append(_go_floats(
+            F.to_json(F.struct(*sorted(payload)))).alias("content"))
+    return out.select(*cols)
+
+
+def _apply_target(spark, df, case: dict, base_dir: str = ".",
+                  base_doc: dict | None = None):
+    import os
+
+    env = case.get("environment")
+    saved = {}
+    if env:
+        for k, v in env.items():
+            saved[k] = os.environ.get(k)
+            os.environ[k] = str(v)
+    try:
+        contents = [p.get("content") if p.get("content") is not None
+                    else json.dumps(p.get("json_content"))
+                    for p in case.get("input_batch", [])]
+        if "target_mapping" in case:
+            from benthos_spark.bloblang import compile_mapping
+            src = case["target_mapping"]
+            if isinstance(src, str) and (src.startswith("./")
+                                         or src.endswith(".blobl")):
+                with open(os.path.join(base_dir, src)) as fh:
+                    src = fh.read()
+            schema = case.get("content_schema")
+            if schema:
+                this = F.from_json(F.col("content"), schema)
+            else:
+                df, this = _doc_mode_frame(spark, df, contents)
+            out = compile_mapping(src, base_dir=base_dir).apply(
+                df, this=this, keep=("batch_id", "part_index", "meta"))
+            return (_reserialize_content(out, True)
+                    if this is not None or schema else out)
+        if "target_processors" in case:
+            from benthos_spark.stream import _apply_processor
+            procs = case["target_processors"]
+            doc_mode = False
+            if isinstance(procs, str):
+                # JSON-pointer into the companion config (reference
+                # test-file layout); pointer form implies the
+                # content-document doctrine
+                procs = _resolve_pointer(base_doc or {}, procs)
+                doc_mode = True
+            this = None
+            if doc_mode:
+                df, this = _doc_mode_frame(spark, df, contents)
+            for proc in procs:
+                if doc_mode and isinstance(proc, dict) \
+                        and next(iter(proc)) == "bloblang":
+                    from benthos_spark.bloblang import compile_mapping
+                    out = compile_mapping(
+                        str(proc["bloblang"]), base_dir=base_dir).apply(
+                        df, this=this,
+                        keep=("batch_id", "part_index", "meta"))
+                    df = _reserialize_content(out, True)
+                    # re-derive the document view for the next stage
+                    rows = [r.content for r in
+                            df.select("content").collect()]
+                    df, this = _doc_mode_frame(spark, df, rows)
+                else:
+                    df = _apply_processor(df, proc)
+            return df
+        raise ValueError(f"case {case.get('name')!r}: needs "
+                         "target_mapping or target_processors")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def _check_part(row, assertions: dict, part_no: int) -> str | None:
@@ -97,11 +216,13 @@ def _check_part(row, assertions: dict, part_no: int) -> str | None:
     return None
 
 
-def run_case(spark: SparkSession, case: dict) -> CaseResult:
+def run_case(spark: SparkSession, case: dict, base_dir: str = ".",
+             base_doc: dict | None = None) -> CaseResult:
     name = case.get("name", "<unnamed>")
     try:
         df = _input_df(spark, case["input_batch"])
-        out = _apply_target(spark, df, case)
+        out = _apply_target(spark, df, case, base_dir=base_dir,
+                            base_doc=base_doc)
         order = [c for c in ("batch_id", "part_index") if c in out.columns]
         rows = (out.orderBy(*order) if order else out).collect()
         expected_batches = case.get("output_batches", [])
@@ -121,13 +242,26 @@ def run_case(spark: SparkSession, case: dict) -> CaseResult:
 
 def run_test_file(spark: SparkSession, path: str,
                   verbose: bool = False) -> list[CaseResult]:
-    """Run all cases in a YAML test file; returns failures."""
+    """Run all cases in a YAML test file; returns failures.
+
+    Reference layouts both work: tests inline with the config in one
+    file, or a `X_benthos_test.yaml` beside its `X.yaml` config
+    (lib/service/test/ discovery)."""
+    import os
+
     with open(path) as fh:
         doc = yaml.safe_load(fh)
+    base_doc = doc
+    if "tests" in doc and "pipeline" not in doc:
+        companion = path.replace("_benthos_test", "")
+        if companion != path and os.path.exists(companion):
+            with open(companion) as fh:
+                base_doc = yaml.safe_load(fh)
     cases = doc.get("tests", doc if isinstance(doc, list) else [])
     failures: list[CaseResult] = []
     for case in cases:
-        res = run_case(spark, case)
+        res = run_case(spark, case, base_dir=os.path.dirname(path) or ".",
+                       base_doc=base_doc)
         if verbose:
             print(("PASS " if res.ok else "FAIL ") + res.name
                   + (f": {res.message}" if res.message else ""))

@@ -1,0 +1,85 @@
+"""Run the reference's own `benthos test` suites VERBATIM through the
+testkit (reference config/test/**: the project's shipped unit tests for
+its config/processor/mapping behavior).  Every case must pass except
+the pinned skip-list of documented engine deviations."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+import yaml
+
+TEST_DIR = "/root/reference/config/test"
+
+# "<file>::<case name>" → documented deviation
+SKIP = {
+    "bloblang/boolean_operands.yaml::neither exists":
+        "error fallback makes one field bool-or-string per row; typed "
+        "columns can't hold both (row-model deviation)",
+    "bloblang/boolean_operands.yaml::foo excluded":
+        "same heterogeneous bool-or-string fallback",
+    "bloblang/also_tests_boolean_operands.yaml::neither exists":
+        "same heterogeneous bool-or-string fallback",
+    "bloblang/also_tests_boolean_operands.yaml::foo excluded":
+        "same heterogeneous bool-or-string fallback",
+    "bloblang/literals.yaml::With foos":
+        "literal array mixes strings and numbers; typed arrays unify "
+        "on one element type (documented deviation)",
+    "bloblang/literals.yaml::Without foos":
+        "same heterogeneous-array literal",
+    "bloblang/walk_json.yaml::Just a string":
+        "whole-document scalar recursion root (row model)",
+    "bloblang/walk_json.yaml::Just an array":
+        "recursive named map: static compilation cannot express "
+        "recursion (documented, SURVEY §2.1.1)",
+    "bloblang/walk_json.yaml::Just an object":
+        "recursive named map",
+    "bloblang/walk_json.yaml::Nested object":
+        "recursive named map",
+    "bloblang/walk_json.yaml::Nested object with array":
+        "recursive named map",
+    "bloblang/csv_formatter_test.yaml::Empty":
+        "empty JSON array document has no inferable element schema "
+        "(schema-on-read edge)",
+}
+
+
+def _collect():
+    files = sorted(
+        glob.glob(f"{TEST_DIR}/*_benthos_test.yaml")
+        + glob.glob(f"{TEST_DIR}/bloblang/*.yaml"))
+    out = []
+    for path in files:
+        rel = os.path.relpath(path, TEST_DIR)
+        with open(path) as fh:
+            doc = yaml.safe_load(fh)
+        for case in doc.get("tests", []):
+            out.append(pytest.param(
+                path, case.get("name", "?"),
+                id=f"{rel}::{case.get('name', '?')}"))
+    return out
+
+
+@pytest.mark.skipif(not os.path.isdir(TEST_DIR),
+                    reason="reference test suites not present")
+@pytest.mark.parametrize("path,case_name", _collect())
+def test_reference_case(spark, path, case_name, request):
+    tag = request.node.callspec.id
+    if tag in SKIP:
+        pytest.skip(SKIP[tag])
+    from benthos_spark.testkit import run_case
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    base_doc = doc
+    if "tests" in doc and "pipeline" not in doc:
+        companion = path.replace("_benthos_test", "")
+        if companion != path and os.path.exists(companion):
+            with open(companion) as fh:
+                base_doc = yaml.safe_load(fh)
+    case = next(c for c in doc["tests"]
+                if c.get("name", "?") == case_name)
+    res = run_case(spark, case, base_dir=os.path.dirname(path),
+                   base_doc=base_doc)
+    assert res.ok, f"{path} :: {case_name}: {res.message}"
