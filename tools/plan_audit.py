@@ -23,6 +23,21 @@ sys.path.insert(0, "/root/repo")
 
 # query → (pattern, reason) pairs that are intentional
 ALLOW: dict[str, list[tuple[str, str]]] = {
+    "q1_pricing_summary": [
+        ("SinglePartition",
+         "TPC-H Q1's 6-group result: partial aggregation is "
+         "distributed; the final 6-row combine is one partition by "
+         "construction"),
+    ],
+    "q6_forecast_revenue": [
+        ("SinglePartition",
+         "global single-row aggregate: map-side partials are "
+         "distributed, the final combine is one row"),
+    ],
+    "q14_promo_effect": [
+        ("SinglePartition",
+         "global single-row aggregate, same shape as Q6"),
+    ],
     "similarity_topk": [
         ("BroadcastNestedLoopJoin",
          "brute-force baseline: few broadcast queries × corpus scan is "
