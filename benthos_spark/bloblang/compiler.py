@@ -673,7 +673,14 @@ def _compile_func(node: ast.FuncCall, scope: Scope):
         # init; distributed executors must not each hit driver paths, so
         # the content is snapshotted at COMPILE time into a literal
         # (ships with the plan via broadcast — documented deviation)
-        fpath = str(_lit_arg(args[0], "file path"))
+        arg0 = args[0]
+        if isinstance(arg0, ast.FuncCall) and arg0.name == "env":
+            # file(env("X")): env resolves at compile time too
+            import os
+            fpath = os.environ.get(
+                str(_lit_arg(arg0.args[0], "env var")), "")
+        else:
+            fpath = str(_lit_arg(arg0, "file path"))
         try:
             with open(fpath, encoding="utf-8") as fh:
                 return F.lit(fh.read())

@@ -22,14 +22,6 @@ VECTORS = os.path.join(os.path.dirname(__file__), "golden",
 SKIP = {
     "count#1": "count() is a per-batch pinned-order ordinal; the "
                "reference counter is stateful across separate runs",
-    "file#0": "reads a file named by an env var the reference test "
-              "harness sets; file() itself is covered by unit tests",
-    "decode#0b": "expected output is raw non-JSON text; decode() is "
-                "value-checked in test_functions",
-    "format_yaml#0": "expected output is raw YAML text (non-JSON); "
-                     "covered by YAML roundtrip unit tests",
-    "reverse#0b": "whole-document scalar root (row model keeps object "
-                 "roots); string reverse is covered in test_functions",
     "collapse#0b": "collapse(true) keeps heterogeneous empty values — "
                    "not expressible in a typed map",
     "explode#0": "explode at whole root multiplies documents; the "

@@ -60,13 +60,26 @@ def run_case(spark, mapping: str, doc_json: str, want_json: str):
 
     from benthos_spark.bloblang import map_text
 
+    import os
+    import tempfile
+
     expect_error = want_json.startswith("Error(")
     want = None
+    raw_want = None
     if not expect_error:
         try:
             want = json.loads(want_json)
         except ValueError:
-            return False, None, "non-JSON expected output (skip)"
+            # raw text expectation: compare the whole-document root
+            # (string output) verbatim
+            raw_want = want_json
+    env_file = None
+    if "BENTHOS_TEST_BLOBLANG_FILE" in mapping:
+        # the reference test harness materializes this fixture too
+        fd, env_file = tempfile.mkstemp(suffix=".json")
+        with os.fdopen(fd, "w") as fh:
+            fh.write('{"foo":"bar"}')
+        os.environ["BENTHOS_TEST_BLOBLANG_FILE"] = env_file
     df = spark.read.json(spark.sparkContext.parallelize([doc_json]))
     # message-shape columns for content()/meta()/root_meta sources
     if "content()" in mapping and "content" not in df.columns:
@@ -99,9 +112,19 @@ def run_case(spark, mapping: str, doc_json: str, want_json: str):
             "expected an error, mapping succeeded"
     if not rows:
         return False, None, "row dropped"
+    if env_file:
+        os.environ.pop("BENTHOS_TEST_BLOBLANG_FILE", None)
+        os.unlink(env_file)
     got = _strip_nulls(rows[0].asDict(recursive=True))
     for aux in ("meta", "content", "batch_id", "part_index"):
         got.pop(aux, None)
+    if raw_want is not None:
+        # whole-document raw-text comparison (single root column)
+        if list(got) == ["root"]:
+            g = got["root"]
+            if isinstance(g, str) and g.strip() == raw_want.strip():
+                return True, got, None
+        return False, got, None
     if _norm(got) == _norm(want):
         return True, got, None
     return False, got, None
