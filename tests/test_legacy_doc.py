@@ -1,0 +1,116 @@
+"""Direct tests for the dynamic-document interpreter (bloblang/
+interp.py) and the v3 legacy content-doctrine processors it powers
+(operators/legacy_doc.py: json/text/unarchive-content)."""
+
+from __future__ import annotations
+
+import pytest
+
+from benthos_spark.bloblang.interp import Interp, compile_template
+from benthos_spark.bloblang.parser import parse_query
+
+
+def ev(src, doc=None, meta=None, content=None):
+    return Interp(doc, meta, content).eval(parse_query(src))
+
+
+def test_interp_paths_and_coalesce():
+    doc = {"foo": {"bar": {"baz": 7}}, "arr": [1, 2, 3]}
+    assert ev("this.foo.bar.baz", doc) == 7
+    assert ev("foo.bar.baz", doc) == 7
+    assert ev("this.foo.(missing | bar).baz", doc) == 7
+    assert ev("this.nope | 42", doc) == 42
+    assert ev("this.arr.1", doc) == 2
+
+
+def test_interp_arithmetic_string_numbers():
+    # text.go themes: "3" + 7 coerces numerically
+    assert ev('json("a").number() + json("b").number()',
+              {"a": 7, "b": "3"}) == 10
+    assert ev('json("a").number() == json("b").number()',
+              {"a": 3, "b": "3"}) is True
+
+
+def test_interp_match_and_lambda():
+    doc = {"v": 12, "xs": [1, 8, 20]}
+    assert ev('match this.v { this > 10 => "big", _ => "small" }',
+              doc) == "big"
+    assert ev("this.xs.filter(x -> x > 5)", doc) == [8, 20]
+    assert ev("this.xs.map_each(x -> x * 2)", doc) == [2, 16, 40]
+
+
+def test_template_rendering_go_style():
+    r = compile_template(
+        'total: ${! json("a").number() + json("b").number() }')
+    assert r({"a": 2, "b": 3}) == "total: 5"
+    # missing → "null", floats print Go-style
+    r2 = compile_template("${! this.nope }")
+    assert r2({}) == "null"
+
+
+def test_json_processor_set_and_delete(spark):
+    from benthos_spark.stream import run_stream
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 1
+    mapping: |
+      root.content = "{\\"keep\\":1,\\"drop\\":2}"
+pipeline:
+  processors:
+    - json: {operator: set, path: added, value: '${! json("keep") }'}
+    - json: {operator: delete, path: drop}
+output: {memory: {}}
+""")
+    assert out.collect()[0].content == '{"added":"1","keep":1}'
+
+
+def test_text_processor_ops(spark):
+    from benthos_spark.stream import run_stream
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 1
+    mapping: |
+      root.content = "hello"
+pipeline:
+  processors:
+    - text: {operator: to_upper}
+    - text: {operator: append, value: " WORLD"}
+output: {memory: {}}
+""")
+    assert out.collect()[0].content == "HELLO WORLD"
+
+
+def test_unarchive_content_json_array(spark):
+    from benthos_spark.stream import run_stream
+    out = run_stream(spark, """
+input:
+  generate:
+    count: 1
+    mapping: |
+      root.content = "[{\\"n\\":1},{\\"n\\":2},{\\"n\\":3}]"
+pipeline:
+  processors:
+    - unarchive: {format: json_array}
+output: {memory: {}}
+""")
+    assert sorted(r.content for r in out.collect()) == [
+        '{"n":1}', '{"n":2}', '{"n":3}']
+
+
+def test_unarchive_content_json_map_sets_archive_key(spark):
+    from benthos_spark.datamodel import rows_to_messages
+    from benthos_spark.operators.legacy_doc import unarchive_content_stage
+    df = rows_to_messages(spark, [
+        {"content": '{"a":{"v":1},"b":{"v":2}}', "meta": {}}])
+    rows = unarchive_content_stage(df, "json_map") \
+        .orderBy("part_index").collect()
+    assert [r.content for r in rows] == ['{"v":1}', '{"v":2}']
+    assert [r.meta.get("archive_key") for r in rows] == ["a", "b"]
+
+
+def test_interp_unknown_surface_raises():
+    from benthos_spark.bloblang.interp import EvalError
+    with pytest.raises(EvalError, match="not interpretable"):
+        ev('this.x.encrypt_aes("cbc","k","iv")', {"x": "s"})
