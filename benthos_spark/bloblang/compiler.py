@@ -827,8 +827,42 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             return bind_elem(args[i], x)
         return fn
 
+    def _variant_coalesce(fallback_node):
+        """Bloblang values are dynamically typed: `x.catch("failed")`
+        may yield a bool OR a string per row.  When the fallback
+        literal's type differs from the target's compile-time type,
+        coalesce as VARIANT (Spark's dynamic value type) so JSON
+        serialization emits each row's true type.  Returns None when
+        plain coalesce suffices."""
+        import json as _json_mod
+
+        from pyspark.sql import types as T
+        if not isinstance(fallback_node, ast.Literal):
+            return None
+        fb = fallback_node.value
+        dt = _dtype(target, scope, node.target)
+        if dt is None:
+            return None
+        same = ((isinstance(fb, str) and isinstance(dt, T.StringType))
+                or (isinstance(fb, bool) and isinstance(dt,
+                                                        T.BooleanType))
+                or (isinstance(fb, (int, float))
+                    and not isinstance(fb, bool)
+                    and isinstance(dt, (T.LongType, T.IntegerType,
+                                        T.DoubleType, T.FloatType))))
+        if same or not isinstance(dt, (T.BooleanType, T.LongType,
+                                       T.IntegerType, T.DoubleType,
+                                       T.FloatType)):
+            return None
+        return F.coalesce(
+            F.parse_json(target.cast("string")),
+            F.parse_json(F.lit(_json_mod.dumps(fb))))
+
     # --- general (methods.go) ---
     if name == "or":
+        vc = _variant_coalesce(args[0])
+        if vc is not None:
+            return vc
         return F.coalesce(target, arg_col(0))
     if name == "catch":
         if _is_deleted_call(args[0]):
@@ -837,6 +871,9 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             # errors here surface as nulls, so a valid value passes
             # through unchanged
             return target
+        vc = _variant_coalesce(args[0])
+        if vc is not None:
+            return vc
         return F.coalesce(target, arg_col(0))
     if name == "not":
         # methods.go `not`: boolean negation of the target value

@@ -144,10 +144,17 @@ def _apply_target(spark, df, case: dict, base_dir: str = ".",
             procs = case["target_processors"]
             doc_mode = False
             if isinstance(procs, str):
-                # JSON-pointer into the companion config (reference
-                # test-file layout); pointer form implies the
+                # JSON-pointer into the companion config — either
+                # '/pipeline/processors' (same/companion doc) or
+                # './file.yaml#/pipeline/processors' (explicit file,
+                # case.go target resolution); pointer form implies the
                 # content-document doctrine
-                procs = _resolve_pointer(base_doc or {}, procs)
+                doc = base_doc or {}
+                if "#" in procs:
+                    fpath, _, procs = procs.partition("#")
+                    with open(os.path.join(base_dir, fpath)) as fh:
+                        doc = yaml.safe_load(fh)
+                procs = _resolve_pointer(doc, procs)
                 doc_mode = True
             this = None
             if doc_mode:

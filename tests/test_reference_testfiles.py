@@ -15,15 +15,6 @@ TEST_DIR = "/root/reference/config/test"
 
 # "<file>::<case name>" → documented deviation
 SKIP = {
-    "bloblang/boolean_operands.yaml::neither exists":
-        "error fallback makes one field bool-or-string per row; typed "
-        "columns can't hold both (row-model deviation)",
-    "bloblang/boolean_operands.yaml::foo excluded":
-        "same heterogeneous bool-or-string fallback",
-    "bloblang/also_tests_boolean_operands.yaml::neither exists":
-        "same heterogeneous bool-or-string fallback",
-    "bloblang/also_tests_boolean_operands.yaml::foo excluded":
-        "same heterogeneous bool-or-string fallback",
     "bloblang/literals.yaml::With foos":
         "literal array mixes strings and numbers; typed arrays unify "
         "on one element type (documented deviation)",
