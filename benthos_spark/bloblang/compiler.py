@@ -459,6 +459,36 @@ def _lit(value) -> Column:
     return F.lit(value)
 
 
+def _literal_value_types(node, scope: Scope, acc: set) -> None:
+    """Collect the Bloblang type names an array-literal element can
+    take (recursing through if/match branches) into `acc`; unknowable
+    elements contribute nothing."""
+    if isinstance(node, ast.IfExpr):
+        for _, v in node.branches:
+            _literal_value_types(v, scope, acc)
+        if node.otherwise is not None:
+            _literal_value_types(node.otherwise, scope, acc)
+        return
+    if isinstance(node, ast.MatchExpr):
+        for _, v in node.cases:
+            _literal_value_types(v, scope, acc)
+        return
+    if isinstance(node, ast.FuncCall) and node.name in ("deleted",
+                                                        "nothing"):
+        return
+    dt = _node_dtype(node, scope)
+    name = _bloblang_type_name(dt) if dt is not None else None
+    if name is not None:
+        acc.add(name)
+
+
+def _scalar_to_variant(col: Column) -> Column:
+    """Any value → VARIANT via a JSON round-trip (struct-wrapped so
+    strings are quoted correctly); nulls stay null."""
+    wrapped = F.parse_json(F.to_json(F.struct(col.alias("v"))))
+    return F.variant_get(wrapped, "$.v", "variant")
+
+
 def _literal_item(node: ast.Node, scope: Scope):
     """Compile an array/object literal member; deleted() branches
     become null (dropped at serialization / compacted in arrays).
@@ -506,7 +536,16 @@ def _compile(node: ast.Node, scope: Scope):
             c, dropped = _literal_item(i, scope)
             drop_any = drop_any or dropped
             cols.append(c)
-        arr = F.array(*cols)
+        kinds = set()
+        for i in node.items:
+            _literal_value_types(i, scope, kinds)
+        if len(kinds) > 1:
+            # elements carry different Bloblang types: arrays are
+            # dynamically typed, so array<VARIANT> — each element
+            # keeps its own JSON type (no engine coercion)
+            arr = F.array(*[_scalar_to_variant(c) for c in cols])
+        else:
+            arr = F.array(*cols)
         return F.array_compact(arr) if drop_any else arr
     if isinstance(node, ast.ObjectLit):
         if all(isinstance(k, ast.Literal) for k, _ in node.entries):

@@ -15,11 +15,6 @@ TEST_DIR = "/root/reference/config/test"
 
 # "<file>::<case name>" → documented deviation
 SKIP = {
-    "bloblang/literals.yaml::With foos":
-        "literal array mixes strings and numbers; typed arrays unify "
-        "on one element type (documented deviation)",
-    "bloblang/literals.yaml::Without foos":
-        "same heterogeneous-array literal",
     "bloblang/walk_json.yaml::Just a string":
         "whole-document scalar recursion root (row model)",
     "bloblang/walk_json.yaml::Just an array":
