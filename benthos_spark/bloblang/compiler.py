@@ -1889,11 +1889,144 @@ def compile_mapping(src: str, base_dir: str = ".") -> MappingExec:
     return MappingExec(parse_mapping(src, base_dir=base_dir), src)
 
 
+def _walk_ast(node):
+    """Yield every AST node reachable from `node` (fields, lists,
+    branch tuples)."""
+    import dataclasses
+
+    yield node
+    if dataclasses.is_dataclass(node):
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            for item in (v if isinstance(v, (list, tuple)) else [v]):
+                if isinstance(item, tuple):
+                    for sub in item:
+                        if isinstance(sub, ast.Node):
+                            yield from _walk_ast(sub)
+                elif isinstance(item, ast.Node):
+                    yield from _walk_ast(item)
+
+
+def mapping_is_recursive(mapping: ast.Mapping) -> bool:
+    """True when the mapping's named-map `.apply` graph has a cycle —
+    static inlining can't express it; the dynamic-document interpreter
+    (interp.DynamicMapping) can.  Reference caps interpretation at
+    10000 frames (mapping/executor.go:241-248)."""
+    defs = {s.name: s.statements for s in mapping.statements
+            if isinstance(s, ast.MapDef)}
+
+    def applied(stmts) -> set:
+        out = set()
+        for st in stmts:
+            for n in _walk_ast(st):
+                if (isinstance(n, ast.Method) and n.name == "apply"
+                        and n.args
+                        and isinstance(n.args[0], ast.Literal)):
+                    out.add(str(n.args[0].value))
+        return out
+
+    graph = {k: applied(v) & set(defs) for k, v in defs.items()}
+    seen_done: set = set()
+
+    def cyclic(name, stack) -> bool:
+        if name in stack:
+            return True
+        if name in seen_done:
+            return False
+        stack.add(name)
+        hit = any(cyclic(n, stack) for n in graph.get(name, ()))
+        stack.discard(name)
+        seen_done.add(name)
+        return hit
+
+    return any(cyclic(n, set()) for n in graph)
+
+
+def mapping_needs_dynamic(mapping: ast.Mapping) -> bool:
+    """True when the mapping uses constructs only the dynamic-document
+    interpreter expresses faithfully: recursive named maps,
+    `collapse(true)` (heterogeneous empty values in one map), and
+    `map_each_key` with nothing()-passthrough keys (keys aren't static
+    columns)."""
+    if mapping_is_recursive(mapping):
+        return True
+    for st in mapping.statements:
+        for n in _walk_ast(st):
+            if not isinstance(n, ast.Method):
+                continue
+            if (n.name == "collapse" and n.args
+                    and isinstance(n.args[0], ast.Literal)
+                    and n.args[0].value is True):
+                return True
+            if n.name == "map_each_key" and n.args:
+                lam = n.args[0]
+                body = lam.body if isinstance(lam, ast.Lambda) else lam
+                if (isinstance(body, ast.IfExpr)
+                        and body.otherwise is None):
+                    return True
+                if any(isinstance(x, ast.FuncCall) and x.name == "nothing"
+                       for x in _walk_ast(body)):
+                    return True
+    return False
+
+
+def map_dynamic(df: DataFrame, src: str,
+                base_dir: str = ".") -> DataFrame:
+    """Content-doctrine fallback executor: interpret the mapping
+    per-document in an Arrow-batched kernel.  Used when the mapping is
+    not statically compilable (recursive named maps).  The frame must
+    carry a `content` column; `meta` rides along when present.  On a
+    runtime evaluation error the part keeps its content and the
+    `_error` column is set when available (error-flag protocol,
+    lib/processor/bloblang.go)."""
+    from benthos_spark.bloblang.interp import DynamicMapping, EvalError
+    from benthos_spark.bloblang.parser import parse_mapping as _pm
+
+    dyn = DynamicMapping(_pm(src, base_dir=base_dir))
+    schema = df.schema
+    has_meta = "meta" in df.columns
+    has_err = "_error" in df.columns
+
+    def op(batches):
+        for pdf in batches:
+            keep, contents, metas, errs = [], [], [], []
+            for i in range(len(pdf)):
+                c = pdf["content"].iloc[i]
+                m = (dict(pdf["meta"].iloc[i] or {})
+                     if has_meta else {})
+                err = None
+                try:
+                    out_c, out_m = dyn.run_one(c, m)
+                except (EvalError, RecursionError) as exc:
+                    out_c, out_m, err = c, m, str(exc)
+                if out_c is None:
+                    continue  # root = deleted()
+                keep.append(i)
+                contents.append(out_c)
+                metas.append({str(k): str(v) for k, v in out_m.items()})
+                errs.append(err)
+            out = pdf.iloc[keep].copy()
+            out["content"] = contents
+            if has_meta:
+                out["meta"] = metas
+            if has_err:
+                out["_error"] = [e if e is not None else old
+                                 for e, old in zip(errs, out["_error"])]
+            yield out
+
+    return df.mapInPandas(op, schema=schema)
+
+
 def map_text(df: DataFrame, src: str, this: Column | None = None,
              base_dir: str = ".") -> DataFrame:
     """One-shot: apply a Bloblang mapping to a DataFrame.
 
     Row mode (this=None): `this.foo` reads column `foo`.
     Document mode: pass `this=F.from_json(F.col('content'), schema)`.
+    Recursive named maps route through the dynamic-document
+    interpreter when the frame is content-doctrine shaped.
     """
-    return compile_mapping(src, base_dir=base_dir).apply(df, this=this)
+    mapping = parse_mapping(src, base_dir=base_dir)
+    if "content" in df.columns and mapping_needs_dynamic(mapping):
+        return map_dynamic(df, src, base_dir=base_dir)
+    return MappingExec(mapping, src).apply(df, this=this)

@@ -29,6 +29,8 @@ class EvalError(ValueError):
 
 
 _MISSING = object()
+_DELETED = object()   # deleted() sentinel — removes keys/elements/rows
+_UNSET = object()     # mapping root before any assignment
 
 
 def _dig(doc, path):
@@ -85,11 +87,14 @@ def _truthy_pair(op, left, right):
 class Interp:
     """Evaluate query ASTs against one document (+ metadata)."""
 
-    def __init__(self, doc, meta=None, content=None):
+    def __init__(self, doc, meta=None, content=None, maps=None):
         self.doc = doc
         self.meta = meta or {}
         self.content = content
         self.vars: dict = {}
+        self.maps: dict = maps or {}   # named map defs for .apply()
+        self.root_val = _UNSET         # root under construction
+        self._depth = 0
 
     # -- entry points ------------------------------------------------
     def eval(self, node):
@@ -114,11 +119,16 @@ class Interp:
             if base is _MISSING or base is None:
                 return _MISSING
             return _dig(base, [node.name])
+        if isinstance(node, ast.RootRef):
+            base = self.root_val
+            if base is _UNSET:
+                return _MISSING
+            return _dig(base, node.path) if node.path else base
         if isinstance(node, ast.ArrayLit):
             out = []
             for i in node.items:
                 v = self._eval(i)
-                if v is not _MISSING:
+                if v is not _MISSING and v is not _DELETED:
                     out.append(v)
             return out
         if isinstance(node, ast.ObjectLit):
@@ -127,7 +137,7 @@ class Interp:
                 key = self._eval(k) if not isinstance(k, ast.Literal) \
                     else k.value
                 val = self._eval(v)
-                if val is not _MISSING:
+                if val is not _MISSING and val is not _DELETED:
                     out[str(key)] = val
             return out
         if isinstance(node, ast.Unary):
@@ -229,6 +239,10 @@ class Interp:
             return None
         if name == "errored":
             return False
+        if name == "deleted":
+            return _DELETED
+        if name == "nothing":
+            return _MISSING
         if name == "throw":
             raise EvalError(str(args[0]))
         raise EvalError(f"function {name}() not interpretable "
@@ -350,16 +364,71 @@ class Interp:
         if name == "uppercase_first":
             s = str(target)
             return s[:1].upper() + s[1:]
+        if name == "apply":
+            return self._run_map(str(arg(0)), target)
+        if name == "unescape_html":
+            import html
+            return html.unescape(str(target))
+        if name == "escape_html":
+            import html
+            return html.escape(str(target))
         if name == "map_each":
             lam = node.args[0]
+            if isinstance(target, dict):
+                # object form: lambda binds each {key, value} pair;
+                # result replaces the value, deleted() removes the key
+                # (reference: query/methods.go MapEach object branch)
+                out_obj = {}
+                for k, v in target.items():
+                    mv = self._eval_bound(lam, {"key": k, "value": v})
+                    if mv is not _MISSING and mv is not _DELETED:
+                        out_obj[k] = mv
+                return out_obj
             out = []
             for item in target:
                 out.append(self._eval_bound(lam, item))
-            return [x for x in out if x is not _MISSING]
+            return [x for x in out
+                    if x is not _MISSING and x is not _DELETED]
         if name == "filter":
             lam = node.args[0]
             return [item for item in target
                     if self._bool(self._eval_bound(lam, item))]
+        if name == "collapse":
+            # methods_structured.go:150: flatten to dot-path keys;
+            # empty objects/arrays kept only with collapse(true)
+            keep_empty = bool(arg(0, False))
+            out = {}
+
+            def walk(v, prefix):
+                if isinstance(v, dict) and v:
+                    for k, x in v.items():
+                        walk(x, f"{prefix}.{k}" if prefix else str(k))
+                elif isinstance(v, list) and v:
+                    for i, x in enumerate(v):
+                        walk(x, f"{prefix}.{i}" if prefix else str(i))
+                elif isinstance(v, (dict, list)):
+                    if keep_empty:
+                        out[prefix] = v
+                else:
+                    out[prefix] = v
+
+            walk(target, "")
+            return out
+        if name == "map_each_key":
+            # methods_structured.go:830: lambda maps each key;
+            # nothing() (or a bare if with no else) keeps the key,
+            # deleted() removes the entry
+            lam = node.args[0]
+            out = {}
+            for k, v in target.items():
+                nk = self._eval_bound(lam, k)
+                if nk is _DELETED:
+                    continue
+                if nk is _MISSING or nk is None:
+                    out[k] = v
+                else:
+                    out[str(nk)] = v
+            return out
         if name == "sort":
             return sorted(target)
         if name == "unique":
@@ -390,6 +459,143 @@ class Interp:
             return self._eval(lam)
         finally:
             self.doc = saved_doc
+
+    def _run_map(self, name: str, value):
+        """`.apply("name")` — run a named map with `this` bound to the
+        target.  Unlike the static compiler, recursion is fine here:
+        the reference interprets with a 10000-deep cap
+        (mapping/executor.go:241-248), mirrored exactly."""
+        if name not in self.maps:
+            raise EvalError(f".apply({name!r}): map not defined")
+        self._depth += 1
+        if self._depth > 10000:
+            self._depth -= 1
+            raise EvalError("map recursion limit of 10000 exceeded")
+        saved = (self.doc, self.vars, self.root_val)
+        self.doc, self.vars, self.root_val = value, {}, _UNSET
+        try:
+            root = _UNSET
+            for stmt in self.maps[name]:
+                if isinstance(stmt, ast.LetAssign):
+                    self.vars[stmt.name] = self.eval(stmt.value)
+                    continue
+                if not isinstance(stmt, ast.RootAssign):
+                    raise EvalError(
+                        f"map {name!r}: only root/let statements are "
+                        "supported inside named maps")
+                v = self._eval(stmt.value)
+                if not stmt.path:
+                    root = v
+                else:
+                    if v is _MISSING:
+                        continue
+                    if not isinstance(root, dict):
+                        root = {}
+                    _assign_path(root, stmt.path, v)
+                self.root_val = root
+            if root is _UNSET:
+                raise EvalError(f"map {name!r} assigned nothing")
+            return root
+        finally:
+            self.doc, self.vars, self.root_val = saved
+            self._depth -= 1
+
+
+def _assign_path(obj: dict, path: list, value) -> None:
+    cur = obj
+    for seg in path[:-1]:
+        nxt = cur.get(seg)
+        if not isinstance(nxt, (dict, list)):
+            nxt = {}
+            cur[seg] = nxt
+        cur = nxt
+    if value is _DELETED:
+        if isinstance(cur, dict):
+            cur.pop(path[-1], None)
+    else:
+        cur[path[-1]] = value
+
+
+def serialize_value(v) -> str:
+    """Document → message content, matching the reference's part
+    serialization: strings are raw bytes, scalars their JSON text,
+    objects/arrays compact JSON preserving key order (message/part.go)."""
+    if isinstance(v, str):
+        return v
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    if isinstance(v, (int, float)):
+        return str(v)
+    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False,
+                       default=str)
+
+
+class DynamicMapping:
+    """Interpret a FULL mapping per-document — the fallback for
+    mappings the static compiler cannot express (recursive named
+    maps).  Content-doctrine only: operates on (content, meta) and
+    re-serializes.  Reference: mapping/executor.go Exec loop."""
+
+    def __init__(self, mapping: ast.Mapping):
+        self.map_defs = {s.name: s.statements
+                         for s in mapping.statements
+                         if isinstance(s, ast.MapDef)}
+        self.statements = [s for s in mapping.statements
+                           if not isinstance(s, ast.MapDef)]
+
+    def run_one(self, content, meta):
+        """-> (new_content | None when the row is deleted, new_meta)."""
+        doc = _MISSING
+        if content not in (None, ""):
+            try:
+                doc = _json.loads(content)
+            except ValueError:
+                doc = _MISSING
+        it = Interp(doc, dict(meta or {}), content, maps=self.map_defs)
+        root = _UNSET
+        for stmt in self.statements:
+            if isinstance(stmt, ast.LetAssign):
+                it.vars[stmt.name] = it.eval(stmt.value)
+                continue
+            if isinstance(stmt, ast.MetaAssign):
+                v = it._eval(stmt.value)
+                if stmt.key is None:
+                    if v is _DELETED:
+                        it.meta = {}
+                    elif isinstance(v, dict):
+                        it.meta = {str(k): x for k, x in v.items()}
+                elif v is _DELETED:
+                    it.meta.pop(stmt.key, None)
+                elif v is not _MISSING:
+                    it.meta[stmt.key] = v
+                continue
+            if not isinstance(stmt, ast.RootAssign):
+                raise EvalError(
+                    f"statement {type(stmt).__name__} not supported in "
+                    "the dynamic-document mapping fallback")
+            v = it._eval(stmt.value)
+            if not stmt.path:
+                if v is _DELETED:
+                    return None, it.meta
+                if v is _MISSING:
+                    continue
+                root = v
+            else:
+                if v is _MISSING:
+                    continue
+                if not isinstance(root, (dict, list)):
+                    root = {}
+                _assign_path(root, stmt.path, v)
+            it.root_val = root
+        if root is _UNSET:
+            return content, it.meta
+        return serialize_value(root), it.meta
 
 
 _INTERP_RE = re.compile(r"\$\{!\s*(.*?)\s*\}")

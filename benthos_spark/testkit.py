@@ -163,11 +163,20 @@ def _apply_target(spark, df, case: dict, base_dir: str = ".",
                 if doc_mode and isinstance(proc, dict) \
                         and next(iter(proc)) == "bloblang":
                     from benthos_spark.bloblang import compile_mapping
-                    out = compile_mapping(
-                        str(proc["bloblang"]), base_dir=base_dir).apply(
-                        df, this=this,
-                        keep=("batch_id", "part_index", "meta"))
-                    df = _reserialize_content(out, True)
+                    from benthos_spark.bloblang.compiler import (
+                        map_dynamic, mapping_needs_dynamic)
+                    from benthos_spark.bloblang.parser import (
+                        parse_mapping)
+                    src = str(proc["bloblang"])
+                    if mapping_needs_dynamic(
+                            parse_mapping(src, base_dir=base_dir)):
+                        df = map_dynamic(df, src, base_dir=base_dir)
+                    else:
+                        out = compile_mapping(
+                            src, base_dir=base_dir).apply(
+                            df, this=this,
+                            keep=("batch_id", "part_index", "meta"))
+                        df = _reserialize_content(out, True)
                     # re-derive the document view for the next stage
                     rows = [r.content for r in
                             df.select("content").collect()]

@@ -114,3 +114,67 @@ def test_interp_unknown_surface_raises():
     from benthos_spark.bloblang.interp import EvalError
     with pytest.raises(EvalError, match="not interpretable"):
         ev('this.x.encrypt_aes("cbc","k","iv")', {"x": "s"})
+
+
+# ---- dynamic full-mapping interpreter (recursive named maps) ----
+
+WALK = '''
+map unescape_values {
+  root = match {
+    this.type() == "object" => this.map_each(this.value.apply("unescape_values")),
+    this.type() == "array" => this.map_each(this.apply("unescape_values")),
+    this.type() == "string" => this.unescape_html(),
+    _ => this,
+  }
+}
+root = this.or(content()).apply("unescape_values")
+'''
+
+
+def _run_dyn(src, content, meta=None):
+    from benthos_spark.bloblang.interp import DynamicMapping
+    from benthos_spark.bloblang.parser import parse_mapping
+    return DynamicMapping(parse_mapping(src)).run_one(content, meta or {})
+
+
+def test_dynamic_mapping_recursive_walk():
+    c, _ = _run_dyn(WALK, 'foo &amp; bar')
+    assert c == 'foo & bar'
+    c, _ = _run_dyn(WALK, '["foo &amp; bar",10,"1 &lt; 2"]')
+    assert c == '["foo & bar",10,"1 < 2"]'
+    c, _ = _run_dyn(
+        WALK, '{"first":{"nested":"foo &amp; bar"},"second":10}')
+    assert c == '{"first":{"nested":"foo & bar"},"second":10}'
+
+
+def test_dynamic_mapping_deleted_and_meta():
+    c, _ = _run_dyn('root = deleted()', '{"a":1}')
+    assert c is None
+    c, m = _run_dyn('meta foo = "bar"\nroot.x = this.a + 1', '{"a":1}')
+    assert c == '{"x":2}' and m["foo"] == "bar"
+    # unassigned root passes content through unchanged
+    c, _ = _run_dyn('meta k = "v"', 'raw text')
+    assert c == 'raw text'
+
+
+def test_dynamic_mapping_recursion_limit():
+    from benthos_spark.bloblang.interp import EvalError
+    src = 'map f { root = this.apply("f") }\nroot = this.apply("f")'
+    with pytest.raises((EvalError, RecursionError)):
+        _run_dyn(src, '{"a":1}')
+
+
+def test_mapping_is_recursive_detection():
+    from benthos_spark.bloblang.compiler import mapping_is_recursive
+    from benthos_spark.bloblang.parser import parse_mapping
+    assert mapping_is_recursive(parse_mapping(WALK))
+    # mutual recursion
+    assert mapping_is_recursive(parse_mapping(
+        'map a { root = this.apply("b") }\n'
+        'map b { root = this.apply("a") }\n'
+        'root = this.apply("a")'))
+    # non-recursive apply chain stays on the compiled path
+    assert not mapping_is_recursive(parse_mapping(
+        'map a { root = this.apply("b") }\n'
+        'map b { root = this.x }\n'
+        'root = this.apply("a")'))

@@ -22,12 +22,6 @@ VECTORS = os.path.join(os.path.dirname(__file__), "golden",
 SKIP = {
     "count#1": "count() is a per-batch pinned-order ordinal; the "
                "reference counter is stateful across separate runs",
-    "collapse#0b": "collapse(true) keeps heterogeneous empty values — "
-                   "not expressible in a typed map",
-    "explode#0": "explode at whole root multiplies documents; the "
-                 "operator form (unarchive/explode) covers it",
-    "map_each_key#0b": "map-typed whole root with nothing()-key "
-                       "passthrough; keys aren't static columns",
 }
 
 

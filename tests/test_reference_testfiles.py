@@ -15,20 +15,11 @@ TEST_DIR = "/root/reference/config/test"
 
 # "<file>::<case name>" → documented deviation
 SKIP = {
-    "bloblang/walk_json.yaml::Just a string":
-        "whole-document scalar recursion root (row model)",
-    "bloblang/walk_json.yaml::Just an array":
-        "recursive named map: static compilation cannot express "
-        "recursion (documented, SURVEY §2.1.1)",
-    "bloblang/walk_json.yaml::Just an object":
-        "recursive named map",
-    "bloblang/walk_json.yaml::Nested object":
-        "recursive named map",
-    "bloblang/walk_json.yaml::Nested object with array":
-        "recursive named map",
     "bloblang/csv_formatter_test.yaml::Empty":
-        "empty JSON array document has no inferable element schema "
-        "(schema-on-read edge)",
+        "the assertion compares the Go engine's VERBATIM error string "
+        "('failed assignment (line 1): expected object value, got "
+        "null…'); this engine raises its own message for the same "
+        "failure — error-text parity is out of scope",
 }
 
 
