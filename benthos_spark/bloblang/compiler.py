@@ -1569,10 +1569,12 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "collapse":
         # methods_structured.go:156: flatten to dot-keyed (array
         # indexes included) map of leaf values.  Compile-time schema
-        # recursion; null leaves (incl. schema-inferred empties) are
-        # skipped — the reference's default skips empty objects/arrays
-        # the same way.  include_empty=true is a documented deviation
-        # (dynamic heterogeneous values don't fit a typed map).
+        # recursion; leaf values keep their own types via VARIANT
+        # (the reference keeps original types).  Null leaves and
+        # schema-inference-stringified empties ("{}"/"[]") are skipped
+        # — the reference's default skips empty objects/arrays the
+        # same way.  include_empty=true routes through the dynamic-
+        # document interpreter (mapping_needs_dynamic).
         from pyspark.sql import types as T
         dt = _dtype(target, scope, node.target)
         if not isinstance(dt, T.StructType):
@@ -1582,8 +1584,17 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         if args and bool(_lit_arg(args[0], "include_empty")):
             raise BloblangCompileError(
                 ".collapse(true): include_empty keeps heterogeneous "
-                "empty values; not expressible in a typed map "
-                "(documented deviation)")
+                "empty values — content-doctrine frames route to the "
+                "dynamic-document interpreter; not expressible over "
+                "a typed frame")
+
+        def leaf_value(col, t):
+            v = _scalar_to_variant(col)
+            if isinstance(t, T.StringType):
+                # schema inference stringifies type-conflicted empty
+                # objects/arrays; default collapse skips them
+                return F.when(~col.isin("{}", "[]"), v)
+            return v
 
         def walk(col, t, prefix):
             if isinstance(t, T.StructType):
@@ -1603,7 +1614,8 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
                                 ".", *(prefix + [i.cast("string"),
                                                  F.lit(f.name)]))
                             .alias("key"),
-                            x[f.name].cast("string").alias("value"))
+                            leaf_value(x[f.name], f.dataType)
+                            .alias("value"))
                     arrs = []
                     for f in et.fields:
                         if isinstance(f.dataType, (T.StructType,
@@ -1616,20 +1628,19 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
                     col, lambda x, i: F.struct(
                         F.concat_ws(".", *(prefix + [i.cast("string")]))
                         .alias("key"),
-                        x.cast("string").alias("value")))]
+                        leaf_value(x, et).alias("value")))]
             return [F.array(F.struct(
                 F.concat_ws(".", *prefix).alias("key"),
-                col.cast("string").alias("value")))]
+                leaf_value(col, t).alias("value")))]
 
         pieces = walk(target, dt, [])
         if not pieces:
             return F.map_from_entries(F.array())
         entries = F.concat(*pieces) if len(pieces) > 1 else pieces[0]
-        # default collapse skips empty objects/arrays (and nulls);
-        # stringified empties are their textual forms
+        # default collapse skips empty objects/arrays and nulls
+        # (leaf_value already nulled stringified empties)
         return F.map_from_entries(
-            F.filter(entries, lambda e: e["value"].isNotNull()
-                     & ~e["value"].isin("{}", "[]")))
+            F.filter(entries, lambda e: e["value"].isNotNull()))
     raise BloblangCompileError(f"unknown method .{name}()")
 
 

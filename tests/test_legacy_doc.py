@@ -178,3 +178,103 @@ def test_mapping_is_recursive_detection():
         'map a { root = this.apply("b") }\n'
         'map b { root = this.x }\n'
         'root = this.apply("a")'))
+
+
+# ---- differential gate: dynamic interpreter ≡ compiled engine ----
+
+_DIFF_MAPPINGS = [
+    'root.id = this.id\nroot.s = this.a + this.d.y\n'
+    'root.t = this.b.uppercase()',
+    'root.id = this.id\nroot.n = this.c.sum()\n'
+    'root.m = this.c.map_each(x -> x * 2)',
+    'root.id = this.id\nroot.k = if this.a > 50 { "big" } else { "small" }',
+    'root.id = this.id\nroot.j = this.d.collapse()',
+    'root.id = this.id\nroot.w = match { this.e => "yes", _ => "no" }',
+    'root.id = this.id\nroot.f = this.b.split("-").length()',
+    'root.id = this.id\nroot.g = this.c.filter(x -> x > 10)',
+    'root.id = this.id\nroot.u = this.b.contains("x")',
+    'root.id = this.id\nroot.v = this.a.string()',
+]
+
+
+def _unify_nums(v):
+    import json as _j
+    if type(v).__name__ == "VariantVal":
+        return _unify_nums(_j.loads(v.toJson()))
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        f = float(v)
+        return int(f) if f == int(f) else f
+    if isinstance(v, list):
+        return [_unify_nums(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _unify_nums(x) for k, x in v.items()}
+    return v
+
+
+def test_dynamic_interp_matches_compiled_engine(spark):
+    """The same mapping through the static column compiler and the
+    dynamic per-document interpreter must produce the same documents —
+    the fallback may be slower, never different."""
+    import json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from benthos_spark.bloblang import compile_mapping
+    from benthos_spark.bloblang.interp import DynamicMapping
+    from benthos_spark.bloblang.parser import parse_mapping
+
+    rng = random.Random(20260814)
+    docs = []
+    for i in range(25):
+        docs.append({
+            "id": i,
+            "a": rng.randint(0, 100),
+            "b": "-".join(rng.choice(["foo", "bar", "axe", "qux"])
+                          for _ in range(3)),
+            "c": [rng.randint(0, 20) for _ in range(4)],
+            "d": {"x": rng.choice(["u", "v"]),
+                  "y": round(rng.uniform(0, 10), 2)},
+            "e": rng.random() < 0.5,
+        })
+    doc_jsons = [json.dumps(d) for d in docs]
+    base = spark.read.json(spark.sparkContext.parallelize(doc_jsons))
+    for mapping in _DIFF_MAPPINGS:
+        this = F.struct(*[F.col(c) for c in base.columns])
+        rows = compile_mapping(mapping).apply(base, this=this).collect()
+        got = {r["id"]: _unify_nums(
+            {k: v for k, v in r.asDict(recursive=True).items()})
+            for r in rows}
+        dyn = DynamicMapping(parse_mapping(mapping))
+        for dj, d in zip(doc_jsons, docs):
+            c, _ = dyn.run_one(dj, {})
+            want = _unify_nums(json.loads(c))
+            assert got[d["id"]] == want, \
+                (mapping, d, got[d["id"]], want)
+
+def test_dynamic_interp_matches_compiled_row_drop(spark):
+    """deleted() whole-root branches drop the same rows on both
+    engines."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from benthos_spark.bloblang import compile_mapping
+    from benthos_spark.bloblang.interp import DynamicMapping
+    from benthos_spark.bloblang.parser import parse_mapping
+
+    mapping = ('root = if this.a > 50 { deleted() } else { this }')
+    docs = [{"id": i, "a": a} for i, a in
+            enumerate([10, 60, 50, 51, 100, 0])]
+    doc_jsons = [json.dumps(d) for d in docs]
+    base = spark.read.json(spark.sparkContext.parallelize(doc_jsons))
+    this = F.struct(*[F.col(c) for c in base.columns])
+    rows = compile_mapping(mapping).apply(base, this=this).collect()
+    kept_compiled = sorted(r["id"] for r in rows)
+    dyn = DynamicMapping(parse_mapping(mapping))
+    kept_dynamic = sorted(
+        d["id"] for dj, d in zip(doc_jsons, docs)
+        if dyn.run_one(dj, {})[0] is not None)
+    assert kept_compiled == kept_dynamic == [0, 2, 5]
