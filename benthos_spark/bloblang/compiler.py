@@ -151,6 +151,9 @@ def _node_dtype(node, scope: Scope):
         return _walk_schema(names[node.path[0]], node.path[1:])
     if isinstance(node, ast.VarRef):
         return scope.var_dtypes.get(node.name)
+    if isinstance(node, ast.FuncCall) and node.name == "var" \
+            and node.args and isinstance(node.args[0], ast.Literal):
+        return scope.var_dtypes.get(str(node.args[0].value))
     if isinstance(node, ast.FuncCall) and node.name == "json":
         base = (_this_dtype(scope) if scope.this_col is not None
                 else None)
@@ -444,8 +447,12 @@ def _root_lookup(scope: Scope, path: list[str]) -> Column:
 
 
 def _tree_to_struct(tree: dict) -> Column:
+    # Go's json.Marshal sorts map keys, so the reference's serialized
+    # documents are key-sorted at every level — emit fields sorted to
+    # match its observable content form
     fields = []
-    for name, val in tree.items():
+    for name in sorted(tree):
+        val = tree[name]
         col = _tree_to_struct(val) if isinstance(val, dict) else val
         fields.append(col.alias(name))
     return F.struct(*fields)
@@ -807,6 +814,14 @@ def _compile_func(node: ast.FuncCall, scope: Scope):
         layout = (str(_lit_arg(args[0], "layout")) if args
                   else "Mon Jan 2 15:04:05 -0700 MST 2006")
         return ts_fns.format_timestamp(F.current_timestamp(), layout)
+    if name == "var":
+        # var("name") — quoted-name variable read (the $name sugar
+        # only covers identifier-safe names; functions.go `var`)
+        key = str(_lit_arg(args[0], "var name"))
+        if key not in scope.variables:
+            raise BloblangCompileError(
+                f"var({key!r}): variable not defined")
+        return scope.variables[key]
     raise BloblangCompileError(f"unknown function {name}()")
 
 
@@ -1472,6 +1487,12 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
                     fields[f.name] = other[f.name]
             return F.struct(*[fields[n].alias(n)
                               for n in sorted(fields)])
+        if isinstance(dt, T.ArrayType):
+            # array merge appends (methods_structured.go merge:
+            # target array + value, or element-wise concat)
+            if isinstance(do, T.ArrayType):
+                return F.concat(target, other)
+            return F.concat(target, F.array(other))
         return F.map_concat(
             F.map_filter(target,
                          lambda k, _: ~F.array_contains(F.map_keys(other), k)),
@@ -1660,20 +1681,46 @@ def _apply_named_map(name: str, target: Column | None,
             "deviation, SURVEY §2.1.1)")
     sub = Scope(this_col=None, root_fields={}, maps=scope.maps,
                 applying=scope.applying | {name},
-                this_override=target)
+                this_override=target, df=scope.df)
     whole: Column | None = None
     for stmt in scope.maps[name]:
         if isinstance(stmt, ast.LetAssign):
             sub.variables[stmt.name] = compile_expr(stmt.value, sub)
+            sub.var_dtypes[stmt.name] = (
+                _dtype(sub.variables[stmt.name], sub, stmt.value)
+                or _dtype(sub.variables[stmt.name], sub))
         elif isinstance(stmt, ast.RootAssign):
-            value = compile_expr(stmt.value, sub)
+            is_delete = (isinstance(stmt.value, ast.FuncCall)
+                         and stmt.value.name == "deleted")
+            value = (None if is_delete
+                     else compile_expr(stmt.value, sub))
             if not stmt.path:
+                if is_delete:
+                    raise BloblangCompileError(
+                        f"map {name!r}: whole-root deleted() inside a "
+                        "named map is not supported")
                 whole = value
             else:
+                from pyspark.sql import types as T
                 tree = sub.root_fields
                 for seg in stmt.path[:-1]:
-                    tree = tree.setdefault(seg, {})
-                tree[stmt.path[-1]] = value
+                    nxt = tree.setdefault(seg, {})
+                    if isinstance(nxt, Column):
+                        # assigning/deleting under an existing struct
+                        # column: expand its fields into a mutable
+                        # subtree via the known schema
+                        dt = _dtype(nxt, sub)
+                        if not isinstance(dt, T.StructType):
+                            raise BloblangCompileError(
+                                f"map {name!r}: cannot assign under "
+                                f"non-object field {seg!r}")
+                        nxt = {f.name: nxt[f.name] for f in dt.fields}
+                        tree[seg] = nxt
+                    tree = nxt
+                if is_delete:
+                    tree.pop(stmt.path[-1], None)
+                else:
+                    tree[stmt.path[-1]] = value
         else:
             raise BloblangCompileError(
                 f"map {name!r}: only root/let statements supported inside "
@@ -1723,8 +1770,14 @@ class MappingExec:
                     _dtype(scope.variables[stmt.name], scope, stmt.value)
                     or _dtype(scope.variables[stmt.name], scope))
             elif isinstance(stmt, ast.MetaAssign):
-                meta_updates.append(
-                    (stmt.key, compile_expr(stmt.value, scope)))
+                # deleted() compiles to None (key removal / meta wipe,
+                # mapping/assignment.go:71)
+                if (isinstance(stmt.value, ast.FuncCall)
+                        and stmt.value.name == "deleted"):
+                    meta_updates.append((stmt.key, None))
+                else:
+                    meta_updates.append(
+                        (stmt.key, compile_expr(stmt.value, scope)))
             elif isinstance(stmt, ast.RootAssign):
                 drop_here, value = self._root_value(stmt, scope, df, this)
                 if drop_here is not None:
@@ -1765,7 +1818,7 @@ class MappingExec:
                             # (serialization layers emit it as the
                             # whole document body)
                             scope.root_fields.clear()
-                            scope.root_fields["root"] = value
+                            scope.root_fields["__root__"] = value
                         else:
                             raise BloblangCompileError(
                                 "whole-document `root = <expr>` supports "
@@ -1798,16 +1851,47 @@ class MappingExec:
             else:  # pragma: no cover
                 raise BloblangCompileError(f"unknown statement {stmt!r}")
 
-        cols = [F.col(k) for k in keep
-                if k in df.columns and k not in scope.root_fields]
+        keep_names = [k for k in keep
+                      if k in df.columns and k not in scope.root_fields]
+        # message shape: meta assignments update the meta MAP in place
+        # (set / per-key delete / whole replace / whole wipe —
+        # mapping/assignment.go:71); row mode without a meta column
+        # keeps the meta_<key> rider-column contract
+        meta_final: Column | None = None
+        if meta_updates and "meta" in keep_names:
+            def key_neq(key):
+                return lambda k, _v: k != F.lit(key)
+
+            meta_final = F.col("meta")
+            for key, val in meta_updates:
+                if key is None and val is None:
+                    meta_final = F.create_map().cast(
+                        "map<string,string>")
+                elif key is None:
+                    meta_final = F.from_json(
+                        F.to_json(val), "map<string,string>")
+                elif val is None:
+                    meta_final = F.map_filter(meta_final, key_neq(key))
+                else:
+                    meta_final = F.map_concat(
+                        F.map_filter(meta_final, key_neq(key)),
+                        F.create_map(F.lit(key), val.cast("string")))
+        cols = []
+        for k in keep_names:
+            if k == "meta" and meta_final is not None:
+                cols.append(meta_final.alias("meta"))
+            else:
+                cols.append(F.col(k))
         for name, val in scope.root_fields.items():
             col = _tree_to_struct(val) if isinstance(val, dict) else val
             cols.append(col.alias(name))
         if not scope.root_fields and not meta_updates:
             raise BloblangCompileError("mapping assigns no root fields")
-        for key, val in meta_updates:
-            # meta updates ride along as extra output columns in row mode
-            cols.append(val.cast("string").alias(f"meta_{key or 'root'}"))
+        if meta_updates and meta_final is None:
+            for key, val in meta_updates:
+                if val is not None:
+                    cols.append(val.cast("string")
+                                .alias(f"meta_{key or 'root'}"))
         _ = identity_base
         if drop_cond is not None:
             # project FIRST, then filter: assignments (incl. cross-part

@@ -243,6 +243,11 @@ class Interp:
             return _DELETED
         if name == "nothing":
             return _MISSING
+        if name == "var":
+            key = str(args[0])
+            if key not in self.vars:
+                raise EvalError(f"var({key!r}): variable not defined")
+            return self.vars[key]
         if name == "throw":
             raise EvalError(str(args[0]))
         raise EvalError(f"function {name}() not interpretable "

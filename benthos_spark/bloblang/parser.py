@@ -177,6 +177,27 @@ class _Parser:
     # ---- statements (mapping_parser.go:51-65) ----
 
     def parse_mapping(self) -> ast.Mapping:
+        start_pos = self.pos
+        try:
+            return self._parse_mapping_statements()
+        except BloblangParseError as first_err:
+            # singleRootMapping fallback (mapping_parser.go:141): when
+            # the input isn't statements, the WHOLE mapping may be one
+            # query expression, equivalent to `root = <expr>`
+            self.pos, self.depth = start_pos, 0
+            try:
+                while self.accept("NEWLINE"):
+                    pass
+                expr = self.parse_expr()
+                while self.accept("NEWLINE"):
+                    pass
+                if self.peek(skip_nl=False).kind != "EOF":
+                    raise first_err
+                return ast.Mapping([ast.RootAssign([], expr)])
+            except BloblangParseError:
+                raise first_err from None
+
+    def _parse_mapping_statements(self) -> ast.Mapping:
         stmts: list[ast.Statement] = []
         while True:
             while self.accept("NEWLINE"):
@@ -184,6 +205,12 @@ class _Parser:
             if self.peek(skip_nl=False).kind == "EOF":
                 break
             tok = self.peek()
+            if (tok.kind == "IDENT" and tok.text == "from"
+                    and not stmts
+                    and self.peek_at(1).kind == "STRING"):
+                # `from "file.blobl"` (mapping_parser.go:105
+                # singleRootImport): the file IS the whole mapping
+                return self._parse_from()
             if tok.kind == "IDENT" and tok.text == "import":
                 stmts.extend(self._parse_import())
                 continue
@@ -201,6 +228,33 @@ class _Parser:
                         f"map name collision: {s.name!r}", 0, 0)
                 seen.add(s.name)
         return ast.Mapping(stmts)
+
+    def _parse_from(self) -> ast.Mapping:
+        """`from "file.blobl"` (mapping_parser.go:105): read the file
+        and parse its contents as the entire mapping; nothing may
+        follow the directive."""
+        import os
+
+        tok = self.next()  # 'from'
+        ptok = self.expect("STRING")
+        fpath = _unquote(ptok.text)
+        if not os.path.isabs(fpath):
+            fpath = os.path.join(self.base_dir, fpath)
+        try:
+            with open(fpath, encoding="utf-8") as fh:
+                contents = fh.read()
+        except OSError as e:
+            raise BloblangParseError(
+                f"failed to read import: {e}", tok.line, tok.col) from e
+        while self.accept("NEWLINE"):
+            pass
+        end = self.peek(skip_nl=False)
+        if end.kind != "EOF":
+            raise BloblangParseError(
+                f"expected end of input after `from`, found "
+                f"{end.text!r}", end.line, end.col)
+        sub = _Parser(contents, base_dir=os.path.dirname(fpath))
+        return sub.parse_mapping()
 
     def _parse_import(self) -> list[ast.Statement]:
         """`import "file.blobl"` (mapping_parser.go:192): read the file
@@ -246,7 +300,11 @@ class _Parser:
             return ast.MetaAssign(key, self.parse_expr())
         if tok.kind == "IDENT" and tok.text == "let":
             self.next()
-            name = self.expect("IDENT").text
+            ntok = self.peek()
+            if ntok.kind == "STRING":   # let "quoted name" = ...
+                name = _unquote(self.next().text)
+            else:
+                name = self.expect("IDENT").text
             self.expect("OP", "=")
             return ast.LetAssign(name, self.parse_expr())
         if tok.kind == "IDENT" and tok.text == "map":

@@ -93,15 +93,24 @@ def _reserialize_content(out, keep_meta: bool):
     from pyspark.sql import types as T
     aux = [c for c in ("batch_id", "part_index", "meta", "_error")
            if c in out.columns]
-    payload = [c for c in out.columns if c not in aux]
-    if payload == ["content"]:
+    payload = [c for c in out.columns
+               if c not in aux and c != "content"]
+    if not payload:
+        # meta-only mapping (or already-serialized frame): the content
+        # passes through unchanged
         return out
     cols = [F.col(c) for c in aux]
-    if payload == ["root"]:
-        dt = out.schema["root"].dataType
-        body = (F.col("root") if isinstance(dt, (T.StringType,
-                                                 T.BinaryType))
-                else _go_floats(F.to_json(F.col("root"))))
+    if payload == ["__root__"]:
+        # whole-document scalar/array root IS the body: strings raw,
+        # containers via to_json, plain scalars via their text form
+        dt = out.schema["__root__"].dataType
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            body = F.col("__root__")
+        elif isinstance(dt, (T.StructType, T.ArrayType, T.MapType,
+                             T.VariantType)):
+            body = _go_floats(F.to_json(F.col("__root__")))
+        else:
+            body = _go_floats(F.col("__root__").cast("string"))
         cols.append(body.alias("content"))
     else:
         cols.append(_go_floats(
@@ -136,9 +145,13 @@ def _apply_target(spark, df, case: dict, base_dir: str = ".",
             else:
                 df, this = _doc_mode_frame(spark, df, contents)
             out = compile_mapping(src, base_dir=base_dir).apply(
-                df, this=this, keep=("batch_id", "part_index", "meta"))
-            return (_reserialize_content(out, True)
-                    if this is not None or schema else out)
+                df, this=this,
+                keep=("batch_id", "part_index", "meta", "content"))
+            # reserialize even without a document view: a mapping over
+            # raw content still produces a JSON document from its
+            # assigned fields (content passes through only when the
+            # mapping assigns no root fields)
+            return _reserialize_content(out, True)
         if "target_processors" in case:
             from benthos_spark.stream import _apply_processor
             procs = case["target_processors"]
@@ -175,7 +188,7 @@ def _apply_target(spark, df, case: dict, base_dir: str = ".",
                         out = compile_mapping(
                             src, base_dir=base_dir).apply(
                             df, this=this,
-                            keep=("batch_id", "part_index", "meta"))
+                            keep=("batch_id", "part_index", "meta", "content"))
                         df = _reserialize_content(out, True)
                     # re-derive the document view for the next stage
                     rows = [r.content for r in

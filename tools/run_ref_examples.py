@@ -136,14 +136,14 @@ def run_case(spark, mapping: str, doc_json: str, want_json: str):
         got.pop(aux, None)
     if raw_want is not None:
         # whole-document raw-text comparison (single root column)
-        if list(got) == ["root"]:
-            g = got["root"]
+        if list(got) == ["__root__"]:
+            g = got["__root__"]
             if isinstance(g, str) and g.strip() == raw_want.strip():
                 return True, got, None
         return False, got, None
     if _norm(got) == _norm(want):
         return True, got, None
-    if list(got) == ["root"] and _norm(got["root"]) == _norm(want):
+    if list(got) == ["__root__"] and _norm(got["__root__"]) == _norm(want):
         # whole-document non-object root (array/scalar): the single
         # `root` column IS the document body
         return True, got, None
