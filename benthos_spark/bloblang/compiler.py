@@ -56,11 +56,29 @@ class Scope:
     named_dtypes: dict = dc_field(default_factory=dict)  # lambda elem types
     override_dtype: object = None      # dtype of this_override (bare form)
     var_dtypes: dict = dc_field(default_factory=dict)    # $var dtypes
+    lenient: bool = False   # under .catch()/.or(): errors → null, not raise
+    # per-row error channel: (condition, message Column) pairs appended
+    # by failing methods; MappingExec.apply composes them into the
+    # _error column (the reference's error-flag protocol) when the
+    # frame carries one.  Shared list — child scopes append to it.
+    error_conds: list = dc_field(default_factory=list)
+    in_lambda: bool = False   # inside an element lambda: conditions
+    #                           reference lambda vars, can't lift to
+    #                           row level → raise instead
+    guard: Column | None = None   # short-circuit context (&&/||/if
+    #                               branch): error conds fire only
+    #                               when the branch is live
 
     def child(self, this_override: Column | None = None,
               named: dict[str, Column] | None = None,
               named_dtypes: dict | None = None,
-              override_dtype=None) -> "Scope":
+              override_dtype=None,
+              lenient: bool | None = None,
+              in_lambda: bool | None = None,
+              guard: Column | None = None) -> "Scope":
+        g = self.guard
+        if guard is not None:
+            g = guard if g is None else (g & guard)
         return Scope(self.this_col, self.root_fields, self.variables,
                      this_override if this_override is not None
                      else self.this_override,
@@ -72,7 +90,21 @@ class Scope:
                      override_dtype if override_dtype is not None
                      else (self.override_dtype
                            if this_override is None else None),
-                     self.var_dtypes)
+                     self.var_dtypes,
+                     self.lenient if lenient is None else lenient,
+                     self.error_conds,
+                     self.in_lambda if in_lambda is None else in_lambda,
+                     g)
+
+    def has_error_channel(self) -> bool:
+        from benthos_spark.datamodel import ERROR_COL as _EC
+        return (not self.in_lambda and self.df is not None
+                and _EC in self.df.columns)
+
+    def add_error_cond(self, cond, msg: Column) -> None:
+        if self.guard is not None:
+            cond = self.guard & cond
+        self.error_conds.append((cond, msg))
 
 
 def _walk_schema(dt, path: list[str]):
@@ -178,6 +210,31 @@ def _node_dtype(node, scope: Scope):
         if isinstance(v, str):
             return T.StringType()
         return None
+    if isinstance(node, ast.ObjectLit):
+        # literal objects compile to structs (see _compile); inferring
+        # the struct type here lets keys/values/map_each/filter/merge
+        # take their struct-aware branches on literal targets too
+        fields = []
+        for k, v in node.entries:
+            if not isinstance(k, ast.Literal):
+                return None
+            vt = _node_dtype(v, scope)
+            fields.append(T.StructField(str(k.value),
+                                        vt if vt is not None
+                                        else T.StringType()))
+        return T.StructType(fields)
+    if isinstance(node, ast.ArrayLit):
+        et = None
+        for it in node.items:
+            t = _node_dtype(it, scope)
+            if t is None:
+                return None
+            if et is None:
+                et = t
+            elif et != t:
+                return None  # heterogeneous → VARIANT elsewhere
+        return T.ArrayType(et) if et is not None \
+            else T.ArrayType(T.StringType())
     if isinstance(node, ast.Binary):
         if node.op in ("==", "!=", ">", "<", ">=", "<=", "&&", "||"):
             return T.BooleanType()
@@ -187,7 +244,26 @@ def _node_dtype(node, scope: Scope):
             if isinstance(lt, T.StringType) or isinstance(rt,
                                                           T.StringType):
                 return T.StringType()
+        if node.op in ("+", "-", "*", "/", "%"):
+            lt = _node_dtype(node.left, scope)
+            rt = _node_dtype(node.right, scope)
+            num = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType)
+            if isinstance(lt, num) and isinstance(rt, num):
+                if node.op == "/" or isinstance(
+                        lt, (T.DoubleType, T.FloatType)) or isinstance(
+                        rt, (T.DoubleType, T.FloatType)):
+                    return T.DoubleType()
+                return T.LongType()
         return None
+    if isinstance(node, ast.FuncCall):
+        if node.name in ("meta", "metadata", "root_meta") and node.args:
+            return T.StringType()
+        if node.name == "error":
+            return T.StringType()
+        if node.name == "errored":
+            return T.BooleanType()
+        if node.name == "content":
+            return T.StringType()
     if isinstance(node, ast.Method):
         m = node.name
         if m == "bytes":
@@ -598,6 +674,13 @@ def _compile(node: ast.Node, scope: Scope):
         return _compile_method(node, scope)
     if isinstance(node, ast.FieldAccess):
         target = compile_expr(node.target, scope)
+        # schema-guarded: a field that falls off a KNOWN struct type
+        # is null (gabs semantics), not an analysis error
+        tdt = _node_dtype(node.target, scope)
+        from pyspark.sql import types as T
+        if isinstance(tdt, T.StructType) \
+                and node.name not in {f.name for f in tdt.fields}:
+            return F.lit(None)
         return _dig(target, [node.name])
     raise BloblangCompileError(f"cannot compile node {node!r}")
 
@@ -631,9 +714,47 @@ def _is_arrayish(node: ast.Node) -> bool:
     return False
 
 
+def _type_class(dt) -> str | None:
+    """Coarse Bloblang value class for equality dispatch."""
+    from pyspark.sql import types as T
+    if dt is None:
+        return None
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.DoubleType,
+                       T.FloatType, T.DecimalType, T.ShortType,
+                       T.ByteType)):
+        return "number"
+    return None
+
+
 def _compile_binary(node: ast.Binary, scope: Scope) -> Column:
     op = node.op
+    if op == "|":  # coalesce pipe (ArithmeticPipe)
+        # deleted() | fallback → fallback (arithmetic.go: the pipe
+        # recovers errors AND delete sentinels)
+        lhs = _compile(node.left, scope.child(lenient=True))
+        if lhs is _DELETED or lhs is _NOTHING:
+            return compile_expr(node.right, scope)
+        rhs = compile_expr(node.right, scope)
+        lc, rc = _type_class(_node_dtype(node.left, scope)), \
+            _type_class(_node_dtype(node.right, scope))
+        if lc is not None and rc is not None and lc != rc:
+            # mixed-type fallback → VARIANT (per-row dynamic type)
+            return F.coalesce(_scalar_to_variant(lhs),
+                              _scalar_to_variant(rhs))
+        return F.coalesce(lhs, rhs)
     lhs = compile_expr(node.left, scope)
+    if op in ("&&", "||"):
+        # short-circuit (arithmetic.go): the right side's error
+        # conditions only fire when the left side doesn't decide —
+        # false && "nah".number() is false, not an error
+        live = (lhs.cast("boolean") if op == "&&"
+                else ~lhs.cast("boolean"))
+        rhs = compile_expr(node.right, scope.child(guard=live))
+        return (lhs & rhs) if op == "&&" else (lhs | rhs)
     rhs = compile_expr(node.right, scope)
     if op == "+":
         if _is_stringish(node.left) or _is_stringish(node.right):
@@ -647,10 +768,25 @@ def _compile_binary(node: ast.Binary, scope: Scope) -> Column:
         return lhs / rhs
     if op == "%":
         return lhs % rhs
-    if op == "==":
-        return lhs == rhs
-    if op == "!=":
-        return lhs != rhs
+    if op in ("==", "!="):
+        # arithmetic.go:330 (ICompare): values of different types are
+        # simply not equal (never a cast error), and null compares
+        # equal only to null
+        if (isinstance(node.left, ast.Literal)
+                and node.left.value is None):
+            base = rhs.isNull()
+        elif (isinstance(node.right, ast.Literal)
+                and node.right.value is None):
+            base = lhs.isNull()
+        else:
+            lc = _type_class(_node_dtype(node.left, scope))
+            rc = _type_class(_node_dtype(node.right, scope))
+            if lc is not None and rc is not None and lc != rc \
+                    and not (lc == "number" and rc == "number"):
+                base = F.lit(False)
+            else:
+                base = lhs == rhs
+        return base if op == "==" else ~base
     if op == ">":
         return lhs > rhs
     if op == "<":
@@ -663,19 +799,22 @@ def _compile_binary(node: ast.Binary, scope: Scope) -> Column:
         return lhs & rhs
     if op == "||":
         return lhs | rhs
-    if op == "|":  # coalesce pipe (ArithmeticPipe)
-        return F.coalesce(lhs, rhs)
     raise BloblangCompileError(f"unknown operator {op}")
 
 
 def _compile_if(node: ast.IfExpr, scope: Scope) -> Column:
     expr = None
+    not_taken = None
     for cond, val in node.branches:
         c = compile_expr(cond, scope)
-        v = compile_expr(val, scope)
+        live = c if not_taken is None else (not_taken & c)
+        v = compile_expr(val, scope.child(guard=live))
         expr = F.when(c, v) if expr is None else expr.when(c, v)
+        nc = ~c.cast("boolean")
+        not_taken = nc if not_taken is None else (not_taken & nc)
     if node.otherwise is not None:
-        expr = expr.otherwise(compile_expr(node.otherwise, scope))
+        expr = expr.otherwise(compile_expr(
+            node.otherwise, scope.child(guard=not_taken)))
     return expr
 
 
@@ -733,18 +872,40 @@ def _compile_func(node: ast.FuncCall, scope: Scope):
         except OSError as e:
             raise BloblangCompileError(f"file({fpath!r}): {e}") from e
     if name == "json":
+        # json() reads the DOCUMENT absolutely — a lambda/match
+        # rebinding of `this` must not shift it (functions.go json)
+        base = scope
+        if scope.this_override is not None:
+            base = scope.child(lenient=scope.lenient)
+            base.this_override = None
+            base.override_dtype = None
         if not args:
-            return _resolve_this(scope, [])
+            return _resolve_this(base, [])
         path = str(_lit_arg(args[0], "json path"))
-        return _resolve_this(scope, path.split("."))
+        return _resolve_this(base, path.split("."))
     if name == "meta":
         if not args:
             return F.col(META_COL)
-        return F.col(META_COL)[str(_lit_arg(args[0], "meta key"))]
+        key = str(_lit_arg(args[0], "meta key"))
+        val = F.col(META_COL)[key]
+        if scope.lenient:
+            return val
+        # functions.go meta: a missing key is a runtime error (recover
+        # with .catch()/.or()) — error-flagged frames record it
+        # per-row, relational frames raise
+        if scope.has_error_channel():
+            scope.add_error_cond(
+                val.isNull(),
+                F.lit(f"metadata value {key!r} not found"))
+            return val
+        return F.when(val.isNull(), F.raise_error(F.lit(
+            f"metadata value {key!r} not found"))).otherwise(val)
     if name == "root_meta":
         return _compile_func(ast.FuncCall("meta", args), scope)
     if name == "error":
-        return F.col(ERROR_COL)
+        # functions.go error: the flag is metadata — a missing key
+        # reads as "" (never null)
+        return F.coalesce(F.col(ERROR_COL), F.lit(""))
     if name == "errored":
         return F.col(ERROR_COL).isNotNull()
     if name == "uuid_v4":
@@ -771,6 +932,12 @@ def _compile_func(node: ast.FuncCall, scope: Scope):
         step = arg_col(2) if len(args) > 2 else F.lit(1)
         return F.filter(F.sequence(start, stop, step), lambda x: x != stop)
     if name == "throw":
+        # under .catch() the thrown error is a VALUE (null → fallback)
+        if scope.lenient:
+            return F.lit(None)
+        if scope.has_error_channel():
+            scope.add_error_cond(F.lit(True), arg_col(0))
+            return F.lit(None)
         return F.raise_error(arg_col(0))
     if name == "batch_index":
         return F.col("part_index")
@@ -831,6 +998,58 @@ def _go_bool(v) -> bool:
     return bool(v)
 
 
+def _pure_doc_path(node) -> list[str] | None:
+    """this.a.b / json("a.b") / json().a.b → ["a","b"]; None when the
+    node is anything but a plain document path."""
+    if isinstance(node, ast.Context):
+        return list(node.path) or None
+    if isinstance(node, ast.FuncCall) and node.name == "json":
+        if not node.args:
+            return None
+        if isinstance(node.args[0], ast.Literal):
+            return str(node.args[0].value).split(".")
+        return None
+    if isinstance(node, ast.FieldAccess):
+        base = _pure_doc_path(node.target)
+        if base is None and isinstance(node.target, ast.FuncCall) \
+                and node.target.name == "json" \
+                and not node.target.args:
+            base = []
+        if base is None:
+            return None
+        return base + [node.name]
+    return None
+
+
+def _batch_index_map(target: Column, scope: Scope,
+                     name: str) -> tuple[Column, Column]:
+    """(part_index → value map, part count) of `target` across the
+    whole batch.  collect_list drops bare nulls, so each value rides
+    in a struct keyed by its part_index; an int-keyed map avoids
+    sorting (map values may be unorderable types — maps, structs).
+    One window over the batch key the frame already carries — no
+    extra shuffle."""
+    from pyspark.sql.window import Window
+    if scope.df is None or "batch_id" not in scope.df.columns:
+        raise BloblangCompileError(
+            f".{name}(): needs the message shape (batch_id/"
+            "part_index columns) — cross-part reads are windows "
+            "over the batch key")
+    w = Window.partitionBy("batch_id")
+    m = F.map_from_entries(F.collect_list(
+        F.struct(F.col("part_index").alias("i"),
+                 target.alias("v"))).over(w))
+    return m, F.count("*").over(w)
+
+
+def _batch_values(target: Column, scope: Scope, name: str) -> Column:
+    """Per-part values of `target` across the batch, in part order,
+    nulls preserved."""
+    m, n = _batch_index_map(target, scope, name)
+    return F.transform(F.sequence(F.lit(0), (n - 1).cast("int")),
+                       lambda j: m[j])
+
+
 def _compile_method(node: ast.Method, scope: Scope) -> Column:
     import re as _re
 
@@ -845,10 +1064,37 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return _apply_named_map(
             str(_lit_arg(args[0], ".apply() map name")),
             compile_expr(node.target, scope), scope)
+    if name in ("catch", "or", "exists", "from", "from_all"):
+        # errors under a catch/or are VALUES (reference TryMethod),
+        # and from/from_all recover per-part errors (ErrRecoverable):
+        # compile the target leniently so raising helpers yield null,
+        # which coalesce/recovery converts downstream
+        scope = scope.child(lenient=True)
+        if name in ("catch", "or") and args and (
+                _is_deleted_call(node.target)
+                or (isinstance(node.target, ast.FuncCall)
+                    and node.target.name == "nothing")):
+            # deleted().or(x) / nothing().catch(x) → x
+            return compile_expr(args[0], scope)
     target = compile_expr(node.target, scope)
 
     def arg_col(i):
         return compile_expr(args[i], scope)
+
+    def _err_or(cond, msg: str, value):
+        """Reference runtime-error semantics: when `cond` holds the
+        method errors per-message.  Under .catch()/.or() the error is
+        a value (null → fallback); on an error-flagged frame it lands
+        in the _error column (reference error-flag protocol,
+        lib/processor/bloblang.go); otherwise raise_error (documented:
+        fails the query — relational frames fail fast)."""
+        if scope.lenient:
+            return F.when(cond, F.lit(None)).otherwise(value)
+        if scope.has_error_channel():
+            scope.add_error_cond(cond, F.lit(f".{name}(): {msg}"))
+            return F.when(cond, F.lit(None)).otherwise(value)
+        return F.when(cond, F.raise_error(F.concat(
+            F.lit(f".{name}(): "), F.lit(msg)))).otherwise(value)
 
     def arg_lit(i, what="argument"):
         return _lit_arg(args[i], f".{name}() {what}")
@@ -871,9 +1117,11 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             ndt[lnode.param] = _elem_dt()
             return compile_expr(lnode.body,
                                 scope.child(named=named,
-                                            named_dtypes=ndt))
+                                            named_dtypes=ndt,
+                                            in_lambda=True))
         return compile_expr(lnode, scope.child(
-            this_override=x, override_dtype=_elem_dt()))
+            this_override=x, override_dtype=_elem_dt(),
+            in_lambda=True))
 
     def lam1(i):
         """Element lambda for args[i] (either syntax form)."""
@@ -913,13 +1161,32 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             F.parse_json(F.lit(_json_mod.dumps(fb))))
 
     # --- general (methods.go) ---
-    if name == "or":
-        vc = _variant_coalesce(args[0])
-        if vc is not None:
-            return vc
-        return F.coalesce(target, arg_col(0))
-    if name == "catch":
-        if _is_deleted_call(args[0]):
+    if name == "catch" and args and not _is_deleted_call(args[0]):
+        # catch fires on ERRORS, not on legitimate nulls: a pure
+        # document path that EXISTS with a null value passes through
+        # (json("foo") on {"foo":null} → null, not the fallback) —
+        # presence is checked against the raw content JSON
+        path = _pure_doc_path(node.target)
+        if path and scope.df is not None \
+                and "content" in scope.df.columns \
+                and scope.this_override is None:
+            parent = (F.col("content") if len(path) == 1
+                      else F.get_json_object(
+                          F.col("content"),
+                          "$." + ".".join(path[:-1])))
+            present = F.coalesce(
+                F.array_contains(F.json_object_keys(parent),
+                                 path[-1]),
+                F.lit(False))
+            tgt, fb = target, arg_col(0)
+            tc = _type_class(_node_dtype(node.target, scope))
+            fc = _type_class(_node_dtype(args[0], scope))
+            if tc is not None and fc is not None and tc != fc:
+                tgt = _scalar_to_variant(tgt)
+                fb = _scalar_to_variant(fb)
+            return F.when(present, tgt).otherwise(fb)
+    if name in ("or", "catch"):
+        if name == "catch" and _is_deleted_call(args[0]):
             # .catch(deleted()): row-drop-on-error belongs to the
             # try/catch operator layer (plans/errors.py); expression
             # errors here surface as nulls, so a valid value passes
@@ -928,6 +1195,13 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         vc = _variant_coalesce(args[0])
         if vc is not None:
             return vc
+        tc = _type_class(_node_dtype(node.target, scope))
+        fc = _type_class(_node_dtype(args[0], scope))
+        if tc is not None and fc is not None and tc != fc:
+            # per-row dynamic result type (string value OR bool
+            # fallback …) → VARIANT coalesce
+            return F.coalesce(_scalar_to_variant(target),
+                              _scalar_to_variant(arg_col(0)))
         return F.coalesce(target, arg_col(0))
     if name == "not":
         # methods.go `not`: boolean negation of the target value
@@ -984,17 +1258,65 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
                             else F.lit(None))
         dug = _dig(target, path)
         return dug.isNotNull() if name == "exists" else dug
-    if name == "from":
-        raise BloblangCompileError(
-            ".from(i): cross-part reads map to window functions over "
-            "batch_id — use operators.batch helpers (documented)")
+    if name in ("from", "from_all"):
+        # .from(i) / .from_all() (query/methods.go): the target
+        # evaluated against other parts of the batch.  Recoverable
+        # per-part errors yield their recovered value — for the
+        # metadata function that's "" (functions.go ErrRecoverable)
+        t = target
+        if isinstance(node.target, ast.FuncCall) \
+                and node.target.name in ("meta", "metadata",
+                                         "root_meta") \
+                and node.target.args:
+            t = F.coalesce(target, F.lit(""))
+        if name == "from_all":
+            return _batch_values(t, scope, name)
+        m, n = _batch_index_map(t, scope, name)
+        i = int(arg_lit(0, "part index"))
+        pos = F.lit(i) if i >= 0 else (n + F.lit(i)).cast("int")
+        res = m[pos]
+        # an out-of-range index reads as an EMPTY PART
+        # (lib/message Get): metadata → {}, error flag → "", not
+        # errored; document functions stay null
+        if isinstance(node.target, ast.FuncCall):
+            tf = node.target.name
+            if tf in ("meta", "metadata", "root_meta") \
+                    and not node.target.args:
+                res = F.coalesce(res, F.from_json(
+                    F.lit("{}"), "map<string,string>"))
+            elif tf == "error":
+                res = F.coalesce(res, F.lit(""))
+            elif tf == "errored":
+                res = F.coalesce(res, F.lit(False))
+            elif tf == "content":
+                res = F.coalesce(res, F.lit(""))
+        return res
     if name == "apply":
         return _apply_named_map(str(arg_lit(0, "map name")), target, scope)
+    if name == "map":
+        # query/methods.go map: apply the query arg with `this`
+        # rebound to the target value
+        mdt = _dtype(target, scope, node.target)
+        return compile_expr(
+            args[0].body if isinstance(args[0], ast.Lambda) else args[0],
+            scope.child(this_override=target, override_dtype=mdt))
     # --- coercions ---
     if name == "number":
-        return target.try_cast("double")
+        # methods.go number: unparseable → error; optional default arg
+        # recovers instead (strconv.ParseFloat semantics)
+        cast = target.try_cast("double")
+        if args:
+            return F.coalesce(cast, arg_col(0).cast("double"))
+        return _err_or(cast.isNull() & target.isNotNull(),
+                       "expected number value", cast)
     if name == "bool":
-        return target.try_cast("boolean")
+        # methods.go bool: strconv.ParseBool semantics; optional
+        # default arg recovers a failed parse
+        cast = target.try_cast("boolean")
+        if args:
+            return F.coalesce(cast, arg_col(0).cast("boolean"))
+        return _err_or(cast.isNull() & target.isNotNull(),
+                       "expected bool value", cast)
     if name == "string":
         # structured values stringify as their JSON form
         # (methods_strings.go:1959), not engine struct syntax
@@ -1002,12 +1324,24 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         dt = _dtype(target, scope, node.target)
         if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
             return F.to_json(target)
+        if dt is None and isinstance(node.target, ast.Method) \
+                and node.target.name in (
+                    "explode", "parse_csv", "without", "merge",
+                    "map_each", "filter", "key_values", "values",
+                    "enumerated", "zip", "keys", "sort", "unique"):
+            # structured-result methods with no static dtype still
+            # stringify as JSON (methods_strings.go:1959)
+            return F.to_json(target)
         return target.cast("string")
     if name == "bytes":
         return target.cast("binary")
     if name == "timestamp" or name == "ts_parse" or name == "parse_timestamp":
-        return ts_fns.parse_timestamp(target, str(arg_lit(0, "layout"))) \
-            if args else F.to_timestamp(target)
+        if not args:
+            return F.to_timestamp(target)
+        parsed = ts_fns.parse_timestamp(target, str(arg_lit(0, "layout")))
+        # methods_strings.go:1173: unparseable input is a runtime error
+        return _err_or(parsed.isNull() & target.isNotNull(),
+                       "cannot parse timestamp", parsed)
     # --- numbers (methods_numbers.go) ---
     if name == "abs":
         return F.abs(target)
@@ -1064,6 +1398,24 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
     if name == "split":
         return F.split(target, _re.escape(str(arg_lit(0, "delimiter"))))
     if name == "join":
+        # methods_structured.go join: array-of-strings only; other
+        # shapes are per-message type errors → dynamic interpreter
+        from pyspark.sql import types as T
+        jdt = _dtype(target, scope, node.target)
+        if jdt is not None and not isinstance(jdt, T.ArrayType):
+            raise BloblangCompileError(".join(): expected array value")
+        if isinstance(jdt, T.ArrayType) and not isinstance(
+                jdt.elementType, T.StringType):
+            raise BloblangCompileError(
+                ".join(): string elements only")
+        if jdt is None and isinstance(node.target, ast.ArrayLit) \
+                and any(isinstance(it, ast.Literal)
+                        and not isinstance(it.value, str)
+                        for it in node.target.items):
+            # mixed literal arrays: per-element type errors belong to
+            # the dynamic interpreter
+            raise BloblangCompileError(
+                ".join(): string elements only")
         return F.array_join(target, str(arg_lit(0, "delimiter")) if args else "")
     if name == "replace":
         return F.replace(target, arg_col(0), arg_col(1))
@@ -1101,6 +1453,10 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         lo = int(arg_lit(0))
         hi = int(arg_lit(1)) if len(args) > 1 else None
         dt = _dtype(target, scope, node.target)
+        if dt is not None and not isinstance(
+                dt, (T.ArrayType, T.StringType, T.BinaryType)):
+            raise BloblangCompileError(
+                ".slice(): expected array or string value")
         is_arr = (isinstance(dt, T.ArrayType) if dt is not None
                   else _is_arrayish(node.target))
         n = F.size(target) if is_arr else F.length(target)
@@ -1139,21 +1495,36 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
                 return F.translate(F.base64(F.unhex(target)), "\r\n", "")
         if codec == "base64":
             return F.translate(F.base64(target.cast("binary")), "\r\n", "")
+        if codec == "base64url":
+            # RFC 4648 §5 URL-safe alphabet, padding kept (Go's
+            # base64.URLEncoding — methods_strings.go:119)
+            return F.translate(
+                F.translate(F.base64(target.cast("binary")),
+                            "\r\n", ""), "+/", "-_")
         if codec == "hex":
             return F.lower(F.hex(target.cast("binary")))
         if codec == "ascii85":
             from benthos_spark.functions.strings import encode_ascii85
             return encode_ascii85(target)
+        if codec == "z85":
+            from benthos_spark.functions.strings import encode_z85
+            return encode_z85(target)
         raise BloblangCompileError(f"encode codec {codec!r} unsupported")
     if name == "decode":
         codec = str(arg_lit(0, "codec"))
         if codec == "base64":
             return F.unbase64(target).cast("string")
+        if codec == "base64url":
+            return F.unbase64(
+                F.translate(target, "-_", "+/")).cast("string")
         if codec == "hex":
             return F.unhex(target).cast("string")
         if codec == "ascii85":
             from benthos_spark.functions.strings import decode_ascii85
             return decode_ascii85(target)
+        if codec == "z85":
+            from benthos_spark.functions.strings import decode_z85
+            return decode_z85(target)
         raise BloblangCompileError(f"decode codec {codec!r} unsupported")
     if name == "hash":
         alg = str(arg_lit(0, "algorithm"))
@@ -1166,7 +1537,11 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         if alg == "md5":
             return F.md5(target.cast("binary"))
         if alg == "xxhash64":
-            return F.xxhash64(target).cast("string")
+            # canonical XXH64(seed=0) decimal string, the reference's
+            # value (Spark's builtin is seed-42 over row serialization
+            # — kept for internal scale keys, not user-visible hashes)
+            from benthos_spark.functions.strings import hash_xxhash64_std
+            return hash_xxhash64_std(target)
         if alg.startswith("hmac_"):
             # methods_strings.go:683 hmac variants take the key arg
             from benthos_spark.functions.strings import hash_hmac
@@ -1211,9 +1586,12 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         from benthos_spark.functions.strings import filepath_split
         return filepath_split(target)
     if name == "unquote":
-        # methods_strings.go:1133 — JSON string literal → raw string
-        # (get_json_object '$' unescapes via the JVM JSON parser)
-        return F.get_json_object(target, "$")
+        # methods_strings.go:1133 — JSON string literal → raw string.
+        # from_json over a 1-element array wrapper runs the real JSON
+        # parser (handles every escape); invalid input → null
+        return F.from_json(
+            F.concat(F.lit("["), target.cast("string"), F.lit("]")),
+            "array<string>")[0]
     if name == "replace_many":
         # methods_strings.go:1040: flat [from,to, from,to, ...] pairs
         items = args[0].items if len(args) == 1 and \
@@ -1250,14 +1628,17 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         # Spark builtin and run through an Arrow-batched kernel over
         # the `cryptography` package (gated import).
         scheme = str(arg_lit(0, "scheme")).lower()
-        if scheme in ("ctr", "ofb"):
+        if scheme in ("ctr", "ofb", "cbc"):
+            # cbc matches the reference exactly: raw ciphertext (no IV
+            # prefix, no PKCS7 padding; misaligned input errors) —
+            # Spark's builtin CBC prepends a random IV and pads
             from benthos_spark.functions.strings import aes_stream_mode
             return aes_stream_mode(name, scheme, target,
                                    arg_col(1), arg_col(2))
-        if scheme not in ("cbc", "gcm", "ecb"):
+        if scheme not in ("gcm", "ecb"):
             raise BloblangCompileError(
                 f"{name} scheme {scheme!r}: supported modes are "
-                "cbc|gcm|ecb (JVM builtin) and ctr|ofb (Python kernel)")
+                "gcm|ecb (JVM builtin) and cbc|ctr|ofb (Python kernel)")
         key = arg_col(1).cast("binary")
         iv = arg_col(2).cast("binary") if len(args) > 2 else F.lit(b"")
         if name == "encrypt_aes":
@@ -1332,15 +1713,22 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         lines = F.filter(F.split(target, "\n"),
                          lambda ln: F.length(ln) > 0)
         hdr = F.split(F.element_at(lines, 1), ",")
+        # key-sorted entries so .string() marshals like Go (encoding/
+        # json sorts map keys)
         return F.transform(
             F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))),
-            lambda ln: F.map_from_arrays(hdr, F.split(ln, ",")))
+            lambda ln: F.map_from_entries(
+                F.array_sort(F.arrays_zip(hdr, F.split(ln, ",")))))
     if name == "parse_timestamp_strptime":
-        return ts_fns.parse_timestamp_strptime(target, str(arg_lit(0)))
+        parsed = ts_fns.parse_timestamp_strptime(target, str(arg_lit(0)))
+        return _err_or(parsed.isNull() & target.isNotNull(),
+                       "cannot parse timestamp", parsed)
     if name == "parse_timestamp_unix":
-        return ts_fns.parse_timestamp_unix(
+        parsed = ts_fns.parse_timestamp_unix(
             target, str(arg_lit(0, "layout")) if args else None,
             dtype=_dtype(target, scope, node.target))
+        return _err_or(parsed.isNull() & target.isNotNull(),
+                       "cannot parse timestamp", parsed)
     if name == "format_timestamp":
         return ts_fns.format_timestamp(
             target, str(arg_lit(0, "layout")),
@@ -1359,7 +1747,9 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             target, dtype=_dtype(target, scope, node.target))
     # --- structured (methods_structured.go) ---
     if name == "all":
-        return F.forall(target, lam1(0))
+        # methods.go all: an empty array yields false (no element
+        # satisfied the check), unlike SQL forall's vacuous truth
+        return (F.size(target) > 0) & F.forall(target, lam1(0))
     if name == "any":
         return F.exists(target, lam1(0))
     if name == "append":
@@ -1404,7 +1794,8 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
                 body = args[1].body
             else:
                 body = args[1]
-            return compile_expr(body, scope.child(named=named))
+            return compile_expr(body, scope.child(named=named,
+                                                  in_lambda=True))
         return F.aggregate(target, init, fold_fn)
     if name == "index":
         from pyspark.sql import types as T
@@ -1418,7 +1809,13 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             return F.conv(F.substring(F.hex(target),
                                       pos * 2 + 1, 2), 16, 10) \
                     .cast("long")
-        return F.element_at(target, i + 1 if i >= 0 else i)
+        # methods_structured.go index: OOB is a runtime error (so
+        # .catch() can recover); F.get is OOB-null (vs element_at's
+        # job-level raise), composing with the error helper
+        pos = F.lit(i) if i >= 0 else F.size(target) + F.lit(i)
+        return _err_or(
+            (pos < 0) | (pos >= F.size(target)),
+            f"index {i} out of bounds", F.get(target, pos))
     if name in ("keys", "values", "key_values"):
         from pyspark.sql import types as T
         dt = _dtype(target, scope, node.target)
@@ -1438,15 +1835,36 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         dt = _dtype(target, scope, node.target)
         as_map = (_struct_as_map(target, dt)
                   if isinstance(dt, T.StructType) else target)
+        lam = args[0]
+        body = lam.body if isinstance(lam, ast.Lambda) else lam
+        if _is_deleted_call(body):
+            # map_each(deleted()) drops every element/key, keeping the
+            # container shape (methods_structured.go MapEach)
+            if isinstance(dt, (T.MapType, T.StructType)):
+                return F.map_filter(as_map, lambda k, v: F.lit(False))
+            return F.filter(target, lambda x: F.lit(False))
         if isinstance(dt, (T.MapType, T.StructType)):
+            obranches = _deleted_filter_branches(body)
+
+            def pair_bind(expr_node):
+                def fn(k, v):
+                    pair = F.struct(k.alias("key"), v.alias("value"))
+                    if isinstance(lam, ast.Lambda):
+                        return bind_elem(
+                            ast.Lambda(lam.param, expr_node), pair)
+                    return bind_elem(expr_node, pair)
+                return fn
+            if obranches is not None:
+                keep_cond, value_expr = obranches
+                kept = F.map_filter(as_map, pair_bind(keep_cond))
+                return F.transform_values(kept, pair_bind(value_expr))
+
             def pair_val(k, v):
                 pair = F.struct(k.alias("key"), v.alias("value"))
                 return bind_elem(args[0], pair)
             return F.transform_values(as_map, pair_val)
         # deleted() on an if/match branch inside the lambda (either
         # syntax form) means filter-then-map (methods_structured.go:759)
-        lam = args[0]
-        body = lam.body if isinstance(lam, ast.Lambda) else lam
         branches = _deleted_filter_branches(body)
         if branches is not None:
             keep_cond, value_expr = branches
@@ -1538,6 +1956,16 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         path = str(arg_lit(0, "path"))
         inner = _dig(target, path.split("."))
         idt = _dtype(inner, scope)
+        tdt = _dtype(target, scope, node.target)
+        if isinstance(tdt, T.StructType):
+            leaf = _walk_schema(tdt, path.split("."))
+            if not isinstance(leaf, (T.StructType, T.ArrayType,
+                                     T.MapType)):
+                # reference: expected array or object value at path —
+                # a per-message runtime error (dynamic interpreter)
+                raise BloblangCompileError(
+                    f".explode(): expected array or object value "
+                    f"at path {path!r}")
         if isinstance(idt, T.StructType):
             # object explode (methods_structured.go:321): one output
             # field per key, each the doc with `path` swapped for that
@@ -1546,21 +1974,6 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
                 target.withField(path, inner[f.name]).alias(f.name)
                 for f in idt.fields])
         return F.transform(inner, lambda x: target.withField(path, x))
-    if name == "from_all":
-        # .from_all() (query/methods.go): the target evaluated for
-        # every part of the batch → array.  Window collect_list over
-        # batch_id in part order — no shuffle beyond the batch key the
-        # frame already carries.
-        from pyspark.sql.window import Window
-        if scope.df is None or "batch_id" not in scope.df.columns:
-            raise BloblangCompileError(
-                ".from_all(): needs the message shape (batch_id/"
-                "part_index columns) — cross-part reads are windows "
-                "over the batch key")
-        w = (Window.partitionBy("batch_id").orderBy("part_index")
-             .rowsBetween(Window.unboundedPreceding,
-                          Window.unboundedFollowing))
-        return F.collect_list(target).over(w)
     if name == "json_schema":
         # methods_structured.go:592: pass the value through when it
         # validates, error otherwise.  Validation runs in an Arrow
@@ -1583,10 +1996,44 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.aggregate(target, F.lit(0.0),
                            lambda acc, x: acc + x.cast("double"))
     if name == "unique":
+        # methods_structured.go unique: elements must be strings or
+        # numbers — containers are a runtime type error, non-arrays an
+        # outer type error; both route to the dynamic interpreter
+        # (per-message error semantics) via compile failure
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope, node.target)
+        if dt is not None and not isinstance(dt, T.ArrayType):
+            raise BloblangCompileError(
+                ".unique(): expected array value")
+        if isinstance(dt, T.ArrayType) and isinstance(
+                dt.elementType, (T.ArrayType, T.MapType, T.StructType,
+                                 T.VariantType)):
+            raise BloblangCompileError(
+                ".unique(): string/number elements only")
         return F.array_distinct(target)
     if name == "without":
-        return target.dropFields(*[str(_lit_arg(a, "field"))
-                                   for a in args])
+        # invalid paths (missing keys, non-object parents) are
+        # ignored, matching gabs delete semantics (methods_structured
+        # .go without)
+        from pyspark.sql import types as T
+        dt = _dtype(target, scope, node.target)
+        paths = [str(_lit_arg(a, "field")) for a in args]
+        if isinstance(dt, T.StructType):
+            def _parent_is_struct(p):
+                cur = dt
+                for s in p.split(".")[:-1]:
+                    if not isinstance(cur, T.StructType):
+                        return False
+                    f = next((f for f in cur.fields if f.name == s),
+                             None)
+                    if f is None:
+                        return False
+                    cur = f.dataType
+                return isinstance(cur, T.StructType)
+            paths = [p for p in paths if _parent_is_struct(p)]
+            if not paths:
+                return target
+        return target.dropFields(*paths)
     if name == "collapse":
         # methods_structured.go:156: flatten to dot-keyed (array
         # indexes included) map of leaf values.  Compile-time schema
@@ -1876,10 +2323,27 @@ class MappingExec:
                     meta_final = F.map_concat(
                         F.map_filter(meta_final, key_neq(key)),
                         F.create_map(F.lit(key), val.cast("string")))
+        # error-flag protocol: strict-method failure conditions become
+        # per-row _error values (first failure wins, existing flag
+        # preserved) — lib/processor/bloblang.go error semantics.  The
+        # flag ALWAYS propagates when conditions exist (errors must
+        # not vanish), even if the caller didn't ask to keep it.
+        err_final: Column | None = None
+        if scope.error_conds and ERROR_COL in df.columns \
+                and ERROR_COL not in keep_names \
+                and ERROR_COL not in scope.root_fields:
+            keep_names.append(ERROR_COL)
+        if scope.error_conds and ERROR_COL in keep_names:
+            err_final = F.col(ERROR_COL)
+            for cond, msgc in scope.error_conds:
+                err_final = F.coalesce(
+                    err_final, F.when(cond, msgc.cast("string")))
         cols = []
         for k in keep_names:
             if k == "meta" and meta_final is not None:
                 cols.append(meta_final.alias("meta"))
+            elif k == ERROR_COL and err_final is not None:
+                cols.append(err_final.alias(ERROR_COL))
             else:
                 cols.append(F.col(k))
         for name, val in scope.root_fields.items():
@@ -2092,8 +2556,12 @@ def map_dynamic(df: DataFrame, src: str,
                 err = None
                 try:
                     out_c, out_m = dyn.run_one(c, m)
-                except (EvalError, RecursionError) as exc:
-                    out_c, out_m, err = c, m, str(exc)
+                except Exception as exc:  # noqa: BLE001 — reference
+                    # contract: ANY per-message evaluation error flags
+                    # the message and passes the original through
+                    # (lib/processor/bloblang.go), it never fails the
+                    # task
+                    out_c, out_m, err = c, m, str(exc) or repr(exc)
                 if out_c is None:
                     continue  # root = deleted()
                 keep.append(i)
@@ -2113,7 +2581,7 @@ def map_dynamic(df: DataFrame, src: str,
 
 
 def map_text(df: DataFrame, src: str, this: Column | None = None,
-             base_dir: str = ".") -> DataFrame:
+             base_dir: str = ".", keep: tuple[str, ...] = ()) -> DataFrame:
     """One-shot: apply a Bloblang mapping to a DataFrame.
 
     Row mode (this=None): `this.foo` reads column `foo`.
@@ -2124,4 +2592,21 @@ def map_text(df: DataFrame, src: str, this: Column | None = None,
     mapping = parse_mapping(src, base_dir=base_dir)
     if "content" in df.columns and mapping_needs_dynamic(mapping):
         return map_dynamic(df, src, base_dir=base_dir)
-    return MappingExec(mapping, src).apply(df, this=this)
+    try:
+        return MappingExec(mapping, src).apply(df, this=this, keep=keep)
+    except Exception as e:  # noqa: BLE001
+        # Columnar compile/analysis failure on a message-shaped frame →
+        # the dynamic-document interpreter (Arrow-batched mapInPandas)
+        # runs the mapping per document, matching the reference's
+        # per-message dynamic typing.  Relational frames (no `content`
+        # column) keep the hard error: silent fallback there would hide
+        # mapping bugs against typed tables.
+        from pyspark.errors import AnalysisException
+        if "content" in df.columns \
+                and isinstance(e, (BloblangCompileError,
+                                   AnalysisException)):
+            # (`this` provided or not: on message-shaped frames the
+            # document IS the content, so the interpreter sees the
+            # same values)
+            return map_dynamic(df, src, base_dir=base_dir)
+        raise

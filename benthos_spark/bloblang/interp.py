@@ -65,6 +65,34 @@ def _num(v):
     raise EvalError(f"not a number: {v!r}")
 
 
+def _type_name(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    return "object"
+
+
+def _gabs_merge(dest, src):
+    """Reference .merge() semantics (gabs Merge): objects merge
+    recursively; a leaf collision turns the destination into an array
+    and appends; merging into an array appends."""
+    if isinstance(dest, dict) and isinstance(src, dict):
+        out = dict(dest)
+        for k, v in src.items():
+            out[k] = _gabs_merge(out[k], v) if k in out else v
+        return out
+    if isinstance(dest, list):
+        return dest + (src if isinstance(src, list) else [src])
+    return [dest, src]
+
+
 def _truthy_pair(op, left, right):
     ln, rn = _num(left), _num(right)
     if op == "+":
@@ -109,7 +137,11 @@ class Interp:
             if node.path and node.path[0] in self.vars:
                 return _dig({node.path[0]: self.vars[node.path[0]]},
                             node.path)
-            return _dig(self.doc, node.path) if node.path else self.doc
+            if node.path:
+                return _dig(self.doc, node.path)
+            # bare `this` with no parseable document → nil (the
+            # reference's field function on an empty part)
+            return None if self.doc is _MISSING else self.doc
         if isinstance(node, ast.VarRef):
             if node.name not in self.vars:
                 raise EvalError(f"unknown variable ${node.name}")
@@ -182,8 +214,13 @@ class Interp:
     def _binary(self, node):
         op = node.op
         if op == "|":
-            left = self._eval(node.left)
-            if left is _MISSING or left is None:
+            # the coalesce pipe recovers errors too (arithmetic.go
+            # ArithmeticPipe wraps the left side in a try)
+            try:
+                left = self._eval(node.left)
+            except EvalError:
+                left = _MISSING
+            if left is _MISSING or left is None or left is _DELETED:
                 return self._eval(node.right)
             return left
         if op == "&&":
@@ -226,7 +263,13 @@ class Interp:
             return doc
         if name in ("meta", "metadata", "root_meta"):
             if args:
-                return self.meta.get(str(args[0]))
+                key = str(args[0])
+                if key not in self.meta:
+                    # functions.go meta: missing key is a runtime
+                    # error (recover with .catch()/.or())
+                    raise EvalError(
+                        f"metadata value {key!r} not found")
+                return self.meta[key]
             return dict(self.meta)
         if name == "content":
             return self.content if self.content is not None \
@@ -256,13 +299,14 @@ class Interp:
     # -- methods -----------------------------------------------------
     def _method(self, node):
         name = node.name
-        target = self._eval(node.target)
 
         def arg(i, default=None):
             if i < len(node.args):
                 return self.eval(node.args[i])
             return default
 
+        # catch/or intercept target ERRORS (reference TryMethod/Or):
+        # evaluate the target inside the guard, before anything else
         if name == "catch":
             try:
                 t = self._eval(node.target)
@@ -271,14 +315,17 @@ class Interp:
                 return t
             except EvalError:
                 return arg(0)
-        if target is _MISSING:
-            if name == "or":
+        if name == "or":
+            try:
+                t = self._eval(node.target)
+            except EvalError:
                 return arg(0)
+            return t if t is not _MISSING and t is not None else arg(0)
+        target = self._eval(node.target)
+        if target is _MISSING:
             if name == "exists":
                 return False
             raise EvalError(f".{name}() on a missing value")
-        if name == "or":
-            return target if target is not None else arg(0)
         if name == "number":
             try:
                 return _num(target)
@@ -292,11 +339,110 @@ class Interp:
             return _json.dumps(target, separators=(",", ":"),
                                sort_keys=True)
         if name == "bool":
-            return bool(target)
+            # methods.go bool: strconv.ParseBool coercion; optional
+            # default recovers a failed parse
+            def _to_bool(v):
+                if isinstance(v, bool):
+                    return v
+                if isinstance(v, (int, float)):
+                    return v != 0
+                if isinstance(v, str):
+                    s = v.strip().lower()
+                    if s in ("true", "t", "1"):
+                        return True
+                    if s in ("false", "f", "0"):
+                        return False
+                return None
+            b = _to_bool(target)
+            if b is None:
+                if node.args:
+                    return arg(0)
+                raise EvalError(
+                    f"expected bool value, got {_type_name(target)}")
+            return b
+        if name == "map":
+            # query/methods.go map: apply the query arg with `this`
+            # rebound to the target value
+            return self._eval_bound(node.args[0], target)
+        if name == "append":
+            if not isinstance(target, list):
+                raise EvalError("expected array value")
+            return target + [self.eval(a) for a in node.args]
+        if name == "flatten":
+            if not isinstance(target, list):
+                raise EvalError("expected array value")
+            out = []
+            for x in target:
+                if isinstance(x, list):
+                    out.extend(x)
+                else:
+                    out.append(x)
+            return out
+        if name == "merge":
+            return _gabs_merge(target, arg(0))
+        if name == "without":
+            import copy
+            if not isinstance(target, dict):
+                raise EvalError("expected object value")
+            out = copy.deepcopy(target)
+            for a in node.args:
+                segs = str(self.eval(a)).split(".")
+                cur = out
+                ok = True
+                for seg in segs[:-1]:
+                    if isinstance(cur, dict) \
+                            and isinstance(cur.get(seg), dict):
+                        cur = cur[seg]
+                    else:
+                        ok = False
+                        break
+                if ok and isinstance(cur, dict):
+                    cur.pop(segs[-1], None)
+            return out
+        if name == "explode":
+            import copy
+            segs = str(arg(0)).split(".")
+            inner = _dig(target, segs)
+            def _swap(v):
+                d = copy.deepcopy(target)
+                _assign_path(d, segs, v)
+                return d
+            if isinstance(inner, list):
+                return [_swap(v) for v in inner]
+            if isinstance(inner, dict):
+                return {k: _swap(v) for k, v in inner.items()}
+            raise EvalError(
+                f"expected array or object value at path "
+                f"'{'.'.join(segs)}', found: "
+                f"{_type_name(None if inner is _MISSING else inner)}")
+        if name in ("all", "any"):
+            if not isinstance(target, list):
+                raise EvalError(
+                    f"expected array value, got {_type_name(target)}")
+            hit = False
+            for i, item in enumerate(target):
+                v = self._eval_bound(node.args[0], item)
+                if not isinstance(v, bool):
+                    raise EvalError(
+                        f"element {i}: expected bool value, got "
+                        f"{_type_name(v)}")
+                if name == "any" and v:
+                    return True
+                if name == "all" and not v:
+                    return False
+                hit = True
+            # empty arrays: nothing satisfied the check → false
+            return hit if name == "all" else False
         if name == "uppercase":
-            return str(target).upper()
+            if not isinstance(target, str):
+                raise EvalError(
+                    f"expected string value, got {_type_name(target)}")
+            return target.upper()
         if name == "lowercase":
-            return str(target).lower()
+            if not isinstance(target, str):
+                raise EvalError(
+                    f"expected string value, got {_type_name(target)}")
+            return target.lower()
         if name == "capitalize":
             return str(target).capitalize()
         if name == "trim":
@@ -309,8 +455,16 @@ class Interp:
         if name == "split":
             return str(target).split(str(arg(0)))
         if name == "join":
+            if not isinstance(target, list):
+                raise EvalError(
+                    f"expected array value, got {_type_name(target)}")
             sep = str(arg(0, ""))
-            return sep.join(str(x) for x in target)
+            for i, x in enumerate(target):
+                if not isinstance(x, str):
+                    raise EvalError(
+                        f"failed to join element {i}: expected string "
+                        f"value, got {_type_name(x)}")
+            return sep.join(target)
         if name == "contains":
             if isinstance(target, str):
                 return str(arg(0)) in target
@@ -320,22 +474,46 @@ class Interp:
         if name == "replace":
             return str(target).replace(str(arg(0)), str(arg(1)))
         if name == "re_replace":
-            return re.sub(str(arg(0)), str(arg(1)), str(target))
+            # Go replacement group refs ($1 / ${name}) → Python \g<>
+            repl = re.sub(r"\$\{?(\w+)\}?", r"\\g<\1>", str(arg(1)))
+            return re.sub(str(arg(0)), repl, str(target))
         if name == "re_match":
             return re.search(str(arg(0)), str(target)) is not None
         if name == "slice":
+            if not isinstance(target, (list, str)):
+                raise EvalError(
+                    f"expected array or string value, got "
+                    f"{_type_name(target)}")
             lo = int(arg(0, 0))
             hi = arg(1)
             return target[lo:int(hi)] if hi is not None else target[lo:]
         if name == "index":
+            if not isinstance(target, (list, str)):
+                raise EvalError(
+                    f"expected array value, got {_type_name(target)}")
             i = int(arg(0, 0))
+            if not -len(target) <= i < len(target):
+                raise EvalError(f"index {i} out of bounds")
             return target[i]
         if name == "keys":
             return sorted(target.keys())
         if name == "values":
             return list(target.values())
         if name == "sum":
-            return sum(_num(x) for x in target)
+            # methods.go sum is strict: string elements are errors,
+            # never coerced
+            if not isinstance(target, list):
+                raise EvalError(
+                    f"expected array value, got {_type_name(target)}")
+            acc = 0
+            for i, x in enumerate(target):
+                if isinstance(x, bool) or not isinstance(x,
+                                                         (int, float)):
+                    raise EvalError(
+                        f"index {i}: expected number value, got "
+                        f"{_type_name(x)}")
+                acc += x
+            return acc
         if name == "floor":
             return math.floor(_num(target))
         if name == "ceil":
@@ -437,9 +615,22 @@ class Interp:
         if name == "sort":
             return sorted(target)
         if name == "unique":
+            # methods_structured.go unique: string/number elements
+            # only; numbers compare numerically (3 == 3.0), strings as
+            # strings ("5" != 5)
+            if not isinstance(target, list):
+                raise EvalError(
+                    f"expected array value, got {_type_name(target)}")
             seen, out = set(), []
-            for x in target:
-                k = _json.dumps(x, sort_keys=True, default=str)
+            for i, x in enumerate(target):
+                v = self._eval_bound(node.args[0], x) if node.args \
+                    else x
+                if isinstance(v, bool) or not isinstance(
+                        v, (str, int, float)):
+                    raise EvalError(
+                        f"index {i}: expected string or number "
+                        f"value, got {_type_name(v)}")
+                k = ("s", v) if isinstance(v, str) else ("n", float(v))
                 if k not in seen:
                     seen.add(k)
                     out.append(x)

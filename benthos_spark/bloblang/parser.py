@@ -113,8 +113,31 @@ def _unquote(s: str) -> str:
     if s.startswith('"""'):
         return s[3:-3]  # triple-quoted strings are raw, no escapes
     body = s[1:-1]
-    return (body.replace(r"\"", '"').replace(r"\n", "\n")
-                .replace(r"\t", "\t").replace(r"\\", "\\"))
+    # single left-to-right pass: sequential replace() corrupts mixed
+    # sequences (`\\n` is backslash + literal n, not backslash + LF)
+    out = []
+    i = 0
+    esc = {'"': '"', "n": "\n", "t": "\t", "r": "\r", "\\": "\\",
+           "'": "'", "/": "/", "0": "\0", "a": "\a", "b": "\b",
+           "f": "\f", "v": "\v"}
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt == "u" and i + 5 < len(body):
+                try:
+                    out.append(chr(int(body[i + 2:i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 class _Parser:
@@ -470,6 +493,9 @@ class _Parser:
         if not (self.peek().kind == "OP" and self.peek().text == ")"):
             args.append(self._parse_arg())
             while self.accept("OP", ","):
+                # trailing comma before ')' is fine (query_parser.go)
+                if self.peek().kind == "OP" and self.peek().text == ")":
+                    break
                 args.append(self._parse_arg())
         self.depth -= 1
         self.expect("OP", ")", skip_nl=True)

@@ -174,6 +174,132 @@ def hash_xxhash64(c: Column) -> Column:
     return F.xxhash64(c)
 
 
+def _xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 over raw bytes, seed 0 — clean-room from the published
+    xxHash specification (the reference's .hash("xxhash64") uses the
+    canonical algorithm; Spark's builtin xxhash64 hashes its own row
+    serialization with seed 42, a different value)."""
+    P1, P2, P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, \
+        0x165667B19E3779F9
+    P4, P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def rnd(acc, inp):
+        return (rotl((acc + inp * P2) & M, 31) * P1) & M
+
+    n, i = len(data), 0
+    if n >= 32:
+        v1, v2 = (seed + P1 + P2) & M, (seed + P2) & M
+        v3, v4 = seed & M, (seed - P1) & M
+        while i + 32 <= n:
+            v1 = rnd(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = rnd(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = rnd(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = rnd(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12)
+             + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ rnd(0, v)) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i + 8 <= n:
+        h = (rotl(h ^ rnd(0, int.from_bytes(data[i:i + 8], "little")),
+                  27) * P1 + P4) & M
+        i += 8
+    if i + 4 <= n:
+        h = (rotl(h ^ (int.from_bytes(data[i:i + 4], "little") * P1
+                       & M), 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h = (rotl(h ^ (data[i] * P5 & M), 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    return h ^ (h >> 32)
+
+
+def hash_xxhash64_std(c: Column) -> Column:
+    """`.hash("xxhash64")` with canonical XXH64(seed=0) semantics —
+    the value the reference computes.  Arrow-batched kernel (use
+    hash_xxhash64 / F.xxhash64 for internal scale keys where only
+    stability matters)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def kern(s):
+        return s.map(lambda v: None if v is None
+                     else str(_xxh64(bytes(v))))
+
+    return kern(c.cast("binary"))
+
+
+_Z85_ALPHA = ("0123456789abcdefghijklmnopqrstuvwxyz"
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+_Z85_REV = {ch: i for i, ch in enumerate(_Z85_ALPHA)}
+
+
+def encode_z85(c: Column) -> Column:
+    """`.encode("z85")` (methods_strings.go:149) — ZeroMQ Z85 spec
+    (32/Z85), 4-byte big-endian blocks → 5 chars; misaligned input is
+    an error, matching the reference."""
+    from pyspark.sql.functions import pandas_udf
+
+    def one(v):
+        if v is None:
+            return None
+        b = bytes(v)
+        if len(b) % 4:
+            raise ValueError("z85 encode: data length not a "
+                             "multiple of 4")
+        out = []
+        for i in range(0, len(b), 4):
+            n = int.from_bytes(b[i:i + 4], "big")
+            chunk = []
+            for _ in range(5):
+                chunk.append(_Z85_ALPHA[n % 85])
+                n //= 85
+            out.extend(reversed(chunk))
+        return "".join(out)
+
+    @pandas_udf("string")
+    def kern(s):
+        return s.map(one)
+
+    return kern(c.cast("binary"))
+
+
+def decode_z85(c: Column) -> Column:
+    """`.decode("z85")` (methods_strings.go:227)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def one(v):
+        if v is None:
+            return None
+        s = str(v)
+        if len(s) % 5:
+            raise ValueError("z85 decode: length not a multiple of 5")
+        out = bytearray()
+        for i in range(0, len(s), 5):
+            n = 0
+            for ch in s[i:i + 5]:
+                n = n * 85 + _Z85_REV[ch]
+            out += n.to_bytes(4, "big")
+        return out.decode("utf-8", "replace")
+
+    @pandas_udf("string")
+    def kern(s):
+        return s.map(one)
+
+    return kern(c.cast("string"))
+
+
 def encode_ascii85(c: Column) -> Column:
     """`.encode("ascii85")` (methods_strings.go:89).  No JVM intrinsic
     exists, so this is an Arrow-batched kernel around the stdlib a85
@@ -376,8 +502,20 @@ def aes_stream_mode(name: str, scheme: str, target: Column,
             if v is None or k is None or i is None:
                 out.append(None)
                 continue
-            mode = modes.CTR(bytes(i)) if scheme == "ctr" \
-                else modes.OFB(bytes(i))
+            if scheme == "cbc":
+                # reference (crypto/cipher CBC): raw blocks, caller
+                # supplies aligned input; no IV prefix, no padding
+                if len(bytes(v)) % 16:
+                    raise ValueError(
+                        "plaintext is not a multiple of the block "
+                        "size" if enc else
+                        "ciphertext is not a multiple of the block "
+                        "size")
+                mode = modes.CBC(bytes(i))
+            elif scheme == "ctr":
+                mode = modes.CTR(bytes(i))
+            else:
+                mode = modes.OFB(bytes(i))
             op_ctx = Cipher(algorithms.AES(bytes(k)), mode)
             op = op_ctx.encryptor() if enc else op_ctx.decryptor()
             out.append(op.update(bytes(v)) + op.finalize())

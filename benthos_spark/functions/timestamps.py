@@ -145,9 +145,62 @@ def parse_timestamp_unix(c: Column, go_layout: str | None = None,
     return F.unix_timestamp(ts)
 
 
+# Go zone-layout fragments → (placeholder, colon-form?, utc-display).
+# Formatting keeps the INPUT's own utc-offset (Go time.Time carries its
+# location; a parsed "…+01:00" formats as +01:00, not shifted to UTC).
+# date_format can only print the session zone, so zone fragments become
+# placeholder sentinels substituted with the per-row offset text.
+_ZONE_FRAGS = [
+    ("Z07:00", "\x01", True, "Z"),
+    ("Z0700", "\x02", False, "Z"),
+    ("-07:00", "\x03", True, "+00:00"),
+    ("-0700", "\x04", False, "+0000"),
+]
+
+
+def _input_offset(c: Column):
+    """(has_offset, colon_form, nocolon_form) extracted from the
+    string form of the input value; absent/Z → UTC."""
+    s = c.cast("string")
+    off = F.regexp_extract(s, r"(Z|[+-]\d{2}:?\d{2})\s*$", 1)
+    has = (off != "") & (off != "Z")
+    colon = F.when(F.length(off) == 5,
+                   F.concat(F.substring(off, 1, 3), F.lit(":"),
+                            F.substring(off, 4, 2))).otherwise(off)
+    nocolon = F.replace(colon, F.lit(":"), F.lit(""))
+    return has, colon, nocolon
+
+
+def _format_in_own_zone(c: Column, layout: str, dtype=None,
+                        frac_trim: bool = False) -> Column:
+    """Format in the value's own zone (reference semantics), splicing
+    offset text where the layout asks for it."""
+    has, colon, nocolon = _input_offset(c)
+    body_layout = layout
+    used = []
+    for frag, ph, is_colon, utc_disp in _ZONE_FRAGS:
+        if frag in body_layout:
+            body_layout = body_layout.replace(frag, ph)
+            used.append((ph, is_colon, utc_disp))
+    ts = as_timestamp(c, dtype)
+    local = F.when(has, F.from_utc_timestamp(
+        ts, F.concat(F.lit("GMT"), colon))).otherwise(ts)
+    out = F.date_format(local, go_layout_to_java(body_layout))
+    if frac_trim:
+        out = _trim_fraction(out)
+    for ph, is_colon, utc_disp in used:
+        disp = F.when(has, colon if is_colon else nocolon) \
+            .otherwise(F.lit(utc_disp))
+        out = F.replace(out, F.lit(ph), disp)
+    return out
+
+
 def format_timestamp(c: Column, go_layout: str, tz: str | None = None,
                      dtype=None) -> Column:
     """`.format_timestamp(layout, tz?)` (methods_strings.go:1293)."""
+    if tz is None:
+        return _format_in_own_zone(c, go_layout, dtype,
+                                   frac_trim=".9" in go_layout)
     ts = _with_tz(as_timestamp(c, dtype), tz)
     out = F.date_format(ts, go_layout_to_java(go_layout))
     if ".9" in go_layout:
@@ -158,6 +211,19 @@ def format_timestamp(c: Column, go_layout: str, tz: str | None = None,
 def format_timestamp_strftime(c: Column, pattern: str,
                               tz: str | None = None, dtype=None) -> Column:
     """`.format_timestamp_strftime(fmt, tz?)` (methods_strings.go:1362)."""
+    if tz is None:
+        # translate %z to the Go -0700 fragment so zone splicing is
+        # shared with the layout path
+        go_ish = pattern.replace("%z", "\x04")
+        has, colon, nocolon = _input_offset(c)
+        ts = as_timestamp(c, dtype)
+        local = F.when(has, F.from_utc_timestamp(
+            ts, F.concat(F.lit("GMT"), colon))).otherwise(ts)
+        out = F.date_format(local, strftime_to_java(go_ish))
+        if "\x04" in go_ish:
+            disp = F.when(has, nocolon).otherwise(F.lit("+0000"))
+            out = F.replace(out, F.lit("\x04"), disp)
+        return out
     ts = _with_tz(as_timestamp(c, dtype), tz)
     return F.date_format(ts, strftime_to_java(pattern))
 
