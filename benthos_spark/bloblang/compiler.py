@@ -1050,6 +1050,9 @@ def _batch_values(target: Column, scope: Scope, name: str) -> Column:
                        lambda j: m[j])
 
 
+_MISSING_DT = object()
+
+
 def _compile_method(node: ast.Method, scope: Scope) -> Column:
     import re as _re
 
@@ -1104,23 +1107,47 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         tdt = _dtype(target, scope, node.target)
         return tdt.elementType if isinstance(tdt, T.ArrayType) else None
 
-    def bind_elem(lnode, x):
+    def _pair_dt(names):
+        from pyspark.sql import types as T
+        et = _elem_dt()
+        if et is None:
+            return None
+        return T.StructType([T.StructField(n, et) for n in names])
+
+    def _kv_dt():
+        from pyspark.sql import types as T
+        tdt = _dtype(target, scope, node.target)
+        if isinstance(tdt, T.MapType):
+            return T.StructType([T.StructField("key", tdt.keyType),
+                                 T.StructField("value",
+                                               tdt.valueType)])
+        if isinstance(tdt, T.StructType):
+            vts = {f.dataType.simpleString() for f in tdt.fields}
+            vt = (tdt.fields[0].dataType if len(vts) == 1 and tdt.fields
+                  else T.StringType())
+            return T.StructType([T.StructField("key", T.StringType()),
+                                 T.StructField("value", vt)])
+        return None
+
+    def bind_elem(lnode, x, dtype=_MISSING_DT):
         """Compile a lambda-position argument against element `x`:
         `name -> body` binds the name (outer `this` stays visible);
-        the bare form rebinds `this` to the element.  The element's
-        dtype rides along so schema-dispatched methods keep working
-        inside lambdas."""
+        the bare form rebinds `this` to the element.  The bound
+        value's dtype rides along so schema-dispatched methods keep
+        working inside lambdas — pass `dtype` when x is NOT a plain
+        element (e.g. the {left,right} pair of a sort comparator)."""
+        bdt = _elem_dt() if dtype is _MISSING_DT else dtype
         if isinstance(lnode, ast.Lambda):
             named = dict(scope.named_bindings)
             named[lnode.param] = x
             ndt = dict(scope.named_dtypes)
-            ndt[lnode.param] = _elem_dt()
+            ndt[lnode.param] = bdt
             return compile_expr(lnode.body,
                                 scope.child(named=named,
                                             named_dtypes=ndt,
                                             in_lambda=True))
         return compile_expr(lnode, scope.child(
-            this_override=x, override_dtype=_elem_dt(),
+            this_override=x, override_dtype=bdt,
             in_lambda=True))
 
     def lam1(i):
@@ -1767,7 +1794,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         if isinstance(dt, (T.MapType, T.StructType)):
             def pair_pred(k, v):
                 pair = F.struct(k.alias("key"), v.alias("value"))
-                return bind_elem(args[0], pair)
+                return bind_elem(args[0], pair, dtype=_kv_dt())
             return F.map_filter(as_map, pair_pred)
         return F.filter(target, lam1(0))
     if name == "flatten":
@@ -1851,8 +1878,9 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
                     pair = F.struct(k.alias("key"), v.alias("value"))
                     if isinstance(lam, ast.Lambda):
                         return bind_elem(
-                            ast.Lambda(lam.param, expr_node), pair)
-                    return bind_elem(expr_node, pair)
+                            ast.Lambda(lam.param, expr_node), pair,
+                            dtype=_kv_dt())
+                    return bind_elem(expr_node, pair, dtype=_kv_dt())
                 return fn
             if obranches is not None:
                 keep_cond, value_expr = obranches
@@ -1861,7 +1889,7 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
 
             def pair_val(k, v):
                 pair = F.struct(k.alias("key"), v.alias("value"))
-                return bind_elem(args[0], pair)
+                return bind_elem(args[0], pair, dtype=_kv_dt())
             return F.transform_values(as_map, pair_val)
         # deleted() on an if/match branch inside the lambda (either
         # syntax form) means filter-then-map (methods_structured.go:759)
@@ -1933,7 +1961,8 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
             def cmp(left, right):
                 def bound(le, ri):
                     pair = F.struct(le.alias("left"), ri.alias("right"))
-                    return bind_elem(args[0], pair)
+                    return bind_elem(args[0], pair,
+                                     dtype=_pair_dt(("left", "right")))
                 lt = bound(left, right)
                 gt = bound(right, left)
                 return (F.when(lt, F.lit(-1))
