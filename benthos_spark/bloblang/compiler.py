@@ -501,6 +501,16 @@ def _resolve_this(scope: Scope, path: list[str]) -> Column:
             "bare `this` needs a struct context (row mode has no single "
             "document column); assign fields explicitly or use `root = this` "
             "which maps to the identity projection")
+    if scope.df is not None and "content" in scope.df.columns \
+            and path[0] not in scope.df.columns:
+        # message-shaped frame reading a document field: the row model
+        # has no such column (and an unbound F.col could wrongly
+        # resolve against a later root assignment in the projection
+        # chain) — error here so map_text routes to the dynamic
+        # interpreter, where `this` is the parsed content
+        # (mapping/executor.go MapPart document semantics)
+        raise BloblangCompileError(
+            f"this.{'.'.join(path)}: not a column of the message frame")
     return _dig(F.col(path[0]), path[1:])
 
 
@@ -2567,13 +2577,61 @@ def map_dynamic(df: DataFrame, src: str,
     runtime evaluation error the part keeps its content and the
     `_error` column is set when available (error-flag protocol,
     lib/processor/bloblang.go)."""
-    from benthos_spark.bloblang.interp import DynamicMapping, EvalError
+    from benthos_spark.bloblang.interp import (DynamicMapping,
+                                               EvalError,
+                                               uses_batch_context)
     from benthos_spark.bloblang.parser import parse_mapping as _pm
 
-    dyn = DynamicMapping(_pm(src, base_dir=base_dir))
+    parsed = _pm(src, base_dir=base_dir)
+    dyn = DynamicMapping(parsed)
     schema = df.schema
     has_meta = "meta" in df.columns
     has_err = "_error" in df.columns
+
+    if uses_batch_context(parsed) and "batch_id" in df.columns \
+            and "part_index" in df.columns:
+        # cross-part reads (.from/.from_all/batch_index/batch_size):
+        # co-locate whole batches — one applyInPandas group per
+        # batch_id, parts ordered by part_index (the same shuffle the
+        # static window compilation pays)
+        def grouped(pdf):
+            import pandas as pd
+            pdf = pdf.sort_values("part_index").reset_index(drop=True)
+            batch = [{"content": pdf["content"].iloc[i],
+                      "meta": (dict(pdf["meta"].iloc[i] or {})
+                               if has_meta else {}),
+                      "error": (pdf["_error"].iloc[i]
+                                if has_err else None)}
+                     for i in range(len(pdf))]
+            keep, contents, metas, errs = [], [], [], []
+            for i, p in enumerate(batch):
+                err = None
+                try:
+                    out_c, out_m = dyn.run_one(
+                        p["content"], p["meta"], error=p["error"],
+                        batch=batch, part_index=i)
+                except Exception as exc:  # noqa: BLE001
+                    out_c, out_m, err = (p["content"], p["meta"],
+                                         str(exc) or repr(exc))
+                if out_c is None:
+                    continue
+                keep.append(i)
+                contents.append(out_c)
+                metas.append({str(k): str(v) for k, v in out_m.items()})
+                errs.append(err)
+            out = pdf.iloc[keep].copy()
+            if keep:
+                out["content"] = contents
+                if has_meta:
+                    out["meta"] = metas
+                if has_err:
+                    out["_error"] = [e if e is not None else old
+                                     for e, old in zip(errs,
+                                                       out["_error"])]
+            return out
+
+        return df.groupBy("batch_id").applyInPandas(grouped,
+                                                    schema=schema)
 
     def op(batches):
         for pdf in batches:
@@ -2584,7 +2642,9 @@ def map_dynamic(df: DataFrame, src: str,
                      if has_meta else {})
                 err = None
                 try:
-                    out_c, out_m = dyn.run_one(c, m)
+                    out_c, out_m = dyn.run_one(
+                        c, m, error=(pdf["_error"].iloc[i]
+                                     if has_err else None))
                 except Exception as exc:  # noqa: BLE001 — reference
                     # contract: ANY per-message evaluation error flags
                     # the message and passes the original through
@@ -2598,15 +2658,55 @@ def map_dynamic(df: DataFrame, src: str,
                 metas.append({str(k): str(v) for k, v in out_m.items()})
                 errs.append(err)
             out = pdf.iloc[keep].copy()
-            out["content"] = contents
-            if has_meta:
-                out["meta"] = metas
-            if has_err:
-                out["_error"] = [e if e is not None else old
-                                 for e, old in zip(errs, out["_error"])]
+            if keep:  # empty assignment would retype map columns
+                out["content"] = contents
+                if has_meta:
+                    out["meta"] = metas
+                if has_err:
+                    out["_error"] = [
+                        e if e is not None else old
+                        for e, old in zip(errs, out["_error"])]
             yield out
 
     return df.mapInPandas(op, schema=schema)
+
+
+def is_pure_message(df: DataFrame) -> bool:
+    """True when the frame is message-doctrine shaped: the document is
+    the `content` column and everything else is batch bookkeeping."""
+    return "content" in df.columns and all(
+        c in ("content", "meta", "batch_id", "part_index", "_error")
+        for c in df.columns)
+
+
+def check_dynamic(df: DataFrame, src: str) -> Column:
+    """Boolean Column for a Bloblang check over a message-shaped frame:
+    each row's `content` is the document (`this`), `meta`/`_error` ride
+    along.  Arrow-batched; errors resolve to False
+    (lib/condition/bloblang.go)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from benthos_spark.bloblang.interp import DynamicCheck
+    from benthos_spark.bloblang.parser import parse_query
+
+    chk = DynamicCheck(parse_query(src))
+    has_meta = "meta" in df.columns
+    has_err = "_error" in df.columns
+    cols = [F.col("content")]
+    cols.append(F.col("meta") if has_meta
+                else F.create_map().cast("map<string,string>"))
+    cols.append(F.col("_error") if has_err
+                else F.lit(None).cast("string"))
+
+    def _check(content, meta, err):
+        import pandas as pd
+        return pd.Series([
+            chk.run_one(c, dict(m or {}), error=e)
+            for c, m, e in zip(content, meta, err)],
+            dtype="boolean")
+
+    _check.__annotations__ = {}
+    return pandas_udf(_check, "boolean")(*cols)
 
 
 def map_text(df: DataFrame, src: str, this: Column | None = None,
@@ -2619,7 +2719,14 @@ def map_text(df: DataFrame, src: str, this: Column | None = None,
     interpreter when the frame is content-doctrine shaped.
     """
     mapping = parse_mapping(src, base_dir=base_dir)
-    if "content" in df.columns and mapping_needs_dynamic(mapping):
+    pure_message = this is None and is_pure_message(df)
+    if "content" in df.columns and (pure_message
+                                    or mapping_needs_dynamic(mapping)):
+        # a pure message-doctrine frame has no row model: `this` is the
+        # parsed content, root rewrites content, meta is the map column
+        # (mapping/executor.go MapPart) — the dynamic interpreter is
+        # the only faithful path.  Frames mixing content with extracted
+        # typed columns keep the columnar fast path below.
         return map_dynamic(df, src, base_dir=base_dir)
     try:
         return MappingExec(mapping, src).apply(df, this=this, keep=keep)

@@ -195,10 +195,17 @@ def _format_in_own_zone(c: Column, layout: str, dtype=None,
     return out
 
 
+def _maybe_offset_input(dtype) -> bool:
+    """Only STRING inputs can carry their own utc-offset; typed
+    timestamps/numbers are instants (skip the offset machinery)."""
+    from pyspark.sql import types as T
+    return dtype is None or isinstance(dtype, T.StringType)
+
+
 def format_timestamp(c: Column, go_layout: str, tz: str | None = None,
                      dtype=None) -> Column:
     """`.format_timestamp(layout, tz?)` (methods_strings.go:1293)."""
-    if tz is None:
+    if tz is None and _maybe_offset_input(dtype):
         return _format_in_own_zone(c, go_layout, dtype,
                                    frac_trim=".9" in go_layout)
     ts = _with_tz(as_timestamp(c, dtype), tz)
@@ -211,7 +218,7 @@ def format_timestamp(c: Column, go_layout: str, tz: str | None = None,
 def format_timestamp_strftime(c: Column, pattern: str,
                               tz: str | None = None, dtype=None) -> Column:
     """`.format_timestamp_strftime(fmt, tz?)` (methods_strings.go:1362)."""
-    if tz is None:
+    if tz is None and _maybe_offset_input(dtype):
         # translate %z to the Go -0700 fragment so zone splicing is
         # shared with the layout path
         go_ish = pattern.replace("%z", "\x04")

@@ -90,6 +90,18 @@ def compile_condition(src: str) -> Column:
     return compile_expr(node, Scope(this_col=None, root_fields={}))
 
 
+def compile_check(df: DataFrame, src: str) -> Column:
+    """Check compiler that honors the frame doctrine: on a pure
+    message-shaped frame `this` is the parsed content (dynamic
+    interpreter, lib/condition/bloblang.go); on relational frames the
+    row-mode columnar compile applies."""
+    from benthos_spark.bloblang.compiler import (check_dynamic,
+                                                 is_pure_message)
+    if is_pure_message(df):
+        return check_dynamic(df, src)
+    return compile_condition(src)
+
+
 def _mapping_json_col(df: DataFrame, src: str, name: str) -> DataFrame:
     """Evaluate a Bloblang mapping against the frame and attach the
     mapped object as ONE JSON-string column `name` — original columns
@@ -627,7 +639,14 @@ def _apply_processor(df: DataFrame, conf: Any,
         return d
 
     if kind == "bloblang":
-        return map_text(df, str(spec))
+        # the failed-flag survives a mapping unless the mapping
+        # assigns it (lib/processor/bloblang.go: the flag is metadata,
+        # mappings rewrite the document) — keep the error channel and
+        # the batch bookkeeping so downstream try/catch and
+        # batch-window reads keep working
+        keep = tuple(c for c in ("batch_id", "part_index", "_error")
+                     if c in df.columns)
+        return map_text(df, str(spec), keep=keep)
     if kind in ("filter", "filter_parts"):
         # v4 check form (Bloblang string) or v3 structured condition
         # (lib/condition/*.go dict schema); filter_parts is the
@@ -636,7 +655,7 @@ def _apply_processor(df: DataFrame, conf: Any,
             from benthos_spark.operators.conditions import (
                 apply_condition_filter)
             return apply_condition_filter(df, spec, ctx=ctx)
-        return df.filter(compile_condition(str(spec)))
+        return df.filter(compile_check(df, str(spec)))
     if kind == "bounds_check":
         fld = compile_condition(str(spec["field"]))
         return bounds_check(df, fld, int(spec.get("min", 0)),
@@ -667,7 +686,7 @@ def _apply_processor(df: DataFrame, conf: Any,
             # (structured lib/condition schema)
             check = case.get("check")
             if check:
-                cond = compile_condition(str(check))
+                cond = compile_check(df, str(check))
             elif (c3 := case.get("condition")) is not None:
                 from benthos_spark.operators.conditions import (
                     compile_condition_spec)
@@ -681,7 +700,7 @@ def _apply_processor(df: DataFrame, conf: Any,
         # check-form group_by (lib/processor/group_by.go:28): split into
         # groups by first matching check, per-group processors; parts
         # matching no check form their own untouched group
-        cases = [(compile_condition(str(case["check"])),
+        cases = [(compile_check(df, str(case["check"])),
                   lambda d, procs=case.get("processors", []): sub(d, procs))
                  for case in spec]
         cases.append((None, lambda d: d))
@@ -1047,17 +1066,22 @@ def _apply_processor(df: DataFrame, conf: Any,
         # reference's per-message throughput semantics
         from benthos_spark.operators.control import sleep_stage
         return sleep_stage(df, str(spec.get("duration", "0s")))
-    if kind in ("json", "text"):
+    if kind in ("json", "text", "metadata"):
         # v3 legacy content-doctrine processors (lib/processor/
-        # {json,text}.go): dynamic per-document semantics → the
-        # Arrow-batched document interpreter (operators/legacy_doc.py)
-        from benthos_spark.operators.legacy_doc import json_stage, text_stage
+        # {json,text,metadata}.go): dynamic per-document semantics →
+        # the Arrow-batched document interpreter (operators/
+        # legacy_doc.py)
+        from benthos_spark.operators.legacy_doc import (json_stage,
+                                                        metadata_stage,
+                                                        text_stage)
         if "content" not in df.columns:
             raise ConfigError(
                 f"{kind} processor operates on the message `content` "
                 "column (content doctrine); map typed columns with "
                 "bloblang instead")
-        return (json_stage if kind == "json" else text_stage)(df, spec)
+        stage = {"json": json_stage, "text": text_stage,
+                 "metadata": metadata_stage}[kind]
+        return stage(df, spec)
     if kind == "rate_limit":
         # rate_limit processor referencing resources.rate_limits
         # (lib/processor/rate_limit.go:18); `local` is the only

@@ -84,13 +84,9 @@ input:
 pipeline:
   processors:
     - try:
-        - bloblang: |
-            root = this
-            root.content = this.content + "_ok"
+        - bloblang: root = content() + "_ok"
     - catch:
-        - bloblang: |
-            root = this
-            root.content = "recovered"
+        - bloblang: root = "recovered"
 """)
     got = sorted(r.content for r in out.collect())
     assert got == ["1_ok", "3_ok", "5_ok", "recovered", "recovered",

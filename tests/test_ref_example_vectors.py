@@ -31,12 +31,6 @@ def _spec_cases():
     out = []
     for spec in specs:
         for i, (inp, want) in enumerate(spec["cases"]):
-            try:
-                json.loads(inp)
-            except ValueError:
-                continue
-            if not inp.strip().startswith("{"):
-                continue
             base = f"{spec['name']}#{i}"
             # disambiguate same-name same-ordinal specs (a/b suffixes)
             n = seen.get(base, 0)

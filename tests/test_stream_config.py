@@ -532,7 +532,7 @@ def test_stdin_input_yaml(spark, monkeypatch):
 input: {stdin: {}}
 pipeline:
   processors:
-    - bloblang: root.content = this.content.uppercase()
+    - bloblang: root = content().uppercase()
 output:
   memory: {}
 """)
@@ -691,13 +691,14 @@ pipeline:
   processors:
     - bloblang: |
         root = this
-        root.n2 = this.content.parse_json("n long").n * 2
+        root.n2 = this.n * 2
 output:
   memory: {{}}
 """)
     t.join(timeout=10)
     rows = out.collect()
-    assert sorted(r.n2 for r in rows) == [0, 2, 4]
+    import json as _json
+    assert sorted(_json.loads(r.content)["n2"] for r in rows) == [0, 2, 4]
     assert all(r.meta["http_content_type"] == "application/json"
                for r in rows)
     assert all(r.meta["http_server_request_path"] == "/post" for r in rows)
@@ -844,9 +845,7 @@ input:
     count: 2
 pipeline:
   processors:
-    - bloblang: |
-        root = this
-        root.up = this.content.uppercase()
+    - bloblang: meta up = content().uppercase()
 output:
   http_client:
     url: "http://{host}:{port}/sink"
@@ -855,7 +854,8 @@ output:
         rows = out.collect()
         rows2 = out.collect()  # re-collect must NOT re-POST
         assert len(rows) == len(rows2) == 6  # 3 lines x 2 polls
-        assert sorted({r.up for r in rows}) == ["ALPHA", "BETA", "GAMMA"]
+        assert sorted({r.meta["up"] for r in rows}) == \
+            ["ALPHA", "BETA", "GAMMA"]
         assert all(r._error is None for r in rows)
         # a content column present → the raw payload is what ships
         assert sorted(posts) == sorted(["alpha", "beta", "gamma"] * 2)
@@ -882,7 +882,7 @@ input:
     args: ["l1\\nl2\\nl3"]
 pipeline:
   processors:
-    - filter: this.content != "l2"
+    - filter: content() != "l2"
 output:
   memory: {}
 """)
@@ -930,9 +930,7 @@ input:
     sync_timeout: 30
 pipeline:
   processors:
-    - bloblang: |
-        root = this
-        root.content = this.content.uppercase()
+    - bloblang: root = content().uppercase()
     - sync_response: {{}}
 output:
   memory: {{}}

@@ -84,6 +84,55 @@ def run_case(spark, mapping: str, doc_json: str, want_json: str):
     from benthos_spark.bloblang.parser import parse_mapping
 
     dynamic = mapping_needs_dynamic(parse_mapping(mapping))
+    is_doc = False
+    try:
+        json.loads(doc_json)
+        is_doc = doc_json.strip().startswith("{")
+    except ValueError:
+        pass
+    if not is_doc:
+        # raw / array-root documents: a message-shaped single-part
+        # frame; bare-this mappings route through the dynamic
+        # interpreter, content() reads the raw payload
+        from pyspark.sql import types as T
+        schema = T.StructType([
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("part_index", T.IntegerType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("meta", T.MapType(T.StringType(),
+                                            T.StringType())),
+            T.StructField("_error", T.StringType()),
+        ])
+        df = spark.createDataFrame([(0, 0, doc_json, {}, None)],
+                                   schema)
+        try:
+            out = map_text(df, mapping)
+            rows = out.collect()
+        except Exception as e:  # noqa: BLE001
+            if expect_error:
+                return True, None, None
+            return False, None, f"{type(e).__name__}: {str(e)[:160]}"
+        if not rows:
+            if want_json.strip() == "<Message deleted>":
+                return True, None, None
+            return False, None, "row dropped"
+        row = rows[0].asDict(recursive=True)
+        if row.get("_error") and expect_error:
+            return True, None, None
+        got = {k: v for k, v in row.items()
+               if k not in ("meta", "content", "batch_id",
+                            "part_index", "_error") and v is not None}
+        if "content" in out.columns and not got:
+            try:
+                got = json.loads(row["content"])
+            except (TypeError, ValueError):
+                got = row["content"]
+        got = _strip_nulls(got if isinstance(got, dict) else got)
+        if raw_want is not None:
+            g = got.get("__root__") if isinstance(got, dict) else got
+            return (isinstance(g, str)
+                    and g.strip() == raw_want.strip()), got, None
+        return _norm(got) == _norm(want), got, None
     df = spark.read.json(spark.sparkContext.parallelize([doc_json]))
     # message-shape columns for content()/meta()/root_meta sources
     # (and the dynamic-document fallback, which reads `content`)
