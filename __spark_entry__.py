@@ -507,22 +507,29 @@ def unarchive_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ================================================================
 # 12. merge_json processor (lib/processor/merge_json.go) — fold JSON
-#     docs of a batch into one object, later parts win.
+#     docs of a batch into one object with gabs Merge semantics:
+#     leaf-key collisions accumulate into arrays in part order.
 # ================================================================
 
 @_register("merge_json_last_wins", oracle="""
-SELECT user_id, arg_max(json_extract_string(props, '$.k'), event_id) AS last_k,
+SELECT user_id,
+       CASE WHEN COUNT(*) = 1
+            THEN CAST(any_value(json_extract(props, '$.k')) AS VARCHAR)
+            ELSE CAST(to_json(list(json_extract(props, '$.k')
+                                   ORDER BY event_id)) AS VARCHAR)
+       END AS merged_k,
        COUNT(*) AS n_events
 FROM events GROUP BY user_id
 """)
 def merge_json_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.operators import merge_json
     ev = _t(spark, sf_dir, "events")
-    parsed = ev.withColumn("doc", F.from_json("props", "map<string,string>"))
-    merged = merge_json(parsed, ["user_id"], F.col("doc"), F.col("event_id"))
+    merged = merge_json(ev, ["user_id"], F.col("props"),
+                        F.col("event_id"))
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
     return (merged.join(counts, "user_id")
-            .select("user_id", F.element_at("merged", "k").alias("last_k"),
+            .select("user_id",
+                    F.get_json_object("merged", "$.k").alias("merged_k"),
                     "n_events"))
 
 

@@ -63,24 +63,50 @@ def unarchive_json_map(df: DataFrame, obj: Column,
 
 def merge_json(df: DataFrame, group: list[str], doc: Column,
                order_by: Column, alias: str = "merged") -> DataFrame:
-    """`merge_json` (lib/processor/merge_json.go:18): fold all JSON docs of
-    a batch into one object; later parts win on key collision, matching
-    the reference's gabs merge order.
+    """`merge_json` (lib/processor/merge_json.go:18): fold all JSON
+    docs of a batch into one object with gabs Merge semantics —
+    objects merge recursively, a leaf-key collision turns the value
+    into an array and appends, unparseable parts are skipped.
 
-    Ordered collect via a window (sort_array can't order structs holding
-    maps); one shuffle on the group key, then a JVM-side fold."""
+    One shuffle on the group key (sorted collect_list window), then an
+    Arrow kernel runs the recursive merge — the fold is inherently
+    dynamic-typed (a leaf may become an array mid-fold), which no
+    static Spark expression type can carry."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
+
+    from benthos_spark.bloblang.interp import _gabs_merge
+
+    # map/struct doc columns serialize to JSON text; strings pass
+    # through (CAST of a map isn't JSON — use to_json for complex)
+    dt = df.select(doc.alias("__probe")).schema[0].dataType.typeName()
+    doc_s = F.to_json(doc) if dt in ("map", "struct", "array") \
+        else doc.cast("string")
+
     w_order = Window.partitionBy(*group).orderBy(order_by)
     w_full = w_order.rowsBetween(Window.unboundedPreceding,
                                  Window.unboundedFollowing)
-    collected = (df.withColumn("__docs", F.collect_list(doc).over(w_full))
+    collected = (df.withColumn("__docs",
+                               F.collect_list(doc_s).over(w_full))
                    .withColumn("__rn", F.row_number().over(w_order))
                    .filter(F.col("__rn") == 1))
-    merged = F.aggregate(
-        F.col("__docs"),
-        F.create_map().cast("map<string,string>"),
-        lambda acc, m: F.map_concat(
-            F.map_filter(acc, lambda k, _v: ~F.array_contains(F.map_keys(m), k)),
-            m),
-    )
+
+    def _merge_batch(docs_col):
+        import json as _json
+        out = []
+        for docs in docs_col:
+            acc: dict = {}
+            for d in docs:
+                try:
+                    v = _json.loads(d)
+                except (TypeError, ValueError):
+                    continue  # unparseable parts are skipped
+                acc = _gabs_merge(acc, v)
+            out.append(_json.dumps(acc, separators=(",", ":"),
+                                   sort_keys=True, ensure_ascii=False))
+        return pd.Series(out)
+
+    _merge_batch.__annotations__ = {}
+    merged = pandas_udf(_merge_batch, "string")(F.col("__docs"))
     return collected.select(*group, merged.alias(alias))

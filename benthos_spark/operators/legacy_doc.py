@@ -18,118 +18,375 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _doc_kernel(df: DataFrame, fn):
+def _doc_kernel(df: DataFrame, fn, flag_errors: bool = False):
     """mapInPandas over (content, meta) preserving all other columns;
-    fn(content_str, meta_dict) -> new content_str."""
+    fn(content_str, meta_dict) -> new content_str.  With
+    `flag_errors`, an _OpError keeps the original content and sets
+    `_error` (IteratePartsWithSpan fail-flag protocol)."""
     import pandas as pd
 
     _ = pd
     schema = df.schema
+    has_err = "_error" in df.columns
 
     def op(batches):
         for pdf in batches:
             metas = pdf["meta"] if "meta" in pdf.columns else None
-            out = []
+            out, errs = [], []
             for i, c in enumerate(pdf["content"]):
                 meta = (metas.iloc[i] if metas is not None else {}) or {}
-                out.append(fn(c, dict(meta)))
+                try:
+                    out.append(fn(c, dict(meta)))
+                    errs.append(None)
+                except _OpError as e:
+                    if not flag_errors:
+                        raise
+                    out.append(c)
+                    errs.append(str(e))
             pdf = pdf.copy()
             pdf["content"] = out
+            if flag_errors and has_err and len(pdf):
+                pdf["_error"] = [e if e is not None else old
+                                 for e, old in zip(errs, pdf["_error"])]
             yield pdf
 
     return df.mapInPandas(op, schema=schema)
 
 
+class _OpError(ValueError):
+    """Operator failure → error-flag protocol (part passes through)."""
+
+
+def _jdig(doc, path):
+    """gabs Search: missing path → None."""
+    cur = doc
+    for seg in path:
+        if isinstance(cur, dict):
+            cur = cur.get(seg)
+        elif isinstance(cur, list) and seg.lstrip("-").isdigit():
+            i = int(seg)
+            cur = cur[i] if -len(cur) <= i < len(cur) else None
+        else:
+            return None
+        if cur is None:
+            return None
+    return cur
+
+
+def _jhas(doc, path) -> bool:
+    """True when the full path EXISTS (even holding null)."""
+    cur = doc
+    for seg in path:
+        if isinstance(cur, dict) and seg in cur:
+            cur = cur[seg]
+        elif isinstance(cur, list) and seg.lstrip("-").isdigit() \
+                and -len(cur) <= int(seg) < len(cur):
+            cur = cur[int(seg)]
+        else:
+            return False
+    return True
+
+
+def _jset(doc, path, value):
+    """gabs Set: auto-vivify intermediate objects; numeric segments
+    index existing arrays."""
+    if not path:
+        return value
+    cur = doc
+    for i, seg in enumerate(path[:-1]):
+        if isinstance(cur, list) and seg.lstrip("-").isdigit():
+            cur = cur[int(seg)]
+            continue
+        if not isinstance(cur, dict):
+            raise _OpError(f"failed to set path "
+                           f"'{'.'.join(path)}': collision")
+        nxt = cur.get(seg)
+        if nxt is None and seg not in cur:
+            nxt = {}
+            cur[seg] = nxt   # auto-vivify MISSING segments only
+        elif not isinstance(nxt, (dict, list)):
+            # existing non-container value → gabs ErrPathCollision
+            raise _OpError(f"failed to set path "
+                           f"'{'.'.join(path)}': collision")
+        cur = nxt
+    last = path[-1]
+    if isinstance(cur, list) and last.lstrip("-").isdigit():
+        cur[int(last)] = value
+    elif isinstance(cur, dict):
+        cur[last] = value
+    else:
+        raise _OpError(f"failed to set path '{'.'.join(path)}'")
+    return doc
+
+
+def _jdel(doc, path):
+    """gabs Delete: missing path is an error."""
+    cur = doc
+    for seg in path[:-1]:
+        if isinstance(cur, dict) and seg in cur:
+            cur = cur[seg]
+        elif isinstance(cur, list) and seg.lstrip("-").isdigit() \
+                and -len(cur) <= int(seg) < len(cur):
+            cur = cur[int(seg)]
+        else:
+            raise _OpError(f"field not found: {'.'.join(path)}")
+    last = path[-1]
+    if isinstance(cur, dict) and last in cur:
+        del cur[last]
+    elif isinstance(cur, list) and last.lstrip("-").isdigit() \
+            and -len(cur) <= int(last) < len(cur):
+        del cur[int(last)]
+    else:
+        raise _OpError(f"field not found: {'.'.join(path)}")
+
+
+def _go_nums(v):
+    """json.Marshal number form: integral floats print as ints."""
+    if isinstance(v, float) and v.is_integer() \
+            and abs(v) < 1e15:
+        return int(v)
+    if isinstance(v, dict):
+        return {k: _go_nums(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_go_nums(x) for x in v]
+    return v
+
+
+def _jdumps(doc):
+    return _json.dumps(_go_nums(doc), separators=(",", ":"),
+                       sort_keys=True, ensure_ascii=False)
+
+
+class _RawOut(str):
+    """Marker: operator produced raw bytes, not a JSON document."""
+
+
 def json_stage(df: DataFrame, spec: dict) -> DataFrame:
-    """`json` processor (lib/processor/json.go): operator over the
-    payload document at `path`.  Supported: set, delete, append,
-    clean, select, copy, move, split (documented subset — the
-    remaining fold operators error with guidance)."""
+    """`json` processor — faithful reimplementation of
+    lib/processor/json.go: set / flatten / flatten_array /
+    fold_number_array / fold_string_array / select / split / copy /
+    move / delete / append / clean / explode over the payload
+    document at `path`, with the interpolated `value` parsed as JSON
+    where the operator consumes it.  Operator errors flag the part
+    and pass the original through (IteratePartsWithSpan)."""
+    import copy as _copy
+
     from benthos_spark.bloblang.interp import compile_template
 
     op = str(spec.get("operator", "set"))
-    path = [p for p in str(spec.get("path", "")).split(".") if p]
+    raw_path = str(spec.get("path", ""))
+    path = [] if raw_path in ("", ".") else raw_path.split(".")
     raw_value = spec.get("value")
-    render = (compile_template(raw_value)
+    if raw_value is not None and not spec.get("_value_raw_json"):
+        # rawJSONValue.UnmarshalYAML (json.go:65): the YAML value is
+        # json.Marshal'd BEFORE interpolation — a YAML string becomes
+        # a quoted JSON template with the `${!}` expressions inside
+        # the quotes.  `_value_raw_json` bypasses this for callers
+        # that supply raw JSON text (the Go unit-test vectors).
+        raw_value = _json.dumps(raw_value, sort_keys=True,
+                                separators=(",", ":"),
+                                ensure_ascii=False)
+    # BytesEscapedLegacy: interpolated results are string-escaped so
+    # the rendered template stays a valid JSON document (json.go:701)
+    render = (compile_template(raw_value, escape_json=True)
               if isinstance(raw_value, str) else None)
 
-    def loads(c):
+    dest_path: list[str] = []
+    if op in ("move", "copy"):
         try:
-            return _json.loads(c) if c is not None else None
-        except ValueError:
+            dest = _json.loads(raw_value) if raw_value else ""
+        except ValueError as e:
+            raise ValueError(
+                f"json {op}: destination path from value: {e}") from e
+        dest_path = [] if dest in ("", ".") else str(dest).split(".")
+        if op == "copy" and (not path or not dest_path):
+            raise ValueError("copy operator requires non-empty source "
+                             "and destination paths")
+        if op == "move" and not path and not dest_path:
+            raise ValueError("an empty source and destination path is "
+                             "not valid for the move operator")
+
+    def value_json(doc, meta, content):
+        if render is None:
             return None
+        s = render(doc, meta, content)
+        if s == "":
+            return None
+        try:
+            return _json.loads(s)
+        except ValueError as e:
+            raise _OpError(f"failed to parse value: {e}") from e
 
-    def dumps(doc):
-        return _json.dumps(doc, separators=(",", ":"), sort_keys=True,
-                           ensure_ascii=False)
+    def apply_op(doc, meta, content):
+        if op == "set":
+            return _jset(doc, path, value_json(doc, meta, content))
+        if op == "flatten":
+            target = _jdig(doc, path) if path else doc
+            flat = {}
 
-    def set_path(doc, path, value):
-        cur = doc
-        for seg in path[:-1]:
-            nxt = cur.get(seg) if isinstance(cur, dict) else None
-            if not isinstance(nxt, (dict, list)):
-                nxt = {}
-                cur[seg] = nxt
-            cur = nxt
-        cur[path[-1]] = value
-        return doc
+            def walk(v, prefix):
+                if isinstance(v, dict) and v:
+                    for k, x in v.items():
+                        walk(x, f"{prefix}.{k}" if prefix else str(k))
+                elif isinstance(v, list) and v:
+                    for i, x in enumerate(v):
+                        walk(x, f"{prefix}.{i}" if prefix else str(i))
+                else:
+                    flat[prefix] = v
+            if not isinstance(target, (dict, list)):
+                raise _OpError("flatten: target is not an object or "
+                               "array")
+            walk(target, "")
+            return _jset(doc, path, flat)
+        if op == "flatten_array":
+            target = _jdig(doc, path) if path else doc
+            if not isinstance(target, list):
+                raise _OpError(
+                    f"non-array value found at path: "
+                    f"{type(target).__name__}")
+            if not target:
+                return doc
+            out = []
+            for x in target:
+                out.extend(x if isinstance(x, list) else [x])
+            return _jset(doc, path, out)
+        if op == "fold_number_array":
+            target = _jdig(doc, path) if path else doc
+            if not isinstance(target, list):
+                raise _OpError(
+                    f"non-array value found at path: "
+                    f"{type(target).__name__}")
+            acc = 0.0
+            for x in target:
+                if isinstance(x, bool) or not isinstance(x,
+                                                         (int, float)):
+                    raise _OpError(
+                        "mismatched types found in array, expected "
+                        f"number, found: {type(x).__name__}")
+                acc += x
+            return _jset(doc, path, acc)
+        if op == "fold_string_array":
+            target = _jdig(doc, path) if path else doc
+            if not isinstance(target, list):
+                raise _OpError(
+                    f"non-array value found at path: "
+                    f"{type(target).__name__}")
+            delim = value_json(doc, meta, content)
+            delim = delim if isinstance(delim, str) else ""
+            parts = []
+            for x in target:
+                if not isinstance(x, str):
+                    raise _OpError(
+                        "mismatched types found in array, expected "
+                        f"string, found: {type(x).__name__}")
+                parts.append(x)
+            return _jset(doc, path, delim.join(parts))
+        if op == "select":
+            target = _jdig(doc, path) if path else doc
+            if isinstance(target, str):
+                return _RawOut(target)
+            return target
+        if op == "split":
+            delim = value_json(doc, meta, content)
+            if not isinstance(delim, str) or not delim:
+                raise _OpError("value field must be a non-empty "
+                               "string")
+            target = _jdig(doc, path) if path else doc
+            if not isinstance(target, str):
+                raise _OpError("path value must be a string")
+            return _jset(doc, path, target.split(delim))
+        if op in ("move", "copy"):
+            if path:
+                src = _jdig(doc, path)
+            else:
+                src, doc = doc, {}
+            if src is None:
+                raise _OpError(
+                    f"item not found at path '{'.'.join(path)}'")
+            if op == "move" and path:
+                try:
+                    _jdel(doc, path)
+                except _OpError:
+                    pass
+            if not dest_path:  # move to root
+                return src
+            return _jset(doc, dest_path, src)
+        if op == "delete":
+            if not path:
+                return _RawOut("")  # delete whole part → empty
+            _jdel(doc, path)
+            return doc
+        if op == "append":
+            value = value_json(doc, meta, content)
+            arr = value if isinstance(value, list) else [value]
+            tgt = _jdig(doc, path) if path else doc
+            if tgt is not None:
+                arr = (tgt + arr) if isinstance(tgt, list) \
+                    else [tgt] + arr
+            elif _jhas(doc, path):
+                # existing null target prepends as an element
+                # (json.go append `case nil`)
+                arr = [None] + arr
+            return _jset(doc, path, arr)
+        if op == "clean":
+            def clean_v(v):
+                if isinstance(v, dict):
+                    nv = {k: cx for k, x in v.items()
+                          if (cx := clean_v(x)) is not None}
+                    return nv if nv else None
+                if isinstance(v, list):
+                    na = [cx for x in v
+                          if (cx := clean_v(x)) is not None]
+                    return na if na else None
+                if isinstance(v, str):
+                    return v if v else None
+                return v
+            target = _jdig(doc, path) if path else doc
+            val = clean_v(target)
+            if val is None:
+                if not path:
+                    if isinstance(doc, list):
+                        return []
+                    if isinstance(doc, dict):
+                        return {}
+                    return None
+                try:
+                    _jdel(doc, path)
+                except _OpError:
+                    pass
+                return doc
+            return _jset(doc, path, val)
+        if op == "explode":
+            if not path:
+                raise _OpError("explode operator requires a target "
+                               "path")
+            target = _jdig(doc, path)
+            if isinstance(target, list):
+                return [_jset(_copy.deepcopy(doc), path, e)
+                        for e in target]
+            if isinstance(target, dict):
+                return {k: _jset(_copy.deepcopy(doc), path, e)
+                        for k, e in target.items()}
+            raise _OpError(
+                "target value was not an array or a map, found: "
+                f"{type(target).__name__}")
+        raise ValueError(f"json processor operator {op!r} unknown")
 
     def one(content, meta):
-        doc = loads(content)
-        if doc is None and op != "set":
-            return content  # non-JSON passthrough (error-flag protocol)
-        if op == "set":
-            value = (render(doc, meta, content) if render is not None
-                     else raw_value)
-            if doc is None or not isinstance(doc, (dict, list)):
-                doc = {}
-            if not path:
-                return value if isinstance(value, str) else dumps(value)
-            return dumps(set_path(doc, path, value))
-        if op == "delete":
-            cur = doc
-            for seg in path[:-1]:
-                cur = cur.get(seg) if isinstance(cur, dict) else None
-                if cur is None:
-                    return dumps(doc)
-            if isinstance(cur, dict):
-                cur.pop(path[-1], None)
-            return dumps(doc)
-        if op == "append":
-            cur = doc
-            for seg in path[:-1]:
-                cur = cur.setdefault(seg, {}) \
-                    if isinstance(cur, dict) else None
-            value = (render(doc, meta, content) if render is not None
-                     else raw_value)
-            tgt = cur.get(path[-1]) if isinstance(cur, dict) else None
-            if not isinstance(tgt, list):
-                tgt = [] if tgt is None else [tgt]
-            tgt.append(value)
-            cur[path[-1]] = tgt
-            return dumps(doc)
-        if op == "clean":
-            def clean(v):
-                if isinstance(v, dict):
-                    return {k: clean(x) for k, x in v.items()
-                            if x not in ("", None, [], {})}
-                if isinstance(v, list):
-                    return [clean(x) for x in v
-                            if x not in ("", None, [], {})]
-                return v
-            return dumps(clean(doc))
-        if op == "select":
-            from benthos_spark.bloblang.interp import _MISSING, _dig
-            got = _dig(doc, path)
-            if got is _MISSING:
-                return content
-            return got if isinstance(got, str) else dumps(got)
-        raise ValueError(
-            f"json processor operator {op!r}: supported subset is "
-            "set|delete|append|clean|select (use a bloblang mapping "
-            "for the rest)")
+        try:
+            doc = _json.loads(content) if content else None
+        except ValueError as e:
+            raise _OpError(f"failed to parse part into json: "
+                           f"{e}") from e
+        if content in (None, ""):
+            raise _OpError("failed to parse part into json: "
+                           "message is empty")
+        out = apply_op(doc, meta, content)
+        if isinstance(out, _RawOut):
+            return str(out)
+        return _jdumps(out)
 
-    return _doc_kernel(df, one)
+    return _doc_kernel(df, one, flag_errors=True)
 
 
 def unarchive_content_stage(df: DataFrame, fmt: str) -> DataFrame:
@@ -199,6 +456,75 @@ def unarchive_content_stage(df: DataFrame, fmt: str) -> DataFrame:
     return df.mapInPandas(op, schema=schema)
 
 
+def _go_expand(m, tmpl: str) -> str:
+    """Go regexp.Expand template semantics: $1 / $name / ${name}
+    substitute capture groups; undefined or unmatched groups expand to
+    the empty string (regexp/regexp.go Expand)."""
+    import re
+
+    def sub(mm):
+        g = mm.group(1)
+        try:
+            v = m.group(int(g)) if g.isdigit() else m.group(g)
+        except (IndexError, KeyError, re.error):
+            return ""
+        return v if v is not None else ""
+
+    return re.sub(r"\$\{?(\w+)\}?", sub, tmpl)
+
+
+def metadata_stage(df: DataFrame, spec: dict) -> DataFrame:
+    """`metadata` processor (lib/processor/metadata.go): set / delete /
+    delete_all / delete_prefix over the part's metadata, with `key` and
+    `value` interpolated per document."""
+    import pandas as pd
+
+    from benthos_spark.bloblang.interp import compile_template
+
+    _ = pd
+    op = str(spec.get("operator", "set"))
+    if op not in ("set", "delete", "delete_all", "delete_prefix"):
+        raise ValueError(f"metadata operator {op!r}: "
+                         "set|delete|delete_all|delete_prefix")
+    render_key = compile_template(str(spec.get("key", "")))
+    render_val = compile_template(str(spec.get("value", "")))
+    if "meta" not in df.columns:
+        raise ValueError("metadata processor needs a `meta` column "
+                         "(message doctrine)")
+    schema = df.schema
+
+    def kernel(batches):
+        for pdf in batches:
+            metas = []
+            for i in range(len(pdf)):
+                content = pdf["content"].iloc[i] \
+                    if "content" in pdf.columns else None
+                meta = dict(pdf["meta"].iloc[i] or {})
+                try:
+                    doc = _json.loads(content) if content else None
+                except ValueError:
+                    doc = None
+                key = render_key(doc, meta, content)
+                if op == "set":
+                    meta[key] = render_val(doc, meta, content)
+                elif op == "delete":
+                    tgt = key or render_val(doc, meta, content)
+                    meta.pop(tgt, None)
+                elif op == "delete_all":
+                    meta = {}
+                elif op == "delete_prefix":
+                    pfx = key or render_val(doc, meta, content)
+                    meta = {k: v for k, v in meta.items()
+                            if not k.startswith(pfx)}
+                metas.append(meta)
+            pdf = pdf.copy()
+            if len(pdf):
+                pdf["meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
 def text_stage(df: DataFrame, spec: dict) -> DataFrame:
     """`text` processor (lib/processor/text.go): string operator over
     the raw payload; `value` interpolates per document."""
@@ -241,13 +567,33 @@ def text_stage(df: DataFrame, spec: dict) -> DataFrame:
                 str(spec.get("arg", "")), val())
         if op == "replace_regexp":
             import re
-            return re.sub(str(spec.get("arg", "")), val(), content or "")
+            v = val()
+            return re.sub(str(spec.get("arg", "")),
+                          lambda m: _go_expand(m, v), content or "")
         if op == "strip_html":
             import re
             return re.sub(r"<[^>]*>", "", content or "")
+        if op == "find_regexp":
+            import re
+            m = re.search(str(spec.get("arg", "")), content or "")
+            return m.group(0) if m else ""
+        if op == "regexp_expand":
+            import re
+            v = val()
+            return "".join(
+                _go_expand(m, v) for m in re.finditer(
+                    str(spec.get("arg", "")), content or ""))
+        if op == "escape_url_query":
+            from urllib.parse import quote_plus
+            return quote_plus(content or "")
+        if op == "unescape_url_query":
+            from urllib.parse import unquote_plus
+            return unquote_plus(content or "")
         raise ValueError(
             f"text processor operator {op!r}: supported subset is "
             "set|append|prepend|to_upper|to_lower|trim|trim_space|"
-            "quote|unquote|replace|replace_regexp|strip_html")
+            "quote|unquote|replace|replace_regexp|strip_html|"
+            "find_regexp|regexp_expand|escape_url_query|"
+            "unescape_url_query")
 
     return _doc_kernel(df, one)

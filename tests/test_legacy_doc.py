@@ -58,10 +58,12 @@ input:
       root.content = "{\\"keep\\":1,\\"drop\\":2}"
 pipeline:
   processors:
-    - json: {operator: set, path: added, value: '${! json("keep") }'}
+    - json: {operator: set, path: added, value: '${!json_field:keep}'}
     - json: {operator: delete, path: drop}
 output: {memory: {}}
 """)
+    # YAML value is json.Marshal'd before interpolation
+    # (rawJSONValue.UnmarshalYAML) so the rendered "1" stays a string
     assert out.collect()[0].content == '{"added":"1","keep":1}'
 
 
@@ -113,7 +115,7 @@ def test_unarchive_content_json_map_sets_archive_key(spark):
 def test_interp_unknown_surface_raises():
     from benthos_spark.bloblang.interp import EvalError
     with pytest.raises(EvalError, match="not interpretable"):
-        ev('this.x.encrypt_aes("cbc","k","iv")', {"x": "s"})
+        ev('this.x.nonexistent_method_xyz()', {"x": "s"})
 
 
 # ---- dynamic full-mapping interpreter (recursive named maps) ----

@@ -160,12 +160,14 @@ def test_unarchive_explode_preserves_position(spark):
     assert got == [(0, "a"), (1, "b"), (2, "c")]
 
 
-def test_merge_json_later_parts_win(spark):
+def test_merge_json_gabs_collisions_append(spark):
+    # gabs Merge: leaf-key collisions accumulate into arrays in part
+    # order (lib/processor/merge_json.go)
     df = _df(spark, [("g", 1, {"a": "1", "b": "1"}),
                      ("g", 2, {"b": "2", "c": "2"})],
              "g STRING, seq INT, doc MAP<STRING,STRING>")
     out = merge_json(df, ["g"], F.col("doc"), F.col("seq")).collect()
-    assert out[0].merged == {"a": "1", "b": "2", "c": "2"}
+    assert out[0].merged == '{"a":"1","b":["1","2"],"c":"2"}'
 
 
 def test_sharded_join_full_outer(spark):
