@@ -1547,7 +1547,8 @@ def compile_template(template: str, escape_json: bool = False):
             return s
         return _json.dumps(s, ensure_ascii=False)[1:-1]
 
-    def render(doc, meta=None, content=None) -> str:
+    def render(doc, meta=None, content=None, batch=None,
+               part_index=0) -> str:
         out = []
         for p in parts:
             if isinstance(p, str):
@@ -1556,7 +1557,8 @@ def compile_template(template: str, escape_json: bool = False):
             if isinstance(p, tuple) and p[0] == "__legacy_lit__":
                 out.append(esc(p[1]))
                 continue
-            v = Interp(doc, meta, content).eval(p)
+            v = Interp(doc, meta, content, batch=batch,
+                       part_index=part_index).eval(p)
             if v is None:
                 out.append("null")
             elif isinstance(v, bool):

@@ -456,6 +456,133 @@ def unarchive_content_stage(df: DataFrame, fmt: str) -> DataFrame:
     return df.mapInPandas(op, schema=schema)
 
 
+def number_stage(df: DataFrame, spec: dict) -> DataFrame:
+    """`number` processor (lib/processor/number.go): add/subtract over
+    numeric payloads with an interpolated operand.  Failed parses flag
+    the part and pass the original through."""
+    from benthos_spark.bloblang.interp import compile_template
+
+    import re as _re
+
+    op = str(spec.get("operator", "add"))
+    if op not in ("add", "subtract"):
+        raise ValueError(f"number operator {op!r}: add|subtract")
+    raw = spec.get("value", 0)
+    render = compile_template(str(raw)) if isinstance(raw, str) else None
+
+    def _fmt(v: float) -> str:
+        # strconv.FormatFloat(f, 'f', -1, 64): shortest round-trip
+        return str(int(v)) if v.is_integer() else repr(v)
+
+    def one(content, meta, batch=None, part_index=0):
+        try:
+            doc = _json.loads(content) if content else None
+        except ValueError:
+            doc = None
+        if render is not None:
+            rendered = render(doc, meta, content, batch=batch,
+                              part_index=part_index)
+            try:
+                operand = float(rendered)
+            except ValueError as e:
+                raise _OpError(
+                    f"failed to parse value into number: {e}") from e
+        else:
+            operand = float(raw)
+        try:
+            base = float(content)
+        except (TypeError, ValueError) as e:
+            raise _OpError(
+                f"failed to parse content into number: {e}") from e
+        return _fmt(base + operand if op == "add" else base - operand)
+
+    if isinstance(raw, str) and _re.search(
+            r"batch_size|batch_index|\.from", raw) \
+            and "batch_id" in df.columns:
+        return _batch_kernel(df, one)
+    return _doc_kernel(df, one, flag_errors=True)
+
+
+def _batch_kernel(df: DataFrame, fn):
+    """Grouped variant of _doc_kernel: whole batches co-located so
+    fn sees (content, meta, batch, part_index)."""
+    import pandas as pd
+
+    _ = pd
+    schema = df.schema
+    has_meta = "meta" in df.columns
+    has_err = "_error" in df.columns
+
+    def grouped(pdf):
+        if "part_index" in pdf.columns:
+            pdf = pdf.sort_values("part_index").reset_index(drop=True)
+        batch = [{"content": pdf["content"].iloc[i],
+                  "meta": (dict(pdf["meta"].iloc[i] or {})
+                           if has_meta else {}),
+                  "error": (pdf["_error"].iloc[i] if has_err else None)}
+                 for i in range(len(pdf))]
+        out, errs = [], []
+        for i, p in enumerate(batch):
+            try:
+                out.append(fn(p["content"], p["meta"], batch=batch,
+                              part_index=i))
+                errs.append(None)
+            except _OpError as e:
+                out.append(p["content"])
+                errs.append(str(e))
+        pdf = pdf.copy()
+        if len(pdf):
+            pdf["content"] = out
+            if has_err:
+                pdf["_error"] = [e if e is not None else old
+                                 for e, old in zip(errs,
+                                                   pdf["_error"])]
+        return pdf
+
+    return df.groupBy("batch_id").applyInPandas(grouped, schema=schema)
+
+
+def parse_log_stage(df: DataFrame, spec: dict) -> DataFrame:
+    """`parse_log` in its content form (lib/processor/parse_log.go):
+    the payload line parses into the syslog document (codec json);
+    unparseable lines flag the part and pass the original through."""
+    from benthos_spark.operators.parsing import parse_syslog_doc
+
+    fmt = str(spec.get("format", "syslog_rfc5424"))
+    codec = str(spec.get("codec", "json"))
+    if codec != "json":
+        raise ValueError(f"parse_log codec {codec!r}: only json")
+
+    def one(content, meta):
+        doc = parse_syslog_doc(content or "", fmt)
+        if doc is None:
+            raise _OpError(f"failed to parse log as {fmt}")
+        return _jdumps(doc)
+
+    return _doc_kernel(df, one, flag_errors=True)
+
+
+def grok_stage(df: DataFrame, spec: dict) -> DataFrame:
+    """`grok` in its content form (lib/processor/grok.go): patterns
+    tried in order, named captures become the payload document; no
+    match flags the part (ErrNoMatch) and passes the original."""
+    from benthos_spark.operators.parsing import grok_parse_doc
+
+    patterns = spec.get("patterns") or [spec["pattern"]]
+    patterns = [str(p) for p in patterns]
+    defs = dict(spec.get("pattern_definitions") or {})
+    remove_empty = bool(spec.get("remove_empty_values", True))
+
+    def one(content, meta):
+        doc = grok_parse_doc(content or "", patterns, defs,
+                             remove_empty=remove_empty)
+        if doc is None:
+            raise _OpError("grok patterns did not match payload")
+        return _jdumps(doc)
+
+    return _doc_kernel(df, one, flag_errors=True)
+
+
 def _go_expand(m, tmpl: str) -> str:
     """Go regexp.Expand template semantics: $1 / $name / ${name}
     substitute capture groups; undefined or unmatched groups expand to

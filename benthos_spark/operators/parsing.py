@@ -36,9 +36,102 @@ GROK_PATTERNS = {
     "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+",
     "URIPATHPARAM": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%_\-]*)+(?:\?\S*)?",
     "SYSLOGTIMESTAMP": r"[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}",
+    # composite web-log patterns (vjeantet/grok pattern base)
+    "IPV4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HTTPDUSER": r"(?:%{EMAILADDRESS}|%{USER})",
+    "EMAILADDRESS": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+",
+    "MONTH": (r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?"
+              r"|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?"
+              r"|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b"),
+    "MONTHDAY": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?",
+    "TIME": r"%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "QS": r'"(?:[^"\\]|\\.)*"',
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} '
+        r'\[%{HTTPDATE:timestamp}\] "(?:%{WORD:verb} '
+        r'%{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?'
+        r'|%{DATA:rawrequest})" %{NUMBER:response} '
+        r'(?:%{NUMBER:bytes}|-)'),
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+_GROK_REF3 = re.compile(r"%\{(\w+)(?::([\w.@\[\]]+))?(?::(\w+))?\}")
+
+
+def grok_build(expression: str, definitions: dict | None = None):
+    """Full grok compile (lib/processor/grok.go via vjeantet/grok):
+    recursive pattern expansion, custom definitions, named captures
+    with optional `:int`/`:float` type suffixes and dot-path targets.
+    Returns (compiled_regex, [(group, field_path, type), ...])."""
+    defs = dict(GROK_PATTERNS)
+    defs.update(definitions or {})
+    fields: list[tuple[str, str, str | None]] = []
+    counter = [0]
+
+    def expand(expr: str, depth: int) -> str:
+        if depth > 50:
+            raise ValueError("grok pattern recursion too deep")
+
+        def sub(m):
+            pat, field, typ = m.group(1), m.group(2), m.group(3)
+            if pat not in defs:
+                raise ValueError(f"unknown grok pattern %{{{pat}}}")
+            inner = expand(defs[pat], depth + 1)
+            if field:
+                g = f"g{counter[0]}"
+                counter[0] += 1
+                fields.append((g, field, typ))
+                return f"(?P<{g}>{inner})"
+            return f"(?:{inner})"
+
+        return _GROK_REF3.sub(sub, expr)
+
+    return re.compile(expand(expression, 0)), fields
+
+
+def grok_parse_doc(line: str, patterns: list[str],
+                   definitions: dict | None = None,
+                   remove_empty: bool = True) -> dict | None:
+    """Run grok patterns in order against a line → nested document of
+    the named captures, or None when nothing matches (the reference's
+    ErrNoMatch).  Typed captures cast; dot-path names nest."""
+    for pat in patterns:
+        rx, fields = grok_build(pat, definitions)
+        m = rx.search(line)
+        if m is None:
+            continue
+        doc: dict = {}
+        for g, field, typ in fields:
+            v = m.group(g)
+            if v is None or (remove_empty and v == ""):
+                continue
+            if typ == "int":
+                try:
+                    v = int(v)
+                except ValueError:
+                    pass
+            elif typ == "float":
+                try:
+                    v = float(v)
+                except ValueError:
+                    pass
+            cur = doc
+            segs = field.split(".")
+            for seg in segs[:-1]:
+                nxt = cur.get(seg)
+                if not isinstance(nxt, dict):
+                    nxt = {}
+                    cur[seg] = nxt
+                cur = nxt
+            cur[segs[-1]] = v
+        return doc
+    return None
 
 
 def grok_compile(expression: str) -> tuple[str, list[str]]:
@@ -117,6 +210,88 @@ def parse_syslog_rfc5424(df: DataFrame, source: Column,
         F.regexp_extract(source, _RFC5424, 9).alias("message"),
     )
     return df.withColumn(alias, out)
+
+
+_SD_ELEM = re.compile(r"\[([^\s\]=]+)((?:\s+[^=\s\]]+=\"[^\"]*\")*)\]")
+_SD_PARAM = re.compile(r"([^=\s\]]+)=\"([^\"]*)\"")
+_RFC5424_DOC = re.compile(
+    r"^<(\d{1,3})>(\d{1,2}) (\S+) (\S+) (\S+) (\S+) (\S+) "
+    r"(-|(?:\[.*\]))(?: (.*))?$", re.S)
+_RFC3164_DOC = re.compile(
+    r"^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
+    r"(\S+) ([^:\[\s]+)(?:\[(\d+)\])?: ?(.*)$", re.S)
+
+
+def _rfc3339_nano(s: str) -> str:
+    """Re-format an RFC3339 timestamp the way Go's RFC3339Nano does
+    (trailing fraction zeros trimmed)."""
+    import datetime as _dt
+    try:
+        dt = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return s
+    out = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    if dt.microsecond:
+        out += f".{dt.microsecond:06d}".rstrip("0")
+    off = dt.utcoffset()
+    if off is None or int(off.total_seconds()) == 0:
+        return out + "Z"
+    total = int(off.total_seconds())
+    sign = "-" if total < 0 else "+"
+    hh, mm = divmod(abs(total) // 60, 60)
+    return f"{out}{sign}{hh:02d}:{mm:02d}"
+
+
+def parse_syslog_doc(line: str, fmt: str) -> dict | None:
+    """Parse one syslog line into the reference's document shape
+    (parse_log.go resMap; go-syslog field set): nil fields omitted,
+    facility/severity derived from priority, RFC3339Nano timestamps.
+    Returns None when the line doesn't parse."""
+    if fmt == "syslog_rfc5424":
+        m = _RFC5424_DOC.match(line)
+        if m is None:
+            return None
+        pri = int(m.group(1))
+        doc: dict = {"priority": pri, "facility": pri // 8,
+                     "severity": pri % 8, "version": int(m.group(2))}
+        for i, key in ((3, "timestamp"), (4, "hostname"),
+                       (5, "appname"), (6, "procid"), (7, "msgid")):
+            v = m.group(i)
+            if v != "-":
+                doc[key] = _rfc3339_nano(v) if key == "timestamp" else v
+        sd = m.group(8)
+        if sd != "-":
+            elems: dict = {}
+            for em in _SD_ELEM.finditer(sd):
+                elems[em.group(1)] = dict(
+                    _SD_PARAM.findall(em.group(2)))
+            doc["structureddata"] = elems
+        if m.group(9) is not None:
+            doc["message"] = m.group(9)
+        return doc
+    if fmt == "syslog_rfc3164":
+        m = _RFC3164_DOC.match(line)
+        if m is None:
+            return None
+        import datetime as _dt
+        pri = int(m.group(1))
+        doc = {"priority": pri, "facility": pri // 8,
+               "severity": pri % 8, "hostname": m.group(3),
+               "appname": m.group(4), "message": m.group(6)}
+        if m.group(5):
+            doc["procid"] = m.group(5)
+        # rfc3164 timestamps carry no year: go-syslog stamps the
+        # current year, UTC
+        try:
+            dt = _dt.datetime.strptime(
+                f"{_dt.datetime.now().year} {m.group(2).replace('  ', ' ')}",
+                "%Y %b %d %H:%M:%S")
+            doc["timestamp"] = dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            pass
+        return doc
+    raise ValueError(f"parse_log format {fmt!r}: "
+                     "use syslog_rfc5424|syslog_rfc3164")
 
 
 # ---------------------------------------------------------------- jmespath
@@ -226,6 +401,17 @@ def _xml_elem_to_obj(elem):
     return obj
 
 
+_XML_UNDEF_ENTITY = re.compile(
+    r"&(?!(?:lt|gt|amp|quot|apos|#\d+|#x[0-9a-fA-F]+);)(\w+;)")
+
+
+def _xml_tolerant(p: str) -> str:
+    """Go's encoding/xml passes undefined entities (&ndash; etc.)
+    through as literal text; ElementTree rejects them — escape the
+    ampersand so the entity survives verbatim."""
+    return _XML_UNDEF_ENTITY.sub(r"&amp;\1", p)
+
+
 def xml_text_to_json_col(source: Column) -> Column:
     """Schemaless XML → mxj-rule JSON text as a Column (the
     `.parse_xml()` no-schema method form; parse failures → NULL)."""
@@ -243,7 +429,7 @@ def xml_text_to_json_col(source: Column) -> Column:
             if p is None:
                 return None
             try:
-                root = ET.fromstring(p)
+                root = ET.fromstring(_xml_tolerant(p))
                 return json.dumps({root.tag: _xml_elem_to_obj(root)},
                                   separators=(",", ":"), sort_keys=True,
                                   ensure_ascii=False)
@@ -280,7 +466,7 @@ def xml_to_json(df: DataFrame, source: Column | None = None,
                 out_e.append(None)
                 continue
             try:
-                root = ET.fromstring(p)
+                root = ET.fromstring(_xml_tolerant(p))
                 doc = {root.tag: _xml_elem_to_obj(root)}
                 out_c.append(json.dumps(doc, separators=(",", ":"),
                                         sort_keys=True,

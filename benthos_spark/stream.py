@@ -884,12 +884,29 @@ def _apply_processor(df: DataFrame, conf: Any,
             alias=str(spec.get("alias", "partiql_result")),
             client_factory=factory, region=str(spec.get("region", "")))
     if kind == "grok":
+        from benthos_spark.bloblang.compiler import is_pure_message
+        if is_pure_message(df):
+            # content doctrine: captures become the payload document
+            # (grok.go ProcessMessage)
+            from benthos_spark.operators.legacy_doc import grok_stage
+            return grok_stage(df, spec)
         from benthos_spark.operators.parsing import grok
         expr = spec.get("expression") or (spec.get("patterns") or [None])[0]
         if not expr:
             raise ConfigError("grok needs `expression` (or `patterns`)")
         return grok(df, F.col(spec.get("source", "content")), str(expr))
+    if kind == "number":
+        from benthos_spark.operators.legacy_doc import number_stage
+        if "content" not in df.columns:
+            raise ConfigError("number processor operates on the "
+                              "message `content` column")
+        return number_stage(df, spec)
     if kind == "parse_log":
+        from benthos_spark.bloblang.compiler import is_pure_message
+        if is_pure_message(df):
+            from benthos_spark.operators.legacy_doc import (
+                parse_log_stage)
+            return parse_log_stage(df, spec)
         from benthos_spark.operators.parsing import (parse_syslog_rfc3164,
                                                      parse_syslog_rfc5424)
         fmt = spec.get("format", "syslog_rfc5424")

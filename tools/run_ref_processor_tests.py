@@ -63,16 +63,24 @@ def run_processor_case(spark, case: dict):
     row0 = collected[0].asDict(recursive=True)
     if proc == "merge_json":
         got = row0.get("merged")
-    elif case["assert"] == "meta":
+        return (_norm_json(got) == _norm_json(case["output"]),
+                got, None)
+    if case["assert"] == "meta":
         got = (row0.get("meta") or {}).get(case["meta_key"])
         return got == case["output"], got, None
-    else:
-        by_idx = {r["part_index"]: r.asDict(recursive=True)
-                  for r in collected} if "part_index" in out.columns \
-            else {i: r.asDict(recursive=True)
-                  for i, r in enumerate(collected)}
-        got = (by_idx.get(0) or {}).get("content")
-    return _norm_json(got) == _norm_json(case["output"]), got, None
+    by_idx = {r["part_index"]: r.asDict(recursive=True)
+              for r in collected} if "part_index" in out.columns \
+        else {i: r.asDict(recursive=True)
+              for i, r in enumerate(collected)}
+    want = case["output"]
+    if isinstance(want, list):  # multi-part expectation, in order
+        got = [(by_idx.get(i) or {}).get("content")
+               for i in range(len(want))]
+        ok = all(_norm_json(g) == _norm_json(w)
+                 for g, w in zip(got, want)) and len(got) == len(want)
+        return ok, got, None
+    got = (by_idx.get(0) or {}).get("content")
+    return _norm_json(got) == _norm_json(want), got, None
 
 
 def main() -> int:
