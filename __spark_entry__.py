@@ -2834,6 +2834,507 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(100))
 
 
+# ================================================================
+# 1c. Remaining TPC-H family (round 4): Q4/Q7/Q8/Q9/Q13/Q15/Q16/Q17/
+#     Q19/Q21/Q22 adapted to the fixture star schema (no partsupp
+#     table; no commit/receipt dates, comments, phones or containers —
+#     each adaptation keeps the ORIGINAL plan shape: the semi-join,
+#     anti-join, correlated-aggregate or disjunctive-pushdown pattern
+#     the TPC-H query exists to exercise).  Scale notes per query.
+# ================================================================
+
+@_register("q4_order_priority", oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (EXISTS → left-semi join; returnflag stands in for the
+    absent commitdate<receiptdate predicate).  Scale: the quarter
+    filter prunes orders at the scan; the semi-join build side is the
+    filtered lineitem KEY column only (distinct not needed — semi
+    joins dedupe by construction), and the priority agg is 5 groups,
+    map-side combined."""
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >=
+                       F.lit("1997-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") <
+                         F.lit("1997-04-01").cast("timestamp")))
+              .select("o_orderkey", "o_orderpriority"))
+    late = (_t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey"))
+    return (orders.join(late, orders.o_orderkey == late.l_orderkey,
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+@_register("q7_volume_shipping", oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: volume shipping between two nations.  Scale: both
+    nation dims broadcast; the disjunctive nation-pair predicate is
+    applied AFTER the cheap broadcast joins so the two big inputs
+    (lineitem×orders) join on their natural keys only — one shuffle
+    each — and the pair filter prunes before the final 2×2×year agg."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+            .filter(F.col("supp_nation").isin("NATION_1", "NATION_2")))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation"))
+            .filter(F.col("cust_nation").isin("NATION_1", "NATION_2")))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >=
+                   F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") <
+                     F.lit("1998-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    vol = (_dec(F.col("l_extendedprice"))
+           * (F.lit(1) - _dec(F.col("l_discount"))))
+    return (li.join(F.broadcast(supp),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .filter(((F.col("supp_nation") == "NATION_1")
+                     & (F.col("cust_nation") == "NATION_2"))
+                    | ((F.col("supp_nation") == "NATION_2")
+                       & (F.col("cust_nation") == "NATION_1")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(vol).cast("double").alias("revenue")))
+
+
+@_register("q8_market_share", oracle="""
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM (SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1997-12-31 00:00:00') n
+GROUP BY o_year
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share inside a region.  Scale: all
+    five dimension sides (part-filtered, customer→nation→region
+    chain, supplier→nation) reduce FIRST and broadcast; lineitem and
+    orders are the only shuffle participants, joined on their natural
+    keys; the share ratio divides two decimal-exact sums per year."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    nation = _t(spark, sf_dir, "nation")
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate").between(
+                  F.lit("1996-01-01").cast("timestamp"),
+                  F.lit("1997-12-31").cast("timestamp")))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    vol = (_dec(F.col("l_extendedprice"))
+           * (F.lit(1) - _dec(F.col("l_discount")))).alias("volume")
+    rows = (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                    vol, "supp_nation"))
+    target = F.when(F.col("supp_nation") == "NATION_3",
+                    F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return (rows.groupBy("o_year")
+            .agg((F.sum(target).cast("double")
+                  / F.sum("volume").cast("double")).alias("mkt_share"),
+                 F.count("*").alias("n_lines")))
+
+
+@_register("q9_product_profit", oracle="""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%bolt%') profit
+GROUP BY nation, o_year
+""")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (profit = discounted revenue; the fixture has no
+    partsupp/supplycost).  Scale: the LIKE-filtered part dim and the
+    supplier→nation chain broadcast; lineitem joins orders on the
+    order key — the single big shuffle — then aggregates to
+    |nations|×|years| groups with map-side combine."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_name").contains("bolt")).select("p_partkey"))
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("nation")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    amount = (_dec(F.col("l_extendedprice"))
+              * (F.lit(1) - _dec(F.col("l_discount"))))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("nation",
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.sum(amount).cast("double").alias("sum_profit")))
+
+
+@_register("q13_customer_distribution", oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey) c_orders
+GROUP BY c_count
+""")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders per customer (priority filter
+    stands in for the absent o_comment NOT LIKE).  Scale: the filter
+    lives in the JOIN CONDITION (an outer-join filter would delete
+    the zero-order customers the query exists to count); orders
+    pre-aggregate to (custkey, count) before the outer join so the
+    join's right side is one row per customer, and the second agg is
+    |distinct counts| — tiny."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (_t(spark, sf_dir, "orders")
+                .filter(F.col("o_orderpriority") != "5-LOW")
+                .groupBy("o_custkey")
+                .agg(F.count("*").alias("__n")))
+    return (cust.join(per_cust, cust.c_custkey == per_cust.o_custkey,
+                      "left_outer")
+            .select(F.coalesce(F.col("__n"), F.lit(0).cast("long"))
+                    .alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+@_register("q15_top_supplier", oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+    Scale: one map-side-combined agg over the date-pruned fact; the
+    MAX scalar subquery is a 1-row broadcast joined back on decimal
+    EQUALITY (exact — revenue stays decimal until the output cast);
+    supplier names arrive via broadcast last, on the ≤|ties| rows."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >=
+                   F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") <
+                     F.lit("1997-04-01").cast("timestamp"))))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(_dec(F.col("l_extendedprice"))
+                      * (F.lit(1) - _dec(F.col("l_discount"))))
+                .alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("__max"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier")
+                       .select("s_suppkey", "s_name"))
+    return (rev.join(F.broadcast(top),
+                     rev.total_revenue == F.col("__max"))
+            .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_revenue").cast("double")
+                    .alias("total_revenue")))
+
+
+@_register("q16_part_supplier_kinds", oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN (1, 3, 7, 14, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""")
+def q16_part_supplier_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (lineitem stands in for partsupp as the part↔supplier
+    relation; negative account balance stands in for the complaints
+    comment filter).  Scale: the NOT IN supplier set is a broadcast
+    anti-join (the excluded-key list is tiny and null-free by
+    construction); part filters before its broadcast; COUNT DISTINCT
+    shuffles once on the (brand,type,size) group key with AQE
+    handling the distinct expansion."""
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    part = (_t(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != "Brand#5")
+                    & F.col("p_size").isin(1, 3, 7, 14, 23, 36, 45, 49))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(bad),
+                    li.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(F.broadcast(part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@_register("q17_small_quantity_revenue", oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey AS a_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey) a
+  ON a.a_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * a.cnt < a.sum_qty
+""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders.  The
+    correlated `l_quantity < 0.2*avg(l_quantity)` subquery is
+    decorrelated into a per-part pre-aggregate and the predicate is
+    cross-multiplied (qty*5*cnt < sum) so it stays DECIMAL-EXACT —
+    no float average on either engine.  Scale: the per-part agg is
+    map-side combined on the join key itself, so AQE can plan the
+    agg→join chain without a second shuffle; the brand dim filters
+    to ~2% of parts and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    per_part = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
+                .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+                     F.count("*").alias("cnt")))
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_brand") == "Brand#12").select("p_partkey"))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(per_part, F.col("l_partkey") == F.col("a_partkey"))
+            .filter(_dec(F.col("l_quantity")) * 5 * F.col("cnt")
+                    < F.col("sum_qty"))
+            .agg((F.sum(_dec(F.col("l_extendedprice"))).cast("double")
+                  / F.lit(7.0)).alias("avg_yearly"),
+                 F.count("*").alias("n_lines")))
+
+
+@_register("q19_disjunctive_revenue", oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicates.  Scale:
+    the part side pre-filters to the UNION of the three brand/size
+    branches before broadcasting (Catalyst derives exactly this
+    disjunct-wide filter from the ON+WHERE form below and pushes the
+    quantity bounds to the lineitem scan); the mixed predicate then
+    evaluates post-join inside codegen — zero shuffles end to end."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    branch = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    rev = (_dec(F.col("l_extendedprice"))
+           * (F.lit(1) - _dec(F.col("l_discount"))))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .filter(branch)
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+@_register("q21_waiting_supplier", oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+""")
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: the supplier who SOLELY failed a multi-supplier
+    order (returnflag='R' stands in for the absent
+    receiptdate>commitdate).  The correlated EXISTS / NOT-EXISTS
+    pair decorrelates into one per-order aggregate: with l1 known to
+    be 'R', `EXISTS other-supplier line` ⇔ n_suppliers ≥ 2 and
+    `NOT EXISTS other R supplier` ⇔ r_suppliers = 1.  Scale: ONE
+    extra shuffle on the order key replaces two correlated probes of
+    the fact table; the agg carries two small distinct counts and
+    joins back key-aligned (AQE reuses the partitioning), then the
+    name agg is |suppliers|-bounded."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("__n_supp"),
+                      F.countDistinct(
+                          F.when(F.col("l_returnflag") == "R",
+                                 F.col("l_suppkey"))).alias("__r_supp"))
+                 .filter((F.col("__n_supp") >= 2)
+                         & (F.col("__r_supp") == 1))
+                 .select(F.col("l_orderkey").alias("__okey")))
+    fo = (_t(spark, sf_dir, "orders")
+          .filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier")
+                       .select("s_suppkey", "s_name"))
+    return (li.filter(F.col("l_returnflag") == "R")
+            .join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(per_order, F.col("l_orderkey") == F.col("__okey"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name"))
+            .limit(100))
+
+
+@_register("q22_dormant_customers", oracle="""
+WITH seg AS (SELECT * FROM customer
+             WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY'))
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS totacctbal
+FROM seg
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(*)
+                   FROM seg WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+""")
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: well-funded customers gone quiet (market segment
+    stands in for the phone country code; 'no recent urgent order'
+    for 'no orders').  Scale: the global average is a 1-row broadcast
+    (decimal sum / count, identical double on both engines); the
+    NOT EXISTS is a broadcast LEFT ANTI join against the
+    date+priority-pruned order keys; the final agg is
+    |segments|-bounded with map-side combine."""
+    seg = (_t(spark, sf_dir, "customer")
+           .filter(F.col("c_mktsegment").isin(
+               "BUILDING", "AUTOMOBILE", "MACHINERY"))
+           .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    avg_bal = (seg.filter(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(_dec(F.col("c_acctbal"))).cast("double")
+                     / F.count("*")).alias("__avg")))
+    recent = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderpriority") == "1-URGENT")
+                      & (F.col("o_orderdate") >=
+                         F.lit("2000-01-01").cast("timestamp")))
+              .select("o_custkey"))
+    return (seg.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg"))
+            .join(recent, seg.c_custkey == recent.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(_dec(F.col("c_acctbal"))).cast("double")
+                 .alias("totacctbal")))
+
 
 # ================================================================
 
@@ -2844,7 +3345,16 @@ _BASE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _SUITES: dict[str, list[str]] = {
     "q1_pricing_summary": ["q6_forecast_revenue", "q10_returned_items",
                            "q14_promo_effect",
-                           "q18_large_volume_customer"],
+                           "q18_large_volume_customer",
+                           "q4_order_priority", "q7_volume_shipping",
+                           "q8_market_share", "q9_product_profit",
+                           "q13_customer_distribution",
+                           "q15_top_supplier",
+                           "q16_part_supplier_kinds",
+                           "q17_small_quantity_revenue",
+                           "q19_disjunctive_revenue",
+                           "q21_waiting_supplier",
+                           "q22_dormant_customers"],
     "string_methods": ["compress_roundtrip", "xml_to_json",
                        "grok_extract", "parse_log_syslog"],
     "structured_methods": ["jq_general", "jq_path_fastpath",

@@ -568,7 +568,12 @@ def grok_stage(df: DataFrame, spec: dict) -> DataFrame:
     match flags the part (ErrNoMatch) and passes the original."""
     from benthos_spark.operators.parsing import grok_parse_doc
 
-    patterns = spec.get("patterns") or [spec["pattern"]]
+    # grok.go:88 `expressions` (array); deprecated singular/`patterns`
+    # forms accepted for config portability.
+    patterns = (spec.get("expressions") or spec.get("patterns")
+                or [spec.get("expression") or spec["pattern"]])
+    if isinstance(patterns, str):
+        patterns = [patterns]
     patterns = [str(p) for p in patterns]
     defs = dict(spec.get("pattern_definitions") or {})
     remove_empty = bool(spec.get("remove_empty_values", True))

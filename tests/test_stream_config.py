@@ -4,6 +4,7 @@ lib/service/test)."""
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -322,7 +323,10 @@ pipeline:
 output:
   memory: {}
 """)
-    rows = {r.path: (r.verb, r.status) for r in out.collect()}
+    # content doctrine (grok.go ProcessMessage): captures REPLACE the
+    # payload as a JSON document
+    docs = [json.loads(r.content) for r in out.collect()]
+    rows = {d["path"]: (d["verb"], d["status"]) for d in docs}
     assert rows == {"/p/0": ("GET", "200"), "/p/1": ("GET", "200")}
 
     out = run_stream(spark, """
@@ -337,8 +341,9 @@ pipeline:
 output:
   memory: {}
 """)
-    log = out.collect()[0].log
-    assert (log.priority, log.hostname, log.message) == (34, "host", "hello world")
+    log = json.loads(out.collect()[0].content)
+    assert (log["priority"], log["hostname"], log["message"]) == (
+        34, "host", "hello world")
 
 
 def test_jsonschema_yaml(spark):
