@@ -28,6 +28,9 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "TPC-H Q1's 6-group result: partial aggregation is "
          "distributed; the final 6-row combine is one partition by "
          "construction"),
+        ("BroadcastNestedLoopJoin",
+         "suite host: inherits q22's one-row global-average scalar "
+         "cross"),
     ],
     "q6_forecast_revenue": [
         ("SinglePartition",
@@ -58,6 +61,25 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
         ("BroadcastNestedLoopJoin",
          "suite host: inherits lm_frequency_mass's one-row scalar cross"),
         ("SinglePartition", "same inherited scalar aggregate"),
+    ],
+    "q15_top_supplier": [
+        ("SinglePartition",
+         "MAX(total_revenue) scalar subquery: per-supplier partials "
+         "are distributed, the final max is one row broadcast back"),
+    ],
+    "q17_small_quantity_revenue": [
+        ("SinglePartition",
+         "global single-row aggregate output, same shape as Q6"),
+    ],
+    "q19_disjunctive_revenue": [
+        ("SinglePartition",
+         "global single-row aggregate output, same shape as Q6"),
+    ],
+    "q22_dormant_customers": [
+        ("BroadcastNestedLoopJoin",
+         "ONE-ROW global-average aggregate crossed into the filtered "
+         "customer dim — a broadcast scalar, not a data-sized loop"),
+        ("SinglePartition", "the same one-row average aggregate"),
     ],
 }
 
