@@ -40,9 +40,12 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    import os
     for t in entry._TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # sharded table (gen_scale_data layout)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()

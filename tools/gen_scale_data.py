@@ -47,8 +47,12 @@ SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 EVENT_TYPES = ["click", "view", "purchase", "scroll", "login"]
 BRANDS = [f"Brand#{i}" for i in range(1, 26)]
-TYPES = [f"{a} {b}" for a in ("STANDARD", "SMALL", "LARGE", "ECONOMY", "PROMO")
-         for b in ("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")]
+# match the driver fixtures' vocab exactly (TESTDATA.md tables) so the
+# TPC-H predicates (p_type='ECONOMY', p_name LIKE '%bolt%', NATION_1)
+# select non-empty slices at every scale
+TYPES = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
+PART_ADJ = ["small", "large", "red", "blue", "hot", "cold", "old", "new"]
+PART_NOUN = ["ring", "bolt", "plate", "gear", "widget", "gizmo"]
 
 
 def _write(out: str, name: str, table: pa.Table) -> None:
@@ -94,7 +98,7 @@ def gen(sf: float, out: str) -> None:
         "r_regionkey": pa.array(range(5), pa.int32()),
         "r_name": REGIONS,
     }))
-    nat = [f"NATION_{i:02d}" for i in range(25)]
+    nat = [f"NATION_{i}" for i in range(25)]
     _write(out, "nation", pa.table({
         "n_nationkey": pa.array(range(25), pa.int32()),
         "n_name": nat,
@@ -123,10 +127,11 @@ def gen(sf: float, out: str) -> None:
     n_part = int(20000 * k)
     _write(out, "part", pa.table({
         "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
-        "p_name": [" ".join(VOCAB[rng.integers(0, len(VOCAB), 3)])
-                   for _ in range(n_part)],
+        "p_name": [f"{PART_ADJ[a]} {PART_NOUN[b]}" for a, b in zip(
+            rng.integers(0, len(PART_ADJ), n_part),
+            rng.integers(0, len(PART_NOUN), n_part))],
         "p_brand": np.array(BRANDS)[rng.integers(0, 25, n_part)],
-        "p_type": np.array(TYPES)[rng.integers(0, 25, n_part)],
+        "p_type": np.array(TYPES)[rng.integers(0, len(TYPES), n_part)],
         "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32)),
         "p_retailprice": np.round(rng.uniform(900, 2000, n_part), 2),
     }))
