@@ -3264,16 +3264,18 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     be 'R', `EXISTS other-supplier line` ⇔ n_suppliers ≥ 2 and
     `NOT EXISTS other R supplier` ⇔ r_suppliers = 1.  Scale: ONE
     extra shuffle on the order key replaces two correlated probes of
-    the fact table; the agg carries two small distinct counts and
-    joins back key-aligned (AQE reuses the partitioning), then the
-    name agg is |suppliers|-bounded."""
+    the fact table; the two distinct counts are staged as a
+    per-(order,supplier) combine then a plain per-order agg — the
+    Expand a double countDistinct would plan doubles shuffle volume,
+    this shape doesn't — and the name agg is |suppliers|-bounded."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag")
-    per_order = (li.groupBy("l_orderkey")
-                 .agg(F.countDistinct("l_suppkey").alias("__n_supp"),
-                      F.countDistinct(
-                          F.when(F.col("l_returnflag") == "R",
-                                 F.col("l_suppkey"))).alias("__r_supp"))
+    per_os = (li.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max(F.when(F.col("l_returnflag") == "R", 1)
+                         .otherwise(0)).alias("__has_r")))
+    per_order = (per_os.groupBy("l_orderkey")
+                 .agg(F.count("*").alias("__n_supp"),
+                      F.sum("__has_r").alias("__r_supp"))
                  .filter((F.col("__n_supp") >= 2)
                          & (F.col("__r_supp") == 1))
                  .select(F.col("l_orderkey").alias("__okey")))
