@@ -176,6 +176,28 @@ def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
         walk, schema="shard string, key string, ext string, content binary")
 
 
+def _resolve_codec_aliases(path: str, codec: str) -> str:
+    """reader.go:244-281: `csv-gzip`/`tar-gzip` aliases and the
+    extension-derived `auto` codec (.csv → csv, .csv.gz → gzip/csv,
+    .tar → tar, .tgz/.tar.gz/.tar.gzip → gzip/tar, else all-bytes)."""
+    if codec == "csv-gzip":
+        return "gzip/csv"
+    if codec == "tar-gzip":
+        return "gzip/tar"
+    if codec != "auto":
+        return codec
+    p = path.lower()
+    if p.endswith((".csv.gz", ".csv.gzip")):
+        return "gzip/csv"
+    if p.endswith(".csv"):
+        return "csv"
+    if p.endswith((".tgz", ".tar.gz", ".tar.gzip")):
+        return "gzip/tar"
+    if p.endswith(".tar"):
+        return "tar"
+    return "all-bytes"
+
+
 def decode_blob_entries(src: str, data: bytes, codec: str):
     """The reference codec stack (internal/codec/reader.go:206-246)
     over ONE in-memory blob: yields (content, meta) pairs.  Used by
@@ -186,6 +208,7 @@ def decode_blob_entries(src: str, data: bytes, codec: str):
     import tarfile
     import zipfile
 
+    codec = _resolve_codec_aliases(src, codec)
     parts = codec.split("/")
     gzip_wrap = parts[0] == "gzip" and len(parts) > 1
     if gzip_wrap:
@@ -199,6 +222,21 @@ def decode_blob_entries(src: str, data: bytes, codec: str):
         head = "all-bytes"
     if head == "all-bytes":
         yield data.decode("utf-8", "replace"), {"path": src}
+    elif head == "csv":
+        # reader.go newCSVReader: first row is the header, every later
+        # row becomes a JSON object part with string values (Go map
+        # marshal sorts keys)
+        import csv as _csv
+        import json as _json
+        rows = list(_csv.reader(io.StringIO(
+            data.decode("utf-8", "replace"))))
+        if rows:
+            hdr = rows[0]
+            for rec in rows[1:]:
+                obj = {h: v for h, v in zip(hdr, rec)}
+                yield (_json.dumps(obj, sort_keys=True,
+                                   separators=(",", ":")),
+                       {"path": src})
     elif head == "lines" or head.startswith("delim:"):
         sep = head.split(":", 1)[1] if ":" in head else "\n"
         text = data.decode("utf-8", "replace")
@@ -232,7 +270,7 @@ def decode_blob_entries(src: str, data: bytes, codec: str):
     else:
         raise ValueError(
             f"codec {codec!r} unrecognised (reader.go:206: all-bytes, "
-            "lines, delim:<sep>, chunker:<n>, gzip, tar, zip + "
+            "csv, lines, delim:<sep>, chunker:<n>, gzip, tar, zip, auto + "
             "gzip-wrapped combos)")
 
 
@@ -250,12 +288,26 @@ def read_codec(spark: SparkSession, path: str, codec: str) -> DataFrame:
     parallel across files; a single giant archive is one task by
     construction (the reference streams it on one node too — shard
     archives for parallelism, e.g. webdataset-style)."""
+    codec = _resolve_codec_aliases(path, codec)
     parts = codec.split("/")
     gzip_wrap = parts[0] == "gzip" and len(parts) > 1
     if gzip_wrap:
         parts = parts[1:]
     head = parts[0]
     rest = "/".join(parts[1:])  # nested archive entries' inner codec
+    if head == "csv":
+        # JVM scan path (reader.go newCSVReader: header row → JSON
+        # object per record, string values; Spark auto-gunzips *.gz so
+        # gzip/csv takes the same path).  Alphabetical struct order ==
+        # Go map-marshal key order.
+        df = (spark.read.option("header", True)
+              .option("inferSchema", False).csv(path))
+        cols = sorted(df.columns)
+        return (df.withColumn("__path", F.input_file_name())
+                .select(F.to_json(F.struct(*[F.col(c) for c in cols]))
+                        .alias("content"),
+                        F.create_map(F.lit("path"),
+                                     F.col("__path")).alias("meta")))
     if head in ("lines", "delim", "gzip") or head.startswith("delim:"):
         # JVM scan path; Spark auto-gunzips *.gz inputs
         if head.startswith("delim:"):
@@ -271,7 +323,7 @@ def read_codec(spark: SparkSession, path: str, codec: str) -> DataFrame:
             not head.startswith("chunker:"):
         raise ValueError(
             f"codec {codec!r} unrecognised (reader.go:206: all-bytes, "
-            "lines, delim:<sep>, chunker:<n>, gzip, tar, zip + "
+            "csv, lines, delim:<sep>, chunker:<n>, gzip, tar, zip, auto + "
             "gzip-wrapped combos)")
     chunk_n = (int(head.split(":", 1)[1])
                if head.startswith("chunker:") else 0)

@@ -1079,9 +1079,43 @@ output: {{memory: {{}}}}
     all_rows = collect(tmp_path / "delim.txt", "all-bytes")
     assert [r.content for r in all_rows] == ["one|two|three"]
 
+    # csv codec (reader.go newCSVReader): header row, each record a
+    # JSON object with STRING values; gzip/csv + csv-gzip aliases;
+    # auto derives from the extension (reader.go:261-281)
+    (tmp_path / "t.csv").write_bytes(b"name,qty\nbolt,2\ngear,11\n")
+    (tmp_path / "t.csv.gz").write_bytes(
+        gzip.compress(b"name,qty\nbolt,2\n"))
+    csv_rows = collect(tmp_path / "t.csv", "csv")
+    assert sorted(r.content for r in csv_rows) == [
+        '{"name":"bolt","qty":"2"}', '{"name":"gear","qty":"11"}']
+    for codec in ("gzip/csv", "csv-gzip", "auto"):
+        got = sorted(r.content for r in collect(
+            tmp_path / "t.csv.gz", codec))
+        assert got == ['{"name":"bolt","qty":"2"}'], codec
+    auto_tar = collect(tmp_path / "arch.tar.gz", "auto")
+    assert sorted(r.content for r in auto_tar) == ["alpha", "beta"]
+    auto_all = collect(tmp_path / "delim.txt", "auto")
+    assert [r.content for r in auto_all] == ["one|two|three"]
+
     import pytest
     with pytest.raises(ValueError, match="unrecognised"):
         collect(tmp_path / "delim.txt", "morse")
+
+
+def test_blob_codec_csv_auto():
+    """decode_blob_entries (the client-fetched-bytes codec path used by
+    sftp) honors the csv codec and auto extension inference."""
+    import gzip
+    from benthos_spark.sources.files import decode_blob_entries
+
+    rows = list(decode_blob_entries(
+        "/r/t.csv", b"name,qty\nbolt,2\n", "csv"))
+    assert [c for c, _ in rows] == ['{"name":"bolt","qty":"2"}']
+    rows = list(decode_blob_entries(
+        "/r/t.csv.gz", gzip.compress(b"name,qty\ngear,11\n"), "auto"))
+    assert [c for c, _ in rows] == ['{"name":"gear","qty":"11"}']
+    rows = list(decode_blob_entries("/r/x.bin", b"raw", "auto"))
+    assert [c for c, _ in rows] == ["raw"]
 
 
 def test_object_store_input_actionable_error(spark):
