@@ -274,6 +274,57 @@ def decode_blob_entries(src: str, data: bytes, codec: str):
             "gzip-wrapped combos)")
 
 
+def _read_codec_multipart(spark: SparkSession, path: str,
+                          inner: str) -> DataFrame:
+    """`<codec>/multipart` (reader.go:196, newMultipartReader): the
+    inner codec's messages batch together; an EMPTY message ends the
+    current batch (and is not itself emitted).  Batches surface as the
+    engine's native batch columns (`batch_id`, `part_index`) so
+    `.from()`/batch windows see the reference's multipart groups.
+
+    Scale shape: one binaryFile row per FILE into an Arrow walk —
+    grouping needs sequential in-file order, which is exactly how the
+    reference consumes it; files parallelize across executors.
+    batch_id = CRC32(file path) << 24 | group ordinal (collision-free
+    within a file, disjoint across realistic file sets)."""
+    import zlib
+
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def walk(batches):
+        for pdf in batches:
+            bid, pidx, contents, metas = [], [], [], []
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                base = zlib.crc32(src.encode()) << 24
+                group, n_in_group = 0, 0
+                for content, meta in decode_blob_entries(
+                        src, bytes(blob), inner):
+                    if content == "":
+                        if n_in_group:
+                            group += 1
+                            n_in_group = 0
+                        continue
+                    bid.append(base | group)
+                    pidx.append(n_in_group)
+                    contents.append(content)
+                    metas.append(meta)
+                    n_in_group += 1
+            yield pd.DataFrame({"batch_id": pd.Series(bid, dtype="int64"),
+                                "part_index": pd.Series(pidx,
+                                                        dtype="int32"),
+                                "content": pd.Series(contents,
+                                                     dtype="object"),
+                                "meta": pd.Series(metas, dtype="object")})
+
+    out = raw.mapInPandas(
+        walk, "batch_id long, part_index int, content string, "
+              "meta map<string,string>")
+    return out.withColumn("_error", F.lit(None).cast("string"))
+
+
 def read_codec(spark: SparkSession, path: str, codec: str) -> DataFrame:
     """The reference codec stack for raw-file inputs
     (internal/codec/reader.go:206-246): all-bytes, lines, delim:<sep>,
@@ -289,6 +340,9 @@ def read_codec(spark: SparkSession, path: str, codec: str) -> DataFrame:
     construction (the reference streams it on one node too — shard
     archives for parallelism, e.g. webdataset-style)."""
     codec = _resolve_codec_aliases(path, codec)
+    if codec.endswith("/multipart"):
+        return _read_codec_multipart(spark, path,
+                                     codec[:-len("/multipart")])
     parts = codec.split("/")
     gzip_wrap = parts[0] == "gzip" and len(parts) > 1
     if gzip_wrap:

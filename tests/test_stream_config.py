@@ -1102,6 +1102,25 @@ output: {{memory: {{}}}}
         collect(tmp_path / "delim.txt", "morse")
 
 
+def test_multipart_codec(spark, tmp_path):
+    """`lines/multipart` (reader.go:196): an empty line ends the
+    batch; groups land in batch_id/part_index so batch functions see
+    the reference's multipart grouping."""
+    from benthos_spark.stream import run_stream
+
+    (tmp_path / "mp.txt").write_text("a1\na2\n\nb1\n\nc1\nc2\nc3\n")
+    out = run_stream(spark, f"""
+input:
+  file: {{path: "{tmp_path / 'mp.txt'}", codec: "lines/multipart"}}
+output: {{memory: {{}}}}
+""").collect()
+    groups = {}
+    for r in out:
+        groups.setdefault(r.batch_id, []).append((r.part_index, r.content))
+    batches = sorted(tuple(c for _, c in sorted(g)) for g in groups.values())
+    assert batches == [("a1", "a2"), ("b1",), ("c1", "c2", "c3")]
+
+
 def test_blob_codec_csv_auto():
     """decode_blob_entries (the client-fetched-bytes codec path used by
     sftp) honors the csv codec and auto extension inference."""
