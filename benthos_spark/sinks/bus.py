@@ -40,6 +40,7 @@ BUS_FAMILIES = {
     "gcp_pubsub": ("google-cloud-pubsub", "lib/output/gcp_pubsub.go"),
     "aws_sqs": ("boto3", "lib/output/sqs.go"),
     "aws_kinesis": ("boto3", "lib/output/kinesis.go"),
+    "aws_kinesis_firehose": ("boto3", "lib/output/aws_kinesis_firehose.go"),
     "aws_sns": ("boto3", "lib/output/sns.go"),
     "pulsar": ("pulsar-client", "lib/output/pulsar.go"),
     "zmq_push": ("pyzmq", "lib/output/zmq4.go"),

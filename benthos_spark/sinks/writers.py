@@ -24,6 +24,33 @@ def write_file(df: DataFrame, path: str, fmt: str = "parquet",
     writer.format(fmt).save(path)
 
 
+def write_files(df: DataFrame, path) -> None:
+    """Deprecated `files` output (lib/output/files.go): ONE file per
+    message at the interpolated path.  Executor-side foreachPartition
+    writes — partition-parallel, nothing funnels through the driver;
+    parent dirs are created like the reference does."""
+    import os
+
+    from pyspark.sql import Column
+
+    if isinstance(path, str):
+        path = F.lit(path)
+    assert isinstance(path, Column)
+    body = (F.col("content") if "content" in df.columns
+            else F.to_json(F.struct(*df.columns)))
+    work = df.select(path.cast("string").alias("__path"),
+                     body.cast("string").alias("__payload"))
+
+    def send(rows):
+        for r in rows:
+            target = r["__path"]
+            os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
+            with open(target, "w") as fh:
+                fh.write(r["__payload"] or "")
+
+    work.foreachPartition(send)
+
+
 def write_console(df: DataFrame, limit: int = 20) -> None:
     """`stdout` output (lib/output/stdout.go:20)."""
     df.show(limit, truncate=False)

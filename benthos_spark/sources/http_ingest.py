@@ -424,3 +424,58 @@ def websocket_send(url: str, messages: list[str],
             s.sendall(head + mask + bytes(
                 b ^ mask[i % 4] for i, b in enumerate(payload)))
         s.sendall(b"\x88\x80" + os.urandom(4))  # masked close
+
+
+def serve_http_output(messages: list[str], host: str = "127.0.0.1",
+                      port: int = 0, path: str = "/get",
+                      timeout_s: float = 30.0) -> tuple[str, int, int]:
+    """`http_server` OUTPUT (lib/output/http_server.go): clients GET
+    the configured path and each request pops the next message; 204
+    once drained.  Blocks until every message is consumed or
+    `timeout_s` elapses, then stops — a bounded request/reply surface
+    (the reference holds the same per-process queue), not a bulk path.
+    Returns (host, port, n_unserved)."""
+    import threading
+    import time
+    from collections import deque
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    q: deque = deque(messages)
+    done = threading.Event()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path.split("?")[0] != path:
+                self.send_response(404)
+                self.end_headers()
+                return
+            try:
+                msg = q.popleft()
+            except IndexError:
+                self.send_response(204)
+                self.end_headers()
+                done.set()
+                return
+            body = msg.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            if not q:
+                done.set()
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    bound = srv.server_address
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        deadline = time.monotonic() + timeout_s
+        while not done.is_set() and time.monotonic() < deadline:
+            time.sleep(0.02)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return bound[0], bound[1], len(q)

@@ -208,8 +208,18 @@ def _build_input(spark: SparkSession, conf: dict,
                    "gcs": "gcp_cloud_storage",
                    "kinesis_firehose": "aws_kinesis_firehose",
                    "tcp": "socket", "udp": "socket",
-                   "kafka_balanced": "kafka"}
+                   "kafka_balanced": "kafka",
+                   # deprecated registrations (lib/input/constructor.go)
+                   "amqp": "amqp_0_9",          # TypeAMQP → 0.9.1
+                   "kinesis_balanced": "aws_kinesis",
+                   "zmq4": "zmq_push",          # bus-family name
+                   "bloblang": "generate"}      # same component
     kind = _V3_ALIASES.get(kind, kind)
+    if kind == "files":
+        # deprecated `files` input (lib/input/files.go): each file is
+        # one whole message == the file input's all-bytes codec
+        kind, spec = "file", {**spec, "codec":
+                              spec.get("codec", "all-bytes")}
     if kind == "file":
         paths = spec.get("paths") or ([spec["path"]] if spec.get("path")
                                       else None)
@@ -520,6 +530,8 @@ def _build_input(spark: SparkSession, conf: dict,
         # http_client input (lib/input/http_client.go:48): bounded
         # driver-side polls; codec lines splits response bodies
         from benthos_spark.sources.http_ingest import http_client_input
+        if not spec.get("url"):
+            raise ConfigError("http_client input needs `url`")
         return http_client_input(
             spark, str(spec["url"]), count=int(spec.get("count", 1)),
             method=str(spec.get("verb", "GET")),
@@ -539,6 +551,9 @@ def _build_input(spark: SparkSession, conf: dict,
         # kafka input (lib/input/kafka.go:31): wrapper over the
         # spark-sql-kafka source; needs the package jar on the cluster
         from benthos_spark.sources.files import read_kafka
+        if not spec.get("addresses") or not spec.get("topics"):
+            raise ConfigError("kafka input needs `addresses` and "
+                              "`topics`")
         try:
             return read_kafka(
                 spark,
@@ -1174,13 +1189,28 @@ def _apply_processor(df: DataFrame, conf: Any,
 
 # ---------------------------------------------------------------- outputs
 
-def _run_output(df: DataFrame, conf: dict | None):
+def _run_output(df: DataFrame, conf: dict | None, ctx: dict | None = None):
+    ctx = {} if ctx is None else ctx  # an empty caller dict must alias
     conf = conf or {"memory": {}}
     if isinstance(conf, dict) and "batching" in conf:
         conf = {k: v for k, v in conf.items() if k != "batching"}
     kind, spec = _section_component(conf, "output")
     if kind is None:
         raise ConfigError(f"output: expected one component, got {conf!r}")
+    # v3/deprecated output registrations (lib/output/constructor.go)
+    _OUT_ALIASES = {"s3": "aws_s3", "sqs": "aws_sqs", "sns": "aws_sns",
+                    "kinesis": "aws_kinesis",
+                    "kinesis_firehose": "aws_kinesis_firehose",
+                    "gcs": "gcp_cloud_storage",
+                    "blob_storage": "azure_blob_storage",
+                    "table_storage": "azure_table_storage",
+                    "dynamodb": "aws_dynamodb",
+                    "amqp": "amqp_0_9", "zmq4": "zmq_push",
+                    # JetStream/STAN publish through the nats family
+                    "nats_jetstream": "nats", "nats_stream": "nats",
+                    "tcp": "socket", "udp": "socket"}
+    kind = _OUT_ALIASES.get(kind, kind)
+    raw_spec = spec
     spec = spec if isinstance(spec, dict) else {}
     if kind == "memory":
         if df.isStreaming:
@@ -1192,6 +1222,8 @@ def _run_output(df: DataFrame, conf: dict | None):
             return df.sparkSession.sql(f"SELECT * FROM {name}")
         return df
     if kind == "file":
+        if not spec.get("path"):
+            raise ConfigError("file output needs `path`")
         fmt = spec.get("format", "parquet")
         if df.isStreaming:
             from benthos_spark.sinks.writers import write_stream_file
@@ -1220,7 +1252,7 @@ def _run_output(df: DataFrame, conf: dict | None):
             check = case.get("check")
             cond = compile_condition(str(check)) if check else None
             cases.append((cond,
-                          lambda d, o=case["output"]: _run_output(d, o)))
+                          lambda d, o=case["output"]: _run_output(d, o, ctx)))
         switch_output(df, cases)
         return df
     if kind == "broker":
@@ -1233,8 +1265,194 @@ def _run_output(df: DataFrame, conf: dict | None):
                               "fan_out|fan_out_sequential (round_robin/"
                               "greedy have no distributed meaning — use "
                               "partition_routes)")
-        fan_out(df, [lambda d, o=o: _run_output(d, o)
+        if not spec.get("outputs"):
+            raise ConfigError("broker output needs `outputs`")
+        fan_out(df, [lambda d, o=o: _run_output(d, o, ctx)
                      for o in spec["outputs"]])
+        return df
+    if kind == "try":
+        # try output (lib/output/try.go): children attempted in order;
+        # the first that delivers consumes the batch
+        outs = raw_spec if isinstance(raw_spec, list) \
+            else spec.get("outputs")
+        if not outs:
+            raise ConfigError("try output needs a list of child outputs")
+        errs = []
+        for o in outs:
+            try:
+                return _run_output(df, o, ctx)
+            except Exception as e:  # noqa: BLE001 — fallback contract
+                errs.append(f"{type(e).__name__}: {str(e)[:120]}")
+        raise ConfigError(f"try output: every child failed: {errs}")
+    if kind == "retry":
+        # retry output (lib/output/retry.go): bounded re-attempts of
+        # the inner delivery (the reference retries forever by default;
+        # a batch engine needs a bound — max_retries, default 3)
+        inner = spec.get("output")
+        if not inner:
+            raise ConfigError("retry output needs `output`")
+        import time as _time
+        last: Exception | None = None
+        backoff = _duration_s(
+            (spec.get("backoff") or {}).get("initial_interval", 0))
+        for _ in range(int(spec.get("max_retries", 3)) + 1):
+            try:
+                return _run_output(df, inner, ctx)
+            except Exception as e:  # noqa: BLE001 — retry contract
+                last = e
+                if backoff:
+                    _time.sleep(backoff)
+        raise last
+    if kind == "drop_on":
+        # drop_on output (lib/output/drop_on.go): `error: true` drops
+        # messages the inner output fails to deliver instead of
+        # erroring; back_pressure has no distributed meaning (accepted,
+        # ignored — Spark sinks apply their own backpressure)
+        inner = spec.get("output")
+        if not inner:
+            raise ConfigError("drop_on output needs `output`")
+        try:
+            return _run_output(df, inner, ctx)
+        except Exception:
+            if spec.get("error"):
+                return df
+            raise
+    if kind == "files":
+        # deprecated files output (lib/output/files.go): one file per
+        # message at the interpolated path — executor-side writes
+        from benthos_spark.bloblang.field import interpolate
+        from benthos_spark.sinks.writers import write_files
+        if not spec.get("path"):
+            raise ConfigError("files output needs `path`")
+        write_files(df, interpolate(str(spec["path"])))
+        return df
+    if kind == "cache":
+        # cache output (lib/output/cache.go): set each message under
+        # the interpolated key in a named cache resource
+        store = (ctx.get("caches") or {}).get(str(spec.get("target")))
+        if store is None:
+            raise ConfigError(
+                f"cache output target {spec.get('target')!r} not "
+                "defined (add it under resources.caches)")
+        from benthos_spark.bloblang.field import interpolate
+        key = interpolate(str(spec.get("key", "${!count:items}")))
+        body = (F.col("content") if "content" in df.columns
+                else F.to_json(F.struct(*df.columns)))
+        store.set(df.select(key.cast("string").alias(store.key),
+                            body.cast("string").alias("value")))
+        return df
+    if kind == "inproc":
+        # inproc output (lib/output/inproc.go): named in-process pipe;
+        # the paired inproc input of a later stream in the same
+        # manager/ctx consumes it
+        name = str(raw_spec if isinstance(raw_spec, str)
+                   else spec.get("name", ""))
+        if not name:
+            raise ConfigError("inproc output needs a pipe name")
+        ctx.setdefault("inproc", {})[name] = df
+        return df
+    if kind == "resource":
+        # resource output (lib/output/resource.go): named output from
+        # resources.outputs
+        name = str(raw_spec if isinstance(raw_spec, str)
+                   else spec.get("name", ""))
+        target = (ctx.get("output_resources") or {}).get(name)
+        if target is None:
+            raise ConfigError(
+                f"output resource {name!r} not defined (add it under "
+                "resources.outputs)")
+        return _run_output(df, target, ctx)
+    if kind == "dynamic":
+        # dynamic output (lib/output/dynamic.go): routes to the output
+        # currently registered under `prefix`; the REST update surface
+        # is streams-mode — here the initial `outputs` map is static
+        outs = spec.get("outputs") or {}
+        choose = spec.get("prefix") or next(iter(outs), None)
+        if choose is None or choose not in outs:
+            raise ConfigError("dynamic output needs `outputs` (and the "
+                              "selected key via `prefix`)")
+        return _run_output(df, outs[choose], ctx)
+    if kind == "sync_response":
+        # sync_response output (lib/output/sync_response.go): the sink
+        # IS the held HTTP replies — same capture the processor form
+        # feeds (stream.py run_stream sync flow)
+        ctx["sync_capture"] = df
+        return df
+    if kind == "http_server":
+        # http_server output (lib/output/http_server.go): clients GET
+        # the path, each request pops the next message; serves until
+        # drained or timeout.  Bounded request/reply surface by
+        # contract (the reference holds the same per-process queue)
+        from benthos_spark.sources.http_ingest import serve_http_output
+        body = (F.col("content") if "content" in df.columns
+                else F.to_json(F.struct(*df.columns)))
+        msgs = [r[0] or "" for r in df.select(body).collect()]
+        addr = str(spec.get("address", "127.0.0.1:0"))
+        host, port = addr.rsplit(":", 1)
+        _, _, left = serve_http_output(
+            msgs, host, int(port), path=str(spec.get("path", "/get")),
+            timeout_s=_duration_s(spec.get("timeout", 30)))
+        if left:
+            raise ConfigError(
+                f"http_server output: {left} message(s) never fetched "
+                "before the serve timeout")
+        return df
+    if kind == "subprocess":
+        # subprocess output (lib/output/subprocess.go): pipe message
+        # lines to a command's stdin.  Driver-side bounded by contract
+        # (ONE consumer process exists; same doctrine as the input)
+        import subprocess as _sp
+        if not spec.get("name"):
+            raise ConfigError("subprocess output needs a command `name`")
+        body = (F.col("content") if "content" in df.columns
+                else F.to_json(F.struct(*df.columns)))
+        lines = [r[0] or "" for r in df.select(body).collect()]
+        proc = _sp.run([str(spec["name"]), *[str(a) for a in
+                                             spec.get("args", [])]],
+                       input="\n".join(lines) + ("\n" if lines else ""),
+                       text=True, capture_output=True,
+                       timeout=_duration_s(spec.get("timeout", 60)))
+        if proc.returncode != 0:
+            raise ConfigError(
+                f"subprocess output exited {proc.returncode}: "
+                f"{proc.stderr[:200]}")
+        return df
+    if kind == "socket":
+        # socket output (lib/output/socket.go, tcp/udp aliases): send
+        # newline-delimited messages over one connection.  Driver-side
+        # bounded by contract — the reference also holds ONE conn; the
+        # scale path for fan-out delivery is the bus/kafka families
+        import socket as _sk
+        address = str(spec.get("address", ""))
+        if not address:
+            raise ConfigError("socket output needs `address`")
+        network = str(spec.get("network", "tcp"))
+        body = (F.col("content") if "content" in df.columns
+                else F.to_json(F.struct(*df.columns)))
+        payload = "".join((r[0] or "") + "\n"
+                          for r in df.select(body).collect())
+        if network == "udp":
+            host, port = address.rsplit(":", 1)
+            s = _sk.socket(_sk.AF_INET, _sk.SOCK_DGRAM)
+            try:
+                for line in payload.splitlines():
+                    s.sendto((line + "\n").encode(), (host, int(port)))
+            finally:
+                s.close()
+        elif network in ("tcp", "unix"):
+            if network == "unix":
+                s = _sk.socket(_sk.AF_UNIX, _sk.SOCK_STREAM)
+                s.connect(address)
+            else:
+                host, port = address.rsplit(":", 1)
+                s = _sk.create_connection((host, int(port)), timeout=10)
+            try:
+                s.sendall(payload.encode())
+            finally:
+                s.close()
+        else:
+            raise ConfigError(f"socket output network {network!r}: "
+                              "tcp|udp|unix")
         return df
     if kind in ("dlq", "drop_on_error", "reject"):
         # DLQ family (lib/output/{drop_on_error,reject,retry}.go): rows
@@ -1243,10 +1461,10 @@ def _run_output(df: DataFrame, conf: dict | None):
         from benthos_spark.sinks.broker import with_dead_letter
         dlq_conf = spec.get("dlq")
         clean = with_dead_letter(
-            df, (lambda d: _run_output(d, dlq_conf)) if dlq_conf
+            df, (lambda d: _run_output(d, dlq_conf, ctx)) if dlq_conf
             else (lambda d: None))
         inner = spec.get("output")
-        return _run_output(clean, inner) if inner else clean
+        return _run_output(clean, inner, ctx) if inner else clean
     if kind == "http_client":
         # http_client output (lib/output/http_client.go): POST each
         # row's payload to the URL, executor-side through the pooled
@@ -1254,6 +1472,8 @@ def _run_output(df: DataFrame, conf: dict | None):
         # the DLQ wrappers compose around failures exactly like any
         # processor error
         from benthos_spark.operators.http_enrich import http_enrich
+        if not spec.get("url"):
+            raise ConfigError("http_client output needs `url`")
         body = (F.col("content") if "content" in df.columns
                 else F.to_json(F.struct(*[
                     F.col(c) for c in df.columns if c != "_error"])))
@@ -1284,7 +1504,7 @@ def _run_output(df: DataFrame, conf: dict | None):
                 "path": uri,
                 **{k: v for k, v in spec.items()
                    if k in ("format", "partition_by", "mode",
-                            "checkpoint", "timeout")}}})
+                            "checkpoint", "timeout")}}}, ctx)
         except ConfigError:
             raise  # a real config mistake, not a missing connector
         except Exception as exc:
@@ -1296,6 +1516,8 @@ def _run_output(df: DataFrame, conf: dict | None):
         # websocket output (lib/output/websocket.go): one RFC 6455
         # client connection per partition, rows as masked text frames
         from benthos_spark.sources.http_ingest import websocket_send
+        if not spec.get("url"):
+            raise ConfigError("websocket output needs `url`")
         url = str(spec["url"])
         content_col = str(spec.get("content_col", "content"))
 
@@ -1334,6 +1556,10 @@ def _run_output(df: DataFrame, conf: dict | None):
         # processor's write operations with the result discarded
         from benthos_spark.operators.control import resource
         from benthos_spark.operators.kv_store import mongodb_map
+        op = str(spec.get("operation", "insert-one"))
+        if op in ("insert-one", "replace-one", "update-one") \
+                and not spec.get("document_map"):
+            raise ConfigError(f"mongodb output {op} needs `document_map`")
         factory = (resource(str(spec["client_resource"]))
                    if spec.get("client_resource") else None)
         work, helpers = df, []
@@ -1361,6 +1587,9 @@ def _run_output(df: DataFrame, conf: dict | None):
         # sql output (lib/output/sql.go): INSERT per message through
         # the processor's prepared-statement machinery, result dropped
         from benthos_spark.operators.sql_exec import sql_query
+        if not spec.get("data_source_name") or not spec.get("query"):
+            raise ConfigError("sql output needs `data_source_name` "
+                              "and `query`")
         args = [compile_condition(str(a)) for a in spec.get("args", [])]
         out = sql_query(df, str(spec["data_source_name"]),
                         str(spec["query"]), args_cols=args,
@@ -1374,6 +1603,8 @@ def _run_output(df: DataFrame, conf: dict | None):
         from benthos_spark.bloblang.field import interpolate
         from benthos_spark.operators.control import resource
         from benthos_spark.sources.sftp import write_sftp
+        if not spec.get("path"):
+            raise ConfigError("sftp output needs `path`")
         factory = (resource(str(spec["client_resource"]))
                    if spec.get("client_resource") else None)
         write_sftp(df, interpolate(str(spec["path"])),
@@ -1400,6 +1631,9 @@ def _run_output(df: DataFrame, conf: dict | None):
         # kafka output (lib/output/kafka.go:21): rows → JSON messages
         # through the spark-sql-kafka sink (package jar required)
         from benthos_spark.sinks.writers import write_kafka
+        if not spec.get("addresses") or not spec.get("topic"):
+            raise ConfigError("kafka output needs `addresses` and "
+                              "`topic`")
         write_kafka(
             df,
             ",".join(spec["addresses"]) if isinstance(
@@ -1409,7 +1643,7 @@ def _run_output(df: DataFrame, conf: dict | None):
         return df
     from benthos_spark.template import lookup_template
     if (tmpl := lookup_template("output", kind)) is not None:
-        return _run_output(df, tmpl.expand(df.sparkSession, spec))
+        return _run_output(df, tmpl.expand(df.sparkSession, spec), ctx)
     raise ConfigError(f"unknown output type {kind!r}")
 
 
@@ -1452,7 +1686,11 @@ def _build_resources(spark: SparkSession, conf: dict) -> dict:
            "rate_limits": {
                name: (spec.get("local", spec) if isinstance(spec, dict)
                       else {})
-               for name, spec in (res.get("rate_limits") or {}).items()}}
+               for name, spec in (res.get("rate_limits") or {}).items()},
+           # named outputs/inputs (resources.outputs / resources.inputs,
+           # lib/output/resource.go, lib/input/resource.go)
+           "output_resources": dict(res.get("outputs") or {}),
+           "input_resources": dict(res.get("inputs") or {})}
     for name, procs in (res.get("processors") or {}).items():
         register_resource(
             name, lambda d, procs=procs: _apply_pipeline(d, procs, ctx))
@@ -1564,11 +1802,11 @@ def run_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     tracer = ctx.get("tracer")
     if server is None:
         if tracer is None:
-            return _run_output(df, conf.get("output"))
+            return _run_output(df, conf.get("output"), ctx)
         okind = (_section_component(conf["output"], "output")[0]
                  if conf.get("output") else "memory")
         with tracer.span(f"output:{okind}"):
-            out = _run_output(df, conf.get("output"))
+            out = _run_output(df, conf.get("output"), ctx)
         tracer.flush()
         return out
     # sync_responses flow: execute the sink, then publish each held
@@ -1577,7 +1815,7 @@ def run_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     # requests), not the data — sync mode is a request/reply surface,
     # not a bulk path.
     try:
-        out = _run_output(df, conf.get("output"))
+        out = _run_output(df, conf.get("output"), ctx)
         cap = ctx.get("sync_capture")
         if cap is not None:
             if "content" not in cap.columns or "meta" not in cap.columns:

@@ -633,3 +633,212 @@ output:
 """).collect()
     assert sorted(r.content for r in out) == ["n-0", "n-1"]
     assert all(r.meta["bus_kind"] == "nanomsg" for r in out)
+
+
+def test_output_try_retry_drop_on(spark, tmp_path):
+    """try (lib/output/try.go): first child that delivers wins; retry
+    (retry.go): bounded re-attempts; drop_on error: true swallows a
+    failing inner delivery."""
+    from benthos_spark.stream import ConfigError, run_stream
+    import pytest
+
+    ok = str(tmp_path / "try_ok")
+    run_stream(spark, f"""
+input:
+  generate: {{count: 2, mapping: 'root.content = "t" + this.id.string()'}}
+output:
+  try:
+    - file: {{}}
+    - file: {{path: "{ok}", format: json, mode: overwrite}}
+""")
+    import glob
+    assert glob.glob(f"{ok}/*.json")
+
+    with pytest.raises(ConfigError, match="every child failed"):
+        run_stream(spark, """
+input:
+  generate: {count: 1, mapping: 'root.content = "x"'}
+output:
+  try:
+    - file: {}
+    - kafka: {}
+""")
+
+    # retry: fails max_retries+1 times then surfaces the last error
+    with pytest.raises(ConfigError, match="needs `path`"):
+        run_stream(spark, """
+input:
+  generate: {count: 1, mapping: 'root.content = "x"'}
+output:
+  retry: {max_retries: 1, output: {file: {}}}
+""")
+
+    # drop_on error: the failing inner output is swallowed
+    run_stream(spark, """
+input:
+  generate: {count: 1, mapping: 'root.content = "x"'}
+output:
+  drop_on: {error: true, output: {file: {}}}
+""")
+
+
+def test_output_files_per_message(spark, tmp_path):
+    """files output (lib/output/files.go): one file per message at the
+    interpolated path, written executor-side."""
+    from benthos_spark.stream import run_stream
+
+    run_stream(spark, f"""
+input:
+  generate:
+    count: 3
+    mapping: |
+      root.content = "body-" + this.id.string()
+      root.name = "m" + this.id.string()
+output:
+  files: {{path: "{tmp_path}/out/${{! name }}.txt"}}
+""")
+    got = {p.name: p.read_text()
+           for p in (tmp_path / "out").glob("*.txt")}
+    assert got == {"m0.txt": "body-0", "m1.txt": "body-1",
+                   "m2.txt": "body-2"}
+
+
+def test_output_cache_and_resource(spark, tmp_path):
+    """cache output (lib/output/cache.go) writes each message under the
+    interpolated key; resource output resolves resources.outputs."""
+    from benthos_spark.stream import run_stream
+
+    cache_dir = str(tmp_path / "cachestore")
+    run_stream(spark, f"""
+resources:
+  caches:
+    store: {{type: file, path: "{cache_dir}"}}
+  outputs:
+    sink_a: {{cache: {{target: store, key: "${{! name }}"}}}}
+input:
+  generate:
+    count: 2
+    mapping: |
+      root.content = "v" + this.id.string()
+      root.name = "k" + this.id.string()
+output:
+  resource: sink_a
+""")
+    out = run_stream(spark, f"""
+resources:
+  caches:
+    store: {{type: file, path: "{cache_dir}"}}
+input:
+  generate:
+    count: 2
+    mapping: |
+      root.content = "q"
+      root.key = "k" + this.id.string()
+pipeline:
+  processors:
+    - cache: {{resource: store, operator: get, key: this.key}}
+output:
+  memory: {{}}
+""").collect()
+    assert sorted(r.value for r in out) == ["v0", "v1"]
+
+
+def test_output_inproc_and_dynamic(spark):
+    """inproc output registers a named pipe in ctx; dynamic output
+    routes to the selected child."""
+    from benthos_spark.stream import _run_output, run_stream
+
+    out = run_stream(spark, """
+input:
+  generate: {count: 1, mapping: 'root.content = "dyn"'}
+output:
+  dynamic:
+    prefix: a
+    outputs:
+      a: {memory: {}}
+      b: {drop: {}}
+""")
+    assert [r.content for r in out.collect()] == ["dyn"]
+
+    ctx = {}
+    df = spark.createDataFrame([("p",)], "content string")
+    _run_output(df, {"inproc": "pipe1"}, ctx)
+    assert [r.content for r in ctx["inproc"]["pipe1"].collect()] == ["p"]
+
+
+def test_output_subprocess_and_socket(spark, tmp_path):
+    """subprocess output pipes message lines to a command's stdin;
+    socket output sends newline-delimited messages to a live TCP
+    listener."""
+    import socket
+    import socketserver
+    import threading
+    from benthos_spark.stream import run_stream
+
+    sink = tmp_path / "sub_out.txt"
+    run_stream(spark, f"""
+input:
+  generate: {{count: 2, mapping: 'root.content = "s" + this.id.string()'}}
+output:
+  subprocess: {{name: tee, args: ["{sink}"]}}
+""")
+    assert sorted((sink).read_text().splitlines()) == ["s0", "s1"]
+
+    got = []
+    done = threading.Event()
+
+    class H(socketserver.StreamRequestHandler):
+        def handle(self):
+            for line in self.rfile:
+                got.append(line.decode().strip())
+            done.set()
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        run_stream(spark, f"""
+input:
+  generate: {{count: 2, mapping: 'root.content = "t" + this.id.string()'}}
+output:
+  tcp: {{address: "127.0.0.1:{port}"}}
+""")
+        done.wait(5)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert sorted(got) == ["t0", "t1"]
+
+
+def test_output_http_server_drain(spark):
+    """http_server output: each GET pops one message; the action
+    returns once every message is fetched."""
+    import threading
+    import urllib.request
+    from benthos_spark.stream import run_stream
+
+    port = 18731
+    fetched = []
+
+    def client():
+        import time
+        deadline = time.monotonic() + 10
+        while len(fetched) < 2 and time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/get", timeout=1) as r:
+                    if r.status == 200:
+                        fetched.append(r.read().decode())
+            except Exception:
+                time.sleep(0.05)
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    run_stream(spark, f"""
+input:
+  generate: {{count: 2, mapping: 'root.content = "h" + this.id.string()'}}
+output:
+  http_server: {{address: "127.0.0.1:{port}", path: /get, timeout: 15}}
+""")
+    t.join(10)
+    assert sorted(fetched) == ["h0", "h1"]
