@@ -2061,13 +2061,24 @@ WHERE rnk <= 5
 #      comparison SF); the Spark query trains per-sf_dir.
 # ================================================================
 
+def _oracle_sf_dir() -> str:
+    """SF dir the data-dependent oracle builders train on.  Defaults to
+    sf0.01 — the driver's comparison SF — so the driver gate is
+    untouched; tools/check_oracle.py exports the override so the
+    centroid-trained oracles stay in lockstep with the Spark queries
+    (which train per-sf_dir) at sf0.1/sf1 scale checks too."""
+    import os
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                          "/root/testdata/sf0.01")
+
+
 def _ivf_oracle(n_centroids: int = 8, sample: int = 512, iters: int = 5,
                 n_probe: int = 3, k: int = 10) -> str | None:
     try:
         import pyarrow.parquet as pq
 
         from benthos_spark.llm.similarity import kmeans_unit_sphere
-        tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+        tbl = pq.read_table(f"{_oracle_sf_dir()}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
         pairs = sorted((i, list(v)) for i, v in
                        zip(tbl.column("vec_id").to_pylist(),
@@ -2537,7 +2548,7 @@ def _semdedup_oracle(n_centroids: int = 8, sample: int = 512,
         import pyarrow.parquet as pq
 
         from benthos_spark.llm.similarity import kmeans_unit_sphere
-        tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+        tbl = pq.read_table(f"{_oracle_sf_dir()}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
         pairs = sorted((i, list(v)) for i, v in
                        zip(tbl.column("vec_id").to_pylist(),

@@ -659,40 +659,114 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     # groupBy shuffle on the int cluster id, then a vectorized numpy
     # pairwise pass per group (the paper's own implementation shape) —
     # a pair-explode self-join would evaluate the interpreted
-    # zip_with/aggregate lambdas per pair, ~50× slower.  The dot and
-    # norm accumulate dimension-by-dimension LEFT-TO-RIGHT in float64,
-    # exactly the SQL fold order, so cosines stay bit-identical to the
-    # DuckDB oracle; rounding is half-away-from-zero like both engines.
+    # zip_with/aggregate lambdas per pair, ~50× slower.
+    #
+    # Two-phase scoring keeps DuckDB-oracle bit-parity WITHOUT paying
+    # an O(dim) python loop of n×n outer products (which is O(dim·n²)
+    # memory traffic — the old kernel spent seconds per 2500-row
+    # cluster just streaming 50 MB temporaries):
+    #   1. PREFILTER — a row-blocked BLAS matmul finds every pair
+    #      whose cosine could possibly round to >= threshold.  BLAS
+    #      sums in a different (pairwise/blocked) order, so its value
+    #      can differ from the SQL fold by ~1e-15; half-ulp rounding
+    #      moves a value by <= 0.5e-6, so a guard band of 2e-6 below
+    #      the threshold provably over-captures every true hit.
+    #   2. RESCORE — only the candidate pairs are re-accumulated
+    #      dimension-by-dimension LEFT-TO-RIGHT in float64, exactly
+    #      the SQL fold order (vectorized over the pair axis), so the
+    #      emitted cosines and the >= decision stay bit-identical to
+    #      the DuckDB oracle; rounding is half-away-from-zero like
+    #      both engines.
     def per_cluster(key, pdf):
         import numpy as np
         import pandas as pd
+        empty = pd.DataFrame({id_col: [], "cluster": [],
+                              "dup_of": [], "max_cos": []})
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
         X = np.array([np.asarray(v, dtype=np.float64)
                       for v in pdf[vec].to_numpy()[order]])
         n = len(ids)
         if n < 2:
-            return pd.DataFrame({id_col: [], "cluster": [],
-                                 "dup_of": [], "max_cos": []})
-        D = np.zeros((n, n))
+            return empty
         s = np.zeros(n)
-        for j in range(X.shape[1]):  # left-to-right fold per element
-            D += np.outer(X[:, j], X[:, j])
+        for j in range(X.shape[1]):  # left-to-right norm fold
             s += X[:, j] * X[:, j]
         nrm = np.sqrt(s)
-        cos = D / np.outer(nrm, nrm)
-        cos = np.trunc(cos * 1e6 + np.sign(cos) * 0.5) / 1e6
-        hit = (cos >= threshold) & np.tri(n, n, -1, dtype=bool).T
-        out_id, out_dup, out_cos = [], [], []
-        for kcol in range(1, n):
-            rows = np.nonzero(hit[:, kcol])[0]
-            if len(rows):
-                out_id.append(ids[kcol])
-                out_dup.append(ids[rows.min()])
-                out_cos.append(cos[rows, kcol].max())
-        return pd.DataFrame({id_col: out_id,
-                             "cluster": [int(key[0])] * len(out_id),
-                             "dup_of": out_dup, "max_cos": out_cos})
+        # |BLAS cos − LTR cos| <~1e-13 and half-ulp rounding moves a
+        # value by <=0.5e-6, so 1e-6 bounds |rounded-LTR − BLAS| and a
+        # 2e-6 margin provably over-captures argmax candidates.
+        band = 1e-6
+        thr = threshold
+        BIG = n + 1
+        col_min_row = np.full(n, BIG)       # first DEFINITE hit row/col
+        col_max_m = np.full(n, -np.inf)     # max BLAS cos among possible
+        rs_i, rs_j, rs_m = [], [], []       # pairs needing exact rescore
+        cols = np.arange(n)
+        # bound the materialized slab at ~64 MB
+        block = int(max(256, min(2048, (64 << 20) // (8 * n))))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for r0 in range(0, n - 1, block):
+                r1 = min(r0 + block, n)
+                C = (X[r0:r1] @ X.T) / np.outer(nrm[r0:r1], nrm)
+                # upper triangle only (col j > global row i); NaN
+                # (zero-norm rows) can never hit, like the old kernel
+                C = np.where((cols[None, :] > np.arange(r0, r1)[:, None])
+                             & ~np.isnan(C), C, -np.inf)
+                deff = C >= thr + band      # hit regardless of fold
+                poss = C >= thr - band      # could round to >= thr
+                has = deff.any(axis=0)
+                first = np.where(has, r0 + deff.argmax(axis=0), BIG)
+                col_min_row = np.minimum(col_min_row, first)
+                Cp = np.where(poss, C, -np.inf)
+                bm = Cp.max(axis=0)
+                col_max_m = np.maximum(col_max_m, bm)
+                # rescore set: boundary-ambiguous membership pairs +
+                # per-column argmax candidates (within 2·band of the
+                # block max — filtered against the global max below)
+                need = poss & (~deff | (C >= (bm - 2 * band)[None, :]))
+                bi, bj = np.nonzero(need)
+                rs_i.append(bi + r0)
+                rs_j.append(bj)
+                rs_m.append(C[need])
+        if not rs_i:
+            return empty
+        pi = np.concatenate(rs_i)
+        pj = np.concatenate(rs_j)
+        pm = np.concatenate(rs_m)
+        # keep ambiguous pairs and pairs still within 2·band of the
+        # GLOBAL per-column max (block-local candidates that lost out
+        # to another block's max are dropped here)
+        keep_rs = (pm < thr + band) | (pm >= col_max_m[pj] - 2 * band)
+        pi, pj = pi[keep_rs], pj[keep_rs]
+        if not len(pi):
+            return empty
+        # exact left-to-right dot fold over just the rescored pairs —
+        # identical accumulation order to the SQL oracle
+        dot = np.zeros(len(pi))
+        A, B = X[pi], X[pj]
+        for d in range(X.shape[1]):
+            dot += A[:, d] * B[:, d]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cosx = dot / (nrm[pi] * nrm[pj])
+        cosx = np.trunc(cosx * 1e6 + np.sign(cosx) * 0.5) / 1e6
+        hit = cosx >= thr
+        hi, hj, hc = pi[hit], pj[hit], cosx[hit]
+        # per-column combine: membership = definite ∨ rescored hit;
+        # dup_of = min row over both; max_cos = max exact over the
+        # rescored hits (the true argmax pair is provably rescored)
+        min_row = col_min_row.copy()
+        np.minimum.at(min_row, hj, hi)
+        max_cos = np.full(n, -np.inf)
+        np.maximum.at(max_cos, hj, hc)
+        out = np.nonzero(min_row < BIG)[0]
+        if not len(out):
+            return empty
+        return pd.DataFrame({
+            id_col: ids[out],
+            "cluster": [int(key[0])] * len(out),
+            "dup_of": ids[min_row[out]],
+            "max_cos": max_cos[out]})
 
     id_t = df.schema[id_col].dataType.simpleString()
     return (assigned.groupBy("cluster")

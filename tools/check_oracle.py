@@ -31,16 +31,22 @@ def normalize(rows, cols):
 
 
 def main() -> int:
+    import os
+
     import duckdb
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Data-dependent oracle builders (IVF/SemDeDup centroids) train on
+    # this dir so their SQL literals match the Spark queries' per-sf
+    # training — must be exported BEFORE the entry module is imported.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entry
     from benthos_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
-    import os
     for t in entry._TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):  # sharded table (gen_scale_data layout)
