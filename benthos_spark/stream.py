@@ -1653,30 +1653,80 @@ def _build_resources(spark: SparkSession, conf: dict) -> dict:
     """`resources` section (lib/config/config.go resources): named
     caches (resources.caches) and named processor pipelines
     (resources.processors, reachable via the `resource` processor)."""
-    from benthos_spark.operators.cache_store import CacheStore
-    from benthos_spark.operators.control import register_resource
+    from benthos_spark.operators.cache_store import (CacheStore,
+                                                     KVClientCache,
+                                                     MultilevelCache)
+    from benthos_spark.operators.control import register_resource, resource
     res = conf.get("resources") or {}
     caches = {}
+    multilevels = {}
     for name, c in (res.get("caches") or {}).items():
-        # cache types (lib/cache/): `file` = a pinned path; `memory`
-        # (the reference default) = a session-scoped temp path, gone
-        # with the process like the reference's in-proc map.  redis/
-        # memcached map to the kv_store client bridges; s3 via an s3a
-        # path needs a Hadoop-listing store (documented limitation of
-        # the local version glob).
+        # cache types (lib/cache/constructor.go registry):
+        #   memory / ristretto → session-scoped temp path (both are
+        #     in-proc maps in the reference, gone with the process)
+        #   file → pinned path; aws_s3 → the same store on an s3a://
+        #     path (Hadoop jars gate it with their own error)
+        #   redis / memcached / mongodb / aws_dynamodb → KVClientCache
+        #     bridges (injectable factory via client_resource)
+        #   multilevel → ordered chain of the caches above (resolved
+        #     after the flat caches, second pass below)
+        if isinstance(c, list):  # multilevel shorthand: a name array
+            c = {"type": "multilevel", "levels": c}
         ctype = str(c.get("type", "file" if c.get("path") else "memory"))
-        if ctype == "memory":
+        if ctype in ("memory", "ristretto"):
             import tempfile
             path = tempfile.mkdtemp(prefix=f"bs_cache_{name}_")
+            caches[name] = CacheStore(spark, path,
+                                      key=c.get("key", "key"),
+                                      ttl_seconds=c.get("ttl"))
         elif ctype == "file":
-            path = c["path"]
+            caches[name] = CacheStore(spark, c["path"],
+                                      key=c.get("key", "key"),
+                                      ttl_seconds=c.get("ttl"))
+        elif ctype == "aws_s3":
+            caches[name] = CacheStore(
+                spark, f"s3a://{c['bucket']}/{c.get('path', '')}".rstrip("/"),
+                key=c.get("key", "key"), ttl_seconds=c.get("ttl"))
+        elif ctype in ("redis", "memcached", "mongodb", "aws_dynamodb"):
+            if c.get("client_resource"):
+                factory = resource(str(c["client_resource"]))
+            elif ctype == "redis":
+                from benthos_spark.operators.cache_store import \
+                    redis_cache_factory
+                factory = redis_cache_factory(str(c.get("url", "")),
+                                              str(c.get("prefix", "")))
+            elif ctype == "memcached":
+                from benthos_spark.operators.cache_store import \
+                    memcached_cache_factory
+                factory = memcached_cache_factory(
+                    c.get("addresses") or ["localhost:11211"],
+                    str(c.get("prefix", "")))
+            elif ctype == "mongodb":
+                from benthos_spark.operators.cache_store import \
+                    mongodb_cache_factory
+                factory = mongodb_cache_factory(
+                    str(c.get("url", "")), str(c.get("database", "")),
+                    str(c.get("collection", "")))
+            else:
+                from benthos_spark.operators.cache_store import \
+                    dynamodb_cache_factory
+                factory = dynamodb_cache_factory(
+                    str(c.get("table", "")), c.get("region"))
+            caches[name] = KVClientCache(factory, key=c.get("key", "key"))
+        elif ctype == "multilevel":
+            multilevels[name] = [str(x) for x in (c.get("levels")
+                                                  or c.get("caches") or [])]
         else:
             raise ConfigError(
-                f"cache type {ctype!r}: only memory|file ship "
-                "in-container (redis/memcached → kv_store bridges)")
-        caches[name] = CacheStore(
-            spark, path, key=c.get("key", "key"),
-            ttl_seconds=c.get("ttl"))
+                f"cache type {ctype!r}: memory|ristretto|file|aws_s3|"
+                "redis|memcached|mongodb|aws_dynamodb|multilevel")
+    for name, level_names in multilevels.items():
+        missing = [x for x in level_names if x not in caches]
+        if missing or not level_names:
+            raise ConfigError(
+                f"multilevel cache {name!r}: every level must name a "
+                f"flat cache in resources.caches (missing: {missing})")
+        caches[name] = MultilevelCache([caches[x] for x in level_names])
     ctx = {"spark": spark, "caches": caches,
            # named v3 conditions (resources.conditions, lib/condition/
            # resource.go) — referenced by {resource: name} condition specs

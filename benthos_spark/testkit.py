@@ -503,3 +503,41 @@ def fake_dynamodb_client_factory():
             return {"Items": []}
 
     return FakeDynamo()
+
+
+def fake_kv_cache_client_factory(dir_path: str):
+    """Flat-KV cache contract double (kv_get/kv_set/kv_add/kv_delete)
+    backed by one file per key under `dir_path`, so executor-side
+    writes are observable from the test process."""
+    def factory():
+        import hashlib
+        import os
+
+        class _KV:
+            def _p(self, k):
+                return os.path.join(
+                    dir_path, hashlib.md5(str(k).encode()).hexdigest())
+
+            def kv_get(self, k):
+                try:
+                    with open(self._p(k)) as fh:
+                        return fh.read()
+                except FileNotFoundError:
+                    return None
+
+            def kv_set(self, k, v):
+                with open(self._p(k), "w") as fh:
+                    fh.write("" if v is None else str(v))
+
+            def kv_add(self, k, v):
+                if not os.path.exists(self._p(k)):
+                    self.kv_set(k, v)
+
+            def kv_delete(self, k):
+                try:
+                    os.remove(self._p(k))
+                except FileNotFoundError:
+                    pass
+
+        return _KV()
+    return factory

@@ -239,3 +239,121 @@ def test_salted_join_actually_balances_the_hot_key(spark):
         assert share_salted < max(0.3, share_plain / 3)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_kv_client_cache_yaml_roundtrip(spark, tmp_path):
+    """redis-type cache resource through an injected flat-KV double:
+    a cache `set` writes executor-side, a later `get` enriches rows
+    (lib/cache/redis.go via the KVClientCache bridge)."""
+    from benthos_spark.operators.control import register_resource
+    from benthos_spark.stream import run_stream
+    from benthos_spark.testkit import fake_kv_cache_client_factory
+
+    store = tmp_path / "kv"
+    store.mkdir()
+    register_resource("kv_double",
+                      fake_kv_cache_client_factory(str(store)))
+    run_stream(spark, """
+input:
+  generate:
+    count: 3
+    mapping: |
+      root.k = "u" + this.id.string()
+      root.name = "name" + this.id.string()
+pipeline:
+  processors:
+    - cache: {resource: users, operator: set, key: this.k, value: this.name}
+output: {drop: {}}
+resources:
+  caches:
+    users: {type: redis, client_resource: kv_double}
+""")
+    # the double's files are the remote store: read back through a get
+    out = run_stream(spark, """
+input:
+  generate: {count: 3, mapping: 'root.k = "u" + this.id.string()'}
+pipeline:
+  processors:
+    - cache: {resource: users, operator: get, key: this.k}
+output: {memory: {}}
+resources:
+  caches:
+    users: {type: redis, client_resource: kv_double}
+""")
+    got = {r.k: r.value for r in out.select("k", "value").collect()}
+    assert got == {"u0": "name0", "u1": "name1", "u2": "name2"}
+
+
+def test_multilevel_cache_fallthrough_and_writeback(spark, tmp_path):
+    """multilevel (lib/cache/multilevel.go): get falls through to the
+    first level holding the key and writes the hit back to earlier
+    levels; set fans out to every level."""
+    from benthos_spark.operators.cache_store import (CacheStore,
+                                                     MultilevelCache)
+
+    l1 = CacheStore(spark, str(tmp_path / "l1"))
+    l2 = CacheStore(spark, str(tmp_path / "l2"))
+    ml = MultilevelCache([l1, l2])
+    # seed only the BOTTOM level
+    l2.set(spark.createDataFrame([("a", "1"), ("b", "2")],
+                                 "key string, value string"))
+    stream = spark.createDataFrame([("a",), ("b",), ("missing",)],
+                                   "key string")
+    got = {r.key: r.value for r in ml.get(stream).collect()}
+    assert got == {"a": "1", "b": "2", "missing": None}
+    # write-back: the hits are now ALSO in level 1
+    wb = {r.key: r.value for r in l1.get(stream).collect()}
+    assert wb["a"] == "1" and wb["b"] == "2"
+    # set fans out to both levels
+    ml.set(spark.createDataFrame([("c", "3")], "key string, value string"))
+    for lvl in (l1, l2):
+        assert {r.value for r in lvl.get(
+            spark.createDataFrame([("c",)], "key string")).collect()} \
+            == {"3"}
+    # add: a key in ANY level blocks; a fresh key lands in all levels
+    ml.add(spark.createDataFrame([("a", "X"), ("d", "4")],
+                                 "key string, value string"))
+    assert {r.value for r in ml.get(
+        spark.createDataFrame([("a",), ("d",)], "key string"))
+        .collect()} == {"1", "4"}
+    # delete fans out
+    ml.delete(spark.createDataFrame([("a",)], "key string"))
+    assert [r.value for r in ml.get(
+        spark.createDataFrame([("a",)], "key string")).collect()] == [None]
+
+
+def test_multilevel_yaml_and_ristretto_alias(spark, tmp_path):
+    """YAML wiring: a multilevel cache naming two flat caches builds
+    and serves the cache processor; `ristretto` is accepted as the
+    in-proc memory form."""
+    from benthos_spark.stream import ConfigError, run_stream
+
+    out = run_stream(spark, f"""
+input:
+  generate:
+    count: 2
+    mapping: |
+      root.k = "k" + this.id.string()
+      root.v = "v" + this.id.string()
+pipeline:
+  processors:
+    - cache: {{resource: combo, operator: set, key: this.k, value: this.v}}
+    - cache: {{resource: combo, operator: get, key: this.k}}
+output: {{memory: {{}}}}
+resources:
+  caches:
+    hot: {{type: ristretto}}
+    cold: {{type: file, path: "{tmp_path / 'cold'}"}}
+    combo: {{type: multilevel, levels: [hot, cold]}}
+""")
+    got = {r.k: r.value for r in out.select("k", "value").collect()}
+    assert got == {"k0": "v0", "k1": "v1"}
+
+    with pytest.raises(ConfigError, match="multilevel"):
+        run_stream(spark, """
+input: {generate: {count: 1, mapping: 'root.x = 1'}}
+output: {drop: {}}
+resources:
+  caches:
+    broken: {type: multilevel, levels: [nope]}
+""")
