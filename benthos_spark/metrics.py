@@ -230,3 +230,146 @@ class SpanTracer:
         if self.exporter is not None and self.spans:
             self.exporter.emit(self.spans)
         return self.spans
+
+
+# ---------------------------------------------------------------- sinks
+
+class MetricsExporter:
+    """The `metrics:` config section (lib/metrics/constructor.go): a
+    sink type plus optional path-mapping wrappers.
+
+    Sinks: stdout (JSON event per metric, lib/metrics/stdout.go),
+    statsd (UDP gauge lines), influxdb (line protocol POSTed to
+    /write), prometheus (exposition text; PUT to `push_url` when set —
+    the pushgateway mode — otherwise held for the streams-mode
+    /metrics endpoint), aws_cloudwatch (put_metric_data through an
+    injectable boto3-contract client), http_server (served by the
+    streams-mode API — held like prometheus), none.
+
+    Wrappers: whitelist/blacklist (path prefixes + RE2 patterns,
+    lib/metrics/{whitelist,blacklist}.go) and rename by_regexp
+    (lib/metrics/rename.go) nest a child sink and rewrite the metric
+    name space before it.
+
+    One `publish(dict)` flush per batch run — the engine's natural
+    flush point is stream completion; continuous serving is the
+    streams-mode API's job."""
+
+    def __init__(self, kind: str, spec: dict, client_factory=None):
+        import re as _re
+        self.kind = kind
+        self.spec = spec or {}
+        self.client_factory = client_factory
+        self.last_render: str | None = None
+        self._filters = []          # (include: bool, match fn)
+        self._renames = []          # (compiled pattern, replacement)
+        self.child: MetricsExporter | None = None
+        if kind in ("whitelist", "blacklist"):
+            pats = [_re.compile(p) for p in self.spec.get("patterns") or []]
+            prefixes = [str(p) for p in self.spec.get("paths") or []]
+            include = kind == "whitelist"
+
+            def match(name, prefixes=prefixes, pats=pats):
+                return (any(name.startswith(p) for p in prefixes)
+                        or any(p.search(name) for p in pats))
+
+            self._filters.append((include, match))
+        elif kind == "rename":
+            for rule in self.spec.get("by_regexp") or []:
+                self._renames.append((_re.compile(str(rule["pattern"])),
+                                      str(rule.get("value", ""))))
+        if kind in ("whitelist", "blacklist", "rename"):
+            child_conf = self.spec.get("child")
+            if child_conf:
+                ckind = next(iter(child_conf))
+                self.child = MetricsExporter(ckind, child_conf[ckind]
+                                             or {}, client_factory)
+
+    def _mapped(self, metrics: dict) -> dict:
+        out = {}
+        for name, value in metrics.items():
+            keep = True
+            for include, match in self._filters:
+                hit = match(name)
+                keep = hit if include else not hit
+            if not keep:
+                continue
+            for pat, repl in self._renames:
+                name = pat.sub(repl, name)
+            out[name] = value
+        return out
+
+    def publish(self, metrics: dict) -> None:
+        metrics = self._mapped(metrics)
+        if self.child is not None:
+            self.child.publish(metrics)
+            self.last_render = self.child.last_render
+            return
+        kind = self.kind
+        if kind in ("none", "http_server"):
+            # http_server = the reference's own API endpoint; the
+            # streams-mode api.py serves /metrics — nothing to push
+            self.last_render = prometheus_text(metrics)
+            return
+        if kind == "stdout":
+            import json as _json
+            for name, value in sorted(metrics.items()):
+                print(_json.dumps({"metric": name, "value": value},
+                                  sort_keys=True))
+            return
+        if kind == "statsd":
+            import socket
+            address = str(self.spec.get("address", "localhost:8125"))
+            host, _, port = address.rpartition(":")
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            try:
+                for line in statsd_lines(
+                        metrics, prefix=str(self.spec.get("prefix",
+                                                          "benthos"))):
+                    s.sendto(line.encode(), (host or "localhost",
+                                             int(port)))
+            finally:
+                s.close()
+            return
+        if kind == "influxdb":
+            import urllib.request
+            url = str(self.spec.get("url", "http://localhost:8086"))
+            db = str(self.spec.get("db", "benthos"))
+            body = "\n".join(influx_lines(
+                metrics,
+                measurement=str(self.spec.get("measurement",
+                                              "benthos_spark"))))
+            req = urllib.request.Request(
+                f"{url.rstrip('/')}/write?db={db}",
+                data=body.encode(), method="POST")
+            urllib.request.urlopen(req, timeout=10).read()
+            return
+        if kind == "prometheus":
+            text = prometheus_text(
+                metrics, prefix=str(self.spec.get("prefix",
+                                                  "benthos_spark")))
+            self.last_render = text
+            push_url = self.spec.get("push_url")
+            if push_url:  # pushgateway mode (prometheus.go push_url)
+                import urllib.request
+                req = urllib.request.Request(
+                    str(push_url), data=text.encode(), method="PUT")
+                urllib.request.urlopen(req, timeout=10).read()
+            return
+        if kind == "aws_cloudwatch":
+            if self.client_factory is None:
+                raise RuntimeError(
+                    "aws_cloudwatch metrics: no boto3 client in this "
+                    "environment; set client_resource to a registered "
+                    "factory (contract: put_metric_data)")
+            client = self.client_factory()
+            data = [{"MetricName": n, "Value": float(v), "Unit": "Count"}
+                    for n, v in sorted(metrics.items())
+                    if isinstance(v, (int, float))
+                    and not isinstance(v, bool)]
+            if data:
+                client.put_metric_data(
+                    Namespace=str(self.spec.get("namespace", "Benthos")),
+                    MetricData=data)
+            return
+        raise ValueError(f"metrics type {self.kind!r} not recognised")

@@ -1044,9 +1044,16 @@ def _apply_processor(df: DataFrame, conf: Any,
         return log_stage(df, str(spec.get("message", "")),
                          level=spec.get("level", "INFO"))
     if kind == "metric":
-        from benthos_spark.operators.control import metric_observe
-        return metric_observe(df, spec["name"],
-                              compile_condition(str(spec["value"])))
+        # metric (lib/processor/metric.go): named pipeline counter.
+        # Observation-backed so a configured `metrics:` sink can read
+        # the value after the run's own action — no extra scan.
+        from pyspark.sql import Observation
+        name = str(spec["name"])
+        obs = Observation()
+        out = df.observe(obs, F.sum(
+            compile_condition(str(spec["value"]))).alias(name))
+        ctx.setdefault("observations", {})[name] = obs
+        return out
     if kind == "xml":
         # lib/processor/xml.go:113 — only operator is to_json
         from benthos_spark.operators.parsing import xml_to_json
@@ -1802,6 +1809,29 @@ def _build_stream_ctx(spark: SparkSession,
             ctx["tracer"] = SpanTracer(path=tspec.get("path"))
         else:
             raise ConfigError(f"tracer type not recognised: {tkind!r}")
+    if (mconf := conf.get("metrics")) is not None:
+        # metrics section (lib/metrics/constructor.go): sink type +
+        # whitelist/blacklist/rename wrappers; one publish() flush at
+        # stream completion (streams mode serves /metrics continuously)
+        from benthos_spark.metrics import MetricsExporter
+        mkind, mspec = _section_component(mconf, "metrics")
+        mspec = mspec or {}
+        if mkind is not None:
+            factory = None
+            if mspec.get("client_resource"):
+                from benthos_spark.operators.control import resource
+                factory = resource(str(mspec["client_resource"]))
+            try:
+                ctx["metrics_exporter"] = MetricsExporter(
+                    str(mkind), mspec, client_factory=factory)
+            except ValueError as exc:
+                raise ConfigError(str(exc)) from None
+            if mkind not in ("none", "stdout", "statsd", "influxdb",
+                             "prometheus", "aws_cloudwatch",
+                             "http_server", "whitelist", "blacklist",
+                             "rename"):
+                raise ConfigError(
+                    f"metrics type not recognised: {mkind!r}")
     tracer = ctx.get("tracer")
     df = _build_input(spark, conf["input"], ctx)
     if (batching := conf["input"].get("batching") if
@@ -1843,6 +1873,25 @@ def _build_stream_ctx(spark: SparkSession,
     return df, ctx
 
 
+def _flush_metrics(ctx: dict, out: DataFrame | None) -> None:
+    """One metrics flush at stream completion: count the delivered
+    frame (the run's single extra action — it also computes every
+    Observation attached upstream) and publish the snapshot through
+    the configured `metrics:` sink."""
+    exp = ctx.get("metrics_exporter")
+    if exp is None:
+        return
+    metrics: dict = {}
+    if out is not None and not out.isStreaming:
+        metrics["output_sent"] = out.count()
+    for name, obs in (ctx.get("observations") or {}).items():
+        try:
+            metrics.update(obs.get)
+        except Exception:
+            pass  # plan never executed (e.g. streaming) → no value
+    exp.publish(metrics)
+
+
 def run_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     """`benthos -c config.yaml` analogue: build and execute the stream;
     returns the result DataFrame (post-pipeline)."""
@@ -1852,12 +1901,15 @@ def run_stream(spark: SparkSession, config: dict | str) -> DataFrame:
     tracer = ctx.get("tracer")
     if server is None:
         if tracer is None:
-            return _run_output(df, conf.get("output"), ctx)
+            out = _run_output(df, conf.get("output"), ctx)
+            _flush_metrics(ctx, out)
+            return out
         okind = (_section_component(conf["output"], "output")[0]
                  if conf.get("output") else "memory")
         with tracer.span(f"output:{okind}"):
             out = _run_output(df, conf.get("output"), ctx)
         tracer.flush()
+        _flush_metrics(ctx, out)
         return out
     # sync_responses flow: execute the sink, then publish each held
     # request's reply by sync id and release the server.  The collect
@@ -1879,6 +1931,7 @@ def run_stream(spark: SparkSession, config: dict | str) -> DataFrame:
                 if sid is not None:
                     replies[int(sid)] = r["content"]
             server.respond(replies)
+        _flush_metrics(ctx, out)
         return out
     finally:
         server.stop()
