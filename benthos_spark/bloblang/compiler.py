@@ -496,6 +496,13 @@ def _resolve_this(scope: Scope, path: list[str]) -> Column:
             if base is not None and _walk_schema(base, path) is None:
                 return F.lit(None)
         return _dig(scope.this_col, path)
+    if scope.df is not None and "__root__" in scope.df.columns:
+        # a prior whole-root assignment parked the document in the
+        # reserved __root__ column (branch / process_map child frames
+        # after a scalar request_map): `this` reads that document,
+        # exactly like document mode — row columns here are only the
+        # __branch_/bookkeeping riders
+        return _dig(F.col("__root__"), path)
     if not path:
         raise BloblangCompileError(
             "bare `this` needs a struct context (row mode has no single "

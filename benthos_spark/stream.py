@@ -647,6 +647,9 @@ def _apply_processor(df: DataFrame, conf: Any,
     else:
         raise ConfigError(f"processor: expected one component, got {conf!r}")
     spec = {} if spec is None else spec
+    # deprecated registration aliases (lib/processor/constructor.go)
+    kind = {"json_schema": "jsonschema",
+            "lambda": "aws_lambda"}.get(kind, kind)
 
     def sub(d: DataFrame, procs) -> DataFrame:
         for p in (procs if isinstance(procs, list) else [procs]):
@@ -659,8 +662,9 @@ def _apply_processor(df: DataFrame, conf: Any,
         # mappings rewrite the document) — keep the error channel and
         # the batch bookkeeping so downstream try/catch and
         # batch-window reads keep working
-        keep = tuple(c for c in ("batch_id", "part_index", "_error")
-                     if c in df.columns)
+        keep = tuple(c for c in df.columns
+                     if c in ("batch_id", "part_index", "_error")
+                     or c.startswith("__branch_"))
         return map_text(df, str(spec), keep=keep)
     if kind in ("filter", "filter_parts"):
         # v4 check form (Bloblang string) or v3 structured condition
@@ -711,6 +715,140 @@ def _apply_processor(df: DataFrame, conf: Any,
             procs = case.get("processors", [])
             cases.append((cond, lambda d, procs=procs: sub(d, procs)))
         return switch_branches(df, cases)
+    if kind == "conditional":
+        # v3 conditional (lib/processor/conditional.go): a two-case
+        # switch — rows passing `condition` run `processors`, the rest
+        # run `else_processors`
+        from benthos_spark.operators.conditions import \
+            compile_condition_spec
+        cond = compile_condition_spec(spec.get("condition")
+                                      or {"static": True}, ctx=ctx)
+        return switch_branches(df, [
+            (cond, lambda d: sub(d, spec.get("processors", []))),
+            (None, lambda d: sub(d, spec.get("else_processors", []))),
+        ])
+    if kind in ("process_map", "process_dag"):
+        # v3 precursors of branch/workflow (lib/processor/
+        # process_map.go, process_dag.go): premap/postmap path dicts
+        # translate directly to request/result Bloblang mappings
+        from benthos_spark.plans import branch_stage, workflow
+
+        def _path_map(mapping: dict | None, opt: dict | None) -> str | None:
+            rules = {**(mapping or {}), **(opt or {})}
+            if not rules:
+                return None
+            lines = []
+            for dst, src in rules.items():
+                left = "root" if dst in (".", "") else f"root.{dst}"
+                right = "this" if src in (".", "") else f"this.{src}"
+                lines.append(f"{left} = {right}")
+            return "\n".join(lines)
+
+        def _pm_stage(b: dict):
+            stages = [(lambda d, p=p: _apply_processor(d, p, ctx))
+                      for p in b.get("processors", [])]
+            return lambda d: branch_stage(
+                d, _path_map(b.get("premap"), b.get("premap_optional")),
+                stages,
+                _path_map(b.get("postmap"), b.get("postmap_optional")))
+
+        if kind == "process_map":
+            conds = spec.get("conditions") or []
+            if conds:
+                from benthos_spark.operators.conditions import \
+                    compile_condition_spec
+                gate = compile_condition_spec({"and": conds}, ctx=ctx)
+                return switch_branches(df, [(gate, _pm_stage(spec)),
+                                            (None, lambda d: d)])
+            return _pm_stage(spec)(df)
+        branches = {}
+        for name, b in spec.items():
+            if not isinstance(b, dict):
+                continue
+            branches[str(name)] = (
+                [str(x) for x in b.get("dependencies", [])],
+                _pm_stage(b))
+        return workflow(df, branches)
+    if kind == "batch":
+        # v3 batch processor (lib/processor/batch.go): merge the stream
+        # into `count`-part batches — the input batching policy as a
+        # pipeline stage (period/byte_size need wall-clock/arrival
+        # state; the windowed streaming path owns those)
+        from benthos_spark.operators import split_batches
+        count = int(spec.get("count", 0)) or 1
+        order = [F.col(c) for c in spec.get(
+            "order_by",
+            ["batch_id", "part_index"] if "part_index" in df.columns
+            else [df.columns[0]])]
+        # the reference merges the ARRIVAL stream in order — default
+        # to the reference-exact global order (single window; this is
+        # a deprecated single-node surface), shard via n_shards to
+        # opt in to the distributed form like `split`
+        return split_batches(
+            df, count, order,
+            n_shards=int(spec.get("n_shards", 1)),
+            global_order=bool(spec.get("global_order",
+                                       "n_shards" not in spec)))
+    if kind == "throttle":
+        # v3 throttle (lib/processor/throttle.go): a fixed period per
+        # message — the sleep stage's per-row pacing semantics
+        from benthos_spark.operators.control import sleep_stage
+        return sleep_stage(df, str(spec.get("period", "0s")))
+    if kind in ("encode", "decode"):
+        # v3 encode/decode (lib/processor/{encode,decode}.go): scheme
+        # over the content payload; `parts` gates by part index
+        from benthos_spark.functions import strings as S
+        scheme = str(spec.get("scheme", "base64")).replace("-", "")
+        fns = {("encode", "base64"): S.encode_base64,
+               ("decode", "base64"): S.decode_base64,
+               ("encode", "hex"): S.encode_hex,
+               ("decode", "hex"): S.decode_hex,
+               ("encode", "ascii85"): S.encode_ascii85,
+               ("decode", "ascii85"): S.decode_ascii85,
+               ("encode", "z85"): S.encode_z85,
+               ("decode", "z85"): S.decode_z85}
+        fn = fns.get((kind, scheme))
+        if fn is None:
+            raise ConfigError(f"{kind} scheme {scheme!r}: "
+                              "base64|hex|ascii85|z85")
+        if "content" not in df.columns:
+            raise ConfigError(f"{kind} processor needs a content column")
+        new = fn(F.col("content"))
+        parts = [int(p) for p in spec.get("parts") or []]
+        if parts:
+            if "part_index" not in df.columns:
+                raise ConfigError(f"{kind} parts: no part_index column")
+            new = F.when(F.col("part_index").isin(parts), new) \
+                .otherwise(F.col("content"))
+        return df.withColumn("content", new)
+    if kind == "hash":
+        # v3 hash (lib/processor/hash.go): replace the payload with the
+        # digest.  Hex form — the engine-wide `.hash()` doctrine (the
+        # reference emits raw sum bytes, unrepresentable in a string
+        # column; pair with decode:hex for byte-level parity)
+        from benthos_spark.functions import strings as S
+        algo = str(spec.get("algorithm", "sha256")).replace("-", "_")
+        if "content" not in df.columns:
+            raise ConfigError("hash processor needs a content column")
+        c = F.col("content")
+        if algo.startswith("hmac_"):
+            new = S.hash_hmac(c, algo, str(spec.get("key", "")))
+        else:
+            fns = {"md5": S.hash_md5, "sha1": S.hash_sha1,
+                   "sha256": S.hash_sha256, "sha512": S.hash_sha512,
+                   "xxhash64": S.hash_xxhash64_std}
+            if algo not in fns:
+                raise ConfigError(
+                    f"hash algorithm {algo!r}: md5|sha1|sha256|sha512|"
+                    "xxhash64|hmac-sha1|hmac-sha256|hmac-sha512")
+            new = fns[algo](c)
+        parts = [int(p) for p in spec.get("parts") or []]
+        if parts:
+            if "part_index" not in df.columns:
+                raise ConfigError("hash parts: no part_index column")
+            new = F.when(F.col("part_index").isin(parts), new) \
+                .otherwise(F.col("content"))
+        return df.withColumn("content", new.cast("string"))
     if kind == "group_by":
         # check-form group_by (lib/processor/group_by.go:28): split into
         # groups by first matching check, per-group processors; parts
