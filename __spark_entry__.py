@@ -1355,6 +1355,59 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 27b. LLM op: Bloom-filter decontamination — space-bounded
+#      approximate membership (classic k-probe Bloom over word
+#      5-grams, m = 2^18 bits).  Vs exact `decontaminate`: the
+#      broadcast side is capped at m positions regardless of
+#      reference size, at a published false-positive rate; both
+#      engines compute identical md5-salted probe positions, so the
+#      oracle reproduces false positives bit-for-bit too.
+# ================================================================
+
+_BLOOM_M = 1 << 18
+_BLOOM_K = 3
+
+
+def _sql_bloom_pos(gram_expr: str) -> str:
+    probes = ", ".join(
+        _sql_hex12(f"'bl{i}#' || {gram_expr}") + f" % {_BLOOM_M}"
+        for i in range(_BLOOM_K))
+    return f"[{probes}]"
+
+
+def _sql_gramlist5(src_filter: str) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(5))
+    return f"""
+(SELECT doc_id, CASE WHEN len(toks) >= 5
+   THEN list_transform(range(1, len(toks) - 3), i -> {gram})
+   ELSE CAST([] AS VARCHAR[]) END AS gr
+ FROM (SELECT doc_id, {_sql_toks("text")} AS toks
+       FROM documents {src_filter}))"""
+
+
+@_register("bloom_decontaminate", oracle=f"""
+WITH ref AS (
+  SELECT DISTINCT pos FROM (
+    SELECT unnest({_sql_bloom_pos("g")}) AS pos FROM (
+      SELECT unnest(gr) AS g FROM {_sql_gramlist5("WHERE source = 'src0'")}))),
+pg AS (SELECT doc_id, unnest(range(1, len(gr) + 1)) AS gi,
+              unnest(gr) AS g
+       FROM {_sql_gramlist5("WHERE source <> 'src0'")}),
+probes AS (SELECT doc_id, gi, unnest({_sql_bloom_pos("g")}) AS pos
+           FROM pg),
+hits AS (SELECT doc_id, gi FROM probes JOIN ref USING (pos)
+         GROUP BY doc_id, gi HAVING COUNT(*) = {_BLOOM_K})
+SELECT doc_id, COUNT(*) AS n_flagged_grams FROM hits GROUP BY 1
+""")
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.dedup import bloom_contaminated
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_contaminated(docs.filter(F.col("source") != "src0"),
+                              docs.filter(F.col("source") == "src0"),
+                              n=5, m=_BLOOM_M, k=_BLOOM_K)
+
+
+# ================================================================
 # 28e. LLM op: sequence packing — assign every document its training
 #      context (pack) and token offset under deterministic id-hash
 #      shuffle order, sharded so no global sort exists.
@@ -3350,6 +3403,82 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 88. DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
+#     hashed unigram+bigram bucket distributions, target (lang='en')
+#     vs raw corpus, integer micro-nat log-ratios, deterministic
+#     top-k selection.  The oracle refits the SAME integer log-ratio
+#     table from the parquet via DuckDB (counts are exact ints and
+#     both fits integerize through the same Python math.log), so
+#     per-doc weights are bit-exact int64 sums in both engines.
+# ================================================================
+
+_DSIR_BUCKETS = 256
+_DSIR_K = 100
+
+
+def _sql_dsir_gramstream() -> str:
+    """Unigram+bigram stream mirroring llm.sampling.dsir_grams."""
+    bigrams = ("CASE WHEN len(toks) >= 2 THEN "
+               "list_transform(range(1, len(toks)), "
+               "i -> toks[i] || ' ' || toks[i+1]) "
+               "ELSE CAST([] AS VARCHAR[]) END")
+    return f"""
+(SELECT doc_id, g FROM
+  (SELECT doc_id, unnest(list_concat(toks, {bigrams})) AS g
+   FROM (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents))
+ WHERE g <> '')"""
+
+
+def _dsir_oracle() -> str | None:
+    try:
+        import os
+
+        import duckdb
+        con = duckdb.connect()
+        path = f"{_oracle_sf_dir()}/documents.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        q = (f"SELECT {_sql_hex12('g')} % {_DSIR_BUCKETS} AS b, "
+             f"COUNT(*) AS n FROM {_sql_dsir_gramstream()} "
+             "{where} GROUP BY 1")
+        ct = dict(con.execute(
+            q.format(where="WHERE doc_id IN "
+                           "(SELECT doc_id FROM documents "
+                           "WHERE lang = 'en')")).fetchall())
+        cr = dict(con.execute(q.format(where="")).fetchall())
+    except Exception:
+        return None  # no testdata in this environment → rows-only gate
+
+    import math
+    s = 0.5
+    t_tot = sum(ct.values()) + s * _DSIR_BUCKETS
+    r_tot = sum(cr.values()) + s * _DSIR_BUCKETS
+    vals = ", ".join(
+        f"({b}, {int(round((math.log((ct.get(b, 0) + s) / t_tot) - math.log((cr.get(b, 0) + s) / r_tot)) * 1e6))})"
+        for b in range(_DSIR_BUCKETS))
+    return f"""
+WITH lr(b, v) AS (SELECT * FROM (VALUES {vals})),
+g AS (SELECT * FROM {_sql_dsir_gramstream()}),
+w AS (SELECT g.doc_id, SUM(v) AS dsir_weight
+      FROM g JOIN lr ON lr.b = {_sql_hex12('g.g')} % {_DSIR_BUCKETS}
+      GROUP BY 1)
+SELECT d.doc_id, COALESCE(w.dsir_weight, 0) AS dsir_weight
+FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+ORDER BY dsir_weight DESC, d.doc_id
+LIMIT {_DSIR_K}
+"""
+
+
+@_register("dsir_select", oracle=_dsir_oracle())
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.sampling import dsir_select as _dsir
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return _dsir(docs, target, k=_DSIR_K, buckets=_DSIR_BUCKETS)
+
+
+# ================================================================
 
 # Pre-suite snapshot: per-operator timing surface for bench.py (suite
 # hosts would otherwise re-run every member, double-charging them).
@@ -3382,8 +3511,9 @@ _SUITES: dict[str, list[str]] = {
     "sharded_join_full_outer": ["sharded_join_collisions"],
     "sessionize": ["streaming_replay"],
     "text_repetition": ["lm_frequency_mass"],
-    "mixture_sample": ["dataset_split", "shuffle_shards"],
-    "decontaminate": ["exact_substring_dedup", "paragraph_dedup"],
+    "mixture_sample": ["dataset_split", "shuffle_shards", "dsir_select"],
+    "decontaminate": ["exact_substring_dedup", "paragraph_dedup",
+                      "bloom_decontaminate"],
     "filter_predicate": ["condition_v3_filter"],
 }
 

@@ -814,3 +814,67 @@ def paragraph_dedup(df: DataFrame, text: str = "text",
                                     F.struct("idx", "para")))),
                          lambda s: s["para"]),
                      "\n").alias("dedup_text")))
+
+
+# ------------------------------------------------------------ bloom
+
+def bloom_positions(gram: Column, m: int, k: int) -> Column:
+    """k bit positions in [0, m) for one n-gram — k independent
+    md5-derived hashes (salted by probe index).  Engine-portable and
+    codegen-able; the classic Bloom construction with explicit salts
+    instead of the two-hash Kirsch-Mitzenmacher trick so the oracle
+    SQL is a literal mirror."""
+    return F.array(*[
+        hash48(F.concat(F.lit(f"bl{i}#"), gram)) % m for i in range(k)])
+
+
+def bloom_build(reference: DataFrame, text: str = "text",
+                n: int = 5, m: int = 1 << 18, k: int = 3) -> DataFrame:
+    """Build the Bloom set from a reference corpus: the DISTINCT bit
+    positions of every word n-gram.  ≤ m rows regardless of reference
+    size — the membership structure is space-bounded by construction
+    (that's the point of a Bloom filter), so it broadcasts at ≤ 8·m
+    bytes even for a reference of billions of grams."""
+    from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
+
+    t = materialize_cols(reference.select(F.col(text)),
+                         __toks=tokens(F.col(text)))
+    grams = t.select(F.explode(word_ngrams(F.col("__toks"), n)).alias("g"))
+    return (grams.select(F.explode(bloom_positions(F.col("g"), m, k))
+                         .alias("pos"))
+            .distinct())
+
+
+def bloom_contaminated(corpus: DataFrame, reference: DataFrame,
+                       text: str = "text", id_col: str = "doc_id",
+                       n: int = 5, m: int = 1 << 18,
+                       k: int = 3) -> DataFrame:
+    """Approximate decontamination via a Bloom filter: flag corpus
+    documents with any word n-gram whose k bloom bits are ALL set by
+    the reference corpus (false positives at the classic
+    (1-e^{-kn/m})^k rate, zero false negatives).
+
+    Use over `ngram_contamination` when the reference gram set is too
+    large to broadcast exactly: the bloom set is capped at m positions
+    (m = 2^18 → 2 MB broadcast) no matter how many grams the
+    reference holds.  Scale shape: corpus side is a map-only scan
+    (explode grams → positions) + one BROADCAST semi-join + a per-doc
+    hash-agg; the 100 TB corpus never shuffles.
+
+    Returns (id_col, n_flagged_grams) for flagged docs only."""
+    from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
+
+    bloom = bloom_build(reference, text, n, m, k)
+    t = materialize_cols(corpus.select(F.col(id_col), F.col(text)),
+                         __toks=tokens(F.col(text)))
+    probes = (t.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col("__toks"), n)).alias("gi", "g"))
+        .select(id_col, "gi",
+                F.explode(bloom_positions(F.col("g"), m, k)).alias("pos")))
+    # gram flagged ⟺ all k of its positions are present in the bloom set
+    hits = (probes.join(F.broadcast(bloom), "pos")
+            .groupBy(id_col, "gi")
+            .agg(F.count("*").alias("__k_hits"))
+            .filter(F.col("__k_hits") == k))
+    return hits.groupBy(id_col).agg(F.count("*").alias("n_flagged_grams"))

@@ -161,3 +161,95 @@ def deterministic_shuffle(df: DataFrame, id_col: str = "doc_id",
                             (F.col("__hk") % n_shards).cast("int"))
             .withColumn("pos", F.row_number().over(w).cast("long"))
             .select(id_col, F.col("__shard").alias("shard"), "pos"))
+
+
+# ---------------------------------------------------------------- DSIR
+
+def dsir_grams(df: DataFrame, text: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Hashed n-gram feature stream for DSIR (Xie et al. 2023,
+    arXiv:2302.03169 §3): unigrams + word bigrams, one row per gram
+    occurrence.  Returns (id_col, g)."""
+    from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
+
+    t = materialize_cols(df.select(F.col(id_col), F.col(text)),
+                         __toks=tokens(F.col(text)))
+    grams = F.concat(F.col("__toks"), word_ngrams(F.col("__toks"), 2))
+    return (t.select(F.col(id_col), F.explode(grams).alias("g"))
+            .filter(F.col("g") != ""))
+
+
+def dsir_fit(target: DataFrame, raw: DataFrame, text: str = "text",
+             id_col: str = "doc_id", buckets: int = 256,
+             smoothing: float = 0.5) -> list[int]:
+    """Fit DSIR importance log-ratios: hash every unigram/bigram of the
+    target sample and the raw corpus into `buckets` buckets, Laplace-
+    smooth both distributions, and return per-bucket
+    round(1e6 * (ln p_target - ln q_raw)) as INTEGER micro-nats.
+
+    Integerizing makes downstream per-document weights order-free
+    int64 sums — bit-exact across engines and partitionings (the same
+    trick as frequency_mass).  Scale shape: two map-side-combined
+    hash aggregations producing `buckets` rows each; the collect is
+    bounded by `buckets` (driver-side cost is O(256), not O(corpus)).
+    """
+    import math
+
+    def bucket_counts(df_: DataFrame) -> dict[int, int]:
+        rows = (dsir_grams(df_, text, id_col)
+                .select((hash48(F.col("g")) % buckets).alias("b"))
+                .groupBy("b").agg(F.count("*").alias("n")).collect())
+        return {int(r["b"]): int(r["n"]) for r in rows}
+
+    ct, cr = bucket_counts(target), bucket_counts(raw)
+    t_tot = sum(ct.values()) + smoothing * buckets
+    r_tot = sum(cr.values()) + smoothing * buckets
+    out = []
+    for b in range(buckets):
+        p = (ct.get(b, 0) + smoothing) / t_tot
+        q = (cr.get(b, 0) + smoothing) / r_tot
+        out.append(int(round((math.log(p) - math.log(q)) * 1e6)))
+    return out
+
+
+def dsir_weights(df: DataFrame, logratios: list[int], text: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document DSIR importance weight: Σ over the doc's
+    unigram/bigram stream of the fitted bucket log-ratio (integer
+    micro-nats, exact).  Map-only — the log-ratio table rides along as
+    a plan literal (buckets ≤ 1k ⇒ a few KB), the per-doc weight is a
+    single array fold, and NOTHING shuffles: at 100 TB this is one
+    scan producing (id, weight)."""
+    from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
+
+    buckets = len(logratios)
+    lr = F.array(*[F.lit(v).cast("long") for v in logratios])
+    t = materialize_cols(df.select(F.col(id_col), F.col(text)),
+                         __toks=tokens(F.col(text)))
+    grams = F.filter(
+        F.concat(F.col("__toks"), word_ngrams(F.col("__toks"), 2)),
+        lambda g: g != "")
+    w = F.aggregate(
+        grams, F.lit(0).cast("long"),
+        lambda acc, g: acc + F.element_at(
+            lr, (hash48(g) % buckets).cast("int") + 1))
+    return t.select(F.col(id_col), w.alias("dsir_weight"))
+
+
+def dsir_select(df: DataFrame, target: DataFrame, k: int,
+                text: str = "text", id_col: str = "doc_id",
+                buckets: int = 256, smoothing: float = 0.5,
+                logratios: list[int] | None = None) -> DataFrame:
+    """DSIR data selection: fit target-vs-raw hashed-n-gram importance
+    weights, score every raw document, keep the top-k (weight DESC,
+    id ASC — the deterministic counterpart of Gumbel top-k resampling;
+    pass pre-fitted `logratios` to score new data without refitting).
+
+    Returns (id_col, dsir_weight) for the selected docs.  Scale shape:
+    fit = two bounded aggregations; score = map-only scan; selection =
+    TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    the driver — no global sort)."""
+    lr = logratios if logratios is not None else dsir_fit(
+        target, df, text, id_col, buckets, smoothing)
+    w = dsir_weights(df, lr, text, id_col)
+    return w.orderBy(F.col("dsir_weight").desc(), F.col(id_col)).limit(k)

@@ -660,3 +660,63 @@ def test_connected_components_two_phase_matches_and_beats_diameter(spark):
     got = connected_components_two_phase(chain, max_iter=12).collect()
     assert {r.component for r in got} == {0}
     assert len(got) == 201
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR: documents resembling the target sample's n-gram profile
+    must outscore off-target documents, and the whole pipeline must be
+    partition-invariant (weights are integer sums)."""
+    from benthos_spark.llm.sampling import dsir_fit, dsir_select, dsir_weights
+
+    rows = []
+    for i in range(40):  # on-target style: legal-ish boilerplate
+        rows.append((i, "the party of the first part agrees to the "
+                        "terms of the agreement herein"))
+    for i in range(40, 80):  # off-target style: code-ish tokens
+        rows.append((i, "def main args return int x y z printf malloc "
+                        "struct pointer"))
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = raw.filter(F.col("doc_id") < 6)  # small target sample
+
+    lr = dsir_fit(target, raw, buckets=64)
+    assert len(lr) == 64 and all(isinstance(v, int) for v in lr)
+
+    picked = dsir_select(raw, target, k=40, buckets=64)
+    ids = sorted(r.doc_id for r in picked.collect())
+    assert ids == list(range(40)), "top-40 must be the on-target docs"
+
+    # partition invariance: integer weights are order-free
+    w1 = {r.doc_id: r.dsir_weight
+          for r in dsir_weights(raw, lr).collect()}
+    w2 = {r.doc_id: r.dsir_weight
+          for r in dsir_weights(raw.repartition(7), lr).collect()}
+    assert w1 == w2
+    assert all(w1[i] > w1[j] for i in range(3) for j in range(41, 44))
+
+
+def test_bloom_decontaminate_membership(spark):
+    """Bloom decontamination: zero false negatives (every doc sharing a
+    word 5-gram with the reference is flagged) and the bloom set is
+    bounded by m regardless of reference size."""
+    from benthos_spark.llm.dedup import bloom_build, bloom_contaminated
+
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "x alpha beta gamma delta epsilon y"),   # shares a 5-gram
+         (2, "one two three four five six seven"),    # disjoint
+         (3, "alpha beta gamma delta epsilon")],      # shares exactly one
+        ["doc_id", "text"])
+    out = {r.doc_id: r.n_flagged_grams
+           for r in bloom_contaminated(corpus, ref, n=5).collect()}
+    assert 1 in out and 3 in out, "shared 5-grams must be flagged"
+    assert 2 not in out, "disjoint doc flagged — false positive at m=2^18"
+    # the bloom set is position rows, ≤ k · n_grams and ≤ m
+    bloom = bloom_build(ref, n=5)
+    assert bloom.count() <= 3 * 3  # 3 grams × k=3 probes
+    # partition invariance
+    again = {r.doc_id: r.n_flagged_grams
+             for r in bloom_contaminated(corpus.repartition(5), ref,
+                                         n=5).collect()}
+    assert again == out
