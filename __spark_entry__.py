@@ -1043,6 +1043,41 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 24c. LLM op: canonical selection — the full dedup pipeline verdict
+#      (LSH pairs → components → keep the highest-quality doc per
+#      cluster, ties to the smallest id).  Every doc gets
+#      (component, is_canonical); the cleaned corpus is the
+#      is_canonical = 1 slice.
+# ================================================================
+
+@_register("dedup_canonical", oracle=f"""
+WITH RECURSIVE pairs AS ({_sql_minhash_bands()}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach(u, lab) AS (
+  SELECT u, u AS lab FROM edges
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.u
+),
+comp AS (SELECT u AS doc_id, MIN(lab) AS component FROM reach GROUP BY u),
+m AS (SELECT c.doc_id, c.component, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)),
+v AS (SELECT doc_id, component,
+             CASE WHEN row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, doc_id) = 1
+                  THEN 1 ELSE 0 END AS is_canonical
+      FROM m)
+SELECT d.doc_id, COALESCE(v.component, d.doc_id) AS component,
+       COALESCE(v.is_canonical, 1) AS is_canonical
+FROM documents d LEFT JOIN v USING (doc_id)
+""")
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.dedup import canonical_selection, minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return canonical_selection(docs, minhash_lsh_pairs(docs, bands=4))
+
+
+# ================================================================
 # 25. LLM op: SimHash duplicate groups (hamming-0 buckets).
 # ================================================================
 
@@ -2437,6 +2472,106 @@ def lm_frequency_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 36b. BM25 top-k retrieval (llm/search.py): inverted-index stats +
+#      Okapi scoring as DataFrame algebra.  Postings are pruned to
+#      the query vocabulary BEFORE aggregation (the only shuffled
+#      rows are terms someone asked for); per-term contributions are
+#      integerized to micro-units so the final per-(query, doc) sum
+#      is order-free and bit-exact across engines.
+# ================================================================
+
+_BM25_QUERIES = [("q0", "spark table merge"),
+                 ("q1", "hash value row"),
+                 ("q2", "window sort batch scan")]
+_BM25_K = 10
+
+
+def _bm25_oracle() -> str:
+    vocab = sorted({t for _, q in _BM25_QUERIES for t in q.split()})
+    in_list = ", ".join(f"'{t}'" for t in vocab)
+    qt_vals = ", ".join(f"('{qid}', '{t}')"
+                        for qid, q in _BM25_QUERIES
+                        for t in sorted(set(q.split())))
+    contrib = ("CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - "
+               "CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) "
+               "* ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + "
+               "1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / "
+               "(CAST(dl_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) "
+               "* 1000000.0) AS BIGINT)")
+    return f"""
+WITH toks AS (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents),
+lens AS (SELECT doc_id, len(toks) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS dl_sum FROM lens),
+post AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks) t
+  WHERE term IN ({in_list}) GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+qt(query_id, term) AS (SELECT * FROM (VALUES {qt_vals})),
+c AS (SELECT qt.query_id, post.doc_id, {contrib} AS c
+      FROM post JOIN qt USING (term) JOIN dfreq USING (term)
+      CROSS JOIN stats),
+s AS (SELECT query_id, doc_id, SUM(c) AS score_micro FROM c GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score_micro DESC, doc_id) AS rank FROM s)
+SELECT query_id, doc_id, rank, score_micro FROM r WHERE rank <= {_BM25_K}
+"""
+
+
+@_register("bm25_search", oracle=_bm25_oracle())
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.search import bm25_topk
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERIES, topk=_BM25_K)
+
+
+# ================================================================
+# 36c. Interpolated bigram LM likelihood (llm/text.bigram_lm_score):
+#      the KenLM-style fluency signal, integer-exact — per-token
+#      probabilities integerize to nano-units before the per-doc sum,
+#      so both engines produce identical int64 scores.
+# ================================================================
+
+@_register("lm_bigram_score", oracle=f"""
+WITH t AS (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents),
+c1 AS (SELECT w, COUNT(*) AS cu FROM (
+         SELECT unnest(toks) AS w FROM t) x WHERE w <> '' GROUP BY 1),
+tot AS (SELECT SUM(cu) AS T FROM c1),
+c2 AS (SELECT bg, COUNT(*) AS nbg FROM (
+         SELECT unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+           ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t) x GROUP BY 1),
+stream AS (SELECT doc_id,
+                  unnest(range(1, len(toks) + 1)) AS pos,
+                  unnest(toks) AS w,
+                  toks
+           FROM (SELECT doc_id,
+                        list_filter(toks, x -> x <> '') AS toks FROM t)),
+j AS (SELECT s.doc_id, s.w,
+             CASE WHEN s.pos > 1 THEN s.toks[s.pos - 1] END AS wprev,
+             c1.cu
+      FROM stream s JOIN c1 ON c1.w = s.w),
+p AS (SELECT j.doc_id,
+             CASE WHEN j.wprev IS NULL
+                  THEN CAST(j.cu AS DOUBLE) / CAST(tot.T AS DOUBLE)
+                  ELSE 0.5 * (CAST(COALESCE(c2.nbg, 0) AS DOUBLE)
+                              / CAST(cp.cu AS DOUBLE))
+                       + 0.5 * (CAST(j.cu AS DOUBLE)
+                                / CAST(tot.T AS DOUBLE)) END AS prob
+      FROM j
+      LEFT JOIN c1 cp ON cp.w = j.wprev
+      LEFT JOIN c2 ON c2.bg = j.wprev || ' ' || j.w
+      CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       SUM(CAST(round(prob * 1000000000.0) AS BIGINT)) AS lm_nano
+FROM p GROUP BY 1
+""")
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.text import bigram_lm_score
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs)
+
+
+# ================================================================
 # 37. Deterministic train/val/test split (llm/sampling.hash_split):
 #     48-bit md5 bucket vs cumulative weight boundaries; the oracle
 #     embeds the SAME IEEE partial-sum literals via split_boundaries,
@@ -3510,11 +3645,13 @@ _SUITES: dict[str, list[str]] = {
                         "semantic_dedup"],
     "sharded_join_full_outer": ["sharded_join_collisions"],
     "sessionize": ["streaming_replay"],
-    "text_repetition": ["lm_frequency_mass"],
+    "text_repetition": ["lm_frequency_mass", "bm25_search",
+                        "lm_bigram_score"],
     "mixture_sample": ["dataset_split", "shuffle_shards", "dsir_select"],
     "decontaminate": ["exact_substring_dedup", "paragraph_dedup",
                       "bloom_decontaminate"],
     "filter_predicate": ["condition_v3_filter"],
+    "dedupe_first_wins": ["dedup_canonical"],
 }
 
 # Boolean columns become nullable under the union's null-padding; a

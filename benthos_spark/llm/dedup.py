@@ -878,3 +878,38 @@ def bloom_contaminated(corpus: DataFrame, reference: DataFrame,
             .agg(F.count("*").alias("__k_hits"))
             .filter(F.col("__k_hits") == k))
     return hits.groupBy(id_col).agg(F.count("*").alias("n_flagged_grams"))
+
+
+def canonical_selection(docs: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id",
+                        quality_col: str = "n_chars") -> DataFrame:
+    """End-to-end dedup verdict: candidate pairs → connected components
+    → keep the best document per cluster (highest `quality_col`,
+    ties to the smallest id).  The standard last stage of a corpus
+    dedup pipeline — every doc gets (component, is_canonical) so the
+    cleaned corpus is `WHERE is_canonical = 1`.
+
+    Scale shape: the expensive work (pair generation, CC) runs on the
+    CANDIDATE subgraph only (≪ corpus); cluster members join their
+    quality back via one broadcast (cluster membership is small by the
+    same argument), the canonical window partitions by component over
+    members only, and the untouched 99% of the corpus is a map-only
+    left join against the broadcast verdicts — the 100 TB side never
+    shuffles."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, max_iter=50)
+    members = (docs.select(F.col(id_col), F.col(quality_col))
+               .join(F.broadcast(comp), id_col))
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col))
+    verdict = members.select(
+        id_col, "component",
+        (F.row_number().over(w) == 1).cast("int").alias("is_canonical"))
+    return (docs.select(F.col(id_col))
+            .join(F.broadcast(verdict), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("component"),
+                               F.col(id_col)).alias("component"),
+                    F.coalesce(F.col("is_canonical"),
+                               F.lit(1)).alias("is_canonical")))

@@ -1,0 +1,97 @@
+"""Full-text relevance search over a document corpus: inverted-index
+statistics + BM25 scoring, expressed as DataFrame algebra.
+
+The classic retrieval pipeline (build postings → df/idf → score → top-k)
+maps onto Spark without any custom index structure:
+
+- the "inverted index" is the exploded (doc, term, tf) frame — Catalyst
+  prunes it to the query vocabulary BEFORE the aggregation, so the only
+  shuffled rows are postings of terms someone actually asked for;
+- corpus statistics (N, avgdl) are two scalar aggregates;
+- scoring is a broadcast join of the (tiny) query-term frame against the
+  pruned postings, then an integer-exact per-(query, doc) sum.
+
+Scale shape at 100 TB: ONE scan of the corpus (tokenize + filter to
+query terms, map-only), one small shuffle of the pruned postings, and a
+per-query top-k window over candidates — no global sort, no all-pairs.
+Per-term contributions are integerized to micro-units before the final
+sum, so scores are order-free int64 sums, bit-exact across engines and
+partitionings (the frequency_mass trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def query_terms_frame(spark, queries: list[tuple[str, str]]) -> DataFrame:
+    """(query_id, term) frame from literal (id, text) query strings —
+    whitespace-tokenized, distinct terms per query."""
+    rows = []
+    for qid, qtext in queries:
+        for t in sorted(set(qtext.split())):
+            rows.append((qid, t))
+    return spark.createDataFrame(rows, ["query_id", "term"])
+
+
+def bm25_topk(corpus: DataFrame, queries: list[tuple[str, str]],
+              text: str = "text", id_col: str = "doc_id",
+              topk: int = 10, k1: float = K1, b: float = B) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Spärck Jones, the public Okapi
+    formula): score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Returns (query_id, doc_id, rank, score_micro) — score in integer
+    micro-units (round(score·1e6)), ranked score DESC then doc_id.
+    """
+    from benthos_spark.llm.text import tokens
+
+    spark = corpus.sparkSession
+    qt = query_terms_frame(spark, queries)
+    vocab = sorted({t for _, qtext in queries for t in qtext.split()})
+
+    # one corpus scan: per-doc length + postings pruned to the query
+    # vocabulary (an isin literal filter — pushed below the explode)
+    toks = corpus.select(F.col(id_col),
+                         tokens(F.col(text)).alias("__toks"))
+    lengths = toks.select(id_col, F.size("__toks").alias("dl"))
+    postings = (toks.select(F.col(id_col), F.size("__toks").alias("dl"),
+                            F.explode("__toks").alias("term"))
+                .filter(F.col("term").isin(vocab))
+                .groupBy(id_col, "term")
+                .agg(F.count("*").alias("tf"), F.max("dl").alias("dl")))
+
+    stats = lengths.agg(F.count("*").alias("n_docs"),
+                        F.sum("dl").alias("dl_sum"))
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    # per-(query, doc, term) contribution, integerized to micro-units;
+    # expression order mirrors the oracle SQL exactly (each IEEE op is
+    # correctly rounded, so identical trees give identical doubles)
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs").cast("double")
+                              - F.col("df").cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5)))
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(k1) * (F.lit(1.0 - b)
+                               + F.lit(b) * (F.col("dl").cast("double")
+                                             / avgdl))
+    contrib = F.round(idf * ((tfd * F.lit(k1 + 1.0)) / denom) * 1e6) \
+        .cast("long")
+
+    scored = (postings
+              .join(F.broadcast(qt), "term")
+              .join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(stats))
+              .select("query_id", id_col, contrib.alias("__c"))
+              .groupBy("query_id", id_col)
+              .agg(F.sum("__c").alias("score_micro")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", id_col, "rank", "score_micro"))

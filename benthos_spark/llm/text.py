@@ -527,3 +527,68 @@ def frequency_mass(df: DataFrame, counts: DataFrame | None = None,
                     F.round(F.col("__rare").cast("double")
                             / F.col("n_tokens").cast("double"), 9)
                     .alias("rare_ratio")))
+
+
+def bigram_lm_score(df: DataFrame, text: str = "text",
+                    id_col: str = "doc_id",
+                    lam: float = 0.5) -> DataFrame:
+    """Interpolated bigram language-model likelihood per document (the
+    KenLM-style fluency signal of a CCNet-ish quality pipeline,
+    integer-exact):
+
+      p(w_i | w_{i-1}) = lam · c(w_{i-1} w_i)/c(w_{i-1})
+                         + (1-lam) · c(w_i)/T          (i ≥ 2)
+      p(w_1)           = c(w_1)/T
+
+    with counts from the corpus itself.  Each per-token probability is
+    a fixed tree of correctly-rounded IEEE ops over integer counts,
+    integerized to nano-units BEFORE the per-doc sum — so the score is
+    an order-free int64 sum, bit-exact across engines/partitionings.
+
+    Returns (id_col, n_tokens, lm_nano) where lm_nano =
+    Σ round(1e9·p_i); mean token likelihood = lm_nano / (1e9·n_tokens).
+
+    Scale shape: two wordcount shuffles (unigrams, bigrams) build the
+    LM; scoring joins the token stream against both tables (broadcast
+    when the vocab fits — the same head-vocab assumption as
+    frequency_mass) and re-aggregates once on doc id."""
+    toks_df = materialize_cols(df.select(F.col(id_col), F.col(text)),
+                               __toks=tokens(F.col(text)))
+    c1 = unigram_counts(df, text)
+    tot = c1.agg(F.sum("n").alias("__T"))
+    c2 = (toks_df.select(
+        F.explode(word_ngrams(F.col("__toks"), 2)).alias("bg"))
+        .groupBy("bg").agg(F.count("*").alias("nbg")))
+
+    # token stream with the previous token riding along (null at pos 1)
+    tf_df = materialize_cols(toks_df, __tf=F.filter(F.col("__toks"),
+                                                    lambda t: t != ""))
+    stream = (tf_df.select(
+        F.col(id_col),
+        F.posexplode(F.col("__tf")).alias("pos", "w"),
+        F.col("__tf").alias("__t"))
+        .withColumn("wprev", F.when(F.col("pos") > 0,
+                                    F.element_at(F.col("__t"),
+                                                 F.col("pos"))))
+        .drop("__t"))
+
+    j = (stream
+         .join(F.broadcast(c1.withColumnRenamed("token", "w")
+                           .withColumnRenamed("n", "cu")), "w")
+         .join(F.broadcast(c1.withColumnRenamed("token", "wprev")
+                           .withColumnRenamed("n", "cp")),
+               "wprev", "left")
+         .join(F.broadcast(c2),
+               F.concat(F.col("wprev"), F.lit(" "),
+                        F.col("w")) == F.col("bg"), "left")
+         .join(F.broadcast(tot)))
+    uni = F.col("cu").cast("double") / F.col("__T").cast("double")
+    bi = (F.coalesce(F.col("nbg"), F.lit(0)).cast("double")
+          / F.col("cp").cast("double"))
+    p = F.when(F.col("wprev").isNull(), uni) \
+        .otherwise(F.lit(lam) * bi + F.lit(1.0 - lam) * uni)
+    nano = F.round(p * F.lit(1e9)).cast("long")
+    return (j.select(F.col(id_col), nano.alias("__nano"))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("__nano").alias("lm_nano")))

@@ -720,3 +720,66 @@ def test_bloom_decontaminate_membership(spark):
              for r in bloom_contaminated(corpus.repartition(5), ref,
                                          n=5).collect()}
     assert again == out
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25: term-frequency saturation, idf down-weighting of common
+    terms, length normalization, and partition invariance of the
+    integerized scores."""
+    from benthos_spark.llm.search import bm25_topk
+
+    docs = spark.createDataFrame([
+        (1, "cat cat cat dog"),          # high tf for 'cat', short
+        (2, "cat dog bird fish mouse"),  # one 'cat', longer
+        (3, "dog dog dog dog"),          # no 'cat'
+        (4, "cat"),                      # one 'cat', shortest
+        (5, "bird fish mouse owl hen"),  # no query terms
+    ], ["doc_id", "text"])
+    out = bm25_topk(docs, [("q", "cat")], topk=3).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert 3 not in ranked and 5 not in ranked
+    assert ranked[0] == 1, "tf=3 must outrank tf=1"
+    assert set(ranked) == {1, 2, 4}
+    assert all(r.score_micro > 0 for r in out)
+
+    # doc 4 (dl=1) must outrank doc 2 (dl=5) at equal tf
+    scores = {r.doc_id: r.score_micro for r in out}
+    assert scores[4] > scores[2], "length normalization"
+
+    again = bm25_topk(docs.repartition(7), [("q", "cat")],
+                      topk=3).collect()
+    assert {(r.doc_id, r.score_micro) for r in again} == \
+           {(r.doc_id, r.score_micro) for r in out}
+
+
+def test_canonical_selection_keeps_best_per_cluster(spark):
+    from benthos_spark.llm.dedup import canonical_selection
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 99)],
+        ["doc_id", "n_chars"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["id_a", "id_b"])  # cluster {1,2,3}
+    out = {r.doc_id: (r.component, r.is_canonical)
+           for r in canonical_selection(docs, pairs).collect()}
+    assert out[1] == (1, 0) and out[3] == (1, 0)
+    assert out[2] == (1, 1), "highest n_chars, ties to smaller id"
+    assert out[4] == (4, 1) and out[5] == (5, 1), "singletons canonical"
+
+
+def test_bigram_lm_score_exact_and_invariant(spark):
+    """Hand-checked interpolated bigram LM on a 2-doc corpus."""
+    from benthos_spark.llm.text import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], ["doc_id", "text"])
+    out = {r.doc_id: (r.n_tokens, r.lm_nano)
+           for r in bigram_lm_score(docs).collect()}
+    # corpus: c(a)=2, c(b)=2, T=4, c("a b")=2
+    # doc tokens: 'a' (pos1) p = 2/4 = 0.5 -> 5e8
+    #             'b' p = 0.5*(2/2) + 0.5*(2/4) = 0.75 -> 7.5e8
+    assert out[1] == (2, 1_250_000_000)
+    assert out[2] == out[1]
+    again = {r.doc_id: (r.n_tokens, r.lm_nano)
+             for r in bigram_lm_score(docs.repartition(5)).collect()}
+    assert again == out
