@@ -62,6 +62,18 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "suite host: inherits lm_frequency_mass's one-row scalar cross"),
         ("SinglePartition", "same inherited scalar aggregate"),
     ],
+    "bm25_search": [
+        ("BroadcastNestedLoopJoin",
+         "ONE-ROW (n_docs, dl_sum) corpus-stats aggregate crossed into "
+         "the query-pruned postings — a broadcast scalar"),
+        ("SinglePartition", "the same one-row stats aggregate"),
+    ],
+    "lm_bigram_score": [
+        ("BroadcastNestedLoopJoin",
+         "ONE-ROW corpus-total aggregate crossed into the token "
+         "stream — a broadcast scalar, not a data-sized loop join"),
+        ("SinglePartition", "the same one-row total aggregate"),
+    ],
     "q15_top_supplier": [
         ("SinglePartition",
          "MAX(total_revenue) scalar subquery: per-supplier partials "
