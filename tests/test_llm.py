@@ -783,3 +783,30 @@ def test_bigram_lm_score_exact_and_invariant(spark):
     again = {r.doc_id: (r.n_tokens, r.lm_nano)
              for r in bigram_lm_score(docs.repartition(5)).collect()}
     assert again == out
+
+
+def test_bpe_train_and_encode(spark):
+    """BPE: merges learned from pair frequencies, greedy rank-order
+    apply, lossless round-trip (concatenated symbols == word), and the
+    Spark apply path agrees with the pure-Python encoder."""
+    from benthos_spark.llm.tokenizer import (bpe_encode_batch, bpe_token_count,
+                                             bpe_train)
+
+    texts = ["low lower lowest low low", "new newer newest new new",
+             "low lower newest"] * 5
+    merges = bpe_train(texts, n_merges=50)
+    assert merges and all(isinstance(a, str) and isinstance(b, str)
+                          for a, b in merges)
+    # 'low' is frequent → should encode to few symbols
+    toks = bpe_encode_batch(["low lower unknownword"], merges)[0]
+    assert toks[0] == "low</w>", f"frequent word must merge fully: {toks}"
+    joined = "".join(toks).replace("</w>", "")
+    assert joined == "lowlowerunknownword", "BPE must be lossless"
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    out = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_count(df, merges).collect()}
+    expect = {i: len(bpe_encode_batch([t], merges)[0])
+              for i, t in enumerate(texts)}
+    assert out == expect
