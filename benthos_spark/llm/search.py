@@ -35,7 +35,9 @@ def query_terms_frame(spark, queries: list[tuple[str, str]]) -> DataFrame:
     for qid, qtext in queries:
         for t in sorted(set(qtext.split())):
             rows.append((qid, t))
-    return spark.createDataFrame(rows, ["query_id", "term"])
+    # one slice — the default 32-way parallelize of a handful of rows
+    # just adds empty broadcast-build tasks
+    return spark.createDataFrame(rows, ["query_id", "term"]).coalesce(1)
 
 
 def bm25_topk(corpus: DataFrame, queries: list[tuple[str, str]],
@@ -59,11 +61,18 @@ def bm25_topk(corpus: DataFrame, queries: list[tuple[str, str]],
     toks = corpus.select(F.col(id_col),
                          tokens(F.col(text)).alias("__toks"))
     lengths = toks.select(id_col, F.size("__toks").alias("dl"))
+    # localCheckpoint: postings feed BOTH the score join and the df
+    # aggregation, and their different column prunings defeat
+    # ReuseExchange — without it the corpus would be scanned once per
+    # branch.  The checkpointed frame is the PRUNED postings (only
+    # query-vocabulary terms survive), so its size is bounded by the
+    # query set, not the corpus.
     postings = (toks.select(F.col(id_col), F.size("__toks").alias("dl"),
                             F.explode("__toks").alias("term"))
                 .filter(F.col("term").isin(vocab))
                 .groupBy(id_col, "term")
-                .agg(F.count("*").alias("tf"), F.max("dl").alias("dl")))
+                .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+                .localCheckpoint(eager=True))
 
     stats = lengths.agg(F.count("*").alias("n_docs"),
                         F.sum("dl").alias("dl_sum"))
