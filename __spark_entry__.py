@@ -1399,7 +1399,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      oracle reproduces false positives bit-for-bit too.
 # ================================================================
 
-_BLOOM_M = 1 << 18
+# m sized so the filter stays discriminative at the sf1 scale check
+# (~200k reference grams → ~20% fill, visible-but-sparse false
+# positives); at sf0.01 fill is <1% and the result ≈ exact.
+_BLOOM_M = 1 << 20
 _BLOOM_K = 3
 
 
