@@ -2528,6 +2528,37 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 36b2. TF-IDF keyword extraction (llm/search.tfidf_topk_terms):
+#       per-doc top-5 terms by tf·ln(N/df), micro-unit integerized
+#       ranking — wordcount shuffle + broadcast vocabulary + per-doc
+#       window, no global sort.
+# ================================================================
+
+@_register("tfidf_keywords", oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_toks("text")}) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             CAST(round((CAST(tf.tf AS DOUBLE) *
+                         ln(CAST(n.n_docs AS DOUBLE)
+                            / CAST(dfreq.df AS DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS score_micro
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score_micro DESC, term) AS rank FROM s)
+SELECT doc_id, term, rank, score_micro FROM r
+WHERE rank <= 5 AND score_micro > 0
+""")
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.search import tfidf_topk_terms
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, k=5)
+
+
+# ================================================================
 # 36c. Interpolated bigram LM likelihood (llm/text.bigram_lm_score):
 #      the KenLM-style fluency signal, integer-exact — per-token
 #      probabilities integerize to nano-units before the per-doc sum,
@@ -3645,7 +3676,8 @@ _SUITES: dict[str, list[str]] = {
     "bloblang_compiled": ["batch_functions"],
     "window_tumbling": ["window_sliding"],
     "text_analysis": ["text_quality_langid", "pii_scrub",
-                      "awk_pipeline", "langid_model_pinned"],
+                      "awk_pipeline", "langid_model_pinned",
+                      "tfidf_keywords"],
     "similarity_topk": ["similarity_lsh_topk", "similarity_ivf_topk",
                         "semantic_dedup"],
     "sharded_join_full_outer": ["sharded_join_collisions"],

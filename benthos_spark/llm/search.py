@@ -104,3 +104,37 @@ def bm25_topk(corpus: DataFrame, queries: list[tuple[str, str]],
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= topk)
             .select("query_id", id_col, "rank", "score_micro"))
+
+
+def tfidf_topk_terms(corpus: DataFrame, text: str = "text",
+                     id_col: str = "doc_id", k: int = 5,
+                     min_df: int = 1) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by tf·idf with
+    idf = ln(N/df) (raw Salton form; terms in every doc score 0 and
+    drop out naturally).  Scores integerize to micro-units before
+    ranking so the (score, term) order is identical in any engine.
+
+    Returns (id_col, term, rank, score_micro), rank 1..k per doc by
+    score DESC then term ASC.  Scale shape: one scan → (doc, term, tf)
+    hash-agg, a broadcast of the (term, df) vocabulary table, and one
+    per-doc window — no global sort, no all-pairs."""
+    from benthos_spark.llm.text import tokens
+
+    toks = corpus.select(F.col(id_col),
+                         F.explode(tokens(F.col(text))).alias("term")) \
+        .filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=True)  # feeds df-agg AND the score join
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df"))
+             .filter(F.col("df") >= min_df))
+    n_docs = corpus.select(F.col(id_col)).distinct().count()
+
+    idf = F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+    score = F.round(F.col("tf").cast("double") * idf * 1e6).cast("long")
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .select(F.col(id_col), "term", score.alias("score_micro")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") <= k) & (F.col("score_micro") > 0))
+            .select(id_col, "term", "rank", "score_micro"))

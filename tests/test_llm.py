@@ -810,3 +810,22 @@ def test_bpe_train_and_encode(spark):
     expect = {i: len(bpe_encode_batch([t], merges)[0])
               for i, t in enumerate(texts)}
     assert out == expect
+
+
+def test_tfidf_keywords_ranking(spark):
+    from benthos_spark.llm.search import tfidf_topk_terms
+
+    docs = spark.createDataFrame([
+        (1, "apple apple apple common"),
+        (2, "banana banana common"),
+        (3, "cherry common common"),
+    ], ["doc_id", "text"])
+    out = tfidf_topk_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.rank)):
+        by_doc.setdefault(r.doc_id, []).append(r.term)
+    # 'common' appears in every doc -> idf 0 -> excluded entirely
+    assert by_doc == {1: ["apple"], 2: ["banana"], 3: ["cherry"]}
+    again = tfidf_topk_terms(docs.repartition(5), k=2).collect()
+    assert {(r.doc_id, r.term, r.score_micro) for r in again} == \
+           {(r.doc_id, r.term, r.score_micro) for r in out}
