@@ -1359,6 +1359,80 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 28c2. End-to-end corpus curation (llm/pipeline.curate_corpus): the
+#       full training-data pipeline in ONE lazy plan — Gopher-lite
+#       quality gate → MinHash-LSH canonical dedup → 5-gram eval-set
+#       decontamination.  The oracle composes the same stages: the
+#       quality CTE mirrors gopher_signals, the minhash-band SQL is
+#       re-rooted at the quality survivors, CC is the recursive CTE,
+#       and the decontamination grams anti-join at the end.
+# ================================================================
+
+def _curation_oracle() -> str:
+    # stops gate off (require_stops=False below): the fixture corpus is
+    # technical word-salad where the English stop list keeps ~nothing
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(5))
+    pairs_sql = _sql_minhash_bands().replace("FROM documents)", "FROM q)")
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text, n_chars, {_sql_toks("text")} AS toks
+  FROM documents WHERE source <> 'src0'),
+q AS (
+  SELECT doc_id, text, n_chars, toks FROM (
+    SELECT *, CAST(len(toks) AS DOUBLE) AS n,
+           GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS nz,
+           list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]'))
+             AS alpha_toks
+    FROM corpus) x
+  WHERE n >= 10 AND n <= 100000
+    AND CAST(len(alpha_toks) AS DOUBLE) / nz >= 0.8),
+pairs AS ({pairs_sql}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach(u, lab) AS (
+  SELECT u, u AS lab FROM edges
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.u
+),
+comp AS (SELECT u AS doc_id, MIN(lab) AS component FROM reach GROUP BY u),
+m AS (SELECT c.doc_id, c.component, q.n_chars
+      FROM comp c JOIN q USING (doc_id)),
+v AS (SELECT doc_id, component,
+             CASE WHEN row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, doc_id) = 1
+                  THEN 1 ELSE 0 END AS is_canonical
+      FROM m),
+kept AS (SELECT q.doc_id,
+                COALESCE(v.component, q.doc_id) AS component, q.toks
+         FROM q LEFT JOIN v USING (doc_id)
+         WHERE COALESCE(v.is_canonical, 1) = 1),
+evg AS (SELECT DISTINCT {_sql_hex12("g")} AS gh FROM (
+  SELECT unnest(CASE WHEN len(toks) >= 5
+    THEN list_transform(range(1, len(toks) - 3), i -> {gram})
+    ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM (SELECT {_sql_toks("text")} AS toks FROM documents
+        WHERE source = 'src0'))),
+dirty AS (SELECT DISTINCT doc_id FROM (
+  SELECT doc_id, {_sql_hex12("g")} AS gh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+      THEN list_transform(range(1, len(toks) - 3), i -> {gram})
+      ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM kept)) kg JOIN evg USING (gh))
+SELECT doc_id, component, len(toks) AS n_tokens FROM kept
+WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+"""
+
+
+@_register("curation_pipeline", oracle=_curation_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.pipeline import curate_corpus
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(docs.filter(F.col("source") != "src0"),
+                         docs.filter(F.col("source") == "src0"),
+                         min_words=10, require_stops=False)
+
+
+# ================================================================
 # 28d. LLM op: eval-set decontamination — training docs sharing any
 #      word 5-gram with the benchmark corpus (source 'src0' stands in
 #      for the eval set).  Broadcast semi-join on 48-bit gram hashes.
@@ -3689,6 +3763,7 @@ _SUITES: dict[str, list[str]] = {
                       "bloom_decontaminate"],
     "filter_predicate": ["condition_v3_filter"],
     "dedupe_first_wins": ["dedup_canonical"],
+    "gopher_quality": ["curation_pipeline"],
 }
 
 # Boolean columns become nullable under the union's null-padding; a

@@ -829,3 +829,35 @@ def test_tfidf_keywords_ranking(spark):
     again = tfidf_topk_terms(docs.repartition(5), k=2).collect()
     assert {(r.doc_id, r.term, r.score_micro) for r in again} == \
            {(r.doc_id, r.term, r.score_micro) for r in out}
+
+
+def test_curation_pipeline_stages(spark):
+    """curate_corpus: quality gate drops junk, canonical dedup keeps
+    one doc per near-dup cluster, decontamination drops eval overlap."""
+    from benthos_spark.llm.pipeline import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to be free of the farm")
+    near = good + " indeed"
+    rows = [
+        (1, good, len(good)),
+        (2, near, len(near)),            # near-dup of 1, longer -> canonical
+        (3, "@@ ## !! ?? %% ^^ && ** (( ))", 30),   # fails alpha gate
+        (4, "too short to pass", 17),               # fails word count
+        (5, "every word here is to be of use and that must have "
+            "weight with all of the readers somewhere", 95),
+        (6, "the secret eval answer is to be of great value and "
+            "that should have mattered with everyone always", 97),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    eval_df = spark.createDataFrame(
+        [(100, "the secret eval answer is to be found")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r.component
+           for r in curate_corpus(corpus, eval_df,
+                                  min_words=10).collect()}
+    assert 3 not in out and 4 not in out, "quality gate"
+    assert 6 not in out, "decontaminated (shared 5-gram with eval)"
+    assert 5 in out, "clean doc survives"
+    # near-dup cluster {1,2}: doc 2 (longer) is canonical
+    assert 2 in out and 1 not in out

@@ -62,6 +62,18 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "suite host: inherits lm_frequency_mass's one-row scalar cross"),
         ("SinglePartition", "same inherited scalar aggregate"),
     ],
+    "curation_pipeline": [
+        ("SinglePartition",
+         "Spark-injected runtime bloom_filter_agg subqueries that "
+         "pre-prune the semi/anti join probe sides — the optimizer's "
+         "own join pruning, a one-row filter build, not a data-sized "
+         "global exchange"),
+    ],
+    "gopher_quality": [
+        ("SinglePartition",
+         "suite host: inherits curation_pipeline's bloom-filter join "
+         "pruning subqueries"),
+    ],
     "bm25_search": [
         ("BroadcastNestedLoopJoin",
          "ONE-ROW (n_docs, dl_sum) corpus-stats aggregate crossed into "
