@@ -861,3 +861,34 @@ def test_curation_pipeline_stages(spark):
     assert 5 in out, "clean doc survives"
     # near-dup cluster {1,2}: doc 2 (longer) is canonical
     assert 2 in out and 1 not in out
+
+
+def test_new_ops_edge_cases(spark):
+    """Empty/degenerate inputs must produce empty-or-total results, not
+    crashes: OOV bm25 queries, empty candidate pair sets, empty bloom
+    reference."""
+    from benthos_spark.llm.dedup import bloom_contaminated, canonical_selection
+    from benthos_spark.llm.search import bm25_topk, tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", 10), (2, "delta epsilon zeta", 10)],
+        ["doc_id", "text", "n_chars"])
+
+    # bm25: every query term OOV -> empty result frame, sane schema
+    out = bm25_topk(docs, [("q", "nosuchterm")], topk=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "rank", "score_micro"]
+
+    # canonical selection with NO candidate pairs: everyone canonical
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    res = {r.doc_id: (r.component, r.is_canonical)
+           for r in canonical_selection(docs, empty_pairs).collect()}
+    assert res == {1: (1, 1), 2: (2, 1)}
+
+    # bloom with an empty reference: nothing flagged
+    empty_ref = spark.createDataFrame([], "doc_id long, text string")
+    assert bloom_contaminated(docs, empty_ref).count() == 0
+
+    # tfidf on a single-doc corpus: idf = ln(1) = 0 -> no keywords
+    one = docs.filter(F.col("doc_id") == 1)
+    assert tfidf_topk_terms(one, k=3).count() == 0

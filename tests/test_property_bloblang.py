@@ -105,3 +105,19 @@ def test_jq_fast_path_matches_interpreter(spark, docs, path):
         except JQError:
             interp.append((json.loads(t), True))  # content unchanged
     assert fast == interp
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2ff),
+    max_size=40), min_size=1, max_size=8))
+@settings(max_examples=30, deadline=None)
+def test_bpe_lossless_roundtrip(texts):
+    """Property: BPE encoding is lossless — concatenating a text's
+    tokens (end-of-word markers stripped) reproduces exactly the
+    pre-tokenizer's matches, for arbitrary unicode input."""
+    from benthos_spark.llm.tokenizer import (_PRETOK, bpe_encode_batch,
+                                             bpe_train)
+    merges = bpe_train(texts, n_merges=30)
+    for t, toks in zip(texts, bpe_encode_batch(texts, merges)):
+        assert "".join(toks).replace("</w>", "") == \
+               "".join(_PRETOK.findall(t))
