@@ -3717,10 +3717,15 @@ LIMIT {_DSIR_K}
 
 @_register("dsir_select", oracle=_dsir_oracle())
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.sampling import dsir_fit_conditional
     from benthos_spark.llm.sampling import dsir_select as _dsir
     docs = _t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    return _dsir(docs, target, k=_DSIR_K, buckets=_DSIR_BUCKETS)
+    # fused fit: the target is a predicate over the corpus, so both
+    # bucket histograms come from ONE scan (conditional aggregate)
+    lr = dsir_fit_conditional(docs, F.col("lang") == "en",
+                              buckets=_DSIR_BUCKETS)
+    return _dsir(docs, docs, k=_DSIR_K, buckets=_DSIR_BUCKETS,
+                 logratios=lr)
 
 
 # ================================================================

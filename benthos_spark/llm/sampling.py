@@ -166,16 +166,18 @@ def deterministic_shuffle(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------- DSIR
 
 def dsir_grams(df: DataFrame, text: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Hashed n-gram feature stream for DSIR (Xie et al. 2023,
     arXiv:2302.03169 §3): unigrams + word bigrams, one row per gram
-    occurrence.  Returns (id_col, g)."""
+    occurrence.  Returns (id_col, *extra_cols, g)."""
     from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
 
-    t = materialize_cols(df.select(F.col(id_col), F.col(text)),
+    carried = [F.col(id_col), *(F.col(c) for c in extra_cols)]
+    t = materialize_cols(df.select(*carried, F.col(text)),
                          __toks=tokens(F.col(text)))
     grams = F.concat(F.col("__toks"), word_ngrams(F.col("__toks"), 2))
-    return (t.select(F.col(id_col), F.explode(grams).alias("g"))
+    return (t.select(*carried, F.explode(grams).alias("g"))
             .filter(F.col("g") != ""))
 
 
@@ -253,3 +255,31 @@ def dsir_select(df: DataFrame, target: DataFrame, k: int,
         target, df, text, id_col, buckets, smoothing)
     w = dsir_weights(df, lr, text, id_col)
     return w.orderBy(F.col("dsir_weight").desc(), F.col(id_col)).limit(k)
+
+
+def dsir_fit_conditional(raw: DataFrame, target_cond: Column,
+                         text: str = "text", id_col: str = "doc_id",
+                         buckets: int = 256,
+                         smoothing: float = 0.5) -> list[int]:
+    """`dsir_fit` when the target sample is a PREDICATE over the raw
+    corpus (the common case — "docs like the wiki slice"): both bucket
+    histograms come out of ONE scan via a conditional aggregate,
+    halving the fit cost at 100 TB.  Same integer micro-nat output as
+    dsir_fit, bit-identical when target ≡ raw.filter(target_cond)."""
+    import math
+
+    rows = (dsir_grams(raw.withColumn("__is_t", target_cond),
+                       text, id_col, extra_cols=("__is_t",))
+            .select((hash48(F.col("g")) % buckets).alias("b"), "__is_t")
+            .groupBy("b")
+            .agg(F.count("*").alias("rn"),
+                 F.sum(F.col("__is_t").cast("long")).alias("tn"))
+            .collect())
+    ct = {int(r["b"]): int(r["tn"]) for r in rows}
+    cr = {int(r["b"]): int(r["rn"]) for r in rows}
+    t_tot = sum(ct.values()) + smoothing * buckets
+    r_tot = sum(cr.values()) + smoothing * buckets
+    return [int(round((math.log((ct.get(b, 0) + smoothing) / t_tot)
+                       - math.log((cr.get(b, 0) + smoothing) / r_tot))
+                      * 1e6))
+            for b in range(buckets)]

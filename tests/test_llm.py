@@ -892,3 +892,16 @@ def test_new_ops_edge_cases(spark):
     # tfidf on a single-doc corpus: idf = ln(1) = 0 -> no keywords
     one = docs.filter(F.col("doc_id") == 1)
     assert tfidf_topk_terms(one, k=3).count() == 0
+
+
+def test_dsir_fit_conditional_matches_two_pass(spark):
+    from benthos_spark.llm.sampling import dsir_fit, dsir_fit_conditional
+
+    rows = [(i, "alpha beta gamma" if i % 2 else "delta epsilon zeta")
+            for i in range(40)]
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    two_pass = dsir_fit(raw.filter(F.col("doc_id") % 2 == 1), raw,
+                        buckets=64)
+    fused = dsir_fit_conditional(raw, F.col("doc_id") % 2 == 1,
+                                 buckets=64)
+    assert fused == two_pass
