@@ -3777,6 +3777,9 @@ _SUITES: dict[str, list[str]] = {
 _SUITE_BOOL_COLS: dict[str, list[str]] = {
     "string_methods": ["has_pfx"],
     "compress_roundtrip": ["gzip_ok", "zlib_ok", "bz2_ok"],
+    "gopher_quality": ["word_count_ok", "mean_wl_ok", "symbol_ok",
+                       "bullet_ok", "ellipsis_ok", "alpha_ok",
+                       "stops_ok"],
 }
 
 
