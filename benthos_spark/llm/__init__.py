@@ -11,6 +11,14 @@ designed as shuffled-once DataFrame transforms:
                 document fingerprinting.
 ``multimodal``  binary media columns + typed metadata; decode stubbed
                 (media libs absent here), Spark plumbing real.
+``sampling``    deterministic mixture/temperature sampling, splits,
+                DSIR importance resampling.
+``search``      BM25 retrieval and TF-IDF keyword extraction.
+``packing``     sequence packing (concat-split and best-fit).
+``tokenizer``   trainable BPE (merge learning + Arrow apply).
+``pipeline``    quality -> dedup -> decontaminate curation, composed.
 """
 
-from benthos_spark.llm import dedup, multimodal, similarity, text  # noqa: F401
+from benthos_spark.llm import (dedup, multimodal, packing,  # noqa: F401
+                               pipeline, sampling, search, similarity,
+                               text, tokenizer)
