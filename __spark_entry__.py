@@ -3734,6 +3734,23 @@ LIMIT {_DSIR_K}
 """
 
 
+# ================================================================
+# 89. Real BPE token counting (llm/tokenizer.py): merges trained on a
+#     deterministic bounded sample of the corpus, applied as a
+#     memoized Arrow kernel.  No SQL oracle — greedy merge-rank BPE
+#     is not DuckDB-expressible; the value gates are the golden and
+#     hypothesis-property tests (losslessness, Spark==pure-Python),
+#     plus the driver's rows-only check here.
+# ================================================================
+
+@_register("bpe_token_count")
+def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from benthos_spark.llm.tokenizer import bpe_token_count, train_from_frame
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_from_frame(docs, sample=500, n_merges=100)
+    return bpe_token_count(docs, merges)
+
+
 @_register("dsir_select", oracle=_dsir_oracle())
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.sampling import dsir_fit_conditional
