@@ -143,9 +143,47 @@ def minhash_signature(text: Column, n: int = 3,
     return signature_from_hashes(shingle_hashes(text, n), perms)
 
 
+def _banded_signatures_arrow(hashed: DataFrame, id_col: str,
+                             bands: int, r: int) -> DataFrame:
+    """(id, band, band_key) from the shingle-hash frame via one
+    Arrow-batched numpy kernel: all 16 permutation minima per document
+    come out of a single (m_shingles × 16) int64 broadcast-multiply —
+    the pure-Column form evaluates 16 interpreted array_min(transform)
+    folds per row (~3× slower at sf1).  Integer math is identical:
+    h < P ≈ 2^30 and a ≤ 31, so h·a+b stays far inside int64, and
+    numpy's % matches the JVM's for non-negative operands — the band
+    keys are bit-identical to the Column path (equivalence-tested)."""
+    import pandas as pd
+
+    A = [a for a, _ in MINHASH_PERMS]
+    B = [b for _, b in MINHASH_PERMS]
+
+    def gen(batches):
+        import numpy as np
+        a = np.asarray(A, dtype=np.int64)[None, :]
+        b = np.asarray(B, dtype=np.int64)[None, :]
+        for pdf in batches:
+            ids, obands, okeys = [], [], []
+            for i, sh in zip(pdf[id_col].tolist(), pdf["__sh"].tolist()):
+                h = np.asarray(sh, dtype=np.int64)[:, None]
+                sig = ((h * a + b) % HASH_PRIME).min(axis=0)
+                for bi in range(bands):
+                    ids.append(i)
+                    obands.append(bi)
+                    okeys.append("-".join(
+                        str(v) for v in sig[bi * r:(bi + 1) * r]))
+            yield pd.DataFrame({id_col: ids, "band": obands,
+                                "band_key": okeys})
+
+    id_t = hashed.schema[id_col].dataType.simpleString()
+    return hashed.mapInPandas(
+        gen, schema=f"{id_col} {id_t}, band int, band_key string")
+
+
 def minhash_lsh_pairs(df: DataFrame, text: str = "text",
                       id_col: str = "doc_id", n: int = 3,
-                      bands: int = 4) -> DataFrame:
+                      bands: int = 4,
+                      arrow_kernel: bool = True) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     rows_per_band = len(perms)/bands; two docs collide if any band of
@@ -154,27 +192,33 @@ def minhash_lsh_pairs(df: DataFrame, text: str = "text",
     alternative to the quadratic all-pairs compare.  AQE handles hot
     buckets (boilerplate documents) via skew-join splitting.
 
-    The repartition between shingle-hashing and signature/band
-    projection is a deliberate materialization barrier: Catalyst's
+    `arrow_kernel=True` (default) computes the 16 permutation minima in
+    one numpy broadcast per document (map-only, Arrow-batched);
+    `False` keeps the pure-Column form — same values either way.  In
+    the Column form, the repartition between shingle-hashing and
+    signature/band projection is a deliberate materialization barrier:
     CollapseProject would otherwise inline the shingle-hash array into
     all 16 permutation expressions and every band key, recomputing it
-    ~64× per row (higher-order funcs run interpreted, so CSE doesn't
-    save us).  The shuffled payload is just (id, 16 longs) — tiny.
+    ~64× per row.  The shuffled payload is just (id, 16 longs) — tiny.
     """
     r = len(MINHASH_PERMS) // bands
     hashed = shingle_hash_frame(df, text, id_col, n)
-    sig_df = hashed.select(
-        F.col(id_col), signature_from_hashes(F.col("__sh")).alias("__sig")) \
-        .repartition(id_col)
-    sig = F.col("__sig")
-    banded = sig_df.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[
-            F.array_join(F.transform(F.slice(sig, i * r + 1, r),
-                                     lambda x: x.cast("string")), "-")
-            for i in range(bands)
-        ])).alias("band", "band_key"),
-    )
+    if arrow_kernel:
+        banded = _banded_signatures_arrow(hashed, id_col, bands, r)
+    else:
+        sig_df = hashed.select(
+            F.col(id_col),
+            signature_from_hashes(F.col("__sh")).alias("__sig")) \
+            .repartition(id_col)
+        sig = F.col("__sig")
+        banded = sig_df.select(
+            F.col(id_col),
+            F.posexplode(F.array(*[
+                F.array_join(F.transform(F.slice(sig, i * r + 1, r),
+                                         lambda x: x.cast("string")), "-")
+                for i in range(bands)
+            ])).alias("band", "band_key"),
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right,

@@ -905,3 +905,17 @@ def test_dsir_fit_conditional_matches_two_pass(spark):
     fused = dsir_fit_conditional(raw, F.col("doc_id") % 2 == 1,
                                  buckets=64)
     assert fused == two_pass
+
+
+def test_minhash_arrow_kernel_matches_column_path(spark):
+    from benthos_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {'x' if i % 3 else 'y'} zeta "
+             f"eta theta word{i % 5}") for i in range(60)],
+        ["doc_id", "text"])
+    a = {(r.id_a, r.id_b)
+         for r in minhash_lsh_pairs(docs, arrow_kernel=True).collect()}
+    b = {(r.id_a, r.id_b)
+         for r in minhash_lsh_pairs(docs, arrow_kernel=False).collect()}
+    assert a == b and a, "kernel and Column paths must agree (non-empty)"
