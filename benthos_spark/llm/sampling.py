@@ -218,24 +218,31 @@ def dsir_weights(df: DataFrame, logratios: list[int], text: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-document DSIR importance weight: Σ over the doc's
     unigram/bigram stream of the fitted bucket log-ratio (integer
-    micro-nats, exact).  Map-only — the log-ratio table rides along as
-    a plan literal (buckets ≤ 1k ⇒ a few KB), the per-doc weight is a
-    single array fold, and NOTHING shuffles: at 100 TB this is one
-    scan producing (id, weight)."""
-    from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
+    micro-nats, exact; order-free sum ⇒ partition-invariant).
 
+    Shape: explode the gram stream → codegen md5 bucket → plan-literal
+    array lookup → hash-aggregate back onto the id (map-side combine ⇒
+    the shuffle carries ~one (id, long) row per doc per partition).
+    Measured equal to the previous zero-shuffle array-fold at sf1 —
+    gram CONSTRUCTION (word_ngrams' interpreted array_join lambdas)
+    dominates either way — but this form keeps the md5 inside
+    whole-stage codegen and shares the dsir_grams stream shape with
+    the fit, so both stages profile and optimize together.  Docs with
+    an empty gram stream keep weight 0 via the left join."""
     buckets = len(logratios)
     lr = F.array(*[F.lit(v).cast("long") for v in logratios])
-    t = materialize_cols(df.select(F.col(id_col), F.col(text)),
-                         __toks=tokens(F.col(text)))
-    grams = F.filter(
-        F.concat(F.col("__toks"), word_ngrams(F.col("__toks"), 2)),
-        lambda g: g != "")
-    w = F.aggregate(
-        grams, F.lit(0).cast("long"),
-        lambda acc, g: acc + F.element_at(
-            lr, (hash48(g) % buckets).cast("int") + 1))
-    return t.select(F.col(id_col), w.alias("dsir_weight"))
+    contrib = (dsir_grams(df, text, id_col)
+               .select(F.col(id_col),
+                       F.element_at(
+                           lr, (hash48(F.col("g")) % buckets)
+                           .cast("int") + 1).alias("__c"))
+               .groupBy(id_col)
+               .agg(F.sum("__c").alias("dsir_weight")))
+    return (df.select(F.col(id_col))
+            .join(contrib, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("dsir_weight"),
+                               F.lit(0).cast("long")).alias("dsir_weight")))
 
 
 def dsir_select(df: DataFrame, target: DataFrame, k: int,
