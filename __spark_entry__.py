@@ -937,10 +937,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 23. LLM op: n-gram Jaccard near-dup pairs (shingle inverted index).
 # ================================================================
 
-def _sql_shingle_cte() -> str:
+def _sql_shingle_cte(src: str = "documents") -> str:
     """Shingle keys mirroring llm.dedup.shingles_from_token_hashes:
     48-bit md5 token hashes combined arithmetically
-    (fold (acc%P)*8191 + h, mod P), whole-doc fallback under 3 tokens."""
+    (fold (acc%P)*8191 + h, mod P), whole-doc fallback under 3 tokens.
+    `src` is the source relation (the curation oracle re-roots it at a
+    filtered CTE); COALESCE mirrors token_hash_frame's null-text guard."""
     h1, h2, h3 = (_sql_hex12(f"toks[i+{j}]") for j in (1, 2, 3))
     comb = (f"(((({h1} % 1000000007) * 8191 + {h2}) % 1000000007) "
             f"* 8191 + {h3}) % 1000000007")
@@ -948,7 +950,7 @@ def _sql_shingle_cte() -> str:
              f"list_transform(toks, t -> {_sql_hex12('t')})), "
              "(a,b) -> (a * 8191 + b) % 1000000007)")
     return f"""
-t AS (SELECT doc_id, {_sql_toks("text")} AS toks FROM documents),
+t AS (SELECT doc_id, {_sql_toks("COALESCE(text, '')")} AS toks FROM {src}),
 s AS (SELECT doc_id,
              list_distinct(CASE WHEN len(toks) >= 3
                THEN list_transform(range(0, len(toks) - 2), i -> {comb})
@@ -989,7 +991,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     near-dup path: candidates only, never all-pairs).
 # ================================================================
 
-def _sql_minhash_bands(bands: int = 4, rows: int = 4) -> str:
+def _sql_minhash_bands(bands: int = 4, rows: int = 4,
+                       src: str = "documents") -> str:
     from benthos_spark.llm.dedup import MINHASH_PERMS
     sig_terms = ", ".join(
         f"list_min(list_transform(sh, h -> (h * {a} + {b}) % 1000000007))"
@@ -999,7 +1002,7 @@ def _sql_minhash_bands(bands: int = 4, rows: int = 4) -> str:
         "x -> CAST(x AS VARCHAR)), '-')"
         for i in range(bands))
     return f"""
-WITH {_sql_shingle_cte()},
+WITH {_sql_shingle_cte(src)},
 sig AS (SELECT doc_id, [{sig_terms}] AS sig FROM s),
 banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key,
                   unnest(range(0, {bands})) AS band
@@ -1340,7 +1343,7 @@ def _curation_oracle() -> str:
     # stops gate off (require_stops=False below): the fixture corpus is
     # technical word-salad where the English stop list keeps ~nothing
     gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(5))
-    pairs_sql = _sql_minhash_bands().replace("FROM documents)", "FROM q)")
+    pairs_sql = _sql_minhash_bands(src="q")
     return f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text, n_chars, {_sql_toks("text")} AS toks

@@ -68,7 +68,13 @@ def token_hash_frame(df: DataFrame, text: str = "text",
     (id, pos, hash) shuffle for the reassembly."""
     from benthos_spark.llm.text import materialize_cols
     from benthos_spark.operators.scale import ensure_scan_parallelism
-    toks = F.split(F.trim(F.col(text)), r"\s+")
+    # NULL text coalesces to '' BEFORE hashing: otherwise split(null)
+    # propagates a null `th`, the whole-doc fold yields a null shingle,
+    # and the Arrow kernel's np.asarray(..., int64) would hit a
+    # platform-defined NaN cast — the Column and Arrow paths would
+    # disagree on null docs.  With the coalesce no null ever reaches
+    # either kernel and both paths stay bit-identical.
+    toks = F.split(F.trim(F.coalesce(F.col(text), F.lit(""))), r"\s+")
     return materialize_cols(
         ensure_scan_parallelism(df.select(F.col(id_col), F.col(text))),
         th=F.transform(toks, hash48)).select(id_col, "th")
@@ -180,6 +186,27 @@ def _banded_signatures_arrow(hashed: DataFrame, id_col: str,
         gen, schema=f"{id_col} {id_t}, band int, band_key string")
 
 
+def _banded_signatures_column(hashed: DataFrame, id_col: str,
+                              bands: int, r: int) -> DataFrame:
+    """Pure-Column band keys: (id, band, band_key) — same values as the
+    Arrow kernel.  The repartition between shingle-hashing and
+    signature/band projection is a deliberate materialization barrier
+    (see minhash_lsh_pairs docstring)."""
+    sig_df = hashed.select(
+        F.col(id_col),
+        signature_from_hashes(F.col("__sh")).alias("__sig")) \
+        .repartition(id_col)
+    sig = F.col("__sig")
+    return sig_df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[
+            F.array_join(F.transform(F.slice(sig, i * r + 1, r),
+                                     lambda x: x.cast("string")), "-")
+            for i in range(bands)
+        ])).alias("band", "band_key"),
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       bands: int = 4,
@@ -206,19 +233,7 @@ def minhash_lsh_pairs(df: DataFrame, text: str = "text",
     if arrow_kernel:
         banded = _banded_signatures_arrow(hashed, id_col, bands, r)
     else:
-        sig_df = hashed.select(
-            F.col(id_col),
-            signature_from_hashes(F.col("__sh")).alias("__sig")) \
-            .repartition(id_col)
-        sig = F.col("__sig")
-        banded = sig_df.select(
-            F.col(id_col),
-            F.posexplode(F.array(*[
-                F.array_join(F.transform(F.slice(sig, i * r + 1, r),
-                                         lambda x: x.cast("string")), "-")
-                for i in range(bands)
-            ])).alias("band", "band_key"),
-        )
+        banded = _banded_signatures_column(hashed, id_col, bands, r)
     left = banded.alias("l")
     right = banded.alias("r")
     return (left.join(right,

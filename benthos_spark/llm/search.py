@@ -11,9 +11,15 @@ maps onto Spark without any custom index structure:
 - scoring is a broadcast join of the (tiny) query-term frame against the
   pruned postings, then an integer-exact per-(query, doc) sum.
 
-Scale shape at 100 TB: ONE scan of the corpus (tokenize + filter to
-query terms, map-only), one small shuffle of the pruned postings, and a
-per-query top-k window over candidates — no global sort, no all-pairs.
+Scale shape at 100 TB: TWO map-only scans of the corpus — one builds
+the pruned postings, one computes the (N, avgdl) corpus statistics as a
+map-side-combined count/sum.  Two cheap scans are deliberate: folding
+the stats into the postings pass would require materializing an
+O(corpus) per-doc frame (or sentinel rows in the checkpoint), whereas
+scans parallelize for free and the only materialized state stays
+bounded by the query vocabulary.  Then one small shuffle of the pruned
+postings and a per-query top-k window over candidates — no global
+sort, no all-pairs.
 Per-term contributions are integerized to micro-units before the final
 sum, so scores are order-free int64 sums, bit-exact across engines and
 partitionings (the frequency_mass trick).
@@ -56,8 +62,10 @@ def bm25_topk(corpus: DataFrame, queries: list[tuple[str, str]],
     qt = query_terms_frame(spark, queries)
     vocab = sorted({t for _, qtext in queries for t in qtext.split()})
 
-    # one corpus scan: per-doc length + postings pruned to the query
-    # vocabulary (an isin literal filter — pushed below the explode)
+    # postings pruned to the query vocabulary (an isin literal filter —
+    # pushed below the explode); the stats branch below re-scans for
+    # its count/sum — see the module docstring for why two map-only
+    # scans beat materializing an O(corpus) per-doc frame
     toks = corpus.select(F.col(id_col),
                          tokens(F.col(text)).alias("__toks"))
     lengths = toks.select(id_col, F.size("__toks").alias("dl"))

@@ -119,8 +119,9 @@ def bpe_token_count(df: DataFrame, merges: list[tuple[str, str]],
     llm.text (kept as the zero-Python fast path)."""
     import pandas as pd
 
-    schema = (f"{id_col} long, n_bpe_tokens long, bpe_tokens array<string>"
-              if with_tokens else f"{id_col} long, n_bpe_tokens long")
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_t}, n_bpe_tokens long, bpe_tokens array<string>"
+              if with_tokens else f"{id_col} {id_t}, n_bpe_tokens long")
 
     def run(batches):
         for pdf in batches:

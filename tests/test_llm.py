@@ -919,3 +919,32 @@ def test_minhash_arrow_kernel_matches_column_path(spark):
     b = {(r.id_a, r.id_b)
          for r in minhash_lsh_pairs(docs, arrow_kernel=False).collect()}
     assert a == b and a, "kernel and Column paths must agree (non-empty)"
+
+
+def test_minhash_paths_agree_on_null_text(spark):
+    """NULL text coalesces to '' before shingle hashing, so no null
+    reaches either the numpy kernel (NaN→int64 cast) or the Column
+    fold — both paths must produce identical band keys for null docs."""
+    import warnings
+    from benthos_spark.llm.dedup import shingle_hash_frame, \
+        _banded_signatures_arrow, _banded_signatures_column
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "alpha beta gamma delta"),
+         (4, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    hashed = shingle_hash_frame(docs)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        arrow = {(r.doc_id, r.band, r.band_key)
+                 for r in _banded_signatures_arrow(
+                     hashed, "doc_id", bands=4, r=4).collect()}
+    col = {(r.doc_id, r.band, r.band_key)
+           for r in _banded_signatures_column(
+               hashed, "doc_id", bands=4, r=4).collect()}
+    assert arrow == col
+    # the two null docs collide with each other (same '' shingle)
+    keys = {}
+    for d, b, k in arrow:
+        keys.setdefault(d, set()).add((b, k))
+    assert keys[1] == keys[2]
