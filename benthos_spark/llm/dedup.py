@@ -612,7 +612,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
 def exact_substring_pairs(df: DataFrame, text: str = "text",
                           id_col: str = "doc_id", k: int = 20,
-                          max_df: int | None = 16) -> DataFrame:
+                          max_df: int | None = 16,
+                          arrow_kernel: bool = True) -> DataFrame:
     """Exact-substring overlap pairs (the Lee et al. 'Deduplicating
     Training Data' suffix-array family, re-expressed for Spark): two
     documents pair when they share at least one contiguous run of `k`
@@ -627,17 +628,29 @@ def exact_substring_pairs(df: DataFrame, text: str = "text",
     boilerplate would otherwise go quadratic), then one count per
     pair.  Two shuffles total.  With k ≈ 20-50 a shared gram IS a
     long verbatim overlap; hash collisions are the same accepted
-    48-bit risk the decontamination op documents."""
-    from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
-    from benthos_spark.operators.scale import ensure_scan_parallelism
-    toks = materialize_cols(
-        ensure_scan_parallelism(df.select(F.col(id_col), F.col(text))),
-        __toks=tokens(F.col(text)))
-    grams = (toks.select(F.col(id_col),
-                         F.explode(word_ngrams(F.col("__toks"), k))
-                         .alias("g"))
-             .select(F.col(id_col), hash48(F.col("g")).alias("gh"))
-             .distinct())
+    48-bit risk the decontamination op documents.
+
+    arrow_kernel=True (default) builds the distinct per-doc k-gram
+    hashes in one mapInPandas pass (llm.grams.gram_hash_stream with
+    per_doc_distinct) — bit-identical to the Column path AND one fewer
+    shuffle: the per-doc set replaces the `.distinct()` exchange, since
+    mapInPandas never splits a document across batches."""
+    if arrow_kernel:
+        from benthos_spark.llm.grams import gram_hash_stream
+        grams = gram_hash_stream(df, text, id_col, n=k,
+                                 per_doc_distinct=True)
+    else:
+        from benthos_spark.llm.text import materialize_cols, tokens, \
+            word_ngrams
+        from benthos_spark.operators.scale import ensure_scan_parallelism
+        toks = materialize_cols(
+            ensure_scan_parallelism(df.select(F.col(id_col), F.col(text))),
+            __toks=tokens(F.col(text)))
+        grams = (toks.select(F.col(id_col),
+                             F.explode(word_ngrams(F.col("__toks"), k))
+                             .alias("g"))
+                 .select(F.col(id_col), hash48(F.col("g")).alias("gh"))
+                 .distinct())
     posting = (grams.groupBy("gh")
                .agg(F.array_sort(F.collect_list(F.col(id_col)))
                     .alias("ds"))
@@ -656,7 +669,8 @@ def exact_substring_pairs(df: DataFrame, text: str = "text",
 
 def ngram_contamination(train: DataFrame, eval_df: DataFrame,
                         text: str = "text", id_col: str = "doc_id",
-                        n: int = 5) -> DataFrame:
+                        n: int = 5,
+                        arrow_kernel: bool = True) -> DataFrame:
     """Eval-set decontamination (the GPT-3 appendix-C / Llama recipe):
     flag training documents that share any word n-gram with a held-out
     benchmark corpus, so they can be dropped before pretraining.
@@ -667,10 +681,16 @@ def ngram_contamination(train: DataFrame, eval_df: DataFrame,
     100 TB train side is then a map-only scan + broadcast hash
     semi-join: no shuffle of the corpus, filter evaluated at the scan.
     Returns (doc_id, n_shared_grams) for contaminated docs only.
-    """
+
+    arrow_kernel=True (default) hashes grams in one mapInPandas pass
+    per side (llm.grams.gram_hash_stream) — same 48-bit values, no
+    interpreted per-gram lambdas."""
     from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
 
     def gram_hashes(df: DataFrame) -> DataFrame:
+        if arrow_kernel:
+            from benthos_spark.llm.grams import gram_hash_stream
+            return gram_hash_stream(df, text, id_col, n=n)
         toks = materialize_cols(df.select(F.col(id_col), F.col(text)),
                                 __toks=tokens(F.col(text)))
         return (toks.select(
@@ -888,12 +908,21 @@ def bloom_positions(gram: Column, m: int, k: int) -> Column:
 
 
 def bloom_build(reference: DataFrame, text: str = "text",
-                n: int = 5, m: int = 1 << 18, k: int = 3) -> DataFrame:
+                n: int = 5, m: int = 1 << 18, k: int = 3,
+                arrow_kernel: bool = True) -> DataFrame:
     """Build the Bloom set from a reference corpus: the DISTINCT bit
     positions of every word n-gram.  ≤ m rows regardless of reference
     size — the membership structure is space-bounded by construction
     (that's the point of a Bloom filter), so it broadcasts at ≤ 8·m
-    bytes even for a reference of billions of grams."""
+    bytes even for a reference of billions of grams.
+
+    arrow_kernel=True (default) computes grams + the k salted hashes in
+    one mapInPandas pass with per-batch position dedup
+    (llm.grams.bloom_position_stream) — the final distinct shuffles
+    ≤ m rows per batch instead of the k·grams stream."""
+    if arrow_kernel:
+        from benthos_spark.llm.grams import bloom_position_stream
+        return bloom_position_stream(reference, text, n, m, k)
     from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
 
     t = materialize_cols(reference.select(F.col(text)),
@@ -907,7 +936,7 @@ def bloom_build(reference: DataFrame, text: str = "text",
 def bloom_contaminated(corpus: DataFrame, reference: DataFrame,
                        text: str = "text", id_col: str = "doc_id",
                        n: int = 5, m: int = 1 << 18,
-                       k: int = 3) -> DataFrame:
+                       k: int = 3, arrow_kernel: bool = True) -> DataFrame:
     """Approximate decontamination via a Bloom filter: flag corpus
     documents with any word n-gram whose k bloom bits are ALL set by
     the reference corpus (false positives at the classic
@@ -916,14 +945,28 @@ def bloom_contaminated(corpus: DataFrame, reference: DataFrame,
     Use over `ngram_contamination` when the reference gram set is too
     large to broadcast exactly: the bloom set is capped at m positions
     (m = 2^18 → 2 MB broadcast) no matter how many grams the
-    reference holds.  Scale shape: corpus side is a map-only scan
-    (explode grams → positions) + one BROADCAST semi-join + a per-doc
-    hash-agg; the 100 TB corpus never shuffles.
+    reference holds.  Scale shape: corpus side is a map-only scan —
+    the 100 TB corpus never shuffles.
+
+    arrow_kernel=True (default) collects the ≤ m bloom positions to the
+    driver (bounded by the filter width by construction — the same
+    argument as the IVF centroid literals) and broadcasts them as a
+    Python frozenset into ONE mapInPandas pass that builds grams,
+    hashes the k probes, and counts flagged grams per doc
+    (llm.grams.bloom_flag_counts) — no explode, no join, no per-doc
+    hash-agg; only flagged docs are even emitted.  The Column fallback
+    keeps the explode → broadcast-semi-join → two-hash-agg plan.
 
     Returns (id_col, n_flagged_grams) for flagged docs only."""
+    bloom = bloom_build(reference, text, n, m, k,
+                        arrow_kernel=arrow_kernel)
+    if arrow_kernel:
+        from benthos_spark.llm.grams import bloom_flag_counts
+        pos = frozenset(r["pos"] for r in bloom.collect())
+        bc = corpus.sparkSession.sparkContext.broadcast(pos)
+        return bloom_flag_counts(corpus, bc, text, id_col, n, m, k)
     from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
 
-    bloom = bloom_build(reference, text, n, m, k)
     t = materialize_cols(corpus.select(F.col(id_col), F.col(text)),
                          __toks=tokens(F.col(text)))
     probes = (t.select(

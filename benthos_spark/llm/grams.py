@@ -145,7 +145,6 @@ def dsir_bucket_hist(df: DataFrame, buckets: int, text: str = "text",
 
     With `cond` (a boolean Column), also returns tn = count over rows
     where cond holds (the single-scan conditional fit)."""
-    cols = [id_col, text]
     src = df.select(F.col(id_col), F.col(text),
                     *( [cond.alias("__is_t")] if cond is not None else []))
     from benthos_spark.operators.scale import ensure_scan_parallelism
@@ -160,12 +159,15 @@ def dsir_bucket_hist(df: DataFrame, buckets: int, text: str = "text",
         for pdf in batches:
             rn = [0] * buckets
             tn = [0] * buckets if with_cond else None
-            flags = pdf["__is_t"] if with_cond else None
+            # null cond ≡ false (the Column path's sum(cast) skips nulls);
+            # x != x guards float-NaN from Arrow's nullable-bool transfer
+            flags = ([bool(x) if x is not None and x == x else False
+                      for x in pdf["__is_t"]] if with_cond else None)
             for k, t in enumerate(pdf[text]):
                 tk = _toks(t)
                 if tk is None:
                     continue
-                is_t = bool(flags.iloc[k]) if with_cond else False
+                is_t = flags[k] if with_cond else False
                 for g in _dsir_doc_grams(tk):
                     b = h(g) % buckets
                     rn[b] += 1
@@ -288,14 +290,24 @@ def bloom_flag_counts(corpus: DataFrame, bloom_set: "object",
         import pandas as pd
         h = _hash_memo()
         bs = bloom_set.value if hasattr(bloom_set, "value") else bloom_set
+        salts = [f"bl{i}#" for i in range(k)]
         for pdf in batches:
             ids, ns = [], []
             for i, t in zip(pdf[id_col], pdf[text]):
                 tk = _toks(t)
                 if tk is None or len(tk) < n:
                     continue
-                c = sum(1 for ps in _bloom_doc_positions(tk, n, m, k, h)
-                        if all(p in bs for p in ps))
+                c = 0
+                for j in range(len(tk) - n + 1):
+                    g = " ".join(tk[j:j + n])
+                    # probe-by-probe with early exit: a clean gram
+                    # usually misses on the FIRST probe, skipping the
+                    # remaining k-1 salted hashes entirely
+                    for s in salts:
+                        if h(s + g) % m not in bs:
+                            break
+                    else:
+                        c += 1
                 if c:
                     ids.append(i)
                     ns.append(c)

@@ -183,7 +183,8 @@ def dsir_grams(df: DataFrame, text: str = "text",
 
 def dsir_fit(target: DataFrame, raw: DataFrame, text: str = "text",
              id_col: str = "doc_id", buckets: int = 256,
-             smoothing: float = 0.5) -> list[int]:
+             smoothing: float = 0.5,
+             arrow_kernel: bool = True) -> list[int]:
     """Fit DSIR importance log-ratios: hash every unigram/bigram of the
     target sample and the raw corpus into `buckets` buckets, Laplace-
     smooth both distributions, and return per-bucket
@@ -194,10 +195,18 @@ def dsir_fit(target: DataFrame, raw: DataFrame, text: str = "text",
     trick as frequency_mass).  Scale shape: two map-side-combined
     hash aggregations producing `buckets` rows each; the collect is
     bounded by `buckets` (driver-side cost is O(256), not O(corpus)).
-    """
+
+    arrow_kernel=True (default) builds+hashes grams in one mapInPandas
+    pass with a per-batch histogram (llm.grams.dsir_bucket_hist) —
+    bit-identical to the Column path (llm/grams.py docstring contract),
+    without word_ngrams' interpreted per-gram lambdas."""
     import math
 
     def bucket_counts(df_: DataFrame) -> dict[int, int]:
+        if arrow_kernel:
+            from benthos_spark.llm.grams import dsir_bucket_hist
+            rows = dsir_bucket_hist(df_, buckets, text, id_col).collect()
+            return {int(r["b"]): int(r["rn"]) for r in rows if r["rn"]}
         rows = (dsir_grams(df_, text, id_col)
                 .select((hash48(F.col("g")) % buckets).alias("b"))
                 .groupBy("b").agg(F.count("*").alias("n")).collect())
@@ -215,7 +224,8 @@ def dsir_fit(target: DataFrame, raw: DataFrame, text: str = "text",
 
 
 def dsir_weights(df: DataFrame, logratios: list[int], text: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 arrow_kernel: bool = True) -> DataFrame:
     """Per-document DSIR importance weight: Σ over the doc's
     unigram/bigram stream of the fitted bucket log-ratio (integer
     micro-nats, exact; order-free sum ⇒ partition-invariant).
@@ -228,7 +238,16 @@ def dsir_weights(df: DataFrame, logratios: list[int], text: str = "text",
     dominates either way — but this form keeps the md5 inside
     whole-stage codegen and shares the dsir_grams stream shape with
     the fit, so both stages profile and optimize together.  Docs with
-    an empty gram stream keep weight 0 via the left join."""
+    an empty gram stream keep weight 0 via the left join.
+
+    arrow_kernel=True (default) computes the whole per-doc sum inside
+    one mapInPandas pass (llm.grams.dsir_weight_stream): map-only, one
+    output row per document, NO shuffle at all — Python int sums are
+    exact, so the weights are bit-identical to the Column path's
+    order-free int64 aggregation."""
+    if arrow_kernel:
+        from benthos_spark.llm.grams import dsir_weight_stream
+        return dsir_weight_stream(df, logratios, text, id_col)
     buckets = len(logratios)
     lr = F.array(*[F.lit(v).cast("long") for v in logratios])
     contrib = (dsir_grams(df, text, id_col)
@@ -267,21 +286,32 @@ def dsir_select(df: DataFrame, target: DataFrame, k: int,
 def dsir_fit_conditional(raw: DataFrame, target_cond: Column,
                          text: str = "text", id_col: str = "doc_id",
                          buckets: int = 256,
-                         smoothing: float = 0.5) -> list[int]:
+                         smoothing: float = 0.5,
+                         arrow_kernel: bool = True) -> list[int]:
     """`dsir_fit` when the target sample is a PREDICATE over the raw
     corpus (the common case — "docs like the wiki slice"): both bucket
     histograms come out of ONE scan via a conditional aggregate,
     halving the fit cost at 100 TB.  Same integer micro-nat output as
-    dsir_fit, bit-identical when target ≡ raw.filter(target_cond)."""
+    dsir_fit, bit-identical when target ≡ raw.filter(target_cond).
+
+    arrow_kernel=True routes the scan through the batched-histogram
+    kernel (llm.grams.dsir_bucket_hist with cond) — same two counters,
+    no interpreted gram lambdas."""
     import math
 
-    rows = (dsir_grams(raw.withColumn("__is_t", target_cond),
-                       text, id_col, extra_cols=("__is_t",))
-            .select((hash48(F.col("g")) % buckets).alias("b"), "__is_t")
-            .groupBy("b")
-            .agg(F.count("*").alias("rn"),
-                 F.sum(F.col("__is_t").cast("long")).alias("tn"))
-            .collect())
+    if arrow_kernel:
+        from benthos_spark.llm.grams import dsir_bucket_hist
+        rows = dsir_bucket_hist(raw, buckets, text, id_col,
+                                cond=target_cond).collect()
+    else:
+        rows = (dsir_grams(raw.withColumn("__is_t", target_cond),
+                           text, id_col, extra_cols=("__is_t",))
+                .select((hash48(F.col("g")) % buckets).alias("b"),
+                        "__is_t")
+                .groupBy("b")
+                .agg(F.count("*").alias("rn"),
+                     F.sum(F.col("__is_t").cast("long")).alias("tn"))
+                .collect())
     ct = {int(r["b"]): int(r["tn"]) for r in rows}
     cr = {int(r["b"]): int(r["rn"]) for r in rows}
     t_tot = sum(ct.values()) + smoothing * buckets

@@ -531,7 +531,8 @@ def frequency_mass(df: DataFrame, counts: DataFrame | None = None,
 
 def bigram_lm_score(df: DataFrame, text: str = "text",
                     id_col: str = "doc_id",
-                    lam: float = 0.5) -> DataFrame:
+                    lam: float = 0.5,
+                    arrow_kernel: bool = True) -> DataFrame:
     """Interpolated bigram language-model likelihood per document (the
     KenLM-style fluency signal of a CCNet-ish quality pipeline,
     integer-exact):
@@ -551,14 +552,24 @@ def bigram_lm_score(df: DataFrame, text: str = "text",
     Scale shape: two wordcount shuffles (unigrams, bigrams) build the
     LM; scoring joins the token stream against both tables (broadcast
     when the vocab fits — the same head-vocab assumption as
-    frequency_mass) and re-aggregates once on doc id."""
+    frequency_mass) and re-aggregates once on doc id.
+
+    arrow_kernel=True (default) builds the bigram count table in one
+    mapInPandas pass with per-batch Counter pre-aggregation
+    (llm.grams.bigram_partial_counts): same (bg, nbg) table, but the
+    shuffle carries one row per distinct bigram per batch instead of
+    the full exploded stream, and no interpreted gram lambdas run."""
     toks_df = materialize_cols(df.select(F.col(id_col), F.col(text)),
                                __toks=tokens(F.col(text)))
     c1 = unigram_counts(df, text)
     tot = c1.agg(F.sum("n").alias("__T"))
-    c2 = (toks_df.select(
-        F.explode(word_ngrams(F.col("__toks"), 2)).alias("bg"))
-        .groupBy("bg").agg(F.count("*").alias("nbg")))
+    if arrow_kernel:
+        from benthos_spark.llm.grams import bigram_partial_counts
+        c2 = bigram_partial_counts(df, text)
+    else:
+        c2 = (toks_df.select(
+            F.explode(word_ngrams(F.col("__toks"), 2)).alias("bg"))
+            .groupBy("bg").agg(F.count("*").alias("nbg")))
 
     # token stream with the previous token riding along (null at pos 1)
     tf_df = materialize_cols(toks_df, __tf=F.filter(F.col("__toks"),

@@ -948,3 +948,95 @@ def test_minhash_paths_agree_on_null_text(spark):
     for d, b, k in arrow:
         keys.setdefault(d, set()).add((b, k))
     assert keys[1] == keys[2]
+
+
+# ------------------------------------------------- gram kernel parity
+# The Arrow gram kernels (llm/grams.py) must be bit-identical to the
+# Column word_ngrams paths on every edge the tokenizer contract names:
+# null text, empty text, leading/trailing tabs (empty tokens!), runs of
+# whitespace, unicode words, unicode whitespace (NOT split — Java \s is
+# ASCII), and docs shorter than n.
+
+def _tricky_docs(spark):
+    return spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "\talpha"), (5, "beta\t"),
+         (6, "alpha  beta\tgamma"), (7, "héllo wörld héllo wörld héllo"),
+         (8, "x y"), (9, "one"), (10, "a b c d e f g a b c d e f"),
+         (11, "a\nb\x0bc\x0cd\re f"), (12, "dup dup dup dup dup dup")],
+        "doc_id long, text string")
+
+
+def test_gram_hash_stream_matches_column_path(spark):
+    from benthos_spark.llm.grams import gram_hash_stream
+    from benthos_spark.llm.text import materialize_cols, tokens, word_ngrams
+    from benthos_spark.llm.dedup import hash48
+    from collections import Counter
+    docs = _tricky_docs(spark)
+    for n in (2, 5):
+        toks = materialize_cols(docs, __toks=tokens(F.col("text")))
+        col = Counter((r.doc_id, r.gh) for r in toks.select(
+            "doc_id", F.explode(word_ngrams(F.col("__toks"), n)).alias("g"))
+            .select("doc_id", hash48(F.col("g")).alias("gh")).collect())
+        ker = Counter((r.doc_id, r.gh) for r in
+                      gram_hash_stream(docs, n=n).collect())
+        assert ker == col and ker, f"n={n}"
+    # per_doc_distinct ≡ .distinct()
+    dis = {(r.doc_id, r.gh) for r in
+           gram_hash_stream(docs, n=2, per_doc_distinct=True).collect()}
+    assert dis == set(Counter((r.doc_id, r.gh) for r in
+                      gram_hash_stream(docs, n=2).collect()))
+
+
+def test_dsir_kernel_matches_column_path(spark):
+    from benthos_spark.llm.sampling import (dsir_fit, dsir_weights,
+                                            dsir_fit_conditional)
+    docs = _tricky_docs(spark)
+    target = docs.filter(F.col("doc_id") >= 7)
+    lr_a = dsir_fit(target, docs, buckets=32)
+    lr_c = dsir_fit(target, docs, buckets=32, arrow_kernel=False)
+    assert lr_a == lr_c
+    wa = {(r.doc_id, r.dsir_weight)
+          for r in dsir_weights(docs, lr_a, "text", "doc_id").collect()}
+    wc = {(r.doc_id, r.dsir_weight)
+          for r in dsir_weights(docs, lr_a, "text", "doc_id",
+                                arrow_kernel=False).collect()}
+    assert wa == wc and len(wa) == 12
+    cond = F.col("doc_id") >= 7
+    assert dsir_fit_conditional(docs, cond, buckets=32) == \
+        dsir_fit_conditional(docs, cond, buckets=32, arrow_kernel=False)
+
+
+def test_bloom_kernel_matches_column_path(spark):
+    from benthos_spark.llm.dedup import bloom_build, bloom_contaminated
+    docs = _tricky_docs(spark)
+    ref = docs.filter(F.col("doc_id").isin(10, 11))
+    a = {r.pos for r in bloom_build(ref, n=3, m=1 << 12).collect()}
+    c = {r.pos for r in bloom_build(ref, n=3, m=1 << 12,
+                                    arrow_kernel=False).collect()}
+    assert a == c and a
+    fa = {(r.doc_id, r.n_flagged_grams) for r in bloom_contaminated(
+        docs, ref, n=3, m=1 << 12).collect()}
+    fc = {(r.doc_id, r.n_flagged_grams) for r in bloom_contaminated(
+        docs, ref, n=3, m=1 << 12, arrow_kernel=False).collect()}
+    assert fa == fc and fa
+
+
+def test_bigram_lm_and_substring_kernels_match_column_path(spark):
+    from benthos_spark.llm.text import bigram_lm_score
+    from benthos_spark.llm.dedup import ngram_contamination, \
+        exact_substring_pairs
+    docs = _tricky_docs(spark)
+    ba = {tuple(r) for r in bigram_lm_score(docs).collect()}
+    bc = {tuple(r) for r in bigram_lm_score(docs,
+                                            arrow_kernel=False).collect()}
+    assert ba == bc and ba
+    ca = {tuple(r) for r in ngram_contamination(
+        docs, docs.filter(F.col("doc_id") == 10), n=3).collect()}
+    cc = {tuple(r) for r in ngram_contamination(
+        docs, docs.filter(F.col("doc_id") == 10), n=3,
+        arrow_kernel=False).collect()}
+    assert ca == cc and ca
+    sa = {tuple(r) for r in exact_substring_pairs(docs, k=3).collect()}
+    sc = {tuple(r) for r in exact_substring_pairs(
+        docs, k=3, arrow_kernel=False).collect()}
+    assert sa == sc
