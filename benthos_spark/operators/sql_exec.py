@@ -14,29 +14,118 @@ Spark-first guidance, in order of preference:
    at-least-once-on-retry contract as the reference's transactions).
 
 The in-container driver is stdlib `sqlite3` (file DSN); the query uses
-`?` placeholders fed from `args_cols`, mirroring the reference's
-`args` interpolation list.  clickhouse/mysql/postgres/mssql need their
-Python client installed on executors — the connect() factory is the
-only thing to swap, and the error message says so.
+the REFERENCE dialect's placeholder style (lib/processor/sql.go:148-156:
+`?` for mysql/clickhouse/sqlite, `$1..$n` for postgres, `@p1..@pN` for
+mssql) fed from `args_cols`, mirroring the reference's `args`
+interpolation list.  prepare_query() translates that style into the
+Python client's DBAPI paramstyle (psycopg2/MySQLdb expect %s), with
+$N/@pN repetition and reordering honored.  clickhouse/mysql/postgres/
+mssql need their client installed on executors — `register_driver()`
+is the one swap point (see README "SQL dialects"); contract doubles in
+tests/test_sql_dialects.py pin the placeholder-binding behavior each
+client will see.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import re
+from typing import Callable, Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Reference dialect → the placeholder style its queries are written in
+# (lib/processor/sql.go:148-156: mysql/clickhouse use ?, postgres $N,
+# mssql @pN) and the DBAPI paramstyle the usual Python client expects
+# (psycopg2/MySQLdb are 'format' (%s), sqlite3/pyodbc are 'qmark').
+_DIALECTS: dict[str, dict] = {
+    "sqlite": {"placeholder": "qmark", "paramstyle": "qmark"},
+    "mysql": {"placeholder": "qmark", "paramstyle": "format"},
+    "clickhouse": {"placeholder": "qmark", "paramstyle": "format"},
+    "postgres": {"placeholder": "dollar", "paramstyle": "format"},
+    "mssql": {"placeholder": "at", "paramstyle": "qmark"},
+}
+
+_DRIVER_FACTORIES: dict[str, Callable[[str], object]] = {}
+
+
+def register_driver(name: str, connect: Callable[[str], object],
+                    paramstyle: str | None = None,
+                    placeholder: str | None = None) -> None:
+    """Plug a DBAPI connect factory for `name` (the production swap
+    the module docstring promises — psycopg2, MySQLdb, clickhouse
+    driver, pyodbc — or a contract double in tests).  `paramstyle`
+    overrides the client's expected style ('qmark' → ?, 'format' →
+    %s); `placeholder` overrides the dialect's query style ('qmark',
+    'dollar' for $N, 'at' for @pN)."""
+    _DRIVER_FACTORIES[name] = connect
+    d = _DIALECTS.setdefault(
+        name, {"placeholder": "qmark", "paramstyle": "qmark"})
+    if paramstyle is not None:
+        d["paramstyle"] = paramstyle
+    if placeholder is not None:
+        d["placeholder"] = placeholder
+
 
 def _connect(driver: str, dsn: str):
+    if driver in _DRIVER_FACTORIES:
+        return _DRIVER_FACTORIES[driver](dsn)
     if driver == "sqlite":
         import sqlite3
         con = sqlite3.connect(dsn, timeout=60.0)
         return con
     raise NotImplementedError(
         f"sql driver {driver!r}: install the client package on executors "
-        "and extend _connect(); for key-lookup SELECTs prefer a JDBC "
+        "and register_driver(); for key-lookup SELECTs prefer a JDBC "
         "read + broadcast join (operators.joins.cache_lookup_join)")
+
+
+# split on single-quoted SQL string literals ('' escapes included) so
+# placeholder rewriting never touches quoted text
+_SQL_CHUNKS = re.compile(r"('(?:[^']|'')*')")
+_DOLLAR = re.compile(r"\$(\d+)")
+_ATP = re.compile(r"@p(\d+)", re.IGNORECASE)
+
+
+def prepare_query(query: str, driver: str) -> tuple[str, list[int]]:
+    """Translate the reference dialect's placeholder style into the
+    Python client's paramstyle.
+
+    Returns (client_query, order): `order[i]` is the 0-based index into
+    the reference `args` list for the i-th client placeholder — $N/@pN
+    styles may repeat and reorder args ($2 … $1 … $1), qmark is always
+    positional.  Quoted string literals pass through untouched.  When
+    no translation is needed (qmark query, qmark client — sqlite),
+    order is None and the args tuple passes through unchanged, so the
+    client still sees a count mismatch as an error."""
+    d = _DIALECTS.get(driver, {"placeholder": "qmark",
+                               "paramstyle": "qmark"})
+    if d["placeholder"] == "qmark" and d["paramstyle"] == "qmark":
+        return query, None
+    mark = "?" if d["paramstyle"] == "qmark" else "%s"
+    order: list[int] = []
+    out: list[str] = []
+    for i, chunk in enumerate(_SQL_CHUNKS.split(query)):
+        if i % 2 == 1:  # a quoted literal
+            out.append(chunk)
+            continue
+        if d["placeholder"] == "qmark":
+            parts = chunk.split("?")
+            for j, p in enumerate(parts):
+                out.append(p)
+                if j < len(parts) - 1:
+                    order.append(len(order))
+                    out.append(mark)
+        else:
+            pat = _DOLLAR if d["placeholder"] == "dollar" else _ATP
+            pos = 0
+            for mt in pat.finditer(chunk):
+                out.append(chunk[pos:mt.start()])
+                order.append(int(mt.group(1)) - 1)
+                out.append(mark)
+                pos = mt.end()
+            out.append(chunk[pos:])
+    return "".join(out), order
 
 
 def sql_query(df: DataFrame, dsn: str, query: str,
@@ -66,12 +155,17 @@ def sql_query(df: DataFrame, dsn: str, query: str,
     if "_error" not in in_cols:
         schema += ", `_error` string"
 
+    client_query, arg_order = prepare_query(query, driver)
+    # resolve a registered factory NOW (driver side): the closure ships
+    # it to the Python workers, where the module registry is fresh
+    factory = _DRIVER_FACTORIES.get(driver)
+
     def run(batches: Iterator) -> Iterator:
         import json
 
         import pandas as pd
 
-        con = _connect(driver, dsn)
+        con = factory(dsn) if factory is not None else _connect(driver, dsn)
         try:
             cur = con.cursor()
             for pdf in batches:
@@ -86,9 +180,11 @@ def sql_query(df: DataFrame, dsn: str, query: str,
                     return v
 
                 for i in range(len(pdf)):
-                    args = tuple(native(pdf[a].iloc[i]) for a in arg_names)
+                    vals = [native(pdf[a].iloc[i]) for a in arg_names]
                     try:
-                        cur.execute(query, args)
+                        args = (tuple(vals) if arg_order is None
+                                else tuple(vals[j] for j in arg_order))
+                        cur.execute(client_query, args)
                         if result_codec == "json_array":
                             cols = [d[0] for d in cur.description or []]
                             rows = cur.fetchall() if cols else []
