@@ -2547,14 +2547,44 @@ def mapping_is_recursive(mapping: ast.Mapping) -> bool:
     return any(cyclic(n, set()) for n in graph)
 
 
-def mapping_needs_dynamic(mapping: ast.Mapping) -> bool:
-    """True when the mapping uses constructs only the dynamic-document
-    interpreter expresses faithfully: recursive named maps,
+class InterpFallbackWarning(UserWarning):
+    """A Bloblang mapping routed to the per-document interpreter
+    (map_dynamic) instead of the columnar codegen path.  Fine for v3
+    legacy configs; a silent 100 TB foot-gun if a HOT mapping falls
+    back unnoticed — the interpreter is Arrow-batched Python, not
+    whole-stage codegen.  The warning (and the matching counter in
+    INTERP_FALLBACK_COUNTS, keyed by the forcing construct) names what
+    to rewrite."""
+
+
+# compile-time telemetry: reason → count of mappings that forced the
+# dynamic interpreter.  Exported via stream metrics as
+# `interp_fallback{reason=...}` so a production pipeline can alert on
+# hot-path fallbacks (VERDICT r4 ask #6).
+from collections import Counter as _Counter
+
+INTERP_FALLBACK_COUNTS: "_Counter[str]" = _Counter()
+
+
+def _note_dynamic_fallback(reason: str, warn: bool = True) -> None:
+    import warnings
+    INTERP_FALLBACK_COUNTS[reason] += 1
+    if warn:
+        warnings.warn(
+            f"bloblang mapping falls back to the per-document "
+            f"interpreter (Arrow-batched Python, not codegen): {reason}. "
+            f"On a hot path, rewrite the forcing construct to keep the "
+            f"columnar plan.", InterpFallbackWarning, stacklevel=3)
+
+
+def dynamic_reason(mapping: ast.Mapping) -> str | None:
+    """The construct that forces the dynamic-document interpreter, or
+    None when the mapping compiles columnar: recursive named maps,
     `collapse(true)` (heterogeneous empty values in one map), and
     `map_each_key` with nothing()-passthrough keys (keys aren't static
     columns)."""
     if mapping_is_recursive(mapping):
-        return True
+        return "recursive named maps (.apply cycle)"
     for st in mapping.statements:
         for n in _walk_ast(st):
             if not isinstance(n, ast.Method):
@@ -2562,17 +2592,23 @@ def mapping_needs_dynamic(mapping: ast.Mapping) -> bool:
             if (n.name == "collapse" and n.args
                     and isinstance(n.args[0], ast.Literal)
                     and n.args[0].value is True):
-                return True
+                return "collapse(true)"
             if n.name == "map_each_key" and n.args:
                 lam = n.args[0]
                 body = lam.body if isinstance(lam, ast.Lambda) else lam
                 if (isinstance(body, ast.IfExpr)
                         and body.otherwise is None):
-                    return True
+                    return "map_each_key with nothing()-passthrough keys"
                 if any(isinstance(x, ast.FuncCall) and x.name == "nothing"
                        for x in _walk_ast(body)):
-                    return True
-    return False
+                    return "map_each_key with nothing()-passthrough keys"
+    return None
+
+
+def mapping_needs_dynamic(mapping: ast.Mapping) -> bool:
+    """True when the mapping uses constructs only the dynamic-document
+    interpreter expresses faithfully — see dynamic_reason."""
+    return dynamic_reason(mapping) is not None
 
 
 def map_dynamic(df: DataFrame, src: str,
@@ -2727,13 +2763,20 @@ def map_text(df: DataFrame, src: str, this: Column | None = None,
     """
     mapping = parse_mapping(src, base_dir=base_dir)
     pure_message = this is None and is_pure_message(df)
-    if "content" in df.columns and (pure_message
-                                    or mapping_needs_dynamic(mapping)):
+    reason = dynamic_reason(mapping) if "content" in df.columns else None
+    if "content" in df.columns and (pure_message or reason is not None):
         # a pure message-doctrine frame has no row model: `this` is the
         # parsed content, root rewrites content, meta is the map column
         # (mapping/executor.go MapPart) — the dynamic interpreter is
         # the only faithful path.  Frames mixing content with extracted
         # typed columns keep the columnar fast path below.
+        if reason is not None:
+            # a mapping-forced fallback is the one worth warning about;
+            # the pure message doctrine is the frame's normal v3 shape
+            _note_dynamic_fallback(reason)
+        else:
+            _note_dynamic_fallback("pure message-doctrine frame",
+                                   warn=False)
         return map_dynamic(df, src, base_dir=base_dir)
     try:
         return MappingExec(mapping, src).apply(df, this=this, keep=keep)
@@ -2751,5 +2794,7 @@ def map_text(df: DataFrame, src: str, this: Column | None = None,
             # (`this` provided or not: on message-shaped frames the
             # document IS the content, so the interpreter sees the
             # same values)
+            _note_dynamic_fallback(
+                f"columnar compile failure: {type(e).__name__}: {e}")
             return map_dynamic(df, src, base_dir=base_dir)
         raise

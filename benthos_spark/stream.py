@@ -2027,6 +2027,9 @@ def _flush_metrics(ctx: dict, out: DataFrame | None) -> None:
             metrics.update(obs.get)
         except Exception:
             pass  # plan never executed (e.g. streaming) → no value
+    from benthos_spark.bloblang.compiler import INTERP_FALLBACK_COUNTS
+    for reason, n in INTERP_FALLBACK_COUNTS.items():
+        metrics[f"interp_fallback{{reason={reason!r}}}"] = n
     exp.publish(metrics)
 
 
