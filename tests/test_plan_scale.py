@@ -140,3 +140,52 @@ def test_ensure_scan_parallelism_floor_and_noop(spark, tmp_path):
 
     wide = spark.range(0, 1000, numPartitions=64)
     assert ensure_scan_parallelism(wide) is wide
+
+
+# ---- TPC-H flagship plan shapes (VERDICT r4 ask #8): pin the COVERAGE
+# claims so a Spark upgrade or refactor can't silently regress them.
+
+def test_q19_pushes_bounds_to_both_scans_zero_shuffle(spark, sf_dir):
+    """COVERAGE claim: the three-branch brand/size/quantity disjunction
+    derives bounds that Catalyst pushes to BOTH scans; zero shuffles."""
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # lineitem scan carries the derived quantity envelope …
+    li = next(l for l in plan.splitlines()
+              if "FileScan" in l and "l_quantity" in l)
+    assert "l_quantity" in li and (">= 1.0" in li or "GreaterThanOrEqual"
+                                   in li)
+    # … and the part scan carries the brand/size disjunction bounds
+    pt = next(l for l in plan.splitlines()
+              if "FileScan" in l and "p_brand" in l)
+    assert "p_size" in pt and "p_brand" in pt
+
+
+def test_q21_single_fact_aggregate_all_broadcast(spark, sf_dir):
+    """COVERAGE claim: the EXISTS/NOT-EXISTS pair is decorrelated into
+    ONE per-order aggregate (n_supp>=2 AND r_supp=1) — no correlated
+    re-probes of the fact, every join a broadcast."""
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    # exactly: per-(order,supp) agg, per-order agg, final s_name agg
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "partial_count" in plan          # map-side combine everywhere
+    # the R-flag and F-status filters reach their scans
+    assert any("l_returnflag" in l and "= R" in l
+               for l in plan.splitlines() if "FileScan" in l)
+    assert any("o_orderstatus" in l and "= F" in l
+               for l in plan.splitlines() if "FileScan" in l)
+
+
+def test_q9_single_shuffle_all_dims_broadcast(spark, sf_dir):
+    """COVERAGE claim: LIKE-filtered part + supplier→nation broadcast;
+    the ONLY hash shuffle is the final (nation, year) groupBy."""
+    plan = plan_of(spark, sf_dir, "q9_product_profit")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # the LIKE('%bolt%') prunes part BEFORE the join, at the scan
+    assert any("p_name" in l and "bolt" in l
+               for l in plan.splitlines() if "FileScan" in l)
