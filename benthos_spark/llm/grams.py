@@ -314,3 +314,58 @@ def bloom_flag_counts(corpus: DataFrame, bloom_set: "object",
             yield pd.DataFrame({id_col: ids, "n_flagged_grams": ns})
 
     return _prepared(corpus, [id_col, text]).mapInPandas(run, schema=schema)
+
+
+# ------------------------------------------------------- repetition
+
+def repetition_stats(df: DataFrame, text: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, dup_line_frac, top_2gram_frac, top_3gram_frac): the Gopher
+    repetition signals computed per document INSIDE the kernel — zero
+    shuffle (the Column path needs explode → two hash-aggregates →
+    pivot → join back).
+
+    Bit-exactness: rounding matches Spark's round(x, 6) exactly via
+    Decimal HALF_UP on the double's decimal expansion (Python round()
+    is banker's — NOT equivalent); fractions are single IEEE divisions
+    of exact integer counts, identical on both engines."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    schema = (f"{id_col} {_id_type(df, id_col)}, dup_line_frac double, "
+              "top_2gram_frac double, top_3gram_frac double")
+    _Q = Decimal("0.000001")
+
+    def r6(x: float) -> float:
+        return float(Decimal(x).quantize(_Q, rounding=ROUND_HALF_UP))
+
+    def top_frac(tk: list[str], n: int) -> float:
+        from collections import Counter
+        total = len(tk) - n + 1
+        if total <= 0:
+            return 0.0
+        c = Counter(" ".join(tk[j:j + n]) for j in range(total))
+        return r6(max(c.values()) / total)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            dup, t2, t3 = [], [], []
+            for t in pdf[text]:
+                if t is None:
+                    dup.append(0.0)
+                    t2.append(0.0)
+                    t3.append(0.0)
+                    continue
+                lines = [l for l in (x.strip(" ") for x in t.split("\n"))
+                         if l != ""]
+                dup.append(r6(1.0 - len(set(lines)) / len(lines))
+                           if lines else 0.0)
+                tk = _toks(t)
+                t2.append(top_frac(tk, 2))
+                t3.append(top_frac(tk, 3))
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "dup_line_frac": dup,
+                                "top_2gram_frac": t2,
+                                "top_3gram_frac": t3})
+
+    return _prepared(df, [id_col, text]).mapInPandas(run, schema=schema)

@@ -275,8 +275,15 @@ def pii_counts(text: Column) -> dict[str, Column]:
 # per-row arrays, zero shuffle — so at 100 TB they cost one scan.
 
 def nonempty_lines(text: Column) -> Column:
-    """Trimmed non-empty lines of the document."""
-    return F.filter(F.transform(F.split(text, "\n"), F.trim),
+    """Trimmed non-empty lines of the document.
+
+    nb: `lambda l: F.trim(l)`, NOT bare `F.trim` — F.trim's Python
+    signature has an optional second param (the trim string), so
+    F.transform would take it as the (element, index) overload and
+    silently pass the array INDEX as the trim string (no trimming at
+    all; caught by the repetition-kernel parity test)."""
+    return F.filter(F.transform(F.split(text, "\n"),
+                                lambda l: F.trim(l)),
                     lambda l: l != "")
 
 
@@ -357,19 +364,27 @@ def top_ngram_frac(text: Column, n: int) -> Column:
 
 
 def repetition_signals(df: DataFrame, text: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       arrow_kernel: bool = True) -> DataFrame:
     """(id, dup_line_frac, top_2gram_frac, top_3gram_frac) — the
     standard repetition-based quality gate for pre-training corpora.
 
-    Plan shape: dup_line_frac stays map-only (array_distinct is a
-    native collection op); the n-gram mode counts go through
-    explode → partial-agg count → per-doc max/sum → pivot.  The
-    doc_id-keyed shuffles carry (doc_id, n, gram) with map-side
+    arrow_kernel=True (default) computes all three signals per document
+    inside one mapInPandas pass (llm.grams.repetition_stats) — ZERO
+    shuffle, bit-identical (Decimal HALF_UP matches Spark's round).
+
+    Column fallback plan shape: dup_line_frac stays map-only
+    (array_distinct is a native collection op); the n-gram mode counts
+    go through explode → partial-agg count → per-doc max/sum → pivot.
+    The doc_id-keyed shuffles carry (doc_id, n, gram) with map-side
     combine collapsing repeated grams — repetitive docs (the ones this
     op exists to catch) shrink the most.  Measured 11× faster than the
     per-row sort+fold alternative at sf0.1 (codegen vs interpreted
-    lambdas); at larger scale group on md5(gram) to fix the shuffle key
-    width if gram strings are long."""
+    lambdas) — and the kernel beats both by dropping the shuffles
+    entirely."""
+    if arrow_kernel:
+        from benthos_spark.llm.grams import repetition_stats
+        return repetition_stats(df, text, id_col)
     from benthos_spark.operators.scale import ensure_scan_parallelism
     t = F.col(text)
     base = materialize_cols(

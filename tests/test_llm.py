@@ -1040,3 +1040,15 @@ def test_bigram_lm_and_substring_kernels_match_column_path(spark):
     sc = {tuple(r) for r in exact_substring_pairs(
         docs, k=3, arrow_kernel=False).collect()}
     assert sa == sc
+
+
+def test_repetition_kernel_matches_column_path(spark):
+    from benthos_spark.llm.text import repetition_signals
+    docs = _tricky_docs(spark).union(spark.createDataFrame(
+        [(20, "x\n x \nx\n\n  \ny"), (21, "a b a b a b a b"),
+         (22, "w\nw\nw"), (23, "p q r p q r p q")],
+        "doc_id long, text string"))
+    a = {tuple(r) for r in repetition_signals(docs).collect()}
+    c = {tuple(r) for r in repetition_signals(
+        docs, arrow_kernel=False).collect()}
+    assert a == c and len(a) == 16
