@@ -960,10 +960,15 @@ s AS (SELECT doc_id,
 
 @_register("dedup_ngram_jaccard", oracle=f"""
 WITH {_sql_shingle_cte()},
+-- scale-invariant stop-shingle cap: greatest(64, ceil(0.00128·n_docs))
+-- — 64 up to 50k docs (bit-identical to the old fixed guard at the
+-- test scales), fraction-of-corpus beyond (IR stop-word framing)
+cap AS (SELECT GREATEST(64, CAST(ceil(0.00128 * COUNT(*)) AS BIGINT))
+               AS v FROM documents),
 e AS (SELECT doc_id, unnest(sh) AS sh1, len(sh) AS n_sh FROM s),
 dfreq AS (SELECT sh1, COUNT(*) AS c FROM e GROUP BY 1),
 hotdoc AS (SELECT doc_id, COUNT(*) AS nhot FROM e JOIN dfreq USING (sh1)
-           WHERE c > 64 GROUP BY 1),
+           WHERE c > (SELECT v FROM cap) GROUP BY 1),
 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.n_sh - COALESCE(ha.nhot, 0) AS na,
              b.n_sh - COALESCE(hb.nhot, 0) AS nb,
@@ -972,7 +977,7 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            JOIN dfreq f ON f.sh1 = a.sh1
            LEFT JOIN hotdoc ha ON ha.doc_id = a.doc_id
            LEFT JOIN hotdoc hb ON hb.doc_id = b.doc_id
-      WHERE f.c <= 64
+      WHERE f.c <= (SELECT v FROM cap)
       GROUP BY 1, 2, 3, 4)
 SELECT id_a, id_b,
        round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
@@ -983,7 +988,12 @@ WHERE round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) >= 0.8
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.8, max_df=64)
+    # max_df_frac keeps the guard scale-invariant: the sf3 stress run
+    # showed the fixed max_df=64 guard eating EVERY posting list at 30×
+    # data (0 pairs); 0.00128 ≡ 64/50k docs, so results are unchanged
+    # at the oracle scales and the cutoff grows with the corpus beyond
+    return ngram_jaccard_pairs(docs, threshold=0.8, max_df=64,
+                               max_df_frac=0.00128)
 
 
 # ================================================================

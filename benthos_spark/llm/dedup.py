@@ -248,7 +248,8 @@ def minhash_lsh_pairs(df: DataFrame, text: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
-                        max_df: int | None = 64) -> DataFrame:
+                        max_df: int | None = 64,
+                        max_df_frac: float | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted
     index, POSTING-LIST form: group the exploded shingles by hash,
     collect the (doc, set-size) posting list per shingle, emit the
@@ -269,6 +270,31 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
     otherwise see all its shingles go hot and the cluster vanish.
     `max_df=None` disables the guard.
 
+    `max_df_frac` makes the guard SCALE-INVARIANT: the cutoff becomes
+    greatest(max_df, ceil(frac · n_docs)) — the IR stop-word framing
+    (a shingle is boilerplate when it appears in a FRACTION of the
+    corpus, not a fixed count).  A fixed absolute max_df fails
+    asymptotically: growing the corpus grows every shingle's document
+    frequency, so at some scale every posting list trips the guard and
+    ALL pairs vanish (measured: the sf3 stress corpus returned 0 pairs
+    under max_df=64 while sf1 returned 1953).  The cutoff is computed
+    IN the plan via a one-row broadcast cross of count(*) — no driver
+    action, oracle mirrors it with a scalar subquery.
+
+    KNOWN REGIME LIMIT (measured, SCALE.md §sf3): on a BOUNDED-VOCAB
+    corpus the shingle space saturates as the corpus grows — the
+    synthetic fixture's 31-word vocabulary fills all 31³ trigrams by
+    ~50k docs, after which every shingle's DF is corpus-common (sf3:
+    min DF 228 across all 29791 trigrams) and NO cap choice works:
+    below min-DF the guard drops everything (0 pairs), above it the
+    pair fan-out goes quadratic.  That is signal exhaustion, not a
+    tuning problem — rare-shingle Jaccard has no evidence to use.  For
+    such corpora use minhash_lsh_pairs, which samples the FULL shingle
+    set through the signature instead of relying on rare shingles and
+    keeps finding the planted near-dup clusters at every scale.  Real
+    web/code corpora have unbounded Zipf vocabularies where the
+    fraction guard behaves as intended.
+
     shingle_hash_frame's Generate barrier keeps the shingle subtree
     out of explode() and size(): without it Catalyst inlines the
     interpreted higher-order folds into every consumer (measured 9×
@@ -279,12 +305,21 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
                        F.size("__sh").alias("n_sh"))
     posting = sh.groupBy("sh").agg(
         F.array_sort(F.collect_list(F.struct(id_col, "n_sh"))).alias("ds"))
+    if max_df_frac is not None:
+        nd = df.agg(F.count("*").alias("__nd"))
+        posting = posting.crossJoin(F.broadcast(nd)).withColumn(
+            "__cap", F.greatest(
+                F.lit(int(max_df or 0)),
+                F.ceil(F.col("__nd") * F.lit(max_df_frac)).cast("int")))
     kept = posting.filter(F.size("ds") > 1)
-    if max_df is not None:
-        kept = kept.filter(F.size("ds") <= max_df)
+    guarded = max_df is not None or max_df_frac is not None
+    if guarded:
+        cap = (F.col("__cap") if max_df_frac is not None
+               else F.lit(int(max_df)))
+        kept = kept.filter(F.size("ds") <= cap)
         # per-doc count of dropped (hot) shingles — rows ∝ docs that
         # contain boilerplate, not corpus size; broadcast-joined back
-        hot_per_doc = (posting.filter(F.size("ds") > max_df)
+        hot_per_doc = (posting.filter(F.size("ds") > cap)
                        .select(F.explode("ds").alias("d"))
                        .groupBy(F.col(f"d.{id_col}").alias(id_col))
                        .agg(F.count("*").alias("__nhot")))
@@ -301,7 +336,7 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
                            F.col("a.n_sh").alias("na"),
                            F.col("b.n_sh").alias("nb"))
              .agg(F.count("*").alias("common")))
-    if max_df is not None:
+    if guarded:
         ha = hot_per_doc.select(F.col(id_col).alias("id_a"),
                                 F.col("__nhot").alias("__ha"))
         hb = hot_per_doc.select(F.col(id_col).alias("id_b"),

@@ -1052,3 +1052,24 @@ def test_repetition_kernel_matches_column_path(spark):
     c = {tuple(r) for r in repetition_signals(
         docs, arrow_kernel=False).collect()}
     assert a == c and len(a) == 16
+
+
+def test_jaccard_max_df_frac_matches_fixed_on_small_corpus(spark):
+    """max_df_frac = greatest(max_df, ceil(frac·n_docs)) — on a small
+    corpus the floor wins, so results are bit-identical to the fixed
+    guard (the oracle-scale invariance the entry relies on)."""
+    from benthos_spark.llm.dedup import ngram_jaccard_pairs
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)]
+        + [(10, "unique words here totally different content now"),
+           (11, "unique words here totally different content today")],
+        "doc_id long, text string")
+    fixed = {tuple(r) for r in ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=4).collect()}
+    frac = {tuple(r) for r in ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=4, max_df_frac=0.0001).collect()}
+    assert fixed == frac
+    # and a LARGER frac cutoff changes the survivor set (guard active)
+    loose = {tuple(r) for r in ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=4, max_df_frac=1.0).collect()}
+    assert loose >= fixed
