@@ -74,6 +74,20 @@ def ensure_scan_parallelism(df: DataFrame,
     """
     if df.isStreaming:  # no partition introspection on streams
         return df
+    # Derived frames (any shuffle below: join/agg/window/repartition)
+    # already run at spark.sql.shuffle.partitions parallelism — and,
+    # CRUCIALLY, introspecting their partition count via df.rdd under
+    # AQE MATERIALIZES the query stages eagerly (an entire hidden
+    # execution of the upstream plan, re-executed again by the real
+    # action — measured 5-6× nondeterministic inflation of the
+    # composed curation pipeline).  Only scan-shaped plans (scan /
+    # filter / project / generate), where .rdd builds lineage without
+    # running jobs, get the partition check.
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(tok in plan for tok in ("Join", "Aggregate", "Window",
+                                   "Repartition", "Sort", "MapInPandas",
+                                   "FlatMapGroupsInPandas")):
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)

@@ -116,10 +116,12 @@ def test_mixture_sample_is_scan_plus_filter(spark, sf_dir):
     assert "text" not in read and "doc_id" in read
 
 
-def test_repetition_gram_counts_partial_agg(spark, sf_dir):
-    # the per-(doc,n,gram) count must map-side combine before shuffling
+def test_repetition_is_zero_shuffle_kernel(spark, sf_dir):
+    # r5: all three repetition signals compute per-doc inside one
+    # mapInPandas kernel — no explode, no gram shuffle at all
     plan = plan_of(spark, sf_dir, "text_repetition")
-    assert "partial_count" in plan
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_ensure_scan_parallelism_floor_and_noop(spark, tmp_path):

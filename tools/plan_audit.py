@@ -62,6 +62,13 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "suite host: inherits lm_frequency_mass's one-row scalar cross"),
         ("SinglePartition", "same inherited scalar aggregate"),
     ],
+    "dedup_ngram_jaccard": [
+        ("BroadcastNestedLoopJoin",
+         "ONE-ROW corpus count(*) crossed into the posting frame to "
+         "compute the scale-invariant max_df_frac cutoff — a broadcast "
+         "scalar, not a data-sized loop join"),
+        ("SinglePartition", "the same one-row count aggregate"),
+    ],
     "curation_pipeline": [
         ("SinglePartition",
          "Spark-injected runtime bloom_filter_agg subqueries that "
