@@ -23,7 +23,11 @@ def test_metrics_statsd_udp_end_to_end(spark):
     port = srv.getsockname()[1]
 
     def listen():
-        while len(got) < 2:
+        # read until BOTH expected gauges arrive (the snapshot may
+        # also carry process-level interp_fallback{...} counters from
+        # mappings compiled earlier in the test session)
+        while not (any(l.startswith("bs.output_sent:") for l in got)
+                   and any(l.startswith("bs.total_v:") for l in got)):
             try:
                 data, _ = srv.recvfrom(65536)
             except socket.timeout:
@@ -140,8 +144,11 @@ metrics:
   aws_cloudwatch: {namespace: TestNS, client_resource: cw_double}
 """)
     assert calls and calls[0][0] == "TestNS"
-    assert {d["MetricName"]: d["Value"] for d in calls[0][1]} \
-        == {"output_sent": 3.0}
+    published = {d["MetricName"]: d["Value"] for d in calls[0][1]}
+    assert published["output_sent"] == 3.0
+    # any extra keys are process-level interp_fallback counters
+    assert all(k == "output_sent" or k.startswith("interp_fallback")
+               for k in published)
 
 
 def test_metrics_prometheus_render_and_unknown_type(spark):
