@@ -2972,10 +2972,12 @@ def langid_model_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "すばやい茶色のキツネは怠け者の犬を飛び越えます",
         "Snelle bruine vos springt over de luie hond heen vandaag",
     ]
-    # one slice: the default 32-way parallelize would pay 32 Python
-    # worker round-trips to score 10 rows
-    df = spark.createDataFrame(list(enumerate(samples)),
-                               "sample_id int, text string").coalesce(1)
+    # VALUES LocalRelation: createDataFrame's pickled-RDD scan pays a
+    # Python worker round-trip per execution (~5s measured); the JVM
+    # literal costs milliseconds (operators/literals.py)
+    from benthos_spark.operators.literals import literal_frame
+    df = literal_frame(spark, list(enumerate(samples)),
+                       "sample_id int, text string").coalesce(1)
     return df.select("sample_id",
                      lang_id_model(F.col("text")).alias("lang_pred"))
 

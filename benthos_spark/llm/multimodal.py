@@ -355,7 +355,12 @@ def real_media_table(spark, n: int = 32) -> DataFrame:
             rows.append((i, "video", gif_bytes(6 + i, 3 + i,
                                                n_frames=2 + (i % 5)),
                          "image/gif", {"source": "synthetic"}))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # VALUES LocalRelation (X'..' binary literals): createDataFrame's
+    # pickled-RDD scan pays a Python worker round-trip per execution
+    from benthos_spark.operators.literals import literal_frame
+    return literal_frame(
+        spark, rows, "media_id long, kind string, payload binary, "
+                     "mime string, meta map<string,string>")
 
 
 def fake_media_table(spark, n: int = 64) -> DataFrame:

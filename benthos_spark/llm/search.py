@@ -36,14 +36,18 @@ B = 0.75
 
 def query_terms_frame(spark, queries: list[tuple[str, str]]) -> DataFrame:
     """(query_id, term) frame from literal (id, text) query strings —
-    whitespace-tokenized, distinct terms per query."""
+    whitespace-tokenized, distinct terms per query.
+
+    Built as a JVM VALUES LocalRelation, NOT createDataFrame: a
+    pickled-RDD scan pays a Python worker round-trip on every
+    execution — measured ~5 s per broadcast build, the dominant cost
+    of the whole BM25 query (operators/literals.py)."""
+    from benthos_spark.operators.literals import literal_frame
     rows = []
     for qid, qtext in queries:
         for t in sorted(set(qtext.split())):
             rows.append((qid, t))
-    # one slice — the default 32-way parallelize of a handful of rows
-    # just adds empty broadcast-build tasks
-    return spark.createDataFrame(rows, ["query_id", "term"]).coalesce(1)
+    return literal_frame(spark, rows, "query_id string, term string")
 
 
 def bm25_topk(corpus: DataFrame, queries: list[tuple[str, str]],

@@ -1,0 +1,81 @@
+"""Tiny literal DataFrames as JVM LocalRelations.
+
+`spark.createDataFrame(python_rows)` builds a pickled-RDD scan: EVERY
+execution of the plan (including every broadcast build that joins the
+frame) pays a Python worker round-trip — measured ~5 s per execution
+in this container for a 10-row frame, repeated per bench pass.  A SQL
+`VALUES` relation is a pure-JVM LocalRelation: it collects in
+milliseconds, broadcasts instantly, and constant-folds into the plan.
+
+Use for small literal tables in HOT query paths (query-term frames,
+pinned sample sets, synthetic fixtures).  Not for big data — a VALUES
+list is parsed SQL text, so keep it to hundreds of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def sql_literal(v) -> str:
+    """Render one Python value as a Spark SQL literal.  Strings escape
+    both single quotes and backslashes (Spark's default string parser
+    treats backslash as an escape); bytes render as X'..' binary
+    literals; dicts as map(...) calls."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return f"X'{bytes(v).hex()}'"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, dict):
+        inner = ", ".join(f"{sql_literal(k)}, {sql_literal(x)}"
+                          for k, x in v.items())
+        return f"map({inner})"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(sql_literal(x) for x in v) + ")"
+    raise TypeError(f"no SQL literal rendering for {type(v).__name__}")
+
+
+def _split_schema(schema: str) -> list[tuple[str, str]]:
+    """'a int, b map<string,string>' → [(a,int), (b,map<string,string>)]
+    — splits on commas not nested inside <> / ()."""
+    out, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    cols = []
+    for item in out:
+        name, typ = item.strip().split(None, 1)
+        cols.append((name, typ))
+    return cols
+
+
+def literal_frame(spark: SparkSession, rows: list[tuple],
+                  schema: str) -> DataFrame:
+    """Build `rows` as a VALUES LocalRelation with the given schema
+    string ('name type, ...'); every column is cast explicitly so the
+    frame's schema matches createDataFrame's exactly."""
+    cols = _split_schema(schema)
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return spark.sql(f"SELECT {sel}").limit(0)
+    vals = ", ".join(
+        "(" + ", ".join(sql_literal(v) for v in row) + ")"
+        for row in rows)
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    sel = ", ".join(f"CAST(c{i} AS {t}) AS {n}"
+                    for i, (n, t) in enumerate(cols))
+    return spark.sql(f"SELECT {sel} FROM (VALUES {vals}) AS t({names})")

@@ -1073,3 +1073,22 @@ def test_jaccard_max_df_frac_matches_fixed_on_small_corpus(spark):
     loose = {tuple(r) for r in ngram_jaccard_pairs(
         docs, threshold=0.5, max_df=4, max_df_frac=1.0).collect()}
     assert loose >= fixed
+
+
+def test_literal_frame_values_relation(spark):
+    """literal_frame: JVM VALUES LocalRelation with exact schema and
+    faithful literals (quotes, backslashes, null, binary, map)."""
+    from benthos_spark.operators.literals import literal_frame
+
+    df = literal_frame(
+        spark, [(1, "it's a \\ test", None, b"\x00\xff", {"k": "v'2"})],
+        "i int, t string, n string, b binary, m map<string,string>")
+    r = df.collect()[0]
+    assert r.i == 1 and r.t == "it's a \\ test" and r.n is None
+    assert bytes(r.b) == b"\x00\xff" and r.m == {"k": "v'2"}
+    # the plan is a LocalRelation / OneRowRelation — no RDD scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan
+    empty = literal_frame(spark, [], "a int, b string")
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == "struct<a:int,b:string>"
