@@ -336,7 +336,13 @@ def repetition_stats(df: DataFrame, text: str = "text",
     _Q = Decimal("0.000001")
 
     def r6(x: float) -> float:
-        return float(Decimal(x).quantize(_Q, rounding=ROUND_HALF_UP))
+        # Decimal(repr(x)), NOT Decimal(x): Spark's round(x, 6) goes
+        # through the double's SHORTEST round-trip decimal repr
+        # (BigDecimal(Double) -> Double.toString), which Python repr()
+        # reproduces.  Decimal(x) expands the exact binary fraction and
+        # diverges on tie inputs, e.g. 3/640 = 0.0046875: repr-path
+        # rounds to 0.004688 (matching Spark), exact-path to 0.004687.
+        return float(Decimal(repr(x)).quantize(_Q, rounding=ROUND_HALF_UP))
 
     def top_frac(tk: list[str], n: int) -> float:
         from collections import Counter

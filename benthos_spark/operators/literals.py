@@ -26,7 +26,22 @@ def sql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr() of the specials is not valid SQL ('nan'/'inf') —
+        # render the typed literals Spark parses; everything else
+        # round-trips exactly via the shortest repr
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return repr(v)
+    if isinstance(v, int):
+        # outside long range a CAST would yield NULL under non-ANSI
+        # mode where createDataFrame raises — match createDataFrame
+        if not -(1 << 63) <= v < (1 << 63):
+            raise TypeError(f"int literal {v} overflows BIGINT")
         return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return f"X'{bytes(v).hex()}'"

@@ -82,13 +82,41 @@ def ensure_scan_parallelism(df: DataFrame,
     # action — measured 5-6× nondeterministic inflation of the
     # composed curation pipeline).  Only scan-shaped plans (scan /
     # filter / project / generate), where .rdd builds lineage without
-    # running jobs, get the partition check.
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(tok in plan for tok in ("Join", "Aggregate", "Window",
-                                   "Repartition", "Sort", "MapInPandas",
-                                   "FlatMapGroupsInPandas")):
+    # running jobs, get the partition check.  Detection walks the
+    # optimized plan's NODE NAMES against an allowlist — never the
+    # rendered string, where a column literally named "JoinKey" would
+    # false-positive, and an Expand/Deduplicate/CoGroup absent from a
+    # denylist would false-negative straight into the AQE trap.
+    if not _scan_shaped(df._jdf.queryExecution().optimizedPlan()):
         return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+# Logical node names whose .rdd lineage never launches a job under AQE:
+# leaf relations plus the narrow row-preserving/expanding wrappers.
+# Everything else (Join, Aggregate, Expand, Deduplicate, CoGroup,
+# MapInPandas, ...) is treated as derived.
+_SCAN_NODES = frozenset({
+    "Relation", "LogicalRelation", "RelationV2", "DataSourceV2Relation",
+    "HiveTableRelation", "InMemoryRelation", "LocalRelation",
+    "OneRowRelation", "Range", "LogicalRDD",
+    "Filter", "Project", "Generate",
+})
+
+
+def _scan_shaped(jplan) -> bool:
+    """True iff every node in the optimized logical plan is a leaf
+    relation or a narrow Filter/Project/Generate — the shapes where
+    df.rdd builds lineage without materializing AQE query stages."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() not in _SCAN_NODES:
+            return False
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return True

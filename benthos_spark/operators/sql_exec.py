@@ -80,11 +80,33 @@ def _connect(driver: str, dsn: str):
         "read + broadcast join (operators.joins.cache_lookup_join)")
 
 
-# split on single-quoted SQL string literals ('' escapes included) so
-# placeholder rewriting never touches quoted text
-_SQL_CHUNKS = re.compile(r"('(?:[^']|'')*')")
+# Regions placeholder rewriting must never touch: single-quoted
+# literals ('' escape), double-quoted identifiers, Postgres
+# dollar-quoted strings ($$..$$ / $tag$..$tag$ — the empty-alternation
+# tag makes the backreference work for the bare $$ form), and -- / /**/
+# comments.  A $N or ? inside any of these is literal text.
+_SQL_SKIP = re.compile(
+    r"'(?:[^']|'')*'"
+    r'|"(?:[^"]|"")*"'
+    r"|\$(?P<tag>[A-Za-z_][A-Za-z_0-9]*|)\$.*?\$(?P=tag)\$"
+    r"|--[^\n]*"
+    r"|/\*.*?\*/",
+    re.DOTALL)
 _DOLLAR = re.compile(r"\$(\d+)")
 _ATP = re.compile(r"@p(\d+)", re.IGNORECASE)
+
+
+def _sql_chunks(query: str):
+    """Yield (is_code, text) — is_code=False for quoted/comment regions
+    that pass through verbatim (modulo client %-escaping)."""
+    pos = 0
+    for m in _SQL_SKIP.finditer(query):
+        if m.start() > pos:
+            yield True, query[pos:m.start()]
+        yield False, m.group(0)
+        pos = m.end()
+    if pos < len(query):
+        yield True, query[pos:]
 
 
 def prepare_query(query: str, driver: str) -> tuple[str, list[int]]:
@@ -94,25 +116,31 @@ def prepare_query(query: str, driver: str) -> tuple[str, list[int]]:
     Returns (client_query, order): `order[i]` is the 0-based index into
     the reference `args` list for the i-th client placeholder — $N/@pN
     styles may repeat and reorder args ($2 … $1 … $1), qmark is always
-    positional.  Quoted string literals pass through untouched.  When
-    no translation is needed (qmark query, qmark client — sqlite),
-    order is None and the args tuple passes through unchanged, so the
-    client still sees a count mismatch as an error."""
+    positional.  Quoted literals, dollar-quoted strings, quoted
+    identifiers, and comments pass through untouched.  For 'format'
+    clients (psycopg2/MySQLdb %-process the WHOLE query, quoted text
+    included) every literal '%' is escaped to '%%' so LIKE 'a%' and
+    modulo expressions survive.  When no translation is needed (qmark
+    query, qmark client — sqlite), order is None and the args tuple
+    passes through unchanged, so the client still sees a count
+    mismatch as an error."""
     d = _DIALECTS.get(driver, {"placeholder": "qmark",
                                "paramstyle": "qmark"})
     if d["placeholder"] == "qmark" and d["paramstyle"] == "qmark":
         return query, None
+    fmt = d["paramstyle"] == "format"
     mark = "?" if d["paramstyle"] == "qmark" else "%s"
+    esc = (lambda s: s.replace("%", "%%")) if fmt else (lambda s: s)
     order: list[int] = []
     out: list[str] = []
-    for i, chunk in enumerate(_SQL_CHUNKS.split(query)):
-        if i % 2 == 1:  # a quoted literal
-            out.append(chunk)
+    for is_code, chunk in _sql_chunks(query):
+        if not is_code:
+            out.append(esc(chunk))
             continue
         if d["placeholder"] == "qmark":
             parts = chunk.split("?")
             for j, p in enumerate(parts):
-                out.append(p)
+                out.append(esc(p))
                 if j < len(parts) - 1:
                     order.append(len(order))
                     out.append(mark)
@@ -120,11 +148,11 @@ def prepare_query(query: str, driver: str) -> tuple[str, list[int]]:
             pat = _DOLLAR if d["placeholder"] == "dollar" else _ATP
             pos = 0
             for mt in pat.finditer(chunk):
-                out.append(chunk[pos:mt.start()])
+                out.append(esc(chunk[pos:mt.start()]))
                 order.append(int(mt.group(1)) - 1)
                 out.append(mark)
                 pos = mt.end()
-            out.append(chunk[pos:])
+            out.append(esc(chunk[pos:]))
     return "".join(out), order
 
 

@@ -1044,14 +1044,23 @@ def test_bigram_lm_and_substring_kernels_match_column_path(spark):
 
 def test_repetition_kernel_matches_column_path(spark):
     from benthos_spark.llm.text import repetition_signals
+    # doc 24: top bigram count 3 over exactly 640 bigrams -> 3/640 =
+    # 0.0046875, a round-to-6 TIE.  Spark round() works on the double's
+    # shortest decimal repr (-> 0.004688); a kernel quantizing the
+    # exact binary expansion would give 0.004687.  Pins the
+    # Decimal(repr(x)) contract in grams.repetition_stats.
+    tie = " ".join(["a", "b", "x1", "a", "b", "x2", "a", "b"]
+                   + [f"u{i}" for i in range(633)])
     docs = _tricky_docs(spark).union(spark.createDataFrame(
         [(20, "x\n x \nx\n\n  \ny"), (21, "a b a b a b a b"),
-         (22, "w\nw\nw"), (23, "p q r p q r p q")],
+         (22, "w\nw\nw"), (23, "p q r p q r p q"), (24, tie)],
         "doc_id long, text string"))
     a = {tuple(r) for r in repetition_signals(docs).collect()}
     c = {tuple(r) for r in repetition_signals(
         docs, arrow_kernel=False).collect()}
-    assert a == c and len(a) == 16
+    assert a == c and len(a) == 17
+    tie_row = [r for r in a if r[0] == 24]
+    assert tie_row and tie_row[0][2] == 0.004688
 
 
 def test_jaccard_max_df_frac_matches_fixed_on_small_corpus(spark):
@@ -1092,3 +1101,25 @@ def test_literal_frame_values_relation(spark):
     empty = literal_frame(spark, [], "a int, b string")
     assert empty.count() == 0
     assert empty.schema.simpleString() == "struct<a:int,b:string>"
+
+
+def test_literal_frame_float_specials_and_int_overflow(spark):
+    """nan/inf render as Spark's typed literals (repr() would be
+    invalid SQL); over-BIGINT ints raise like createDataFrame instead
+    of CAST-to-NULL silently."""
+    import math
+
+    import pytest as _pytest
+
+    from benthos_spark.operators.literals import literal_frame
+
+    df = literal_frame(
+        spark,
+        [(1, float("nan")), (2, float("inf")), (3, float("-inf")),
+         (4, 0.1)],
+        "i int, x double")
+    rows = {r.i: r.x for r in df.collect()}
+    assert math.isnan(rows[1]) and rows[2] == float("inf")
+    assert rows[3] == float("-inf") and rows[4] == 0.1
+    with _pytest.raises(TypeError, match="overflows BIGINT"):
+        literal_frame(spark, [(1 << 63,)], "x bigint")

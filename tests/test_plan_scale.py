@@ -144,6 +144,31 @@ def test_ensure_scan_parallelism_floor_and_noop(spark, tmp_path):
     assert ensure_scan_parallelism(wide) is wide
 
 
+def test_ensure_scan_parallelism_walks_nodes_not_strings(spark, tmp_path):
+    """Derived-frame detection is by plan NODE NAME, not rendered-plan
+    substrings: a column literally named 'JoinKey' must not suppress
+    the floor, and shuffle-introducing shapes outside the old denylist
+    (Expand from rollup, Deduplicate from dropDuplicates) must be
+    treated as derived — the .rdd call on those re-triggers AQE's
+    hidden-execution trap this guard exists to prevent."""
+    from benthos_spark.operators.scale import ensure_scan_parallelism
+
+    p = str(tmp_path / "jk.parquet")
+    spark.range(0, 5_000).selectExpr(
+        "id AS JoinKey", "id % 7 AS SortedBucket").coalesce(
+        1).write.parquet(p)
+    scan = spark.read.parquet(p).filter("JoinKey > 10")
+    floored = ensure_scan_parallelism(scan)
+    assert (floored.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
+
+    base = spark.read.parquet(p)
+    rolled = base.rollup("SortedBucket").count()
+    assert ensure_scan_parallelism(rolled) is rolled
+    deduped = base.dropDuplicates(["SortedBucket"])
+    assert ensure_scan_parallelism(deduped) is deduped
+
+
 # ---- TPC-H flagship plan shapes (VERDICT r4 ask #8): pin the COVERAGE
 # claims so a Spark upgrade or refactor can't silently regress them.
 

@@ -59,6 +59,51 @@ def test_prepare_query_quoted_literals_untouched():
     assert q == "SELECT 'it''s ?' , %s FROM t" and order == [0]
 
 
+def test_prepare_query_percent_escaped_for_format_clients():
+    """psycopg2/MySQLdb %-process the whole query: every literal %
+    (LIKE patterns, modulo) must reach them doubled."""
+    q, order = prepare_query(
+        "SELECT * FROM t WHERE name LIKE 'a%' AND id=$1", "postgres")
+    assert q == "SELECT * FROM t WHERE name LIKE 'a%%' AND id=%s"
+    assert order == [0]
+    q, order = prepare_query("SELECT id % 2 FROM t WHERE id=?", "mysql")
+    assert q == "SELECT id %% 2 FROM t WHERE id=%s" and order == [0]
+    # qmark clients (mssql/pyodbc) never %-process: leave % alone
+    q, order = prepare_query(
+        "SELECT * FROM t WHERE name LIKE 'a%' AND id=@p1", "mssql")
+    assert q == "SELECT * FROM t WHERE name LIKE 'a%' AND id=?"
+    assert order == [0]
+
+
+def test_prepare_query_skips_dollar_quotes_identifiers_comments():
+    # Postgres dollar-quoted strings: $$..$$ and $tag$..$tag$ bodies
+    # are literal text — a $1 inside stays verbatim
+    q, order = prepare_query(
+        "SELECT $$ not $1 here $$, $1 FROM t", "postgres")
+    assert q == "SELECT $$ not $1 here $$, %s FROM t" and order == [0]
+    q, order = prepare_query(
+        "SELECT $fn$ body $other$ $1 $fn$, $2 FROM t", "postgres")
+    assert q == "SELECT $fn$ body $other$ $1 $fn$, %s FROM t"
+    assert order == [1]
+    # double-quoted identifiers
+    q, order = prepare_query(
+        'SELECT "a?b" FROM t WHERE x=?', "mysql")
+    assert q == 'SELECT "a?b" FROM t WHERE x=%s' and order == [0]
+    # -- line and /* */ block comments
+    q, order = prepare_query(
+        "SELECT a -- not ? here\nFROM t WHERE b=?", "mysql")
+    assert q == "SELECT a -- not ? here\nFROM t WHERE b=%s"
+    assert order == [0]
+    q, order = prepare_query(
+        "SELECT /* skip $1 */ $1 FROM t", "postgres")
+    assert q == "SELECT /* skip $1 */ %s FROM t" and order == [0]
+    # literal % inside a dollar-quoted body is still escaped for
+    # format clients (the client %-processes the whole string)
+    q, order = prepare_query(
+        "SELECT $$100%$$ , $1", "postgres")
+    assert q == "SELECT $$100%%$$ , %s" and order == [0]
+
+
 # ------------------------------------------------------ contract double
 
 def _make_echo_factory(paramstyle):
@@ -75,16 +120,33 @@ def _make_echo_factory(paramstyle):
                 self._rows = []
 
             def execute(self, query, args=()):
-                mark = "?" if paramstyle == "qmark" else "%s"
-                bad = "%s" if paramstyle == "qmark" else "?"
-                if bad in query:
-                    raise AssertionError(
-                        "untranslated placeholder reached the client: "
-                        f"{query!r}")
-                if query.count(mark) != len(args):
-                    raise AssertionError(
-                        f"binding mismatch: {query!r} got "
-                        f"{len(args)} args")
+                if paramstyle == "qmark":
+                    if "%s" in query:
+                        raise AssertionError(
+                            "untranslated placeholder reached the "
+                            f"client: {query!r}")
+                    if query.count("?") != len(args):
+                        raise AssertionError(
+                            f"binding mismatch: {query!r} got "
+                            f"{len(args)} args")
+                else:
+                    # mimic psycopg2/MySQLdb: the WHOLE query is
+                    # %-processed — any % not part of %s or %% is the
+                    # production 'unsupported format character' error
+                    import re as _re
+                    stripped = _re.sub(r"%%|%s", "", query)
+                    if "?" in _re.sub(r"'[^']*'", "", stripped):
+                        raise AssertionError(
+                            "untranslated placeholder reached the "
+                            f"client: {query!r}")
+                    if "%" in stripped:
+                        raise AssertionError(
+                            "unsupported format character in "
+                            f"{query!r}")
+                    if query.replace("%%", "").count("%s") != len(args):
+                        raise AssertionError(
+                            f"binding mismatch: {query!r} got "
+                            f"{len(args)} args")
                 self.description = [("q",), ("args",)]
                 self._rows = [(query, json.dumps(list(args)))]
 
@@ -163,6 +225,19 @@ def test_mssql_double_binds_qmark_args(spark, dialect_double):
     q, args = _seen(rows[0])
     assert q == "UPDATE t SET name=? WHERE id=?"
     assert args == ["x", 1]
+
+
+def test_format_double_survives_like_percent(spark, dialect_double):
+    """A literal % (LIKE pattern) must reach a %-processing client as
+    %% — the double raises 'unsupported format character' otherwise,
+    exactly like production psycopg2/MySQLdb."""
+    dialect_double("postgres", "format")
+    rows = _run(spark, "postgres",
+                "SELECT * FROM t WHERE name LIKE 'a%' AND id=$1")
+    assert [r["_error"] for r in rows] == [None, None]
+    q, args = _seen(rows[0])
+    assert q == "SELECT * FROM t WHERE name LIKE 'a%%' AND id=%s"
+    assert args == [1]
 
 
 def test_out_of_range_placeholder_is_per_row_error(spark, dialect_double):
