@@ -67,6 +67,20 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
+    # Contention guard (round-5 lesson: a contended re-run silently
+    # replaced a quiet-window artifact and made the repo's scale
+    # evidence self-contradictory).  Stamp the 1-min loadavg at start
+    # and end; warn loudly — to stderr, the JSON line stays parseable —
+    # when the window was NOT quiet, so a dirty artifact is visibly
+    # dirty.  SPARK_GRAFT_BENCH_MAX_LOAD (default 4.0) sets the bar.
+    load_start = os.getloadavg()[0]
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    if load_start > max_load:
+        print(f"WARNING: 1-min loadavg {load_start:.2f} > {max_load} "
+              "at bench start — results will be contention-noisy; "
+              "re-run in a quiet window before committing artifacts",
+              file=sys.stderr)
+
     spark = get_spark("bench")
     # base_queries = one operator per name; queries() wraps some names
     # into correctness-suite unions that re-run members (driver gate)
@@ -130,6 +144,12 @@ def main() -> None:
         "passes": passes,
         "agg": "min",
         "sf": sf,
+        # own-Spark load is included in the end stamp; "quiet" means
+        # the START was below the bar (nothing else was running) —
+        # scale_report refuses to trust artifacts where it wasn't
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "quiet_window": load_start <= max_load,
     }))
     spark.stop()
 

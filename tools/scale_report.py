@@ -19,6 +19,12 @@ import sys
 def main() -> None:
     small = json.load(open(sys.argv[1]))
     big = json.load(open(sys.argv[2]))
+    for label, art in (("small", small), ("big", big)):
+        if art.get("quiet_window") is False:
+            print(f"WARNING: {label} artifact was benched under load "
+                  f"(loadavg_start={art.get('loadavg_start')}) — "
+                  "ratios below are contention noise, re-measure "
+                  "before trusting or committing them")
     data_ratio = (float(sys.argv[3]) if len(sys.argv) > 3
                   else big["sf"] / small["sf"])
     rows = []
