@@ -3682,6 +3682,227 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# 87b. TPC-H Q2 / Q11 / Q20 — the three queries whose reference shapes
+#     need PARTSUPP, which the fixture does not ship.  partsupp is
+#     DERIVED deterministically in-query from part × the supplier
+#     count, mirroring dbgen's rule (4 suppliers per part on a
+#     quarter-table stride, adapted to the fixture's 0-based keys);
+#     availqty/supplycost are key-derived integers so both engines
+#     compute bit-identical values with zero stored state.
+# ================================================================
+
+# DuckDB CTE fragment — MUST stay the literal mirror of
+# _derived_partsupp below (same stride, same key-derived columns).
+_PARTSUPP_SQL = """
+s_cnt AS (SELECT COUNT(*) AS s FROM supplier),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey*47 + ps_suppkey*31) % 9999 + 1 AS ps_availqty,
+         (ps_partkey*13 + ps_suppkey*7) % 99900 + 100 AS ps_cost_cents,
+         CAST((ps_partkey*13 + ps_suppkey*7) % 99900 + 100 AS DOUBLE)
+           / 100.0 AS ps_supplycost
+  FROM (SELECT p_partkey AS ps_partkey,
+               (p_partkey + p_partkey // s + i * (s // 4)) % s
+                 AS ps_suppkey
+        FROM part, s_cnt, (SELECT UNNEST([0,1,2,3]) AS i) t))"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str,
+                      part: DataFrame | None = None) -> DataFrame:
+    """PARTSUPP derived from part × supplier-count (the fixture ships
+    none): 4 suppliers per part at stride s/4 (dbgen's rule for
+    ps_suppkey, reference-equivalent semantics for TPC-H Q2/Q11/Q20;
+    0-based keys, and the p//s rotation keeps the 4 picks distinct for
+    any s ≥ 4).  availqty ∈ [1,9999] and supplycost ∈ [1.00,999.99]
+    are key-derived integers — exact in both engines, and supplycost's
+    single int/100.0 division is the same IEEE op on both sides.
+
+    Scale: map-only — the supplier COUNT is a one-row broadcast cross,
+    the ×4 expansion is an explode; deriving from a pre-filtered
+    `part` pushes the part predicate through the expansion."""
+    if part is None:
+        part = _t(spark, sf_dir, "part")
+    scnt = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("__s"))
+    return (part.select("p_partkey").join(F.broadcast(scnt))
+            .select(F.col("p_partkey").alias("ps_partkey"), "__s",
+                    F.explode(F.array(*[F.lit(i) for i in range(4)]))
+                    .alias("__i"))
+            .withColumn("ps_suppkey", F.expr(
+                "(ps_partkey + ps_partkey div __s + __i * (__s div 4))"
+                " % __s"))
+            .select(
+                "ps_partkey", "ps_suppkey",
+                F.expr("(ps_partkey*47 + ps_suppkey*31) % 9999 + 1")
+                .alias("ps_availqty"),
+                F.expr("(ps_partkey*13 + ps_suppkey*7) % 99900 + 100")
+                .alias("ps_cost_cents"),
+                F.expr("CAST((ps_partkey*13 + ps_suppkey*7) % 99900 "
+                       "+ 100 AS DOUBLE) / 100.0")
+                .alias("ps_supplycost")))
+
+
+@_register("q2_min_cost_supplier", oracle=f"""
+WITH {_PARTSUPP_SQL},
+eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE'),
+costs AS (SELECT ps.ps_partkey, ps.ps_supplycost,
+                 eu.s_acctbal, eu.s_name, eu.n_name
+          FROM partsupp ps
+          JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+          JOIN part p ON p.p_partkey = ps.ps_partkey
+          WHERE p.p_type = 'LARGE' AND p.p_size >= 25)
+SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+       ps_supplycost AS supplycost
+FROM (SELECT *, MIN(ps_supplycost) OVER (PARTITION BY ps_partkey)
+        AS __mc FROM costs)
+WHERE ps_supplycost = __mc
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: cheapest EUROPE supplier per qualifying part
+    (reference shape; the fixture's part/supplier lack
+    p_mfgr/s_address/s_phone, so the output keeps the columns that
+    exist).  Scale: the correlated min-cost
+    subquery is DECORRELATED into a window-min over the already
+    part-filtered cost frame — partsupp derives from the filtered
+    part dim (map-only ×4 explode), the supplier→nation→region chain
+    broadcasts, so the ONLY shuffle is the window's partkey hash on
+    |qualifying parts|×4×(EU fraction) rows; min-cost equality is
+    exact (both engines compute supplycost by the same int/100.0).
+    The LIMIT rides a total order (s_name unique, then partkey)."""
+    part = (_t(spark, sf_dir, "part")
+            .filter((F.col("p_type") == "LARGE")
+                    & (F.col("p_size") >= 25))
+            .select("p_partkey"))
+    nation = _t(spark, sf_dir, "nation")
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "EUROPE"))
+    eu = (_t(spark, sf_dir, "supplier")
+          .join(F.broadcast(nation),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(region),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    costs = (_derived_partsupp(spark, sf_dir, part=part)
+             .join(F.broadcast(eu),
+                   F.col("ps_suppkey") == F.col("s_suppkey")))
+    w = Window.partitionBy("ps_partkey")
+    return (costs.withColumn("__mc", F.min("ps_supplycost").over(w))
+            .filter(F.col("ps_supplycost") == F.col("__mc"))
+            .select("s_acctbal", "s_name", "n_name",
+                    F.col("ps_partkey").alias("p_partkey"),
+                    F.col("ps_supplycost").alias("supplycost"))
+            .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+            .limit(100))
+
+
+@_register("q11_important_stock", oracle=f"""
+WITH {_PARTSUPP_SQL},
+g AS (SELECT ps_partkey, SUM(ps_cost_cents * ps_availqty) AS __vc
+      FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_9'
+      GROUP BY ps_partkey),
+tot AS (SELECT SUM(__vc) AS __tc, COUNT(*) AS __np FROM g)
+SELECT ps_partkey, CAST(__vc AS DOUBLE) / 100.0 AS value
+FROM g, tot
+WHERE __vc * __np * 4 > __tc * 5
+""")
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose NATION_9 stock value beats 1.25× the
+    per-part average (the fixed 0.0001/SF fraction is replaced by a
+    scale-invariant data-derived threshold — same decorrelated
+    scalar-subquery shape).  The compare stays in INTEGER cents
+    (vc·np·4 > tc·5) so both engines decide ties exactly; at true
+    100 TB key ranges the product nears int64 and the compare would
+    move to double — documented, not reachable at fixture scales.
+    Scale: one partkey-hash aggregate over the nation-filtered
+    partsupp (map-side combine); the threshold is a one-row broadcast
+    over a canonically identical aggregate subtree (ReuseExchange-
+    eligible; worst case it recomputes a map-only ×4 expansion)."""
+    nation = (_t(spark, sf_dir, "nation")
+              .filter(F.col("n_name") == "NATION_9"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    g = (_derived_partsupp(spark, sf_dir)
+         .join(F.broadcast(supp),
+               F.col("ps_suppkey") == F.col("s_suppkey"))
+         .groupBy("ps_partkey")
+         .agg(F.sum(F.col("ps_cost_cents") * F.col("ps_availqty"))
+              .alias("__vc")))
+    tot = g.agg(F.sum("__vc").alias("__tc"),
+                F.count("*").alias("__np"))
+    return (g.join(F.broadcast(tot))
+            .filter(F.col("__vc") * F.col("__np") * 4
+                    > F.col("__tc") * 5)
+            .select("ps_partkey",
+                    (F.col("__vc").cast("double") / 100.0)
+                    .alias("value")))
+
+
+@_register("q20_potential_promotion", oracle=f"""
+WITH {_PARTSUPP_SQL},
+bp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
+ship AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS __qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_partkey IN (SELECT p_partkey FROM bp)
+         GROUP BY l_partkey, l_suppkey),
+cand AS (SELECT DISTINCT ps_suppkey
+         FROM partsupp
+         JOIN bp ON ps_partkey = p_partkey
+         JOIN ship ON ps_partkey = l_partkey
+                  AND ps_suppkey = l_suppkey
+         WHERE ps_availqty > 0.5 * __qty)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN cand ON s_suppkey = ps_suppkey
+""")
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers overstocked (availqty > half the year's
+    shipments) in 'blue%' parts.  Deviation 📄: the final single-
+    nation cut is dropped and n_name joins into the output instead —
+    the fixture's 25 synthetic four-supplier nations leave ≤2 rows
+    per nation, too thin for a value-hash gate (35 rows without it).
+    Scale: the EXISTS chain is decorrelated — lineitem is date-pruned
+    at the scan and semi-joined to the broadcast blue-part dim BEFORE
+    its (part,supp) aggregate (the one big shuffle); partsupp derives
+    map-only from the same filtered dim, so the availqty-vs-half-
+    shipments compare is a key-aligned join of two already-reduced
+    frames; the sum of integral l_quantity doubles is order-exact."""
+    bp = (_t(spark, sf_dir, "part")
+          .filter(F.col("p_name").startswith("blue"))
+          .select("p_partkey"))
+    ship = (_t(spark, sf_dir, "lineitem")
+            .filter((F.col("l_shipdate") >=
+                     F.lit("1996-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") <
+                       F.lit("1997-01-01").cast("timestamp")))
+            .join(F.broadcast(bp),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum("l_quantity").alias("__qty")))
+    cand = (_derived_partsupp(spark, sf_dir, part=bp)
+            .join(ship, (F.col("ps_partkey") == F.col("l_partkey"))
+                  & (F.col("ps_suppkey") == F.col("l_suppkey")))
+            .filter(F.col("ps_availqty") > 0.5 * F.col("__qty"))
+            .select("ps_suppkey").distinct())
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(cand),
+                  F.col("s_suppkey") == F.col("ps_suppkey"))
+            .select("s_name", "n_name"))
+
+
+# ================================================================
 # 88. DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
 #     hashed unigram+bigram bucket distributions, target (lang='en')
 #     vs raw corpus, integer micro-nat log-ratios, deterministic
@@ -3797,7 +4018,10 @@ _SUITES: dict[str, list[str]] = {
                            "q17_small_quantity_revenue",
                            "q19_disjunctive_revenue",
                            "q21_waiting_supplier",
-                           "q22_dormant_customers"],
+                           "q22_dormant_customers",
+                           "q2_min_cost_supplier",
+                           "q11_important_stock",
+                           "q20_potential_promotion"],
     "string_methods": ["compress_roundtrip", "xml_to_json",
                        "grok_extract", "parse_log_syslog"],
     "structured_methods": ["jq_general", "jq_path_fastpath",

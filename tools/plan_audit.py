@@ -112,6 +112,26 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "customer dim — a broadcast scalar, not a data-sized loop"),
         ("SinglePartition", "the same one-row average aggregate"),
     ],
+    "q2_min_cost_supplier": [
+        ("BroadcastNestedLoopJoin",
+         "ONE-ROW supplier COUNT crossed into part to derive the "
+         "partsupp stride — a broadcast scalar, not a data-sized loop"),
+        ("SinglePartition",
+         "the same one-row count, plus the total-ordered LIMIT 100 "
+         "top-k collect"),
+    ],
+    "q11_important_stock": [
+        ("BroadcastNestedLoopJoin",
+         "two ONE-ROW scalars: the partsupp-stride supplier count and "
+         "the Q11 total-value threshold — broadcast scalars both"),
+        ("SinglePartition", "the same one-row aggregates"),
+    ],
+    "q20_potential_promotion": [
+        ("BroadcastNestedLoopJoin",
+         "ONE-ROW supplier COUNT crossed into the blue-part dim to "
+         "derive partsupp — a broadcast scalar"),
+        ("SinglePartition", "the same one-row count aggregate"),
+    ],
 }
 
 HARD = ("CartesianProduct",)
