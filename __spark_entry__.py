@@ -2870,14 +2870,17 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     replays assignment + pairwise compare in DuckDB SQL.
 # ================================================================
 
-def _semdedup_oracle(n_centroids: int = 8, sample: int = 512,
-                     iters: int = 5, threshold: float = 0.3) -> str | None:
+def _semdedup_oracle(iters: int = 5, threshold: float = 0.3) -> str | None:
     try:
         import pyarrow.parquet as pq
 
-        from benthos_spark.llm.similarity import kmeans_unit_sphere
+        from benthos_spark.llm.similarity import (kmeans_unit_sphere,
+                                                  semdedup_params)
         tbl = pq.read_table(f"{_oracle_sf_dir()}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
+        # auto-k refit: same (k, sample) rule as the Spark query —
+        # k ∝ corpus size keeps clusters at a constant target size
+        n_centroids, sample = semdedup_params(tbl.num_rows)
         pairs = sorted((i, list(v)) for i, v in
                        zip(tbl.column("vec_id").to_pylist(),
                            tbl.column("embedding").to_pylist())
@@ -2923,9 +2926,16 @@ GROUP BY id_b, cluster
 @_register("semantic_dedup", oracle=_semdedup_oracle())
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.dedup import semantic_dedup
-    from benthos_spark.llm.similarity import train_ivf_centroids
+    from benthos_spark.llm.similarity import (semdedup_params,
+                                              train_ivf_centroids)
     emb = _t(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, n_centroids=8, sample=512, iters=5)
+    # auto-k (r5 verdict ask #4): k = ceil(n/256) keeps expected
+    # cluster size constant, so the within-cluster pairwise pass is
+    # linear in the corpus; the count is a parquet-metadata aggregate
+    # (bounded driver action, same class as the fit sample collect)
+    n_centroids, sample = semdedup_params(emb.count())
+    cents = train_ivf_centroids(emb, n_centroids=n_centroids,
+                                sample=sample, iters=5)
     # synthetic embeddings are near-orthogonal; 0.3 matches the
     # planted-duplicate band used by embedding_near_dup
     return semantic_dedup(emb, cents, threshold=0.3)

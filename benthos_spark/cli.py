@@ -61,7 +61,11 @@ def _cmd_blobl(args) -> int:
             continue
         try:
             doc = json.loads(line)
-            df = spark.createDataFrame([doc])
+            from benthos_spark.operators.literals import dict_literal_frame
+            df = (dict_literal_frame(spark, doc)
+                  if isinstance(doc, dict) else None)
+            if df is None:  # nested/None values → inference path
+                df = spark.createDataFrame([doc])
             out = map_text(df, mapping)
             row = out.collect()[0]
             print(json.dumps(row.asDict(recursive=True), sort_keys=True,

@@ -76,7 +76,8 @@ def rows_to_messages(spark, parts: list[dict]) -> DataFrame:
         by_batch[b] = idx + 1
         rows.append((b, idx, part.get("content"), dict(part.get("meta") or {}),
                      part.get("_error")))
-    return spark.createDataFrame(rows, MESSAGE_SCHEMA)
+    from benthos_spark.operators.literals import values_or_pickled
+    return values_or_pickled(spark, rows, MESSAGE_SCHEMA)
 
 
 def meta_get(key: str) -> Column:

@@ -756,10 +756,13 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     (no model object — the literals ship with the plan, exactly the
     IVF coarse-quantizer trick); the only shuffle is the equi-join on
     the int cluster id, and the pairwise fan-out is bounded per
-    cluster — the paper's reason for clustering first.  At 100 TB,
-    k scales with corpus size (n/k docs per cluster) and oversized
-    clusters can be re-bucketed with hyperplane LSH
-    (embedding_near_dup_pairs) without changing this plan's shape.
+    cluster — the paper's reason for clustering first.  k SCALES WITH
+    THE CORPUS by default: similarity.semdedup_params gives
+    k = ceil(n / target_cluster_size), so expected cluster size is a
+    constant and the pairwise pass is O(target·n) — linear — at any
+    scale; residual oversized clusters can additionally be re-bucketed
+    with hyperplane LSH (embedding_near_dup_pairs) without changing
+    this plan's shape.
     """
     from benthos_spark.llm.similarity import _assign_corpus_flat
     from benthos_spark.operators.scale import ensure_scan_parallelism

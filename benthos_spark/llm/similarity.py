@@ -114,6 +114,26 @@ def kmeans_unit_sphere(X, n_centroids: int, iters: int) -> list[list[float]]:
     return C.tolist()
 
 
+def semdedup_params(n_rows: int, target_cluster_size: int = 256,
+                    min_k: int = 4, max_k: int = 1 << 16) -> tuple[int, int]:
+    """(n_centroids, fit_sample) for SemDeDup at a given corpus size.
+
+    k = ceil(n / target_cluster_size): expected cluster size is the
+    CONSTANT target, so the per-cluster pairwise pass stays
+    O(target²·k) = O(target·n) — linear in the corpus — instead of
+    O(n²/k) with a fixed k (the quadratic blowup SemDeDup's clustering
+    exists to avoid).  The fit sample grows 16 points per centroid
+    (floor 512) so first-k init always has members to assign.
+
+    Shared by the Spark query AND external oracle reproductions — both
+    sides must derive (k, sample) from the same row count to stay
+    bit-identical."""
+    import math
+    k = int(min(max_k, max(min_k,
+                           math.ceil(n_rows / target_cluster_size))))
+    return k, max(512, 16 * k)
+
+
 def train_ivf_centroids(corpus: DataFrame, vec: str = "embedding",
                         id_col: str = "vec_id", n_centroids: int = 16,
                         sample: int = 2048, iters: int = 8) -> list[list[float]]:

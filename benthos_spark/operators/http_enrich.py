@@ -105,7 +105,8 @@ def fetch_dimension(spark, url: str, schema: str,
     import urllib.request
     with urllib.request.urlopen(url, timeout=timeout_s) as r:
         rows = json.loads(r.read().decode())
-    return spark.createDataFrame(rows, schema=schema)
+    from benthos_spark.operators.literals import values_or_pickled
+    return values_or_pickled(spark, rows, schema)
 
 
 def lambda_map(df: DataFrame, function_name: str,

@@ -14,6 +14,8 @@ list is parsed SQL text, so keep it to hundreds of rows.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -76,6 +78,79 @@ def _split_schema(schema: str) -> list[tuple[str, str]]:
         name, typ = item.strip().split(None, 1)
         cols.append((name, typ))
     return cols
+
+
+_LIT_MAX_ROWS = 512
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def values_or_pickled(spark: SparkSession, rows: list, schema,
+                      max_rows: int = _LIT_MAX_ROWS) -> DataFrame:
+    """Build small driver-side row sets as a VALUES LocalRelation,
+    falling back to createDataFrame (pickled-RDD scan) when the rows
+    are too many or not literal-renderable.  Use at every bridge that
+    turns Python-polled data into a DataFrame (bus polls, HTTP ingest,
+    test-fixture messages): the frame is re-read by EVERY downstream
+    execution, and the pickled scan pays a Python worker round-trip
+    each time.
+
+    `schema` is a DDL string or StructType; dict rows are reordered by
+    the schema's column order."""
+    sch = (schema if isinstance(schema, str) else ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields))
+    if len(rows) <= max_rows:
+        try:
+            if rows and isinstance(rows[0], dict):
+                names = [n.strip("`") for n, _ in _split_schema(sch)]
+                tup = [tuple(r.get(n) for n in names) for r in rows]
+            else:
+                tup = [tuple(r) for r in rows]
+            return literal_frame(spark, tup, sch)
+        except Exception:
+            pass  # unrenderable value/oversized literal → pickled path
+    return spark.createDataFrame(rows, schema)
+
+
+def dict_literal_frame(spark: SparkSession, d: dict) -> DataFrame | None:
+    """One literal row from a plain dict, inferring the same types
+    createDataFrame would (int→bigint, float→double, homogeneous
+    lists, string maps).  Returns None — caller falls back to
+    createDataFrame — when a value needs real inference (None, empty
+    or mixed containers, nesting) or a key isn't a plain identifier."""
+    if not d or not all(isinstance(k, str) and _IDENT.match(k)
+                        for k in d):
+        return None
+
+    def typ(v) -> str | None:
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "bigint"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, (bytes, bytearray)):
+            return "binary"
+        if (isinstance(v, dict) and v
+                and all(isinstance(k, str) for k in v)
+                and all(isinstance(x, str) for x in v.values())):
+            return "map<string,string>"
+        if isinstance(v, list) and v:
+            et = {typ(x) for x in v}
+            if len(et) == 1 and None not in et and not any(
+                    isinstance(x, (dict, list)) for x in v):
+                return f"array<{et.pop()}>"
+        return None
+
+    cols = []
+    for k, v in d.items():
+        t = typ(v)
+        if t is None:
+            return None
+        cols.append((k, t))
+    schema = ", ".join(f"{k} {t}" for k, t in cols)
+    return literal_frame(spark, [tuple(d.values())], schema)
 
 
 def literal_frame(spark: SparkSession, rows: list[tuple],

@@ -107,7 +107,7 @@ def poll_input(spark: SparkSession, kind: str, target: str,
     if kind not in BUS_FAMILIES:
         raise ValueError(
             f"bus input {kind!r} unknown (have: {sorted(BUS_FAMILIES)})")
-    from benthos_spark.sources.http_ingest import INGEST_SCHEMA
+    from benthos_spark.sources.http_ingest import ingest_frame
     factory = client_factory or _default_factory(kind)
     client = factory()
     rows = []
@@ -126,7 +126,7 @@ def poll_input(spark: SparkSession, kind: str, target: str,
         close = getattr(client, "close", None)
         if close is not None:
             close()
-    return spark.createDataFrame(rows, INGEST_SCHEMA)
+    return ingest_frame(spark, rows)
 
 
 # family → (client pip package, reference output file) for keyed
@@ -225,7 +225,7 @@ def jetstream_poll_input(spark: SparkSession, stream: str,
     a thin adapter over nats-py's JetStream pull subscription.  Each
     row's meta carries nats_stream / nats_subject / nats_sequence /
     nats_durable, matching the reference's metadata surface."""
-    from benthos_spark.sources.http_ingest import INGEST_SCHEMA
+    from benthos_spark.sources.http_ingest import ingest_frame
     if client_factory is None:
         _default_factory("nats")()  # raises the package-naming error
     client = client_factory()
@@ -253,7 +253,7 @@ def jetstream_poll_input(spark: SparkSession, stream: str,
             close()
     if durable:
         _JETSTREAM_CURSORS[durable] = high
-    return spark.createDataFrame(rows, INGEST_SCHEMA)
+    return ingest_frame(spark, rows)
 
 
 # ----------------------------------------------------------- continuous
@@ -284,7 +284,7 @@ def stream_bus_input(spark: SparkSession, kind: str, target: str,
     if kind not in BUS_FAMILIES:
         raise ValueError(
             f"bus input {kind!r} unknown (have: {sorted(BUS_FAMILIES)})")
-    from benthos_spark.sources.http_ingest import INGEST_SCHEMA
+    from benthos_spark.sources.http_ingest import ingest_frame
     if client_factory is None:
         _default_factory(kind)()
     state = {"client": None, "offset": 0, "idle": 0, "batches": 0,
@@ -311,7 +311,7 @@ def stream_bus_input(spark: SparkSession, kind: str, target: str,
         if rows:
             state["idle"] = 0
             state["drained"] += len(rows)
-            sink(spark.createDataFrame(rows, INGEST_SCHEMA), batch_id)
+            sink(ingest_frame(spark, rows), batch_id)
         else:
             state["idle"] += 1
         state["batches"] += 1

@@ -29,6 +29,14 @@ INGEST_SCHEMA = T.StructType([
 ])
 
 
+def ingest_frame(spark: SparkSession, rows: list) -> DataFrame:
+    """(content, meta) rows as a JVM VALUES literal when small — the
+    frame is re-read by every downstream execution, and a pickled-RDD
+    scan would pay a Python round-trip each time (operators/literals)."""
+    from benthos_spark.operators.literals import values_or_pickled
+    return values_or_pickled(spark, rows, INGEST_SCHEMA)
+
+
 class HttpIngestServer:
     """Buffer POST bodies (bounded deque — oldest parts drop once
     `max_buffer` is exceeded, the reference's backpressure analogue for
@@ -107,7 +115,7 @@ class HttpIngestServer:
         with self._lock:
             rows = list(self._rows)
             self._rows.clear()
-        return spark.createDataFrame(rows, INGEST_SCHEMA)
+        return ingest_frame(spark, rows)
 
     def respond(self, replies: dict[int, str], status: int = 200) -> None:
         """Publish sync replies by id — wakes the held handler threads
@@ -158,7 +166,7 @@ def http_client_input(spark: SparkSession, url: str, count: int = 1,
             rows += [(ln, meta) for ln in body.splitlines()]
         else:
             rows.append((body, meta))
-    return spark.createDataFrame(rows, INGEST_SCHEMA)
+    return ingest_frame(spark, rows)
 
 
 def subprocess_input(spark: SparkSession, name: str,
@@ -178,7 +186,7 @@ def subprocess_input(spark: SparkSession, name: str,
         rows = [(ln, meta) for ln in proc.stdout.splitlines()]
     else:
         rows = [(proc.stdout, meta)]
-    return spark.createDataFrame(rows, INGEST_SCHEMA)
+    return ingest_frame(spark, rows)
 
 
 class SocketIngestServer:
@@ -250,7 +258,7 @@ class SocketIngestServer:
         with self._lock:
             rows = list(self._rows)
             self._rows.clear()
-        return spark.createDataFrame(rows, INGEST_SCHEMA)
+        return ingest_frame(spark, rows)
 
     def stop(self) -> None:
         if self._server is not None:
@@ -367,7 +375,7 @@ class WebsocketIngestServer:
         with self._lock:
             rows = list(self._rows)
             self._rows.clear()
-        return spark.createDataFrame(rows, INGEST_SCHEMA)
+        return ingest_frame(spark, rows)
 
     def stop(self) -> None:
         if self._server is not None:

@@ -75,7 +75,7 @@ def read_sftp(spark: SparkSession, paths: list[str],
     the reference's single-connection reader); huge corpora belong on
     an object store."""
     from benthos_spark.sources.files import decode_blob_entries
-    from benthos_spark.sources.http_ingest import INGEST_SCHEMA
+    from benthos_spark.sources.http_ingest import ingest_frame
 
     factory = client_factory or _default_factory(spec or {})
     client = factory()
@@ -97,7 +97,7 @@ def read_sftp(spark: SparkSession, paths: list[str],
         close = getattr(client, "close", None)
         if close is not None:
             close()
-    return spark.createDataFrame(rows, INGEST_SCHEMA)
+    return ingest_frame(spark, rows)
 
 
 def write_sftp(df: DataFrame, path, codec: str = "all-bytes",

@@ -342,7 +342,8 @@ def _build_input(spark: SparkSession, conf: dict,
             # closed/captured stdin (pytest capture, detached daemon):
             # same as an immediately-EOF pipe
             lines = []
-        return spark.createDataFrame(lines, "content STRING")
+        from benthos_spark.operators.literals import values_or_pickled
+        return values_or_pickled(spark, lines, "content STRING")
     if kind == "socket":
         # socket/tcp input (lib/input/socket.go): Structured Streaming's
         # socket source — dev-mode only, like the reference's
@@ -1169,7 +1170,10 @@ def _apply_processor(df: DataFrame, conf: Any,
         # insert_part (lib/processor/insert_part.go:19): union a
         # literal part; `part` = column → value mapping
         from benthos_spark.operators import insert_part
-        part_df = df.sparkSession.createDataFrame([spec["part"]])
+        from benthos_spark.operators.literals import dict_literal_frame
+        part_df = dict_literal_frame(df.sparkSession, spec["part"])
+        if part_df is None:  # nested/None literal values → inference
+            part_df = df.sparkSession.createDataFrame([spec["part"]])
         for f in df.schema.fields:
             # align literal columns with the stream's types — dict
             # inference can mistype (int vs long) and fail the union

@@ -23,17 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _start_replay(spark: SparkSession, path: str,
                   transform: Callable[[DataFrame], DataFrame],
-                  output_mode: str):
+                  output_mode: str, schema=None,
+                  tmp_root: str | None = None):
     """Start one AvailableNow drain; returns (query, sink_name,
-    cleanup_dirs).  Caller owns shuffle-partition pinning and await."""
+    cleanup_dirs).  Caller owns shuffle-partition pinning and await.
+    `schema`/`tmp_root` let a multi-drain caller amortize fixed setup
+    (one footer read per distinct path, one shared temp root)."""
     import os
 
-    schema = spark.read.parquet(path).schema
+    if schema is None:
+        schema = spark.read.parquet(path).schema
     src_dir = None
     if os.path.isfile(path):
         # the file stream source lists a DIRECTORY; symlink the single
         # file into a temp dir rather than copying the data
-        src_dir = tempfile.mkdtemp(prefix="bs_replay_src_")
+        src_dir = tempfile.mkdtemp(prefix="bs_replay_src_", dir=tmp_root)
         os.symlink(os.path.abspath(path),
                    os.path.join(src_dir, os.path.basename(path)))
         stream_path = src_dir
@@ -42,7 +46,7 @@ def _start_replay(spark: SparkSession, path: str,
     stream = spark.readStream.schema(schema).parquet(stream_path)
     out = transform(stream)
     name = "bs_replay_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="bs_replay_ckpt_")
+    ckpt = tempfile.mkdtemp(prefix="bs_replay_ckpt_", dir=tmp_root)
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
@@ -65,11 +69,20 @@ def replay_parquet_many(spark: SparkSession,
     # see replay_parquet: pin state partitioning low for ALL starts,
     # restore once after the last query has latched its conf
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # amortize fixed setup across the drains: one schema footer read
+    # per DISTINCT source path (a five-mechanism gate on one table
+    # paid five identical schema jobs), one shared temp root
+    schemas: dict[str, object] = {}
+    tmp_root = tempfile.mkdtemp(prefix="bs_replay_root_")
     started = []
     try:
         for path, transform, output_mode in specs:
+            if path not in schemas:
+                schemas[path] = spark.read.parquet(path).schema
             started.append(_start_replay(spark, path, transform,
-                                         output_mode))
+                                         output_mode,
+                                         schema=schemas[path],
+                                         tmp_root=tmp_root))
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -87,6 +100,7 @@ def replay_parquet_many(spark: SparkSession,
                 q.stop()
             for d in dirs:
                 shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(tmp_root, ignore_errors=True)
     return tables
 
 

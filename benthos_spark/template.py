@@ -89,7 +89,11 @@ class Template:
         concrete component config subtree (ExpandToNode analogue)."""
         from benthos_spark.bloblang import map_text
         vals = self.field_values(params)
-        row_df = spark.createDataFrame([vals or {"__no_fields": True}])
+        from benthos_spark.operators.literals import dict_literal_frame
+        row = vals or {"__no_fields": True}
+        row_df = dict_literal_frame(spark, row)
+        if row_df is None:  # None/nested field values → inference path
+            row_df = spark.createDataFrame([row])
         out = map_text(row_df, self.mapping).collect()
         if len(out) != 1:
             raise TemplateError(

@@ -1103,6 +1103,46 @@ def test_literal_frame_values_relation(spark):
     assert empty.schema.simpleString() == "struct<a:int,b:string>"
 
 
+def test_values_or_pickled_and_dict_literal_frame(spark):
+    """The round-6 literal sweep: bridge helpers render small row sets
+    as VALUES (no pickled-RDD scan) and fall back to createDataFrame
+    for unrenderable/oversized input, matching its results."""
+    from benthos_spark.operators.literals import (dict_literal_frame,
+                                                  values_or_pickled)
+
+    # tuple rows + StructType schema (the INGEST/MESSAGE bridge shape)
+    from pyspark.sql import types as T
+    sch = T.StructType([
+        T.StructField("content", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()),
+                      True)])
+    df = values_or_pickled(spark, [("a'b", {"k": "v"}), (None, {})], sch)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan
+    rows = df.collect()
+    assert rows[0].content == "a'b" and rows[0].meta == {"k": "v"}
+    assert rows[1].content is None and rows[1].meta == {}
+    # dict rows reorder by schema; oversized input takes the RDD path
+    df2 = values_or_pickled(spark, [{"b": 1, "a": "x"}], "a string, b int")
+    assert df2.collect()[0].asDict() == {"a": "x", "b": 1}
+    big = values_or_pickled(
+        spark, [(str(i), {}) for i in range(600)], sch)
+    assert big.count() == 600
+
+    one = dict_literal_frame(spark, {"s": "t", "n": 3, "f": 0.5,
+                                     "b": True, "m": {"k": "v"},
+                                     "arr": [1, 2]})
+    r = one.collect()[0]
+    assert (r.s, r.n, r.f, r.b, r.m, r.arr) == \
+        ("t", 3, 0.5, True, {"k": "v"}, [1, 2])
+    assert one.schema["n"].dataType.simpleString() == "bigint"
+    # inference-needed shapes decline (caller falls back)
+    assert dict_literal_frame(spark, {"x": None}) is None
+    assert dict_literal_frame(spark, {"x": {"nested": 1}}) is None
+    assert dict_literal_frame(spark, {"bad key": 1}) is None
+    assert dict_literal_frame(spark, {}) is None
+
+
 def test_literal_frame_float_specials_and_int_overflow(spark):
     """nan/inf render as Spark's typed literals (repr() would be
     invalid SQL); over-BIGINT ints raise like createDataFrame instead

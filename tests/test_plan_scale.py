@@ -124,6 +124,50 @@ def test_repetition_is_zero_shuffle_kernel(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
 
 
+# ---- LLM flagship plan shapes (r5 verdict ask #7): pin the three most
+# expensive LLM plans so the r5 kernel wins can't silently regress.
+
+def test_curation_pipeline_all_broadcast_junctions(spark, sf_dir):
+    """COVERAGE claim: every quality→dedup→decontam junction is a
+    broadcast semi/anti join — the corpus side is NEVER sort-merge
+    shuffled, and no row-at-a-time Python appears anywhere."""
+    plan = plan_of(spark, sf_dir, "curation_pipeline")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # the only hash exchanges are the bounded dedup-verdict aggregates,
+    # not corpus re-distributions — pin the count so a new junction
+    # can't silently add one
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_bloom_decontaminate_zero_corpus_shuffle(spark, sf_dir):
+    """COVERAGE claim: the corpus is probed against the ≤2 MB broadcast
+    Bloom bitset inside ONE map-only kernel — no data shuffle (the
+    only exchange permitted is ensure_scan_parallelism's round-robin
+    floor on the fixture's single-row-group file), one scan, no join
+    operator at all."""
+    plan = plan_of(spark, sf_dir, "bloom_decontaminate")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_dsir_weights_zero_shuffle_map_only(spark, sf_dir):
+    """COVERAGE claim (r5): per-doc DSIR weights sum inside the gram
+    kernel — zero shuffles; the final top-k is TakeOrdered (per-
+    partition heads + driver merge), never a global sort exchange.
+    The round-robin parallelism floor on the fixture's one-row-group
+    file is the only exchange allowed."""
+    plan = plan_of(spark, sf_dir, "dsir_select")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "MapInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_ensure_scan_parallelism_floor_and_noop(spark, tmp_path):
     """ensure_scan_parallelism: an under-partitioned scan (single
     row-group file) is repartitioned to default parallelism; an

@@ -21,9 +21,11 @@ Workload-relevant properties preserved:
   - orders/lineitem: 1995-2001 dates, ~4 lines/order fan-out,
     contiguous int64 keys referencing customer/part/supplier.
 
-Usage: python tools/gen_scale_data.py [SF] [OUTDIR]
-  default SF=1 OUTDIR=testdata_sf{SF} (repo root).
-Deterministic at a given sf (seed 1042).
+Usage: python tools/gen_scale_data.py [SF] [OUTDIR] [--salad]
+  default SF=1 OUTDIR=testdata_sf{SF} (repo root); documents use the
+  open-vocabulary Zipf mode unless --salad restores the legacy 31-word
+  fixture (whose trigram space saturates by ~50k docs — see SCALE.md).
+Deterministic at a given (sf, vocab mode) (seed 1042).
 """
 from __future__ import annotations
 
@@ -89,7 +91,7 @@ def _write(out: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def gen(sf: float, out: str) -> None:
+def gen(sf: float, out: str, vocab_mode: str = "zipf") -> None:
     rng = np.random.default_rng(1042)
     os.makedirs(out, exist_ok=True)
     k = sf / 0.1  # multiplier over the observed sf0.1 counts
@@ -192,9 +194,27 @@ def gen(sf: float, out: str) -> None:
         "props": [f'{{"k": {v}}}' for v in rng.integers(0, 100, n_ev)],
     }))
 
-    # documents: word salad; ~95% fresh, ~4.3% mutated near-dup of an
-    # earlier doc, ~0.2% exact dup — mirrors sf0.1's observed rates
+    # documents: ~95% fresh, ~4.3% mutated near-dup of an earlier doc,
+    # ~0.2% exact dup — mirrors sf0.1's observed rates.
+    #
+    # vocab modes (round-6 fix for trigram saturation): the original
+    # 31-word "salad" fills all 31³ trigrams by ~50k docs, so at sf≥1
+    # every shingle is corpus-frequent and rare-shingle Jaccard is
+    # degenerate (SCALE.md).  "zipf" draws token IDs from a power-law
+    # (np.zipf a=1.5, UNBOUNDED id space): the head ids map onto the
+    # original 31 words (stopword-like, same as real text), the tail
+    # mints fresh words ("w123"), so distinct vocab grows ~n^(2/3)
+    # with the corpus and rare shingles keep carrying near-dup signal
+    # at every scale — matching how real corpora behave.
     n_doc = int(5000 * k)
+
+    def draw_words(n: int) -> list[str]:
+        if vocab_mode == "salad":
+            return list(VOCAB[rng.integers(0, len(VOCAB), n)])
+        ids = rng.zipf(1.5, n)
+        return [str(VOCAB[z - 1]) if z <= len(VOCAB) else f"w{z}"
+                for z in ids]
+
     docs: list[str] = []
     for i in range(n_doc):
         r = rng.random()
@@ -205,12 +225,11 @@ def gen(sf: float, out: str) -> None:
             base = docs[int(rng.integers(0, i))].split(" ")
             n_mut = max(1, len(base) // 12)
             for _ in range(n_mut):
-                base[int(rng.integers(0, len(base)))] = str(
-                    VOCAB[rng.integers(0, len(VOCAB))])
+                base[int(rng.integers(0, len(base)))] = draw_words(1)[0]
             docs.append(" ".join(base))
             continue
         n_words = int(rng.integers(9, 116))
-        docs.append(" ".join(VOCAB[rng.integers(0, len(VOCAB), n_words)]))
+        docs.append(" ".join(draw_words(n_words)))
     _write(out, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc, dtype=np.int64)),
         "text": docs,
@@ -234,10 +253,12 @@ def gen(sf: float, out: str) -> None:
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    vocab_mode = "salad" if "--salad" in sys.argv else "zipf"
+    sf = float(args[0]) if args else 1.0
     sf_s = f"{sf:g}"
-    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    out = args[1] if len(args) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         f"testdata_sf{sf_s}")
-    print(f"generating sf{sf_s} -> {out}")
-    gen(sf, out)
+    print(f"generating sf{sf_s} ({vocab_mode} vocab) -> {out}")
+    gen(sf, out, vocab_mode)
