@@ -962,9 +962,13 @@ s AS (SELECT doc_id,
 WITH {_sql_shingle_cte()},
 -- scale-invariant stop-shingle cap: greatest(64, ceil(0.00128·n_docs))
 -- — 64 up to 50k docs (bit-identical to the old fixed guard at the
--- test scales), fraction-of-corpus beyond (IR stop-word framing)
-cap AS (SELECT GREATEST(64, CAST(ceil(0.00128 * COUNT(*)) AS BIGINT))
-               AS v FROM documents),
+-- test scales), fraction-of-corpus beyond (IR stop-word framing).
+-- The frac MUST multiply as a DOUBLE: a bare 0.00128 literal is
+-- DECIMAL in DuckDB and ceil(exact 192.00000) = 192, while Spark's
+-- double product is 192.00000000000003 → 193 — a df-at-cap shingle
+-- then diverges (caught at sf3: one boundary pair each way)
+cap AS (SELECT GREATEST(64, CAST(ceil(CAST(0.00128 AS DOUBLE)
+               * COUNT(*)) AS BIGINT)) AS v FROM documents),
 e AS (SELECT doc_id, unnest(sh) AS sh1, len(sh) AS n_sh FROM s),
 dfreq AS (SELECT sh1, COUNT(*) AS c FROM e GROUP BY 1),
 hotdoc AS (SELECT doc_id, COUNT(*) AS nhot FROM e JOIN dfreq USING (sh1)
