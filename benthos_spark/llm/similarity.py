@@ -198,18 +198,81 @@ def _sim_structs_sql(centroids: list[list[float]]) -> str:
     return "array(" + ", ".join(parts) + ")"
 
 
+# Above this many k·dim literal terms the flat SQL expression stops
+# being a win: janino has to compile ONE method with k·d multiply-adds
+# and blows the compiler itself past ~10k terms (measured: k=235, d=64
+# → driver OOM/stack overflow inside UnitCompiler).  The Arrow kernel
+# below is bit-exact with the SQL fold, so the switch is invisible.
+_FLAT_ASSIGN_MAX_TERMS = 4096
+
+
 def _assign_corpus_flat(corpus: DataFrame, centroids: list[list[float]],
                         vec: str) -> DataFrame:
-    """Corpus rows → nearest-centroid `__list` via flat codegen'd
-    arithmetic (see ivf_topk for why each piece looks the way it
-    does)."""
-    sims = _sim_structs_sql(centroids)
-    vcast = F.expr(f"transform(`{vec}`, x -> cast(x as double))")
-    return (corpus
-            .withColumn("__v", vcast)
-            .withColumn("__list", F.coalesce(
-                F.expr(f"array_max({sims}).idx"), F.lit(-1)))
-            .drop("__v"))
+    """Corpus rows → nearest-centroid `__list`.
+
+    Small k: flat codegen'd arithmetic (see ivf_topk for why each
+    piece looks the way it does).  Large k (auto-k SemDeDup at scale):
+    an Arrow kernel whose per-(row, centroid) dot accumulates
+    DIMENSION-BY-DIMENSION LEFT-TO-RIGHT in float64 — the identical
+    IEEE sequence to the SQL `v[0]*c0 + v[1]*c1 + …` sum — and whose
+    `>=` best-update gives the max-sim/larger-idx-on-ties winner,
+    exactly the SQL array_max(struct(sim, idx)) contract.  Both paths
+    are bit-identical to the DuckDB CASE oracle on well-formed input;
+    deviations only on unreachable shapes: vectors SHORTER than the
+    centroid dim map to -1 here (ANSI flat SQL errors on the
+    out-of-bounds index), NaN elements map to -1 (Spark orders NaN
+    greatest)."""
+    k = len(centroids)
+    d = max((len(c) for c in centroids), default=0)
+    if k * d <= _FLAT_ASSIGN_MAX_TERMS:
+        sims = _sim_structs_sql(centroids)
+        vcast = F.expr(f"transform(`{vec}`, x -> cast(x as double))")
+        # the isNull guard is load-bearing: on a NULL vector every sim
+        # is NULL and array_max's struct compare falls through to the
+        # idx field — silently assigning NULL rows to cluster k-1
+        return (corpus
+                .withColumn("__v", vcast)
+                .withColumn("__list", F.when(
+                    F.col(vec).isNull(), F.lit(-1)).otherwise(
+                    F.coalesce(F.expr(f"array_max({sims}).idx"),
+                               F.lit(-1))))
+                .drop("__v"))
+
+    from collections.abc import Iterator
+
+    cols = corpus.columns
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in corpus.schema.fields) + ", __list int"
+    C = [[float(x) for x in c] for c in centroids]
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        Cl = np.asarray(C, dtype=np.float64)
+        kk, dd = Cl.shape
+        for pdf in batches:
+            n = len(pdf)
+            X = np.zeros((n, dd))
+            ok = np.zeros(n, dtype=bool)
+            for r, v in enumerate(pdf[vec]):
+                if v is not None and len(v) >= dd:
+                    X[r] = np.asarray(v[:dd], dtype=np.float64)
+                    ok[r] = True
+            best = np.full(n, -np.inf)
+            besti = np.full(n, -1, dtype=np.int32)
+            for i in range(kk):
+                acc = np.zeros(n)
+                for j in range(dd):  # left-to-right fold == SQL sum
+                    acc = acc + X[:, j] * Cl[i, j]
+                take = ok & (acc >= best)  # >= : larger idx wins ties
+                besti[take] = i
+                best[take] = acc[take]
+            out = pdf.copy()
+            out["__list"] = besti
+            yield out
+
+    return corpus.mapInPandas(run, schema=schema).select(
+        *cols, "__list")
 
 
 def _query_probes_flat(queries: DataFrame, centroids: list[list[float]],

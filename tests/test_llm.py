@@ -1103,6 +1103,46 @@ def test_literal_frame_values_relation(spark):
     assert empty.schema.simpleString() == "struct<a:int,b:string>"
 
 
+def test_assign_corpus_kernel_matches_flat_sql(spark):
+    """Large-k centroid assignment switches from flat codegen'd SQL to
+    an Arrow kernel (janino cannot compile k·d ≳ 10k terms — the
+    auto-k sf3 OOM).  The kernel's left-to-right per-dimension fold
+    and >=-update tie-break must reproduce the SQL path EXACTLY,
+    including near-tie vectors and null/short-vector → -1."""
+    import benthos_spark.llm.similarity as sim
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+            (2, [0.5, 0.5, 0.0]),        # exact tie → larger idx
+            (3, [0.1000000001, 0.1, 0.3]),
+            (4, None), (5, [0.2, 0.1, 0.0])]   # null → -1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.3, 0.3, 0.4]]
+    flat = {(r.vec_id, r["__list"]) for r in
+            sim._assign_corpus_flat(df, cents, "embedding").collect()}
+    old = sim._FLAT_ASSIGN_MAX_TERMS
+    sim._FLAT_ASSIGN_MAX_TERMS = 0  # force the kernel path
+    try:
+        kern = {(r.vec_id, r["__list"]) for r in
+                sim._assign_corpus_flat(df, cents, "embedding").collect()}
+    finally:
+        sim._FLAT_ASSIGN_MAX_TERMS = old
+    assert flat == kern
+    assert (4, -1) in flat
+    # vec 2 dots: c0=0.5, c1=0.5, c2=0.3 — exact c0/c1 tie, larger
+    # idx wins under the struct array_max contract
+    assert (2, 1) in flat
+    # short vectors: ANSI flat SQL ERRORS on the out-of-bounds index;
+    # the kernel maps them to -1 instead — pin the kernel contract
+    short = spark.createDataFrame([(9, [1.0])],
+                                  "vec_id long, embedding array<double>")
+    sim._FLAT_ASSIGN_MAX_TERMS = 0
+    try:
+        assert [(r.vec_id, r["__list"]) for r in sim._assign_corpus_flat(
+            short, cents, "embedding").collect()] == [(9, -1)]
+    finally:
+        sim._FLAT_ASSIGN_MAX_TERMS = old
+
+
 def test_values_or_pickled_and_dict_literal_frame(spark):
     """The round-6 literal sweep: bridge helpers render small row sets
     as VALUES (no pickled-RDD scan) and fall back to createDataFrame
