@@ -1034,6 +1034,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, bands=4)
 
 
+def _sql_minhash_star_edges(bands: int = 4, rows: int = 4,
+                            src: str = "documents") -> str:
+    """Window-min mirror of llm.dedup.minhash_lsh_star_edges: per
+    (band, bucket) every member links to the bucket MINIMUM —
+    the linear-output clustering surface."""
+    from benthos_spark.llm.dedup import MINHASH_PERMS
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, h -> (h * {a} + {b}) % 1000000007))"
+        for a, b in MINHASH_PERMS)
+    band_keys = ", ".join(
+        f"array_to_string(list_transform(sig[{i * rows + 1}:{i * rows + rows}], "
+        "x -> CAST(x AS VARCHAR)), '-')"
+        for i in range(bands))
+    return f"""
+WITH {_sql_shingle_cte(src)},
+sig AS (SELECT doc_id, [{sig_terms}] AS sig FROM s),
+banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key,
+                  unnest(range(0, {bands})) AS band
+           FROM sig),
+rooted AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, band_key)
+                  AS root
+           FROM banded)
+SELECT DISTINCT root AS id_a, doc_id AS id_b
+FROM rooted WHERE root <> doc_id
+"""
+
+
+@_register("dedup_star_edges", oracle=_sql_minhash_star_edges())
+def dedup_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-output LSH clustering surface (r6): member→bucket-min
+    star edges — same connectivity as dedup_minhash_lsh's all-pairs
+    candidates at O(bucket) instead of O(bucket²) output.  This is
+    what the CC/canonical/curation consumers feed on at scale."""
+    from benthos_spark.llm.dedup import minhash_lsh_star_edges
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_star_edges(docs, bands=4)
+
+
 # ================================================================
 # 24b. LLM op: connected-components clustering over the LSH pairs —
 #      pairs → duplicate clusters (keep doc = component min).  The
@@ -1053,10 +1091,16 @@ reach(u, lab) AS (
 SELECT u AS doc_id, MIN(lab) AS component FROM reach GROUP BY u
 """)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # star edges, not all-pairs: identical components (same node set,
+    # same bucket connectivity — the oracle's recursive CTE over the
+    # all-pairs graph agrees by construction), but the edge volume is
+    # linear in bucket size instead of quadratic, so the CC input
+    # can't explode on boilerplate buckets at scale (r6; the sf3 curve
+    # measured the pairs surface growing 8.9× at 3× data).
     from benthos_spark.llm.dedup import (connected_components,
-                                         minhash_lsh_pairs)
+                                         minhash_lsh_star_edges)
     docs = _t(spark, sf_dir, "documents")
-    return connected_components(minhash_lsh_pairs(docs, bands=4))
+    return connected_components(minhash_lsh_star_edges(docs, bands=4))
 
 
 
@@ -1772,9 +1816,12 @@ SELECT d.doc_id, COALESCE(v.component, d.doc_id) AS component,
 FROM documents d LEFT JOIN v USING (doc_id)
 """)
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from benthos_spark.llm.dedup import canonical_selection, minhash_lsh_pairs
+    # star edges (see dedup_connected_components): same verdicts, the
+    # CC input stays linear in bucket size
+    from benthos_spark.llm.dedup import (canonical_selection,
+                                         minhash_lsh_star_edges)
     docs = _t(spark, sf_dir, "documents")
-    return canonical_selection(docs, minhash_lsh_pairs(docs, bands=4))
+    return canonical_selection(docs, minhash_lsh_star_edges(docs, bands=4))
 
 
 # ================================================================
@@ -4056,7 +4103,7 @@ _SUITES: dict[str, list[str]] = {
     "decontaminate": ["exact_substring_dedup", "paragraph_dedup",
                       "bloom_decontaminate"],
     "filter_predicate": ["condition_v3_filter"],
-    "dedupe_first_wins": ["dedup_canonical"],
+    "dedupe_first_wins": ["dedup_canonical", "dedup_star_edges"],
     "gopher_quality": ["curation_pipeline"],
 }
 

@@ -245,6 +245,45 @@ def minhash_lsh_pairs(df: DataFrame, text: str = "text",
             .distinct())
 
 
+def minhash_lsh_star_edges(df: DataFrame, text: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           bands: int = 4,
+                           arrow_kernel: bool = True) -> DataFrame:
+    """Linear-output LSH dedup edges: per (band, bucket) link every
+    member to the bucket MINIMUM id instead of emitting all C(m,2)
+    member pairs.  Connectivity — and therefore connected components,
+    canonical selection, and every clustering consumer — is IDENTICAL
+    to `minhash_lsh_pairs` (a bucket collapses to one component either
+    way, and the node set is the same: exactly the members of ≥2-doc
+    buckets), but output volume drops from quadratic to linear in
+    bucket size.
+
+    Why it exists (r6 sf3 curve): the all-pairs surface grew 8.9× at
+    3× data on the open-vocabulary fixtures — boilerplate buckets grow
+    superlinearly in any real near-dup corpus, and at 100 TB one
+    1M-doc boilerplate bucket is 5·10^11 pairs (unshippable) vs 10^6
+    star edges.  Keep `minhash_lsh_pairs` when the pairs THEMSELVES
+    are the product (per-pair similarity verification); feed THIS to
+    clustering.
+
+    Plan shape: one hash exchange on (band, band_key) for the window
+    min (replacing the pairs self-join), then a distinct on the edge —
+    both linear in |banded| = bands × n_docs.
+    """
+    from pyspark.sql import Window
+
+    r = len(MINHASH_PERMS) // bands
+    hashed = shingle_hash_frame(df, text, id_col, n)
+    banded = (_banded_signatures_arrow(hashed, id_col, bands, r)
+              if arrow_kernel else
+              _banded_signatures_column(hashed, id_col, bands, r))
+    root = F.min(id_col).over(Window.partitionBy("band", "band_key"))
+    return (banded.select(root.alias("id_a"),
+                          F.col(id_col).alias("id_b"))
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct())
+
+
 def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,

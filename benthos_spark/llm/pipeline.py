@@ -41,7 +41,7 @@ def curate_corpus(corpus: DataFrame, eval_df: DataFrame,
     near-dup cluster; (3) drop survivors sharing any word
     `decontam_n`-gram with `eval_df`."""
     from benthos_spark.llm.dedup import (canonical_selection,
-                                         minhash_lsh_pairs,
+                                         minhash_lsh_star_edges,
                                          ngram_contamination)
     from benthos_spark.llm.text import gopher_signals, token_count
 
@@ -53,7 +53,9 @@ def curate_corpus(corpus: DataFrame, eval_df: DataFrame,
         keep = keep & extra_keep
     quality = corpus.filter(keep)
 
-    canon = canonical_selection(quality, minhash_lsh_pairs(quality),
+    # star edges: identical clusters/canonicals as the all-pairs LSH
+    # surface, linear (not quadratic) in boilerplate-bucket size (r6)
+    canon = canonical_selection(quality, minhash_lsh_star_edges(quality),
                                 id_col=id_col, quality_col=quality_col)
     kept = quality.join(
         F.broadcast(canon.filter(F.col("is_canonical") == 1)

@@ -921,6 +921,31 @@ def test_minhash_arrow_kernel_matches_column_path(spark):
     assert a == b and a, "kernel and Column paths must agree (non-empty)"
 
 
+def test_star_edges_give_identical_components_to_pairs(spark):
+    """minhash_lsh_star_edges is the linear-output clustering surface:
+    its connected components (node set AND labels) must equal the
+    all-pairs surface's — per (band, bucket), member→bucket-min edges
+    connect exactly what all-pairs edges connect."""
+    from benthos_spark.llm.dedup import (connected_components,
+                                         minhash_lsh_pairs,
+                                         minhash_lsh_star_edges)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {'x' if i % 3 else 'y'} zeta "
+             f"eta theta word{i % 5}") for i in range(60)]
+        + [(100 + i, "the same boilerplate doc body") for i in range(8)],
+        ["doc_id", "text"])
+    via_pairs = {(r.doc_id, r.component) for r in connected_components(
+        minhash_lsh_pairs(docs)).collect()}
+    via_stars = {(r.doc_id, r.component) for r in connected_components(
+        minhash_lsh_star_edges(docs)).collect()}
+    assert via_stars == via_pairs and via_stars
+    # and the star surface is never larger than the pairs surface
+    n_pairs = minhash_lsh_pairs(docs).count()
+    n_stars = minhash_lsh_star_edges(docs).count()
+    assert n_stars <= n_pairs
+
+
 def test_minhash_paths_agree_on_null_text(spark):
     """NULL text coalesces to '' before shingle hashing, so no null
     reaches either the numpy kernel (NaN→int64 cast) or the Column

@@ -260,3 +260,54 @@ def test_q9_single_shuffle_all_dims_broadcast(spark, sf_dir):
     # the LIKE('%bolt%') prunes part BEFORE the join, at the scan
     assert any("p_name" in l and "bolt" in l
                for l in plan.splitlines() if "FileScan" in l)
+
+
+def test_q2_decorrelated_window_min_single_shuffle(spark, sf_dir):
+    """COVERAGE claim (r6): the correlated min-cost subquery is
+    DECORRELATED into a window-min over the part-filtered cost frame —
+    the ONLY hash exchange is the window's partkey hash; the
+    supplier→nation→region chain broadcasts; the LIMIT rides
+    TakeOrdered, never a global sort exchange."""
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # part's type/size predicates reach the scan BEFORE the ×4 expansion
+    assert any("p_type" in l and "p_size" in l
+               for l in plan.splitlines() if "FileScan" in l)
+
+
+def test_q11_integer_cents_threshold_broadcast(spark, sf_dir):
+    """COVERAGE claim (r6): the scale-invariant value threshold is a
+    one-row broadcast over the same partkey aggregate — no sort-merge
+    join anywhere, and the per-part aggregate combines map-side."""
+    plan = plan_of(spark, sf_dir, "q11_important_stock")
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan            # map-side combine
+    # partkey agg for g, its recompute under tot (ReuseExchange-
+    # eligible at runtime), and nothing else
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert ("BroadcastHashJoin" in plan
+            or "BroadcastNestedLoopJoin" in plan)
+
+
+def test_q20_one_fact_shuffle_derived_partsupp_broadcast(spark, sf_dir):
+    """COVERAGE claim (r6): lineitem is date-pruned at the scan and
+    semi-joined to the broadcast blue-part dim BEFORE its (part,supp)
+    aggregate; the derived partsupp side is map-only (×4 explode of the
+    same broadcast dim) — the fact aggregate is the only unavoidable
+    shuffle and no join sort-merges the fact."""
+    plan = plan_of(spark, sf_dir, "q20_potential_promotion")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # date bounds reach the lineitem scan
+    assert any("l_shipdate" in l for l in plan.splitlines()
+               if "FileScan" in l and "lineitem" in l)
+    # blue% reaches the part scan
+    assert any("p_name" in l and "blue" in l
+               for l in plan.splitlines() if "FileScan" in l)
+    # (part,supp) ship agg + the DISTINCT on candidate suppliers — no
+    # third corpus shuffle may appear
+    assert plan.count("Exchange hashpartitioning") <= 3
