@@ -1061,17 +1061,6 @@ FROM rooted WHERE root <> doc_id
 """
 
 
-@_register("dedup_star_edges", oracle=_sql_minhash_star_edges())
-def dedup_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-output LSH clustering surface (r6): member→bucket-min
-    star edges — same connectivity as dedup_minhash_lsh's all-pairs
-    candidates at O(bucket) instead of O(bucket²) output.  This is
-    what the CC/canonical/curation consumers feed on at scale."""
-    from benthos_spark.llm.dedup import minhash_lsh_star_edges
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_star_edges(docs, bands=4)
-
-
 # ================================================================
 # 24b. LLM op: connected-components clustering over the LSH pairs —
 #      pairs → duplicate clusters (keep doc = component min).  The
@@ -4046,6 +4035,20 @@ def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = train_from_frame(docs, sample=500, n_merges=100)
     return bpe_token_count(docs, merges)
+
+
+@_register("dedup_star_edges", oracle=_sql_minhash_star_edges())
+def dedup_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-output LSH clustering surface (r6): member→bucket-min
+    star edges — same connectivity as dedup_minhash_lsh's all-pairs
+    candidates at O(bucket) instead of O(bucket²) output.  This is
+    what the CC/canonical/curation consumers feed on at scale.
+    (Registered LAST so the driver's first-50 correctness window keeps
+    its historical row names; driver-gated anyway as a
+    dedupe_first_wins host member.)"""
+    from benthos_spark.llm.dedup import minhash_lsh_star_edges
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_star_edges(docs, bands=4)
 
 
 @_register("dsir_select", oracle=_dsir_oracle())
