@@ -589,6 +589,8 @@ def connected_components_two_phase(edges: DataFrame, src: str = "id_a",
     Returns (doc_id, component), component = min node id — identical
     contract to connected_components.
     """
+    from pyspark.sql import Observation
+
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .filter(F.col("u") != F.col("v")))
     nodes = (e.select(F.col("u").alias("n"))
@@ -614,13 +616,15 @@ def connected_components_two_phase(edges: DataFrame, src: str = "id_a",
         nbrs = oriented.join(m, "u").select(
             F.col("v").alias("u"), F.col("m").alias("v"))
         selfs = m.select(F.col("u"), F.col("m").alias("v"))
+        obs = Observation()  # convergence rides the checkpoint job (r6)
         e = (nbrs.union(selfs)
              .filter(F.col("u") != F.col("v"))
-             .distinct().localCheckpoint(eager=True))
-        sig = e.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
-            .alias("h")).first()
+             .distinct()
+             .observe(obs, F.count(F.lit(1)).alias("n"),
+                      F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                      .alias("h"))
+             .localCheckpoint(eager=True))
+        sig = obs.get
         if (sig["n"], sig["h"]) == prev_sig:
             break
         prev_sig = (sig["n"], sig["h"])
@@ -651,11 +655,17 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     adversarial long-chain graphs.
 
     Scale notes: labels only ever decrease, so convergence is detected
-    by comparing sum(label) between rounds — an O(1)-result aggregate,
-    no extra join.  localCheckpoint truncates lineage each round so the
-    plan stays O(1) deep (iterative DataFrame plans otherwise double in
-    size per round and stall Catalyst).
+    by comparing sum(label) between rounds — an O(1)-result aggregate
+    that rides the round's eager-checkpoint job as an `observe` metric
+    (r6: the separate `.agg().first()` convergence job doubled the
+    per-round job count; Observation populates from the localCheckpoint
+    materialization, so each round is now ONE job).  localCheckpoint
+    truncates lineage each round so the plan stays O(1) deep (iterative
+    DataFrame plans otherwise double in size per round and stall
+    Catalyst).
     """
+    from pyspark.sql import Observation
+
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=True)  # reused every round
@@ -667,16 +677,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                    .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
                    .groupBy(F.col("e.u").alias("u"))
                    .agg(F.min("l.lab").alias("nbr_lab")))
+        obs = Observation()
         labels = (labels.alias("l")
                   .join(nbr_min.alias("n"), "u", "left")
                   .select(F.col("u"),
                           F.least(F.col("l.lab"),
                                   F.coalesce(F.col("n.nbr_lab"),
                                              F.col("l.lab"))).alias("lab"))
+                  .observe(obs, F.sum(F.col("lab").cast("decimal(38,0)"))
+                           .alias("s"))
                   .localCheckpoint(eager=True))
         # labels are monotone non-increasing → unchanged sum ⟺ fixpoint
-        cur_sum = labels.agg(
-            F.sum(F.col("lab").cast("decimal(38,0)"))).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
