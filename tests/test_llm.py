@@ -662,6 +662,21 @@ def test_connected_components_two_phase_matches_and_beats_diameter(spark):
     assert len(got) == 201
 
 
+def test_connected_components_compression_solves_deep_chains(spark):
+    """r6 regression pin for adaptive path compression: a 120-node
+    path needs 120 plain label-prop rounds (> max_iter=50 would
+    return WRONG labels without compression); with lab←lab(lab)
+    kicking in after round 3 the label horizon grows geometrically
+    and the chain resolves to one component well inside the cap."""
+    from benthos_spark.llm.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(120)],
+                                  "id_a long, id_b long")
+    got = connected_components(chain, max_iter=50).collect()
+    assert {r.component for r in got} == {0}
+    assert len(got) == 121
+
+
 def test_dsir_selects_target_like_docs(spark):
     """DSIR: documents resembling the target sample's n-gram profile
     must outscore off-target documents, and the whole pipeline must be
