@@ -1005,8 +1005,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     near-dup path: candidates only, never all-pairs).
 # ================================================================
 
-def _sql_minhash_bands(bands: int = 4, rows: int = 4,
-                       src: str = "documents") -> str:
+def _sql_minhash_banded_cte(bands: int = 4, rows: int = 4,
+                            src: str = "documents") -> str:
+    """Shared WITH-clause body (shingle CTE → minhash sig → banded
+    keys) for BOTH minhash oracle builders — all-pairs and star-edge
+    mirrors differ only in their final SELECT, and a single helper
+    keeps the signature scheme from silently diverging between them
+    (r6 ADVICE)."""
     from benthos_spark.llm.dedup import MINHASH_PERMS
     sig_terms = ", ".join(
         f"list_min(list_transform(sh, h -> (h * {a} + {b}) % 1000000007))"
@@ -1015,12 +1020,17 @@ def _sql_minhash_bands(bands: int = 4, rows: int = 4,
         f"array_to_string(list_transform(sig[{i * rows + 1}:{i * rows + rows}], "
         "x -> CAST(x AS VARCHAR)), '-')"
         for i in range(bands))
-    return f"""
-WITH {_sql_shingle_cte(src)},
+    return f"""{_sql_shingle_cte(src)},
 sig AS (SELECT doc_id, [{sig_terms}] AS sig FROM s),
 banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key,
                   unnest(range(0, {bands})) AS band
-           FROM sig)
+           FROM sig)"""
+
+
+def _sql_minhash_bands(bands: int = 4, rows: int = 4,
+                       src: str = "documents") -> str:
+    return f"""
+WITH {_sql_minhash_banded_cte(bands, rows, src)}
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM banded l JOIN banded r
   ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
@@ -1038,21 +1048,11 @@ def _sql_minhash_star_edges(bands: int = 4, rows: int = 4,
                             src: str = "documents") -> str:
     """Window-min mirror of llm.dedup.minhash_lsh_star_edges: per
     (band, bucket) every member links to the bucket MINIMUM —
-    the linear-output clustering surface."""
-    from benthos_spark.llm.dedup import MINHASH_PERMS
-    sig_terms = ", ".join(
-        f"list_min(list_transform(sh, h -> (h * {a} + {b}) % 1000000007))"
-        for a, b in MINHASH_PERMS)
-    band_keys = ", ".join(
-        f"array_to_string(list_transform(sig[{i * rows + 1}:{i * rows + rows}], "
-        "x -> CAST(x AS VARCHAR)), '-')"
-        for i in range(bands))
+    the linear-output clustering surface.  Shares the shingle→sig→
+    banded WITH-clause with _sql_minhash_bands; only the final SELECT
+    differs."""
     return f"""
-WITH {_sql_shingle_cte(src)},
-sig AS (SELECT doc_id, [{sig_terms}] AS sig FROM s),
-banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key,
-                  unnest(range(0, {bands})) AS band
-           FROM sig),
+WITH {_sql_minhash_banded_cte(bands, rows, src)},
 rooted AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, band_key)
                   AS root
            FROM banded)
@@ -4046,9 +4046,9 @@ def dedup_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     star edges — same connectivity as dedup_minhash_lsh's all-pairs
     candidates at O(bucket) instead of O(bucket²) output.  This is
     what the CC/canonical/curation consumers feed on at scale.
-    (Registered LAST so the driver's first-50 correctness window keeps
-    its historical row names; driver-gated anyway as a
-    dedupe_first_wins host member.)"""
+    (Registered well past the driver's first-50 correctness window —
+    position ~104 — so historical row names are untouched; driver-
+    gated anyway as a dedupe_first_wins host member.)"""
     from benthos_spark.llm.dedup import minhash_lsh_star_edges
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_star_edges(docs, bands=4)

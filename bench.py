@@ -7,6 +7,16 @@ Prints ONE JSON line:
 Each query is forced through the noop sink so the full plan executes
 (count() would let Catalyst prune projections; collect() would measure
 driver transfer).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR            parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS              local[N] threads
+  SPARK_GRAFT_BENCH_PASSES      passes per query, min reported (default 2)
+  SPARK_GRAFT_BENCH_MAX_LOAD    1-min loadavg bar for "quiet" (default 4.0)
+  SPARK_GRAFT_BENCH_WAIT_QUIET  seconds to WAIT (bounded) for loadavg to
+                                drop under the bar before starting; 0 =
+                                warn-only (default).  Timeout is logged
+                                and stamped as quiet_wait_timed_out.
 """
 
 from __future__ import annotations
@@ -73,8 +83,32 @@ def main() -> None:
     # and end; warn loudly — to stderr, the JSON line stays parseable —
     # when the window was NOT quiet, so a dirty artifact is visibly
     # dirty.  SPARK_GRAFT_BENCH_MAX_LOAD (default 4.0) sets the bar.
-    load_start = os.getloadavg()[0]
+    #
+    # SPARK_GRAFT_BENCH_WAIT_QUIET=<secs> (r6 verdict ask #6): instead
+    # of merely warning, WAIT — bounded by <secs> — until the 1-min
+    # loadavg drops under the bar before starting, so driver-invoked
+    # artifacts land quiet without manual babysitting.  On timeout the
+    # run proceeds (a noisy artifact beats no artifact) and the bounded
+    # wait is logged + stamped in the JSON (`quiet_wait_timed_out`).
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    wait_quiet = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_QUIET",
+                                      "0"))
+    quiet_wait_timed_out = False
+    if wait_quiet > 0 and os.getloadavg()[0] > max_load:
+        deadline = time.monotonic() + wait_quiet
+        print(f"waiting up to {wait_quiet:.0f}s for 1-min loadavg "
+              f"< {max_load} (now {os.getloadavg()[0]:.2f})",
+              file=sys.stderr)
+        while os.getloadavg()[0] > max_load:
+            if time.monotonic() >= deadline:
+                quiet_wait_timed_out = True
+                print(f"quiet-window wait timed out after "
+                      f"{wait_quiet:.0f}s at loadavg "
+                      f"{os.getloadavg()[0]:.2f} — proceeding noisy",
+                      file=sys.stderr)
+                break
+            time.sleep(min(15.0, max(1.0, deadline - time.monotonic())))
+    load_start = os.getloadavg()[0]
     if load_start > max_load:
         print(f"WARNING: 1-min loadavg {load_start:.2f} > {max_load} "
               "at bench start — results will be contention-noisy; "
@@ -154,6 +188,7 @@ def main() -> None:
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "quiet_window": load_start <= max_load,
+        "quiet_wait_timed_out": quiet_wait_timed_out,
     }))
     spark.stop()
 

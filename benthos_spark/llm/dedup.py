@@ -637,7 +637,8 @@ def connected_components_two_phase(edges: DataFrame, src: str = "id_a",
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         escalate_after: int = 20) -> DataFrame:
     """Collapse near-dup candidate pairs into duplicate CLUSTERS:
     (node, component) where component = min node id reachable through
     the pair graph.  The canonical doc to keep per cluster is the
@@ -669,7 +670,25 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     truncates lineage each round so the plan stays O(1) deep (iterative
     DataFrame plans otherwise double in size per round and stall
     Catalyst).
+
+    AUTO-ESCALATION (r7): a graph still moving at round
+    `escalate_after` has real depth — compression handles diameter-27
+    fixtures in 16 rounds, so only adversarial shapes (million-node
+    paths) get here — and the remaining work switches itself to the
+    O(log n) alternating-star rounds: contract every node to its
+    current label (labels are within-component by invariant, so the
+    contracted graph has identical component structure and is SMALLER
+    by everything already collapsed), run
+    connected_components_two_phase on the contracted edges, then map
+    each node through its contraction label to the final component.
+    No caller ever has to pick the two-phase variant manually, and the
+    result stays bit-identical (component = min reachable node id).
+    If the loop falls off max_iter without reaching the sum fixpoint
+    (only possible when escalate_after ≥ max_iter), the labels may be
+    WRONG (upper bounds, not components) — warn loudly.
     """
+    import warnings
+
     from pyspark.sql import Observation
 
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -678,6 +697,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     labels = (sym.select("u").distinct()
               .withColumn("lab", F.col("u")))
     prev_sum = None
+    converged = False
     compress_after = 3   # shallow clique graphs converge before this
     for i in range(max_iter):
         nbr_min = (sym.alias("e")
@@ -716,8 +736,34 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # labels are monotone non-increasing → unchanged sum ⟺ fixpoint
         cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+        if i + 1 >= escalate_after and i + 1 < max_iter:
+            # still moving after escalate_after rounds: deep graph —
+            # contract to the label graph and finish in O(log n)
+            # alternating-star rounds (see docstring)
+            lu = labels.select(F.col("u"), F.col("lab").alias("lu"))
+            lv = labels.select(F.col("u").alias("v"),
+                               F.col("lab").alias("lv"))
+            contracted = (sym.join(lu, "u").join(lv, "v")
+                          .select(F.col("lu").alias("id_a"),
+                                  F.col("lv").alias("id_b"))
+                          .filter(F.col("id_a") != F.col("id_b"))
+                          .distinct())
+            comp = connected_components_two_phase(contracted)
+            return (labels.join(
+                comp.select(F.col("doc_id").alias("lab"),
+                            F.col("component")), "lab", "left")
+                .select(F.col("u").alias("doc_id"),
+                        F.coalesce(F.col("component"), F.col("lab"))
+                        .alias("component")))
+    if not converged:
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} "
+            "without reaching the label fixpoint — returned labels "
+            "are upper bounds, NOT components; raise max_iter or "
+            "lower escalate_after", RuntimeWarning, stacklevel=2)
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("lab").alias("component"))
 

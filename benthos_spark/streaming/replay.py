@@ -27,12 +27,27 @@ def _replay_tmp_root() -> str | None:
     no durability requirement — prefer tmpfs (/dev/shm) when present:
     the state-store + offset/commit-log fsyncs are ~9% of the gate's
     wall on disk and free in memory.  Production streams pass their
-    own durable checkpointLocation and never come through here."""
+    own durable checkpointLocation and never come through here.
+
+    tmpfs is typically capped at 50% of RAM, so /dev/shm is only used
+    when it has ≥1 GiB free (replay checkpoints are offset logs + HDFS
+    state-store deltas — MBs for the gate's drains; the GiB bar leaves
+    two orders of magnitude of headroom before an ENOSPC could beat a
+    disk run).  `SPARK_GRAFT_REPLAY_TMP=<dir>` forces a specific root;
+    `SPARK_GRAFT_REPLAY_TMP=disk` forces the system temp dir."""
     import os
 
+    override = os.environ.get("SPARK_GRAFT_REPLAY_TMP")
+    if override:
+        return None if override == "disk" else override
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return shm
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 1 << 30:
+                return shm
+        except OSError:
+            pass
     return None
 
 

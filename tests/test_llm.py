@@ -677,6 +677,47 @@ def test_connected_components_compression_solves_deep_chains(spark):
     assert len(got) == 121
 
 
+def test_connected_components_auto_escalates_to_two_phase(spark):
+    """r7: a graph still moving at round `escalate_after` switches
+    itself to the alternating-star rounds — no caller ever has to pick
+    connected_components_two_phase manually.  A 600-node path is far
+    past what compressed propagation finishes in the default cap
+    (observed ≈2 extra depth-hops/round → ~300 rounds), yet it must
+    resolve to ONE component with bit-identical min-id labels inside
+    max_iter=50.  escalate_after=6 keeps the test fast; the default
+    (20) only fires on shapes the bench fixtures never produce."""
+    import warnings
+
+    from benthos_spark.llm.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(600)],
+                                  "id_a long, id_b long")
+    with warnings.catch_warnings():
+        # escalation must NOT trip the exhaustion warning
+        warnings.simplefilter("error", RuntimeWarning)
+        got = connected_components(chain, max_iter=50,
+                                   escalate_after=6).collect()
+    assert {r.component for r in got} == {0}
+    assert len(got) == 601
+
+
+def test_connected_components_warns_on_cap_exhaustion(spark):
+    """ADVICE r6: falling off max_iter without the sum fixpoint used
+    to return possibly-wrong labels SILENTLY.  With escalation
+    disabled (escalate_after ≥ max_iter) the exhaustion must warn."""
+    import warnings
+
+    import pytest as _pytest
+
+    from benthos_spark.llm.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                  "id_a long, id_b long")
+    with _pytest.warns(RuntimeWarning, match="exhausted max_iter"):
+        connected_components(chain, max_iter=3,
+                             escalate_after=99).collect()
+
+
 def test_dsir_selects_target_like_docs(spark):
     """DSIR: documents resembling the target sample's n-gram profile
     must outscore off-target documents, and the whole pipeline must be
