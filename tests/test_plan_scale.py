@@ -315,3 +315,46 @@ def test_q20_one_fact_shuffle_derived_partsupp_broadcast(spark, sf_dir):
     # (part,supp) ship agg + the DISTINCT on candidate suppliers — no
     # third corpus shuffle may appear
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_star_edges_one_window_exchange_no_self_join(spark, sf_dir):
+    """r7 pin of the r6 scale win: the linear-output star-edge surface
+    must stay a window-min over ONE hash exchange on (band, band_key)
+    plus the distinct's exchange — never the pairs SELF-JOIN it
+    replaced (which is O(bucket²) output and re-shuffles both sides).
+    A refactor reintroducing a join here silently re-creates the
+    boilerplate-bucket cliff the sf3 curve caught."""
+    plan = plan_of(spark, sf_dir, "dedup_star_edges")
+    assert "Join" not in plan                       # no self-join, ever
+    assert plan.count("Window [") == 1              # one window min
+    assert plan.count("Exchange hashpartitioning") == 2  # window + distinct
+
+
+def test_connected_components_one_job_per_round(spark):
+    """r7 pin of the r6 Observation win: each CC round must be ONE
+    Spark action (the eager localCheckpoint; the convergence metric
+    rides it as an `observe`).  The pre-r6 shape ran a SEPARATE
+    .agg().first() action per round — with AQE disabled that doubles
+    the job count, so pinning the exact count catches it.  The clique
+    converges in exactly 2 rounds (one change + one confirm):
+    1 sym-checkpoint job + 2 round jobs = 3.  (AQE is turned off for
+    the measurement only because it splits one action into several
+    stage-materialization jobs, which would make the count
+    environment-sensitive.)"""
+    from benthos_spark.llm.dedup import connected_components
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc = spark.sparkContext
+        edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3), (1, 2)],
+                                      "id_a long, id_b long")
+        sc.setJobGroup("cc_job_pin", "one job per CC round")
+        cc = connected_components(edges)
+        sc.setJobGroup(None, None)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_job_pin"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert {(r.doc_id, r.component) for r in cc.collect()} == \
+        {(0, 0), (1, 0), (2, 0), (3, 0)}
+    assert n_jobs == 3, f"expected 1 setup + 2 round jobs, got {n_jobs}"
