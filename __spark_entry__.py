@@ -4054,6 +4054,31 @@ def dedup_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_star_edges(docs, bands=4)
 
 
+@_register("streaming_minhash_dedupe", oracle=f"""
+WITH {_sql_minhash_banded_cte()},
+rooted AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, band_key)
+                  AS root
+           FROM banded)
+SELECT DISTINCT doc_id AS dup_doc_id FROM rooted WHERE root <> doc_id
+""")
+def streaming_minhash_dedupe_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedupe as a STREAM processor (r6
+    verdict ask #5): the documents table drains through an
+    AvailableNow file stream, band signatures come from the same Arrow
+    kernel as the batch path, and per-(band, band_key) keyed state
+    tracks the bucket root — every member that loses its bucket is
+    emitted as a duplicate mark.  The drained distinct mark set equals
+    the batch star-edge id_b set (streaming/dedupe.py documents the
+    arrival-order-independence argument; tests/test_streaming_dedupe.py
+    gates multi-batch and shuffled-arrival drains).  Registered past
+    the first-50 driver window; driver-gated as a sessionize host
+    member."""
+    from benthos_spark.streaming.dedupe import replay_minhash_dedupe
+    return replay_minhash_dedupe(spark,
+                                 f"{sf_dir}/documents.parquet")
+
+
 @_register("dsir_select", oracle=_dsir_oracle())
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.sampling import dsir_fit_conditional
@@ -4102,7 +4127,7 @@ _SUITES: dict[str, list[str]] = {
     "similarity_topk": ["similarity_lsh_topk", "similarity_ivf_topk",
                         "semantic_dedup"],
     "sharded_join_full_outer": ["sharded_join_collisions"],
-    "sessionize": ["streaming_replay"],
+    "sessionize": ["streaming_replay", "streaming_minhash_dedupe"],
     "text_repetition": ["lm_frequency_mass", "bm25_search",
                         "lm_bigram_score"],
     "mixture_sample": ["dataset_split", "shuffle_shards", "dsir_select"],
