@@ -774,7 +774,15 @@ def _compile_binary(node: ast.Binary, scope: Scope) -> Column:
         return (lhs & rhs) if op == "&&" else (lhs | rhs)
     rhs = compile_expr(node.right, scope)
     if op == "+":
-        if _is_stringish(node.left) or _is_stringish(node.right):
+        # string + anything is CONCAT (arithmetic.go Add on strings).
+        # The syntactic check catches literals/string-method chains;
+        # the schema check catches plain paths whose frame dtype is
+        # already string — `this.s + this.t` used to fall through to
+        # numeric add and blow up in analysis (r7 fuzzer find #2).
+        if (_is_stringish(node.left) or _is_stringish(node.right)
+                or _type_class(_node_dtype(node.left, scope)) == "string"
+                or _type_class(_node_dtype(node.right, scope))
+                == "string"):
             return F.concat(lhs.cast("string"), rhs.cast("string"))
         return lhs + rhs
     if op == "-":
@@ -1405,7 +1413,9 @@ def _compile_method(node: ast.Method, scope: Scope) -> Column:
         return F.array_min(target)
     # --- strings (methods_strings.go) ---
     if name == "capitalize":
-        return F.initcap(target)
+        # Go strings.Title parity — NOT initcap (see functions.strings)
+        from benthos_spark.functions.strings import capitalize
+        return capitalize(target)
     if name == "uppercase":
         return F.upper(target)
     if name == "lowercase":

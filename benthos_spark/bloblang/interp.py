@@ -384,7 +384,15 @@ def _truthy_pair(op, left, right):
     if op == "/":
         return ln / rn
     if op == "%":
-        return ln % rn
+        # Go semantics (arithmetic.go ArithmeticMod: `lhs % rhs` on
+        # int64): TRUNCATED modulo — result takes the DIVIDEND's sign
+        # (-1 % 2 == -1), where Python's native % is floored (== 1).
+        # The compiled path inherits trunc from the JVM's %, so the
+        # two engines diverged on negative dividends until the r7
+        # differential fuzzer caught it (test_fuzz_bloblang.py).
+        q = math.fmod(ln, rn)
+        return int(q) if isinstance(ln, int) and isinstance(rn, int) \
+            else q
     raise EvalError(f"op {op}")
 
 

@@ -24,8 +24,19 @@ __all__ = [
 
 
 def capitalize(c: Column) -> Column:
-    """`.capitalize()` (methods_strings.go:61)."""
-    return F.initcap(c)
+    """`.capitalize()` (methods_strings.go:61 → Go strings.Title):
+    uppercase the first letter of every word and leave the REST
+    UNTOUCHED — "DELTA" stays "DELTA".  F.initcap is NOT that: it
+    lowercases the rest ("DELTA" → "Delta"; r7 fuzzer find #3 against
+    the interpreter, whose regex these per-char semantics mirror
+    exactly: a-z not preceded by A-Za-z → upper)."""
+    cs = F.split(c, "")
+    return F.array_join(
+        F.transform(cs, lambda ch, i: F.when(
+            ch.rlike("^[a-z]$")
+            & ~F.coalesce(F.get(cs, i - 1).rlike("^[A-Za-z]$"),
+                          F.lit(False)),
+            F.upper(ch)).otherwise(ch)), "")
 
 
 def uppercase(c: Column) -> Column:

@@ -1,0 +1,316 @@
+"""Grammar-driven differential fuzzing of the Bloblang compiler
+(r6 verdict ask #4).
+
+The ref vectors pin known cases; this harness GENERATES mappings —
+typed random expression trees over paths, arithmetic, comparisons,
+if/match, coalesce, and the hot method set — and asserts that the
+compiled-Column output equals the dynamic-document interpreter
+(bloblang/interp.py) on the same documents, and, for the pure
+arithmetic/branch core, a DuckDB rendering as a third engine.
+
+Each hypothesis example packs EXPRS_PER_EXAMPLE expressions into ONE
+mapping over DOCS_PER_EXAMPLE documents, so the suite runs hundreds of
+generated mapping statements in a handful of Spark jobs.  Seeded
+(derandomize) so CI failures reproduce.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+EXPRS_PER_EXAMPLE = 8
+DOCS_PER_EXAMPLE = 4
+EXAMPLES = 30          # 30 × 8 = 240 generated mapping statements
+
+_WORDS = ["alpha", "Beta", "gamma x", "DELTA", "", "a-b", "zz top"]
+_CHARS = "abxyZ -"
+
+
+class E:
+    """A generated expression: text + whether the pure-SQL core can
+    also render it for the DuckDB third-engine check."""
+
+    def __init__(self, text: str, sql: str | None):
+        self.text = text
+        self.sql = sql      # None → not expressible in the SQL core
+
+
+def _lit_str(draw):
+    s = draw(st.sampled_from(_WORDS))
+    return E(json.dumps(s), None)
+
+
+@st.composite
+def int_expr(draw, depth=2):
+    if depth == 0:
+        kind = draw(st.sampled_from(["lit", "a", "b", "coal"]))
+        if kind == "lit":
+            v = draw(st.integers(-100, 100))
+            return E(str(v), str(v))
+        if kind == "a":
+            return E("this.a", "a")
+        if kind == "b":
+            return E("this.b", "b")
+        v = draw(st.integers(-50, 50))
+        return E(f"(this.maybe | {v})", f"coalesce(maybe, {v})")
+    kind = draw(st.sampled_from(
+        ["arith", "arith", "if", "match", "abs", "length", "sum",
+         "index", "catch"]))
+    if kind == "arith":
+        op = draw(st.sampled_from(["+", "-", "*", "%"]))
+        le = draw(int_expr(depth=depth - 1))
+        if op == "%":
+            d = draw(st.integers(2, 9))
+            # trunc-toward-zero remainder differs between engines;
+            # the interp/compiled pair must agree — DuckDB's % is
+            # also trunc-based, so keep it in the SQL core
+            return E(f"({le.text} % {d})",
+                     f"({le.sql} % {d})" if le.sql else None)
+        re_ = draw(int_expr(depth=depth - 1))
+        sql = (f"({le.sql} {op} {re_.sql})"
+               if le.sql and re_.sql else None)
+        return E(f"({le.text} {op} {re_.text})", sql)
+    if kind == "if":
+        c = draw(bool_expr(depth=depth - 1))
+        t = draw(int_expr(depth=depth - 1))
+        f = draw(int_expr(depth=depth - 1))
+        sql = (f"(CASE WHEN {c.sql} THEN {t.sql} ELSE {f.sql} END)"
+               if c.sql and t.sql and f.sql else None)
+        return E(f"if {c.text} {{ {t.text} }} else {{ {f.text} }}", sql)
+    if kind == "match":
+        c = draw(bool_expr(depth=depth - 1))
+        t = draw(int_expr(depth=depth - 1))
+        f = draw(int_expr(depth=depth - 1))
+        sql = (f"(CASE WHEN {c.sql} THEN {t.sql} ELSE {f.sql} END)"
+               if c.sql and t.sql and f.sql else None)
+        return E(f"match {{ {c.text} => {t.text}, _ => {f.text} }}", sql)
+    if kind == "abs":
+        i = draw(int_expr(depth=depth - 1))
+        return E(f"({i.text}).abs()",
+                 f"abs({i.sql})" if i.sql else None)
+    if kind == "length":
+        s = draw(str_expr(depth=depth - 1))
+        return E(f"({s.text}).length()", None)
+    if kind == "sum":
+        return E("this.arr.sum()", None)
+    if kind == "index":
+        i = draw(st.integers(0, 2))   # docs always carry 3 elements
+        return E(f"this.arr.index({i})", None)
+    i = draw(int_expr(depth=depth - 1))
+    v = draw(st.integers(-20, 20))
+    return E(f"({i.text}).catch({v})", None)
+
+
+@st.composite
+def bool_expr(draw, depth=1):
+    if depth == 0:
+        kind = draw(st.sampled_from(["flag", "lit"]))
+        if kind == "flag":
+            return E("this.flag", "flag")
+        v = draw(st.booleans())
+        return E(str(v).lower(), str(v).lower())
+    kind = draw(st.sampled_from(
+        ["cmp", "cmp", "and", "or", "not", "contains", "prefix"]))
+    if kind == "cmp":
+        op = draw(st.sampled_from(["<", ">", "<=", ">=", "==", "!="]))
+        le = draw(int_expr(depth=depth - 1))
+        re_ = draw(int_expr(depth=depth - 1))
+        sqlop = {"==": "=", "!=": "<>"}.get(op, op)
+        sql = (f"({le.sql} {sqlop} {re_.sql})"
+               if le.sql and re_.sql else None)
+        return E(f"({le.text} {op} {re_.text})", sql)
+    if kind in ("and", "or"):
+        op = "&&" if kind == "and" else "||"
+        le = draw(bool_expr(depth=depth - 1))
+        re_ = draw(bool_expr(depth=depth - 1))
+        sql = (f"({le.sql} {'AND' if kind == 'and' else 'OR'} {re_.sql})"
+               if le.sql and re_.sql else None)
+        return E(f"({le.text} {op} {re_.text})", sql)
+    if kind == "not":
+        b = draw(bool_expr(depth=depth - 1))
+        return E(f"!({b.text})", f"(NOT {b.sql})" if b.sql else None)
+    if kind == "contains":
+        s = draw(str_expr(depth=depth - 1))
+        needle = _lit_str(draw)
+        return E(f"({s.text}).contains({needle.text})", None)
+    s = draw(str_expr(depth=depth - 1))
+    needle = _lit_str(draw)
+    return E(f"({s.text}).has_prefix({needle.text})", None)
+
+
+@st.composite
+def str_expr(draw, depth=1):
+    if depth == 0:
+        kind = draw(st.sampled_from(["s", "t", "lit"]))
+        if kind in ("s", "t"):
+            return E(f"this.{kind}", None)
+        return _lit_str(draw)
+    kind = draw(st.sampled_from(
+        ["method", "method", "concat", "if", "slice", "replace"]))
+    if kind == "method":
+        m = draw(st.sampled_from(
+            ["uppercase", "lowercase", "trim", "reverse", "capitalize"]))
+        s = draw(str_expr(depth=depth - 1))
+        return E(f"({s.text}).{m}()", None)
+    if kind == "concat":
+        a = draw(str_expr(depth=depth - 1))
+        b = draw(str_expr(depth=depth - 1))
+        return E(f"({a.text} + {b.text})", None)
+    if kind == "if":
+        c = draw(bool_expr(depth=depth - 1))
+        t = draw(str_expr(depth=depth - 1))
+        f = draw(str_expr(depth=depth - 1))
+        return E(f"if {c.text} {{ {t.text} }} else {{ {f.text} }}", None)
+    if kind == "slice":
+        s = draw(str_expr(depth=depth - 1))
+        lo = draw(st.integers(0, 3))
+        hi = draw(st.integers(lo + 1, 8))
+        return E(f"({s.text}).slice({lo}, {hi})", None)
+    s = draw(str_expr(depth=depth - 1))
+    old = draw(st.sampled_from(list(_CHARS.replace(" ", ""))))
+    new = draw(st.sampled_from(["X", "", "--"]))
+    # v3 reference name is `replace` (replace_all is the v4 rename)
+    return E(f'({s.text}).replace("{old}", {json.dumps(new)})', None)
+
+
+@st.composite
+def any_expr(draw):
+    which = draw(st.sampled_from(["int", "int", "bool", "str"]))
+    if which == "int":
+        return draw(int_expr(depth=draw(st.integers(1, 3))))
+    if which == "bool":
+        return draw(bool_expr(depth=draw(st.integers(1, 2))))
+    return draw(str_expr(depth=draw(st.integers(1, 2))))
+
+
+_DOC = st.fixed_dictionaries({
+    "a": st.integers(-100, 100),
+    "b": st.integers(-100, 100),
+    "s": st.text(_CHARS, max_size=10),
+    "t": st.sampled_from(_WORDS),
+    "arr": st.lists(st.integers(-50, 50), min_size=3, max_size=3),
+    "flag": st.booleans(),
+    "maybe": st.none() | st.integers(-50, 50),
+})
+
+
+def _norm(v):
+    """Cross-engine value normalization: ints and equal floats unify
+    (Bloblang arithmetic is int-preserving in the interpreter but some
+    compiled aggregates return double); lists normalize recursively."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float) and not math.isnan(v) and v == int(v) \
+            and abs(v) < 1 << 52:
+        return int(v)
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    return v
+
+
+@settings(max_examples=EXAMPLES, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(any_expr(), min_size=EXPRS_PER_EXAMPLE,
+                max_size=EXPRS_PER_EXAMPLE),
+       st.lists(_DOC, min_size=DOCS_PER_EXAMPLE,
+                max_size=DOCS_PER_EXAMPLE))
+def test_compiled_equals_interp_equals_duckdb(spark, exprs, docs):
+    import duckdb
+
+    from benthos_spark.bloblang import map_text
+    from benthos_spark.bloblang.interp import EvalError, Interp
+    from benthos_spark.bloblang.parser import parse_query
+
+    mapping = "\n".join(f"root.o{i} = {e.text}"
+                        for i, e in enumerate(exprs))
+    df = spark.createDataFrame(
+        [(d["a"], d["b"], d["s"], d["t"], d["arr"], d["flag"],
+          d["maybe"]) for d in docs],
+        "a long, b long, s string, t string, arr array<long>, "
+        "flag boolean, maybe long")
+    rows = map_text(df, mapping).collect()
+    assert len(rows) == len(docs)
+
+    con = duckdb.connect()
+    for row, doc in zip(rows, docs):
+        for i, e in enumerate(exprs):
+            compiled = _norm(row[f"o{i}"])
+            try:
+                interp = _norm(Interp(dict(doc)).eval(
+                    parse_query(e.text)))
+            except EvalError:
+                interp = "__error__"
+            assert compiled == interp, (
+                f"compiled={compiled!r} interp={interp!r} "
+                f"expr={e.text!r} doc={doc!r}")
+            if e.sql is not None:
+                oracle = _norm(con.execute(
+                    f"SELECT {e.sql} FROM (SELECT "
+                    f"{doc['a']} AS a, {doc['b']} AS b, "
+                    f"{'NULL' if doc['maybe'] is None else doc['maybe']}"
+                    f" AS maybe, {doc['flag']} AS flag)"
+                ).fetchone()[0])
+                assert compiled == oracle, (
+                    f"compiled={compiled!r} duckdb={oracle!r} "
+                    f"sql={e.sql!r} expr={e.text!r} doc={doc!r}")
+
+
+def test_modulo_trunc_semantics_pin(spark):
+    """Regression pin for the first fuzzer find: Bloblang `%` is Go's
+    TRUNCATED modulo (result takes the dividend's sign), which the JVM
+    shares but Python's native `%` does not — interp.py returned 1 for
+    -1 % 2 until r7.  Both engines must agree on every sign combo."""
+    from benthos_spark.bloblang import map_text
+    from benthos_spark.bloblang.interp import Interp
+    from benthos_spark.bloblang.parser import parse_query
+
+    cases = [(-1, 2), (1, -2), (-7, 3), (7, -3), (7, 3), (-7, -3)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    rows = map_text(df, "root.m = this.a % this.b").collect()
+    for (a, b), r in zip(cases, rows):
+        interp = Interp({"a": a, "b": b}).eval(parse_query("this.a % this.b"))
+        go_trunc = int(math.fmod(a, b))
+        assert r["m"] == interp == go_trunc, (a, b, r["m"], interp)
+
+
+def test_string_concat_plus_on_schema_typed_paths_pin(spark):
+    """Regression pin for the second fuzzer find: `this.s + this.t`
+    where BOTH operands are plain paths (no string literal or string
+    method in sight) must compile to concat when the frame schema says
+    string — it used to fall through to numeric add and fail analysis
+    with DATATYPE_MISMATCH."""
+    from benthos_spark.bloblang import map_text
+    from benthos_spark.bloblang.interp import Interp
+    from benthos_spark.bloblang.parser import parse_query
+
+    df = spark.createDataFrame([("ab", "cd"), ("", "x")],
+                               "s string, t string")
+    rows = map_text(df, "root.cat = this.s + this.t\n"
+                        "root.self = this.s + this.s").collect()
+    for r, (s, t) in zip(rows, [("ab", "cd"), ("", "x")]):
+        assert r["cat"] == s + t and r["self"] == s + s
+        doc = {"s": s, "t": t}
+        assert Interp(doc).eval(parse_query("this.s + this.t")) == s + t
+
+
+def test_capitalize_preserves_rest_pin(spark):
+    """Regression pin for the third fuzzer find: `.capitalize()` is Go
+    strings.Title — first letter of each word uppercased, REST
+    UNTOUCHED ("DELTA" stays "DELTA").  The compiled path used
+    F.initcap, which lowercases the rest ("Delta")."""
+    from benthos_spark.bloblang import map_text
+    from benthos_spark.bloblang.interp import Interp
+    from benthos_spark.bloblang.parser import parse_query
+
+    cases = ["DELTA", "the foo bar", "a-b c", "zz TOP", "", "x9y z"]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    rows = map_text(df, "root.c = this.s.capitalize()").collect()
+    for s, r in zip(cases, rows):
+        interp = Interp({"s": s}).eval(parse_query("this.s.capitalize()"))
+        assert r["c"] == interp, (s, r["c"], interp)
+    # the reference's own vector
+    assert rows[1]["c"] == "The Foo Bar"
