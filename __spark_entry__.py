@@ -4079,6 +4079,86 @@ def streaming_minhash_dedupe_q(spark: SparkSession,
                                  f"{sf_dir}/documents.parquet")
 
 
+# ================================================================
+# C4 page cleaning + corpus boilerplate-line stripping (r7).  The
+# fixture documents are single-line word salad, so both queries first
+# derive a deterministic multi-line "page" via a PLAIN-STRING replace
+# (' the ' → '.\n') — replace() is regex-free in Spark and DuckDB, so
+# the derivation is parity-safe, and the zipf head word 'the' is
+# frequent enough to yield punctuation-terminated lines everywhere.
+# ================================================================
+
+_PAGE_NL = "SELECT doc_id, lang, replace(text, ' the ', '.' || chr(10)) AS page FROM documents"
+
+
+@_register("c4_line_clean", oracle=f"""
+WITH pages AS ({_PAGE_NL}),
+sig AS (
+  SELECT doc_id, page,
+         list_filter(list_transform(str_split(page, chr(10)),
+                                    l -> trim(l)),
+                     l -> l <> '' AND regexp_matches(l, '[.!?"]$')
+                          AND len(regexp_split_to_array(l, '\\s+')) >= 5
+                          AND NOT regexp_matches(lower(l),
+                              'javascript|cookie|privacy policy'))
+           AS kept
+  FROM pages)
+SELECT doc_id,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       array_to_string(kept, chr(10)) AS cleaned
+FROM sig
+WHERE len(kept) >= 3
+  AND NOT contains(lower(page), 'lorem ipsum')
+  AND NOT contains(page, '{{')
+""")
+def c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning recipe (Raffel et al. 2020) — line retention rules
+    + page tripwires, all scan-speed Column expressions
+    (llm/text.py c4_clean)."""
+    from benthos_spark.llm.text import c4_document_signals
+    docs = _t(spark, sf_dir, "documents")
+    page = F.replace(F.col("text"), F.lit(" the "), F.lit(".\n"))
+    sig = c4_document_signals(page)
+    return (docs.withColumn("__c4", sig)
+            .filter(F.col("__c4.keep"))
+            .select("doc_id",
+                    F.col("__c4.n_kept").cast("int").alias("n_kept"),
+                    F.col("__c4.cleaned").alias("cleaned")))
+
+
+@_register("boilerplate_line_strip", oracle=f"""
+WITH pages AS ({_PAGE_NL}),
+dl AS (SELECT DISTINCT doc_id, lang, l.line FROM pages,
+       LATERAL (SELECT unnest(str_split(page, chr(10))) AS line) l
+       WHERE trim(l.line) <> ''),
+bp AS (SELECT lang, line FROM (
+         SELECT lang, line, count(*) AS df FROM dl GROUP BY lang, line)
+       WHERE df >= 2),
+bps AS (SELECT lang, list(line ORDER BY line) AS bpl FROM bp
+        GROUP BY lang)
+SELECT p.doc_id,
+       array_to_string(
+         list_filter(str_split(p.page, chr(10)),
+                     x -> NOT list_contains(coalesce(b.bpl, []), x)),
+         chr(10)) AS text
+FROM pages p LEFT JOIN bps b ON p.lang = b.lang
+""")
+def boilerplate_line_strip_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal: lines verbatim-shared by
+    ≥2 documents of the same lang group strip from every page — the
+    two-scan zero-corpus-shuffle shape (llm/text.py
+    boilerplate_line_strip; the frequent-line set broadcasts)."""
+    from benthos_spark.llm.text import boilerplate_line_strip
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" the "), F.lit(".\n")))
+    out = boilerplate_line_strip(pages, text="text", id_col="doc_id",
+                                 group="lang", max_df_frac=0.0,
+                                 min_df=2)
+    return out.select("doc_id", "text")
+
+
 @_register("dsir_select", oracle=_dsir_oracle())
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.sampling import dsir_fit_conditional
@@ -4135,7 +4215,8 @@ _SUITES: dict[str, list[str]] = {
                       "bloom_decontaminate"],
     "filter_predicate": ["condition_v3_filter"],
     "dedupe_first_wins": ["dedup_canonical", "dedup_star_edges"],
-    "gopher_quality": ["curation_pipeline"],
+    "gopher_quality": ["curation_pipeline", "c4_line_clean",
+                       "boilerplate_line_strip"],
 }
 
 # Boolean columns become nullable under the union's null-padding; a

@@ -489,6 +489,106 @@ def gopher_quality_filter(df: DataFrame, text: str = "text",
         gopher_signals(F.col(text), min_words, max_words)["keep"])
 
 
+# ---------------------------------------------------------------- C4 recipe
+
+def c4_clean_lines(text: Column, min_words: int = 5) -> Column:
+    """The C4 line-retention rules (Raffel et al. 2020, the published
+    recipe): keep a line only when it (a) ends in terminal punctuation
+    (. ! ? or a closing double quote), (b) has at least `min_words`
+    words, and (c) does not mention javascript / cookie / policy
+    boilerplate (case-insensitive).  Pure Column array pipeline —
+    split, filter, nothing leaves the JVM."""
+    return F.filter(
+        nonempty_lines(text),
+        lambda l: l.rlike(r'[.!?"]$')
+        & (F.size(F.split(l, r"\s+")) >= min_words)
+        & ~F.lower(l).rlike("javascript|cookie|privacy policy"))
+
+
+def c4_document_signals(text: Column, min_words: int = 5,
+                        min_lines: int = 3) -> Column:
+    """Document-level C4 verdict struct:
+
+      cleaned      the retained lines re-joined with newlines
+      n_kept       how many lines survived
+      has_lorem    page mentions "lorem ipsum" (drop)
+      has_brace    page contains "{" (code/templating; drop)
+      keep         n_kept ≥ min_lines AND no page-level tripwire
+    """
+    kept = c4_clean_lines(text, min_words)
+    n_kept = F.size(kept)
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    keep = (n_kept >= min_lines) & ~has_lorem & ~has_brace
+    return F.struct(
+        F.array_join(kept, "\n").alias("cleaned"),
+        n_kept.alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"))
+
+
+def c4_clean(df: DataFrame, text: str = "text", min_words: int = 5,
+             min_lines: int = 3) -> DataFrame:
+    """C4 page cleaning as a map-only transform: drop tripwire pages,
+    keep only the retained lines of the rest.  Filters and the line
+    pipeline are all scan-speed Column expressions — the 100 TB cost
+    is the scan itself."""
+    sig = c4_document_signals(F.col(text), min_words, min_lines)
+    return (df.withColumn("__c4", sig)
+              .filter(F.col("__c4.keep"))
+              .withColumn(text, F.col("__c4.cleaned"))
+              .drop("__c4"))
+
+
+def boilerplate_line_strip(df: DataFrame, text: str = "text",
+                           id_col: str = "doc_id",
+                           group: str = "source",
+                           max_df_frac: float = 0.05,
+                           min_df: int = 3) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb idea at
+    line granularity): a line that appears verbatim in more than
+    `max_df_frac` of the documents of its `group` (site chrome,
+    nav bars, license footers) is stripped from every document.
+
+    100 TB shape: pass 1 explodes per-doc DISTINCT lines (the line
+    column, not the doc, crosses the wire) and one groupBy on
+    (group, line) counts document frequency; the surviving frequent-
+    line set is TINY by construction (lines repeated across ≥min_df
+    docs and ≥max_df_frac of their group), so pass 2 broadcast-joins
+    one array of boilerplate lines per group onto the docs and strips
+    them with an in-place array filter — the corpus is scanned twice
+    but NEVER hash-shuffled, and line order is preserved for free
+    (no explode/reassemble of the output side)."""
+    # per-doc line dedup happens MAP-SIDE (array_distinct before the
+    # explode) so document frequency needs no (doc, line) distinct
+    # exchange — the only full-line shuffle left is the df groupBy,
+    # and partial aggregation combines it map-side
+    lines = (df.select(F.col(group),
+                       F.explode(F.array_distinct(F.filter(
+                           F.split(F.col(text), "\n"),
+                           lambda l: F.trim(l) != "")))
+                       .alias("__line")))
+    doc_n = df.groupBy(group).agg(F.count("*").alias("__docs"))
+    bp_sets = (lines
+               .groupBy(group, "__line")
+               .agg(F.count("*").alias("__df"))
+               .join(F.broadcast(doc_n), group)
+               .filter((F.col("__df") >= min_df)
+                       & (F.col("__df")
+                          >= F.col("__docs") * max_df_frac))
+               .groupBy(group)
+               .agg(F.collect_set("__line").alias("__bps")))
+    stripped = F.array_join(
+        F.filter(F.split(F.col(text), "\n"),
+                 lambda l: ~F.coalesce(
+                     F.array_contains(F.col("__bps"), l),
+                     F.lit(False))), "\n")
+    return (df.join(F.broadcast(bp_sets), group, "left")
+            .withColumn(text, stripped)
+            .drop("__bps"))
+
+
 # ---------------------------------------------------------------- unigram LM
 
 def unigram_counts(df: DataFrame, text: str = "text") -> DataFrame:

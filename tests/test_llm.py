@@ -1318,3 +1318,49 @@ def test_literal_frame_float_specials_and_int_overflow(spark):
     assert rows[3] == float("-inf") and rows[4] == 0.1
     with _pytest.raises(TypeError, match="overflows BIGINT"):
         literal_frame(spark, [(1 << 63,)], "x bigint")
+
+
+def test_c4_clean_rules(spark):
+    """C4 recipe behavior on crafted pages: line retention (terminal
+    punctuation, ≥5 words, no js/cookie boilerplate) and page
+    tripwires (lorem ipsum, braces, <3 kept lines)."""
+    from benthos_spark.llm.text import c4_clean
+
+    good = ("This is a proper sentence with many words.\n"
+            "Another full sentence that also ends properly!\n"
+            "Does this one have enough words to stay?\n"
+            "short line.\n"                      # <5 words → dropped
+            "no terminal punctuation here at all\n"
+            "Please enable JavaScript to view this page.")  # js → drop
+    lorem = good + "\nLorem Ipsum dolor sit amet."
+    brace = good + "\nfunction f() { return 1; }"
+    thin = "Only one proper sentence lives here.\nshort.\n"
+    df = spark.createDataFrame(
+        [(1, good), (2, lorem), (3, brace), (4, thin)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in c4_clean(df).collect()}
+    assert set(out) == {1}                      # tripwires + thin drop
+    assert out[1].split("\n") == [
+        "This is a proper sentence with many words.",
+        "Another full sentence that also ends properly!",
+        "Does this one have enough words to stay?"]
+
+
+def test_boilerplate_line_strip(spark):
+    """Lines verbatim-shared across ≥min_df docs of a group strip from
+    every doc; unique lines and other groups stay; order preserved."""
+    from benthos_spark.llm.text import boilerplate_line_strip
+
+    chrome = "Copyright 2020 Example Corp. All rights reserved."
+    rows = [(i, "web", f"unique body line {i}.\n" + chrome)
+            for i in range(4)]
+    rows.append((9, "web", "another unique page body."))
+    rows.append((10, "mail", chrome))   # other group: df=1 there
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "text string")
+    out = {r["doc_id"]: r["text"] for r in boilerplate_line_strip(
+        df, group="source", max_df_frac=0.5, min_df=3).collect()}
+    for i in range(4):
+        assert out[i] == f"unique body line {i}.", out[i]
+    assert out[9] == "another unique page body."
+    assert out[10] == chrome            # df=1 in 'mail' — kept

@@ -358,3 +358,25 @@ def test_connected_components_one_job_per_round(spark):
     assert {(r.doc_id, r.component) for r in cc.collect()} == \
         {(0, 0), (1, 0), (2, 0), (3, 0)}
     assert n_jobs == 3, f"expected 1 setup + 2 round jobs, got {n_jobs}"
+
+
+def test_c4_clean_is_map_only(spark, sf_dir):
+    """C4 page cleaning is a pure scan→filter→project pipeline: one
+    scan, zero exchanges, zero Python — the 100 TB cost is the scan."""
+    plan = plan_of(spark, sf_dir, "c4_line_clean")
+    assert plan.count("FileScan") == 1
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_boilerplate_strip_broadcasts_frequent_lines(spark, sf_dir):
+    """The corpus side is never sort-merge shuffled: per-doc line
+    dedup is map-side (array_distinct before the explode), document
+    frequency is ONE line groupBy (+ the tiny per-group doc counts and
+    bp-set aggregates), and the strip pass broadcast-joins one
+    boilerplate array per group onto the docs."""
+    plan = plan_of(spark, sf_dir, "boilerplate_line_strip")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "EvalPython" not in plan
