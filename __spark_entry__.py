@@ -4259,10 +4259,13 @@ bp AS (SELECT lang, line FROM (
 bps AS (SELECT lang, list(line ORDER BY line) AS bpl FROM bp
         GROUP BY lang)
 SELECT p.doc_id,
-       array_to_string(
+       -- DuckDB array_to_string([]) is NULL where Spark array_join([])
+       -- is '' — a fully-boilerplate page must strip to '' (caught by
+       -- the r7 sf1 differential gate: sf0.01 had no fully-bp doc)
+       coalesce(array_to_string(
          list_filter(str_split(p.page, chr(10)),
                      x -> NOT list_contains(coalesce(b.bpl, []), x)),
-         chr(10)) AS text
+         chr(10)), '') AS text
 FROM pages p LEFT JOIN bps b ON p.lang = b.lang
 """)
 def boilerplate_line_strip_q(spark: SparkSession,
