@@ -85,8 +85,9 @@ def streaming_minhash_dup_marks(stream: DataFrame, text: str = "text",
         state.update((root,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        yield pd.DataFrame({id_col: dup_ids,
-                            "band": [band] * len(dup_ids)})
+        if dup_ids:  # most buckets are singletons — skip the pandas
+            yield pd.DataFrame({id_col: dup_ids,
+                                "band": [band] * len(dup_ids)})
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if ttl_ms is not None else GroupStateTimeout.NoTimeout)
@@ -107,11 +108,16 @@ def replay_minhash_dedupe(spark, path: str, text: str = "text",
     pinned state partitioning)."""
     from benthos_spark.streaming.replay import replay_parquet
 
+    # 16 state partitions, not the replay default 4: the stateful
+    # operator fans out over ~bands×docs bucket KEYS, and per-group
+    # Python overhead dominates — 4 workers chew tens of thousands of
+    # groups serially (measured 10.1 s at sf0.1; 16 partitions
+    # parallelize the group loop across cores)
     marks = replay_parquet(
         spark, path,
         lambda s: streaming_minhash_dup_marks(s, text=text,
                                               id_col=id_col, n=n,
                                               bands=bands),
-        output_mode="append")
+        output_mode="append", shuffle_partitions=16)
     return (marks.select(F.col(id_col).alias("dup_doc_id"))
             .distinct())

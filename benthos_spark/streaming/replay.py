@@ -86,7 +86,8 @@ def _start_replay(spark: SparkSession, path: str,
 
 def replay_parquet_many(spark: SparkSession,
                         specs: list[tuple],
-                        await_secs: int = 600) -> list[DataFrame]:
+                        await_secs: int = 600,
+                        shuffle_partitions: int = 4) -> list[DataFrame]:
     """Drain several replays CONCURRENTLY: start every query, then
     await them all.  A bounded replay's wall time is dominated by
     fixed engine setup (checkpoint dirs, state-store providers,
@@ -97,8 +98,14 @@ def replay_parquet_many(spark: SparkSession,
     tables in the same order."""
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     # see replay_parquet: pin state partitioning low for ALL starts,
-    # restore once after the last query has latched its conf
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # restore once after the last query has latched its conf.
+    # `shuffle_partitions` overrides the pin for drains whose stateful
+    # operator fans out over MANY keys (e.g. the per-bucket MinHash
+    # dedupe: ~3 buckets/doc means tens of thousands of per-group
+    # Python calls — at 4 partitions only 4 workers chew through them
+    # serially, and the state-store count stays bounded either way).
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(shuffle_partitions))
     # amortize fixed setup across the drains: one schema footer read
     # per DISTINCT source path (a five-mechanism gate on one table
     # paid five identical schema jobs), one shared temp root
@@ -138,7 +145,8 @@ def replay_parquet_many(spark: SparkSession,
 def replay_parquet(spark: SparkSession, path: str,
                    transform: Callable[[DataFrame], DataFrame],
                    output_mode: str = "append",
-                   await_secs: int = 600) -> DataFrame:
+                   await_secs: int = 600,
+                   shuffle_partitions: int = 4) -> DataFrame:
     """Read `path` (parquet) as a file-source stream with its batch
     schema, apply `transform`, drain through Trigger.AvailableNow into
     a memory sink, and return the sink's table.
@@ -157,4 +165,5 @@ def replay_parquet(spark: SparkSession, path: str,
     after (the running query keeps its value)."""
     return replay_parquet_many(
         spark, [(path, transform, output_mode)],
-        await_secs=await_secs)[0]
+        await_secs=await_secs,
+        shuffle_partitions=shuffle_partitions)[0]
