@@ -1202,10 +1202,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
-    # dim=64 is the fixture embedding width (TESTDATA.md) — passing it
-    # skips the library's LIMIT-1 dimension probe job and pins the
-    # flat codegen'd scoring path.
-    out = brute_force_topk(emb, queries, k=10, exclude_self=True, dim=64)
+    out = brute_force_topk(emb, queries, k=10, exclude_self=True)
     return out.select("query_id", "vec_id", "cos", "rank")
 
 
@@ -4298,6 +4295,126 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ================================================================
+# IVF-PQ composed ANN (r8, r7 verdict ask #4): the billion-vector
+# deployment shape — IVF prunes the scan to probed lists, ADC scores
+# the PQ codes inside them, exact L2 reranks only the shortlist.  The
+# oracle composes the _ivf_oracle assignment/probe CTEs with the
+# _pq_oracle code/LUT expressions, scoped to probed lists, plus the
+# _pq_rerank_oracle exact-rescore tail.
+# ================================================================
+
+def _ivf_pq_oracle(n_centroids: int = 8, ivf_iters: int = 5,
+                   n_probe: int = 3, m: int = 8, kcode: int = 16,
+                   sample: int = 512, iters: int = 5,
+                   shortlist: int = 50, topk: int = 10) -> str | None:
+    try:
+        import pyarrow.parquet as pq
+
+        from benthos_spark.llm.similarity import (kmeans_l2,
+                                                  kmeans_unit_sphere)
+        tbl = pq.read_table(f"{_oracle_sf_dir()}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        pairs = sorted((i, [float(x) for x in v]) for i, v in
+                       zip(tbl.column("vec_id").to_pylist(),
+                           tbl.column("embedding").to_pylist())
+                       if i < sample)
+        X = [e for _, e in pairs]
+        cents = kmeans_unit_sphere(X, n_centroids, ivf_iters)
+        d = len(X[0])
+        dsub = d // m
+        books = [kmeans_l2([row[j * dsub:(j + 1) * dsub] for row in X],
+                           kcode, iters) for j in range(m)]
+    except Exception:
+        return None  # no testdata in this environment → rows-only gate
+
+    dots = []
+    for c in cents:
+        terms = " + ".join(f"e[{j + 1}] * {float(x)!r}"
+                           for j, x in enumerate(c) if x != 0.0) or "0.0"
+        dots.append(f"({terms})")
+    case = ("CASE idx " +
+            " ".join(f"WHEN {i} THEN {d_}" for i, d_ in enumerate(dots))
+            + " END")
+
+    def sqdist(evar: str, off: int, cw: list[float]) -> str:
+        return " + ".join(
+            f"({evar}[{off + t + 1}] - {float(c)!r}) * "
+            f"({evar}[{off + t + 1}] - {float(c)!r})"
+            for t, c in enumerate(cw))
+
+    code_cols = []
+    for j, book in enumerate(books):
+        lst = ", ".join(f"({sqdist('e', j * dsub, cw)})" for cw in book)
+        code_cols.append(
+            f"list_position([{lst}], list_min([{lst}])) - 1 AS c{j}")
+    score_terms = []
+    for j, book in enumerate(books):
+        lut = ", ".join(f"({sqdist('qe', j * dsub, cw)})" for cw in book)
+        score_terms.append(f"([{lut}])[c.c{j} + 1]")
+    score = " + ".join(score_terms)
+    exact = " + ".join(
+        f"(v.e[{t + 1}] - q.qe[{t + 1}]) * (v.e[{t + 1}] - q.qe[{t + 1}])"
+        for t in range(64))
+    return f"""
+WITH v AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings),
+flat AS (
+  SELECT vec_id, e, i.idx AS idx, {case} AS sim
+  FROM v CROSS JOIN (SELECT unnest(range({n_centroids})) AS idx) i),
+assign AS (
+  SELECT vec_id, e, idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, idx DESC) AS rn
+    FROM flat) t WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, e AS qe, idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, idx DESC) AS rn
+    FROM flat WHERE vec_id < 5) t WHERE rn <= {n_probe}),
+c AS (SELECT vec_id, idx, {', '.join(code_cols)} FROM assign),
+scored AS (
+  SELECT p.query_id, c.vec_id, round({score}, 6) AS dist
+  FROM c JOIN probes p ON c.idx = p.idx),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, vec_id) AS rnk
+    FROM scored) t WHERE rnk <= {shortlist}),
+v2 AS (SELECT vec_id, {_EMB_D} AS e FROM embeddings),
+q2 AS (SELECT vec_id AS query_id, {_EMB_D} AS qe FROM embeddings
+       WHERE vec_id < 5),
+rescored AS (
+  SELECT cd.query_id, cd.vec_id, round({exact}, 6) AS dist
+  FROM cand cd JOIN v2 v ON v.vec_id = cd.vec_id
+               JOIN q2 q ON q.query_id = cd.query_id)
+SELECT query_id, vec_id, dist, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, vec_id) AS rnk
+  FROM rescored) t
+WHERE rnk <= {topk}
+"""
+
+
+@_register("similarity_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def similarity_ivf_pq_topk(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """IVF-PQ (llm/similarity.py ivf_pq_topk): probe 3 of 8 IVF
+    lists, ADC-score PQ codes only inside them (CASE-over-__list
+    whole-stage codegen, no join/shuffle on the corpus), exact-L2
+    rerank the 50-candidate shortlist via broadcast joins."""
+    from benthos_spark.llm.similarity import (ivf_pq_topk,
+                                              train_ivf_centroids,
+                                              train_pq_codebooks)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, sample=512, iters=5)
+    cb = train_pq_codebooks(emb, m=8, k=16, sample=512, iters=5)
+    queries = emb.filter(F.col("vec_id") < 5) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_pq_topk(emb, queries, cents, cb, k=10, n_probe=3,
+                      shortlist=50)
+    return out.select("query_id", "vec_id", "dist", "rank")
+
+
+# ================================================================
 
 # Pre-suite snapshot: per-operator timing surface for bench.py (suite
 # hosts would otherwise re-run every member, double-charging them).
@@ -4330,7 +4447,9 @@ _SUITES: dict[str, list[str]] = {
                       "awk_pipeline", "langid_model_pinned",
                       "tfidf_keywords"],
     "similarity_topk": ["similarity_lsh_topk", "similarity_ivf_topk",
-                        "semantic_dedup", "similarity_pq_topk"],
+                        "semantic_dedup", "similarity_pq_topk",
+                        "similarity_pq_rerank_topk",
+                        "similarity_ivf_pq_topk"],
     "sharded_join_full_outer": ["sharded_join_collisions"],
     "sessionize": ["streaming_replay", "streaming_minhash_dedupe"],
     "text_repetition": ["lm_frequency_mass", "bm25_search",

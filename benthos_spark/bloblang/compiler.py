@@ -238,16 +238,36 @@ def _node_dtype(node, scope: Scope):
     if isinstance(node, ast.Binary):
         if node.op in ("==", "!=", ">", "<", ">=", "<=", "&&", "||"):
             return T.BooleanType()
+        num = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType)
         if node.op in ("+", "|"):
             lt = _node_dtype(node.left, scope)
             rt = _node_dtype(node.right, scope)
             if isinstance(lt, T.StringType) or isinstance(rt,
                                                           T.StringType):
+                if node.op == "+" and (isinstance(lt, num)
+                                       or isinstance(rt, num)):
+                    # statically-mixed string/number `+` always errors
+                    # (arithmetic.go TypeMismatch) — its value is null,
+                    # not a string; claiming string here made .catch
+                    # wrap the numeric fallback in VARIANT (r8 fuzzer)
+                    return None
                 return T.StringType()
+        if node.op == "|":
+            # coalesce: both sides same class → that class (r8 fuzzer
+            # find: "(this.maybe | 5)" classified as unknown, so a
+            # string + THAT took the concat lenience where the
+            # reference raises a TypeMismatch)
+            if isinstance(lt, num) and isinstance(rt, num):
+                if isinstance(lt, (T.DoubleType, T.FloatType)) \
+                        or isinstance(rt, (T.DoubleType, T.FloatType)):
+                    return T.DoubleType()
+                return T.LongType()
+            if lt is not None and lt == rt:
+                return lt
+            return None
         if node.op in ("+", "-", "*", "/", "%"):
             lt = _node_dtype(node.left, scope)
             rt = _node_dtype(node.right, scope)
-            num = (T.LongType, T.IntegerType, T.DoubleType, T.FloatType)
             if isinstance(lt, num) and isinstance(rt, num):
                 if node.op == "/" or isinstance(
                         lt, (T.DoubleType, T.FloatType)) or isinstance(
@@ -774,15 +794,36 @@ def _compile_binary(node: ast.Binary, scope: Scope) -> Column:
         return (lhs & rhs) if op == "&&" else (lhs | rhs)
     rhs = compile_expr(node.right, scope)
     if op == "+":
-        # string + anything is CONCAT (arithmetic.go Add on strings).
-        # The syntactic check catches literals/string-method chains;
-        # the schema check catches plain paths whose frame dtype is
-        # already string — `this.s + this.t` used to fall through to
-        # numeric add and blow up in analysis (r7 fuzzer find #2).
-        if (_is_stringish(node.left) or _is_stringish(node.right)
-                or _type_class(_node_dtype(node.left, scope)) == "string"
-                or _type_class(_node_dtype(node.right, scope))
-                == "string"):
+        # arithmetic.go sumOp: `+` dispatches on the operand types —
+        # string + string CONCATs, number + number adds, and a
+        # string/number MIX is a TypeMismatch ERROR (IGetString /
+        # IGetNumber never coerce across classes).  The syntactic
+        # check catches literals/string-method chains; the schema
+        # check catches plain paths whose frame dtype is already
+        # string — `this.s + this.t` used to fall through to numeric
+        # add and blow up in analysis (r7 fuzzer find #2).  r7 ADVICE:
+        # the schema check used OR, so string-col + number compiled to
+        # concat ('53') while the reference errors — now the concat
+        # branch needs BOTH sides string-classed; a statically-certain
+        # string/number mix errors like Go; an unknown-class side next
+        # to a string side keeps the historical concat lenience
+        # (dynamic documents dispatch at runtime in the interpreter).
+        lc = _type_class(_node_dtype(node.left, scope))
+        rc = _type_class(_node_dtype(node.right, scope))
+        l_str = _is_stringish(node.left) or lc == "string"
+        r_str = _is_stringish(node.right) or rc == "string"
+        if (l_str and rc == "number" and not r_str) \
+                or (r_str and lc == "number" and not l_str):
+            types = ("string", "number") if l_str else ("number",
+                                                        "string")
+            msg = f"cannot add types {types[0]} and {types[1]}"
+            if scope.lenient:
+                return F.lit(None)
+            if scope.has_error_channel():
+                scope.add_error_cond(F.lit(True), F.lit(msg))
+                return F.lit(None)
+            return F.raise_error(F.lit(msg))
+        if l_str or r_str:
             return F.concat(lhs.cast("string"), rhs.cast("string"))
         return lhs + rhs
     if op == "-":

@@ -370,13 +370,21 @@ def _gabs_merge(dest, src):
 
 
 def _truthy_pair(op, left, right):
-    ln, rn = _num(left), _num(right)
     if op == "+":
-        if isinstance(left, str) or isinstance(right, str):
-            # string concat wins when either side is a string literal
-            if isinstance(left, str) and isinstance(right, str):
-                return left + right
-        return ln + rn
+        # arithmetic.go sumOp: `+` never coerces across classes —
+        # string + string concats (handled by the caller), and a
+        # string/number mix is a TypeMismatch error (IGetString /
+        # IGetNumber both refuse).  The numeric-string coercion below
+        # is kept only for the OTHER operators (documented lenience).
+        # r7 ADVICE: this used to fall through to _num() coercion, so
+        # interp '5' + 3 returned 8 while the compiler concat'd '53'
+        # and the reference errors.
+        if isinstance(left, str) != isinstance(right, str):
+            lt = "string" if isinstance(left, str) else "number"
+            rt = "string" if isinstance(right, str) else "number"
+            raise EvalError(f"cannot add types {lt} and {rt}")
+        return _num(left) + _num(right)
+    ln, rn = _num(left), _num(right)
     if op == "-":
         return ln - rn
     if op == "*":
@@ -390,9 +398,13 @@ def _truthy_pair(op, left, right):
         # The compiled path inherits trunc from the JVM's %, so the
         # two engines diverged on negative dividends until the r7
         # differential fuzzer caught it (test_fuzz_bloblang.py).
-        q = math.fmod(ln, rn)
-        return int(q) if isinstance(ln, int) and isinstance(rn, int) \
-            else q
+        # r7 ADVICE: int/int pairs compute exact truncated mod in
+        # integer arithmetic — math.fmod routes through float64 and
+        # loses exactness past 2^53 ((2**60+3) % 7 is 4, fmod said 1).
+        if isinstance(ln, int) and isinstance(rn, int):
+            q = abs(ln) % abs(rn)
+            return -q if ln < 0 else q
+        return math.fmod(ln, rn)
     raise EvalError(f"op {op}")
 
 
@@ -787,11 +799,26 @@ class Interp:
         if name == "lowercase":
             return _as_str(target, name).lower()
         if name == "capitalize":
-            # Go strings.Title: first letter of every word upper, rest
-            # untouched (methods_strings.go capitalize)
-            return re.sub(r"(?<![A-Za-z])[a-z]",
-                          lambda m: m.group(0).upper(),
-                          _as_str(target, name))
+            # Go strings.Title: title-case the rune after every word
+            # separator, rest untouched (methods_strings.go
+            # capitalize).  Separator per Go strings.isSeparator:
+            # ASCII non-[0-9A-Za-z_]; non-ASCII only whitespace — so
+            # digits glue words and Unicode letters title-case (r7
+            # ADVICE fix, mirrors functions/strings.py capitalize).
+            s = _as_str(target, name)
+            out, prev_sep = [], True
+            for ch in s:
+                u = ch.upper()
+                out.append(u if prev_sep and len(u) == 1 else ch)
+                o = ord(ch)
+                if o <= 0x7F:
+                    prev_sep = not (ch == "_" or "0" <= ch <= "9"
+                                    or "a" <= ch <= "z"
+                                    or "A" <= ch <= "Z")
+                else:
+                    prev_sep = (not (ch.isalpha() or ch.isdigit())
+                                and ch.isspace())
+            return "".join(out)
         if name == "trim":
             return str(target).strip(str(arg(0))) if node.args \
                 else str(target).strip()

@@ -25,18 +25,35 @@ __all__ = [
 
 def capitalize(c: Column) -> Column:
     """`.capitalize()` (methods_strings.go:61 → Go strings.Title):
-    uppercase the first letter of every word and leave the REST
+    title-case the rune after every word separator and leave the REST
     UNTOUCHED — "DELTA" stays "DELTA".  F.initcap is NOT that: it
-    lowercases the rest ("DELTA" → "Delta"; r7 fuzzer find #3 against
-    the interpreter, whose regex these per-char semantics mirror
-    exactly: a-z not preceded by A-Za-z → upper)."""
+    lowercases the rest ("DELTA" → "Delta"; r7 fuzzer find #3).
+
+    Separator per Go strings.isSeparator: for ASCII, anything but
+    [0-9A-Za-z_]; for non-ASCII, only White_Space (letters/digits are
+    never separators).  So digits GLUE words ("x9y" → "X9y", not
+    "X9Y") and Unicode letters title-case ("über" → "Über") — both
+    were wrong under the r7 ASCII-only regex (r7 ADVICE).  The
+    single-char guard keeps full-case-expanding runes (ß → "SS")
+    untouched, matching Go's simple ToTitle mapping.  Deviation:
+    astral-plane runes arrive as surrogate halves here (Java split
+    semantics), so e.g. Deseret letters don't title-case."""
     cs = F.split(c, "")
-    return F.array_join(
-        F.transform(cs, lambda ch, i: F.when(
-            ch.rlike("^[a-z]$")
-            & ~F.coalesce(F.get(cs, i - 1).rlike("^[A-Za-z]$"),
-                          F.lit(False)),
-            F.upper(ch)).otherwise(ch)), "")
+
+    def _sep(p: Column) -> Column:
+        # NULL prev (string start) is a separator, like Go's prev=' '
+        return F.coalesce(
+            F.when(p.rlike("^[\\x00-\\x7F]$"),
+                   ~p.rlike("^[0-9A-Za-z_]$"))
+            .otherwise(p.rlike("^\\p{IsWhite_Space}$")),
+            F.lit(True))
+
+    def _title(ch: Column, i: Column) -> Column:
+        u = F.upper(ch)
+        return F.when(_sep(F.get(cs, i - 1)) & (F.length(u) == 1),
+                      u).otherwise(ch)
+
+    return F.array_join(F.transform(cs, _title), "")
 
 
 def uppercase(c: Column) -> Column:

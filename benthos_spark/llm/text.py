@@ -545,7 +545,9 @@ def boilerplate_line_strip(df: DataFrame, text: str = "text",
                            id_col: str = "doc_id",
                            group: str = "source",
                            max_df_frac: float = 0.05,
-                           min_df: int = 3) -> DataFrame:
+                           min_df: int = 3,
+                           max_lines_per_group: int = 20000,
+                           check_cap: bool = False) -> DataFrame:
     """Corpus-level boilerplate removal (the CCNet/RefinedWeb idea at
     line granularity): a line that appears verbatim in more than
     `max_df_frac` of the documents of its `group` (site chrome,
@@ -559,7 +561,18 @@ def boilerplate_line_strip(df: DataFrame, text: str = "text",
     one array of boilerplate lines per group onto the docs and strips
     them with an in-place array filter — the corpus is scanned twice
     but NEVER hash-shuffled, and line order is preserved for free
-    (no explode/reassemble of the output side)."""
+    (no explode/reassemble of the output side).
+
+    `max_lines_per_group` (r7 verdict ask #8) bounds the broadcast: a
+    pathological group where every doc shares tens of thousands of
+    lines would otherwise bloat the per-group set.  The cap keeps the
+    top-N by (document frequency DESC, line ASC) — deterministic, and
+    it keeps the WORST offenders, so what it drops is the least-
+    frequent tail of the boilerplate set.  `check_cap=True` runs one
+    extra tiny aggregation over the (group, line) df table (eager, so
+    OFF by default — the default plan stays two-scan/zero-corpus-
+    shuffle as pinned by tests/test_plan_scale.py) and warns with the
+    affected groups when the cap truncated any of them."""
     # per-doc line dedup happens MAP-SIDE (array_distinct before the
     # explode) so document frequency needs no (doc, line) distinct
     # exchange — the only full-line shuffle left is the df groupBy,
@@ -570,13 +583,33 @@ def boilerplate_line_strip(df: DataFrame, text: str = "text",
                            lambda l: F.trim(l) != "")))
                        .alias("__line")))
     doc_n = df.groupBy(group).agg(F.count("*").alias("__docs"))
-    bp_sets = (lines
-               .groupBy(group, "__line")
-               .agg(F.count("*").alias("__df"))
-               .join(F.broadcast(doc_n), group)
-               .filter((F.col("__df") >= min_df)
-                       & (F.col("__df")
-                          >= F.col("__docs") * max_df_frac))
+    frequent = (lines
+                .groupBy(group, "__line")
+                .agg(F.count("*").alias("__df"))
+                .join(F.broadcast(doc_n), group)
+                .filter((F.col("__df") >= min_df)
+                        & (F.col("__df")
+                           >= F.col("__docs") * max_df_frac)))
+    if max_lines_per_group is not None:
+        from pyspark.sql.window import Window
+        w = Window.partitionBy(group).orderBy(F.col("__df").desc(),
+                                              F.col("__line"))
+        ranked = frequent.withColumn("__rk", F.row_number().over(w))
+        if check_cap:
+            import warnings
+            hit = [r[0] for r in ranked
+                   .filter(F.col("__rk") > max_lines_per_group)
+                   .select(group).distinct().collect()]
+            if hit:
+                warnings.warn(
+                    f"boilerplate_line_strip: frequent-line set capped"
+                    f" at {max_lines_per_group} for group(s) {hit!r} —"
+                    f" least-frequent tail dropped; raise"
+                    f" max_lines_per_group or max_df_frac",
+                    RuntimeWarning, stacklevel=2)
+        frequent = ranked.filter(F.col("__rk") <= max_lines_per_group) \
+                         .drop("__rk")
+    bp_sets = (frequent
                .groupBy(group)
                .agg(F.collect_set("__line").alias("__bps")))
     stripped = F.array_join(

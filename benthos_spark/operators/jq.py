@@ -445,11 +445,14 @@ class _Parser:
             if v == "if":
                 return self.if_expr()
             if v == "try":
-                body = self.postfix()
+                # jq accepts unary-minus terms on both sides
+                # (`try -1 catch -2` parses in jq 1.6) — r8 jq-fuzzer
+                # find #4: `catch -1` was "unexpected token '-'"
+                body = self.unary()
                 handler = None
                 if self.peek() == ("ident", "catch"):
                     self.next()
-                    handler = self.postfix()
+                    handler = self.unary()
                 return N("trycatch", body, handler)
             if v in ("reduce", "foreach"):
                 src = self.postfix()
@@ -645,9 +648,18 @@ def _add(a: Any, b: Any) -> Any:
     raise JQError(f"{_jqtype(a)} and {_jqtype(b)} cannot be added")
 
 
-_CMP = {"==": lambda a, b: a == b, "!=": lambda a, b: a != b,
-        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
-        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}
+# jq comparisons are TOTAL across types (null < false < true < numbers
+# < strings < arrays < objects — jq manual "Comparison") and equality
+# is type-strict (1 != true where Python says True == 1), so every
+# operator routes through _sort_key, the same key sort/min/max use.
+# r8 jq-fuzzer find #2: `0 < .arr[0]` on an empty array compares a
+# number with null — jq says false, the raw-Python version raised.
+_CMP = {"==": lambda a, b: _sort_key(a) == _sort_key(b),
+        "!=": lambda a, b: _sort_key(a) != _sort_key(b),
+        "<": lambda a, b: _sort_key(a) < _sort_key(b),
+        "<=": lambda a, b: _sort_key(a) <= _sort_key(b),
+        ">": lambda a, b: _sort_key(a) > _sort_key(b),
+        ">=": lambda a, b: _sort_key(a) >= _sort_key(b)}
 
 
 def _eval(n: N, v: Any, env: dict[str, Any]) -> Iterator[Any]:
@@ -739,9 +751,13 @@ def _eval(n: N, v: Any, env: dict[str, Any]) -> Iterator[Any]:
                 if n.c == "+":
                     yield _add(a, b)
                 elif n.c == "-" and isinstance(a, list) and isinstance(b, list):
-                    yield [x for x in a if x not in b]
+                    # jq equality is type-strict: [1] - [true] keeps 1
+                    # (Python's `in` says True == 1) — use _sort_key
+                    bk = [_sort_key(y) for y in b]
+                    yield [x for x in a if _sort_key(x) not in bk]
                 elif n.c == "/" and isinstance(a, str) and isinstance(b, str):
-                    yield a.split(b)
+                    # jq: "" / sep is [] (see split)
+                    yield a.split(b) if a else []
                 elif (n.c == "*" and isinstance(a, dict)
                       and isinstance(b, dict)):
                     yield _deep_merge(a, b)
@@ -762,7 +778,12 @@ def _eval(n: N, v: Any, env: dict[str, Any]) -> Iterator[Any]:
                     else:
                         if y == 0:
                             raise JQError("division by zero")
-                        yield int(x) % int(y)
+                        # jq/gojq `%` is C/Go TRUNCATED int modulo
+                        # (result takes the dividend's sign: -7 % 3 is
+                        # -1) — Python's native % is floored (2).
+                        # r8 jq-fuzzer find #1.
+                        q = abs(int(x)) % abs(int(y))
+                        yield -q if x < 0 else q
     elif kind == "neg":
         for a in _eval(n.a, v, env):
             yield -_tonum(a)
@@ -1143,7 +1164,10 @@ def _call(name: str, args: list[N], v: Any,
         yield sep.join("" if x is None else
                        (x if isinstance(x, str) else _dumps(x)) for x in v)
     elif name == "split":
-        yield _as_str(v, name).split(one(0))
+        # jq: splitting the EMPTY string yields [] (Python's
+        # "".split(sep) yields [""]) — r8 jq-fuzzer find #3
+        s = _as_str(v, name)
+        yield s.split(one(0)) if s else []
     elif name == "test":
         yield re.search(one(0), _as_str(v, name)) is not None
     elif name == "startswith":
@@ -1641,11 +1665,17 @@ def _single(node: N, v: Any, env: dict[str, Any]) -> Any:
 
 
 def _sort_key(v: Any):
+    """jq's total value order (manual "Comparison"): null < false <
+    true < numbers < strings < arrays < objects; arrays compare
+    lexicographically; objects compare by SORTED KEY LIST first, then
+    values in that key order (r8 jq-fuzzer: {"a":1,"c":0} <
+    {"a":1,"b":9} is FALSE because [a,c] > [a,b])."""
     order = {"null": 0, "boolean": 1, "number": 2, "string": 3,
              "array": 4, "object": 5}
     t = _jqtype(v)
     if t == "object":
-        return (5, sorted(v.items()))
+        ks = sorted(v.keys())
+        return (5, ks, [_sort_key(v[k]) for k in ks])
     if t == "array":
         return (4, [_sort_key(x) for x in v])
     if t == "null":

@@ -7,14 +7,13 @@ MinHash signatures, evaluated incrementally against keyed state, so a
 100 TB firehose can be deduped as it arrives instead of in nightly
 batch sweeps.
 
-Design (r6 verdict ask #5):
+Design (r6 verdict ask #5; drain reworked per r7 verdict ask #1):
 - signatures come from the SAME Arrow kernel as the batch path
   (llm.dedup._banded_signatures_arrow inside the streaming query —
   mapInPandas is fully streaming-capable), so stream and batch can
   never disagree on what a signature is;
-- per (band, band_key) keyed state holds ONE long — the minimum doc
-  id seen so far (the bucket ROOT, exactly the star-edge root) — via
-  applyInPandasWithState, optionally TTL'd;
+- per (band, band_key) bucket the state holds ONE long — the minimum
+  doc id seen so far (the bucket ROOT, exactly the star-edge root);
 - a document is emitted as a DUPLICATE the moment it loses to the
   root: new doc with a larger id → emitted immediately; a new doc
   DETHRONES the root (smaller id) → the old root is emitted then.
@@ -26,12 +25,43 @@ Design (r6 verdict ask #5):
   drains id-ordered AND shuffled file sequences against the batch
   surface).
 
-State size: one long per live (band, band_key) — bands × |distinct
-buckets|, independent of stream length; `ttl_ms` bounds it further for
-unbounded streams (an expired bucket forgets its root, so a dup
-arriving later than the TTL after its root is missed — the standard
-recall/state tradeoff of streaming dedupe, and the reason the batch
-sweep still exists).
+Physical layout (r7 verdict ask #1 — the drain was Python-GROUP-CALL
+bound): applyInPandasWithState pays one serialized Python call plus a
+state-protocol round trip PER GROUP PER MICRO-BATCH, and grouping by
+(band, band_key) makes bucket-key cardinality the group count —
+~bands×|docs| calls per drain, most of them singleton buckets doing no
+work (measured: the r7 drain spent its wall on the group loop, 10.1 s
+→ 4.9 s purely from raising state partitions 4 → 16).  The operator
+now groups by a bounded SHARD key (xxhash64(band, band_key) mod
+`shards`) and keeps a map<bucket → root> per shard, so Python calls
+per micro-batch are min(shards, live shards) regardless of corpus
+size, and the per-bucket logic runs as vectorized pandas inside the
+call.  The bucket-level contract (root long, dethrone-emit, per-bucket
+TTL) is unchanged — it just lives in a map entry instead of a group
+row.  Non-streaming window functions are unsupported on streaming
+DataFrames, so the batch surface's window-min trick can't run
+JVM-side; the shard map is the streaming-legal equivalent.
+
+State size: one map entry per live (band, band_key) — bands ×
+|distinct buckets| longs total, independent of stream length;
+`ttl_ms` bounds it further for unbounded streams (an expired bucket
+forgets its root, so a dup arriving later than the TTL after its root
+is missed — the standard recall/state tradeoff of streaming dedupe,
+and the reason the batch sweep still exists).  Per-bucket TTL is
+enforced by a last-touch sweep on every shard call; a fully idle shard
+is reclaimed by the state-level processing-time timeout (every bucket
+in it is then ≥ TTL idle by definition).
+
+Sizing `shards` at 100 TB: each state update rewrites the touched
+shard's whole map value, so pick shards ≈ live_buckets / 10_000 to
+keep map blobs ~100 KB — write amplification stays bounded while
+Python calls stay ~shards per batch.  The default (1024) fits fixture
+scale through sf3.  Production drains should also run the RocksDB
+state-store provider (`rocksdb_state_conf()`): the default HDFS-backed
+provider keeps EVERY key in executor memory, which is its own 100 TB
+cliff — RocksDB spills to local disk and snapshots incrementally.
+Equivalence under both providers is gated by
+tests/test_streaming_dedupe.py::test_rocksdb_state_store_provider.
 """
 
 from __future__ import annotations
@@ -40,18 +70,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """The documented production state-store config for streaming
+    dedupe: RocksDB keeps state on local disk with incremental
+    checkpointing instead of resident in executor memory.  Apply at
+    session or query start (the provider latches per query):
+    `for k, v in rocksdb_state_conf().items(): spark.conf.set(k, v)`"""
+    return {
+        "spark.sql.streaming.stateStore.providerClass":
+            ROCKSDB_PROVIDER,
+        # bound the write-buffer + block-cache memory per executor so
+        # state never competes with shuffle/UDF memory at scale
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage":
+            "true",
+    }
+
 
 def streaming_minhash_dup_marks(stream: DataFrame, text: str = "text",
                                 id_col: str = "doc_id", n: int = 3,
                                 bands: int = 4,
-                                ttl_ms: int | None = None) -> DataFrame:
+                                ttl_ms: int | None = None,
+                                shards: int = 1024) -> DataFrame:
     """Streaming DataFrame of duplicate marks: one row (doc_id, band)
     whenever a document loses its (band, band_key) bucket to a
     smaller-id root.  `distinct(doc_id)` over the drained sink is the
     duplicate set; survivors = docs minus marks.
 
-    `ttl_ms` expires idle bucket state via a processing-time
-    timeout (PySpark's GroupState takes integer milliseconds)."""
+    `ttl_ms` expires idle bucket state (per-bucket last-touch sweep +
+    a state-level processing-time timeout for fully idle shards);
+    `shards` bounds the per-micro-batch Python group-call count (see
+    module docstring for 100 TB sizing)."""
+    import time as _time
+
     import pandas as pd
 
     from benthos_spark.llm.dedup import (MINHASH_PERMS,
@@ -61,41 +115,75 @@ def streaming_minhash_dup_marks(stream: DataFrame, text: str = "text",
     r = len(MINHASH_PERMS) // bands
     hashed = shingle_hash_frame(stream, text, id_col, n)
     banded = _banded_signatures_arrow(hashed, id_col, bands, r)
+    sharded = banded.withColumn(
+        "shard",
+        F.pmod(F.xxhash64("band", "band_key"), F.lit(shards))
+        .cast("int"))
 
     out_schema = f"`{id_col}` long, band int"
+    track_ttl = ttl_ms is not None
 
     def update(key, batches, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
-        root = state.get[0] if state.exists else None
-        band = key[0]
-        dup_ids: list[int] = []
+        if state.exists:
+            got = state.get
+            roots: dict = dict(got[0]) if got[0] else {}
+            seen: dict = dict(got[1]) if (track_ttl and got[1]) else {}
+        else:
+            roots, seen = {}, {}
+        now = int(_time.time() * 1000)
+        if track_ttl and seen:
+            dead = [k for k, t0 in seen.items() if now - t0 > ttl_ms]
+            for k in dead:
+                roots.pop(k, None)
+                seen.pop(k, None)
+        out_ids: list[int] = []
+        out_bands: list[int] = []
         for pdf in batches:
-            ids = pdf[id_col]
-            if len(ids) == 0:
+            if not len(pdf):
                 continue
-            mn = int(ids.min())
-            if root is None:
-                root = mn
-            elif mn < root:
-                dup_ids.append(root)  # dethroned root is now a dup
-                root = mn
-            dup_ids.extend(int(i) for i in ids if int(i) != root)
-        state.update((root,))
-        if ttl_ms is not None:
+            ck = (pdf["band"].astype(str) + ":" + pdf["band_key"])
+            ids = pdf[id_col]
+            # vectorized bucket handling: batch-min per bucket, root
+            # compare/dethrone against the shard map, losers = every
+            # row whose id isn't its bucket's new root
+            mins = pd.DataFrame({"ck": ck, "band": pdf["band"],
+                                 id_col: ids}) \
+                .groupby("ck", sort=False) \
+                .agg(band=("band", "first"), mn=(id_col, "min"))
+            for bucket, band, mn in zip(mins.index,
+                                        mins["band"].tolist(),
+                                        mins["mn"].tolist()):
+                prev = roots.get(bucket)
+                if prev is None:
+                    roots[bucket] = int(mn)
+                elif mn < prev:
+                    out_ids.append(prev)   # dethroned root is a dup
+                    out_bands.append(int(band))
+                    roots[bucket] = int(mn)
+                if track_ttl:
+                    seen[bucket] = now
+            new_root = ck.map(roots)
+            lose = ids != new_root
+            if lose.any():
+                out_ids.extend(int(i) for i in ids[lose])
+                out_bands.extend(int(b) for b in pdf["band"][lose])
+        state.update((roots, seen if track_ttl else None))
+        if track_ttl:
             state.setTimeoutDuration(ttl_ms)
-        if dup_ids:  # most buckets are singletons — skip the pandas
-            yield pd.DataFrame({id_col: dup_ids,
-                                "band": [band] * len(dup_ids)})
+        if out_ids:
+            yield pd.DataFrame({id_col: out_ids, "band": out_bands})
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
-               if ttl_ms is not None else GroupStateTimeout.NoTimeout)
-    return (banded.groupBy("band", "band_key")
-            .applyInPandasWithState(update, outputStructType=out_schema,
-                                    stateStructType="root long",
-                                    outputMode="append",
-                                    timeoutConf=timeout))
+               if track_ttl else GroupStateTimeout.NoTimeout)
+    return (sharded.groupBy("shard")
+            .applyInPandasWithState(
+                update, outputStructType=out_schema,
+                stateStructType=("roots map<string,long>, "
+                                 "seen map<string,long>"),
+                outputMode="append", timeoutConf=timeout))
 
 
 def replay_minhash_dedupe(spark, path: str, text: str = "text",
@@ -108,11 +196,10 @@ def replay_minhash_dedupe(spark, path: str, text: str = "text",
     pinned state partitioning)."""
     from benthos_spark.streaming.replay import replay_parquet
 
-    # 16 state partitions, not the replay default 4: the stateful
-    # operator fans out over ~bands×docs bucket KEYS, and per-group
-    # Python overhead dominates — 4 workers chew tens of thousands of
-    # groups serially (measured 10.1 s at sf0.1; 16 partitions
-    # parallelize the group loop across cores)
+    # 16 state partitions: the sharded operator makes ≤`shards` group
+    # calls per micro-batch with vectorized pandas inside, so a
+    # handful of workers suffice — 16 keeps the shard calls spread
+    # across cores without paying 32 state-store instances
     marks = replay_parquet(
         spark, path,
         lambda s: streaming_minhash_dup_marks(s, text=text,

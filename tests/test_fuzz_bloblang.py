@@ -59,9 +59,30 @@ def int_expr(draw, depth=2):
         return E(f"(this.maybe | {v})", f"coalesce(maybe, {v})")
     kind = draw(st.sampled_from(
         ["arith", "arith", "if", "match", "abs", "length", "sum",
-         "index", "catch"]))
+         "index", "catch", "mixedadd"]))
+    if kind == "mixedadd":
+        # r7 ADVICE find: string/number `+` is a TypeMismatch ERROR in
+        # the reference (arithmetic.go sumOp — IGetString/IGetNumber
+        # never coerce), so both engines must error; exercised under
+        # .catch so the error is a VALUE the three-way compare sees.
+        s = draw(str_expr(depth=0))
+        i = draw(int_expr(depth=0))
+        v = draw(st.integers(-20, 20))
+        a, b = (s.text, i.text) if draw(st.booleans()) else (i.text,
+                                                             s.text)
+        return E(f"({a} + {b}).catch({v})", None)
     if kind == "arith":
         op = draw(st.sampled_from(["+", "-", "*", "%"]))
+        if op == "%" and draw(st.integers(0, 3)) == 0:
+            # r7 ADVICE find: int/int `%` must stay exact past 2^53 —
+            # the interp routed through math.fmod (float64) and got
+            # (2**60+3) % 7 wrong.  Big literal dividends feed ONLY
+            # `%` (never +/-/* where int64 overflow semantics differ
+            # between Python/JVM/DuckDB).
+            v = draw(st.integers(2 ** 53, 2 ** 62)) \
+                * draw(st.sampled_from([1, -1]))
+            d = draw(st.integers(2, 9))
+            return E(f"({v} % {d})", f"({v} % {d})")
         le = draw(int_expr(depth=depth - 1))
         if op == "%":
             d = draw(st.integers(2, 9))
@@ -299,18 +320,71 @@ def test_string_concat_plus_on_schema_typed_paths_pin(spark):
 
 def test_capitalize_preserves_rest_pin(spark):
     """Regression pin for the third fuzzer find: `.capitalize()` is Go
-    strings.Title — first letter of each word uppercased, REST
-    UNTOUCHED ("DELTA" stays "DELTA").  The compiled path used
-    F.initcap, which lowercases the rest ("Delta")."""
+    strings.Title — the rune after every word separator title-cased,
+    REST UNTOUCHED ("DELTA" stays "DELTA").  The compiled path used
+    F.initcap, which lowercases the rest ("Delta").  r7 ADVICE widened
+    the pin to Go's real isSeparator: digits/underscore GLUE words
+    ("x9y" → "X9y") and Unicode letters title-case ("über" → "Über");
+    ß (whose full upper "SS" would grow the string) stays put, like
+    Go's simple ToTitle mapping."""
     from benthos_spark.bloblang import map_text
     from benthos_spark.bloblang.interp import Interp
     from benthos_spark.bloblang.parser import parse_query
 
-    cases = ["DELTA", "the foo bar", "a-b c", "zz TOP", "", "x9y z"]
-    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    cases = [("DELTA", "DELTA"), ("the foo bar", "The Foo Bar"),
+             ("a-b c", "A-B C"), ("zz TOP", "Zz TOP"), ("", ""),
+             ("x9y z", "X9y Z"), ("über maß", "Über Maß"),
+             ("ß top", "ß Top"), ("_foo 5bar", "_foo 5bar")]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
     rows = map_text(df, "root.c = this.s.capitalize()").collect()
-    for s, r in zip(cases, rows):
+    for (s, want), r in zip(cases, rows):
         interp = Interp({"s": s}).eval(parse_query("this.s.capitalize()"))
-        assert r["c"] == interp, (s, r["c"], interp)
-    # the reference's own vector
-    assert rows[1]["c"] == "The Foo Bar"
+        assert r["c"] == interp == want, (s, r["c"], interp, want)
+
+
+def test_mixed_string_number_add_errors_pin(spark):
+    """Regression pin for the r7 ADVICE find: `+` on a string/number
+    MIX is a TypeMismatch error in the reference (arithmetic.go sumOp
+    — IGetString/IGetNumber never coerce across classes).  The
+    compiled schema check used OR, so string-col + number compiled to
+    concat ('53') while the interpreter numerically coerced (8); now
+    both error — value null under .catch, message on the _error
+    channel when the frame carries one."""
+    from benthos_spark.bloblang import map_text
+    from benthos_spark.bloblang.interp import EvalError, Interp
+    from benthos_spark.bloblang.parser import parse_query
+
+    df = spark.createDataFrame([("5", 3)], "s string, n long")
+    rows = map_text(df, "root.c = (this.s + this.n).catch(-1)\n"
+                        "root.d = (this.n + this.s).catch(-2)\n"
+                        "root.ok = this.s + this.s\n"
+                        "root.lit = (\"x\" + this.n).catch(-3)").collect()
+    assert rows[0]["c"] == -1 and rows[0]["d"] == -2
+    assert rows[0]["ok"] == "55" and rows[0]["lit"] == -3
+    doc = {"s": "5", "n": 3}
+    for expr, want in [("(this.s + this.n).catch(-1)", -1),
+                       ("(this.n + this.s).catch(-2)", -2),
+                       ("this.s + this.s", "55"),
+                       ('("x" + this.n).catch(-3)', -3)]:
+        assert Interp(dict(doc)).eval(parse_query(expr)) == want, expr
+    with pytest.raises(EvalError):
+        Interp(dict(doc)).eval(parse_query("this.s + this.n"))
+
+
+def test_modulo_exact_beyond_double_pin(spark):
+    """Regression pin for the r7 ADVICE find: int/int `%` must be
+    EXACT past 2^53 — math.fmod routes through float64, so the interp
+    returned 1 for (2**60+3) % 7 where Go/JVM/DuckDB all say 4."""
+    from benthos_spark.bloblang import map_text
+    from benthos_spark.bloblang.interp import Interp
+    from benthos_spark.bloblang.parser import parse_query
+
+    cases = [(2 ** 60 + 3, 7), (-(2 ** 60 + 3), 7), (2 ** 62 - 1, 9),
+             (-(2 ** 62 - 1), 9), (2 ** 53 + 1, 2)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    rows = map_text(df, "root.m = this.a % this.b").collect()
+    for (a, b), r in zip(cases, rows):
+        interp = Interp({"a": a, "b": b}).eval(
+            parse_query("this.a % this.b"))
+        go_trunc = (abs(a) % abs(b)) * (-1 if a < 0 else 1)
+        assert r["m"] == interp == go_trunc, (a, b, r["m"], interp)

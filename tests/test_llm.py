@@ -1366,6 +1366,51 @@ def test_boilerplate_line_strip(spark):
     assert out[10] == chrome            # df=1 in 'mail' — kept
 
 
+def test_boilerplate_line_strip_cap(spark):
+    """r7 verdict ask #8: a pathological group where every doc shares
+    thousands of lines must not bloat the broadcast — the frequent-
+    line set caps at top-N by (df DESC, line ASC), deterministically
+    keeping the WORST offenders, and check_cap=True warns naming the
+    truncated group."""
+    import warnings as _w
+
+    from benthos_spark.llm.text import boilerplate_line_strip
+
+    # group 'bad': 40 shared lines in every doc; line k appears in
+    # 4 + (k % 3) docs → distinct df tiers for a deterministic top-5
+    shared = [f"shared chrome line {k:02d}" for k in range(40)]
+    rows = []
+    for i in range(8):
+        body = [ln for k, ln in enumerate(shared)
+                if i < 4 + (4 - k % 3)] + [f"body {i}"]
+        rows.append((i, "bad", "\n".join(body)))
+    rows.append((99, "ok", "one line\nanother"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "text string")
+    kw = dict(group="source", max_df_frac=0.1, min_df=3)
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = {r["doc_id"]: r["text"] for r in boilerplate_line_strip(
+            df, max_lines_per_group=5, check_cap=True, **kw).collect()}
+        hits = [w for w in rec if "capped" in str(w.message)]
+    assert hits and "bad" in str(hits[0].message)
+    # only the 5 highest-df lines stripped (ties → line ASC): every
+    # other shared line survives in the docs that carried it
+    kept_shared = [ln for ln in shared
+                   if any(ln in out[i] for i in range(8))]
+    assert len(kept_shared) == 35
+    # uncapped: everything frequent strips; no warning
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        out2 = {r["doc_id"]: r["text"] for r in boilerplate_line_strip(
+            df, check_cap=True, **kw).collect()}
+        assert not [w for w in rec2 if "capped" in str(w.message)]
+    for i in range(8):
+        assert out2[i] == f"body {i}"
+    assert out2[99] == "one line\nanother"
+
+
 def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     """PQ ADC top-k must (a) find each query's own vector at rank 1
     (self-distance is the global minimum even quantized, on these

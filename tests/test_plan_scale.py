@@ -380,3 +380,21 @@ def test_boilerplate_strip_broadcasts_frequent_lines(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "EvalPython" not in plan
+
+
+def test_ivf_pq_plan_pruned_scan_codegen_adc(spark, sf_dir):
+    """IVF-PQ (r8): the ADC stage is a pruned scan + whole-stage-
+    codegen CASE-over-__list scoring — the corpus is never
+    sort-merge-shuffled and never joined for scoring (the only joins
+    are the two BROADCASTS that fetch raw vectors for the q×shortlist
+    rerank rows), and the probed-list restriction is a static
+    isin/In filter that partition-prunes a write_ivf_index layout."""
+    plan = plan_of(spark, sf_dir, "similarity_ivf_pq_topk")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    # static probed-list pruning reached the assignment filter
+    assert "__list" in plan and (" IN (" in plan or "isin" in plan
+                                 or "In(" in plan)
+    # scoring is not Python: the only Python stages are the two
+    # Arrow kernels (pq_encode, rerank distance UDF)
+    assert plan.count("EvalPython") <= 2

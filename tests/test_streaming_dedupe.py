@@ -31,9 +31,12 @@ def _batch_dup_set(spark, docs_df):
             .select("id_b").distinct().collect()}
 
 
-def _drain_marks(spark, src_dir, max_files=1, await_secs=300):
+def _drain_marks(spark, src_dir, max_files=1, await_secs=300,
+                 provider=None):
     """Drain src_dir with maxFilesPerTrigger=max_files; returns
-    (distinct dup ids, number of micro-batches)."""
+    (distinct dup ids, number of micro-batches).  `provider` overrides
+    the state-store provider class for this drain (latches at query
+    start; restored after)."""
     from benthos_spark.streaming.dedupe import streaming_minhash_dup_marks
 
     schema = spark.read.parquet(src_dir).schema
@@ -44,6 +47,10 @@ def _drain_marks(spark, src_dir, max_files=1, await_secs=300):
     ckpt = tempfile.mkdtemp(prefix="sdedupe_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    if provider is not None:
+        spark.conf.set(prov_key, provider)
     try:
         q = (marks.writeStream.format("memory").queryName(name)
              .outputMode("append").option("checkpointLocation", ckpt)
@@ -57,6 +64,11 @@ def _drain_marks(spark, src_dir, max_files=1, await_secs=300):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if provider is not None:
+            if prev_prov is not None:
+                spark.conf.set(prov_key, prev_prov)
+            else:
+                spark.conf.unset(prov_key)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
@@ -205,3 +217,26 @@ def test_no_ttl_same_gap_still_detects(spark, tmp_path):
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """r7 verdict ask #3: the documented production config for the
+    streaming dedupe is the RocksDB state-store provider (the default
+    HDFS-backed store keeps every state key resident in executor
+    memory — a 100 TB cliff).  The same incremental drain under
+    RocksDB must produce the identical duplicate set."""
+    from benthos_spark.streaming.dedupe import (ROCKSDB_PROVIDER,
+                                                rocksdb_state_conf)
+
+    assert rocksdb_state_conf()[
+        "spark.sql.streaming.stateStore.providerClass"] \
+        == ROCKSDB_PROVIDER
+    src = str(tmp_path / "rocks")
+    _split_parquet(f"{SF_DIR}/documents.parquet", src, 3, "desc")
+    dups_mem, _ = _drain_marks(spark, src, max_files=1)
+    dups_rocks, n_batches = _drain_marks(spark, src, max_files=1,
+                                         provider=ROCKSDB_PROVIDER)
+    assert n_batches >= 3
+    batch = _batch_dup_set(spark, spark.read.parquet(src))
+    assert dups_rocks == dups_mem == batch and batch

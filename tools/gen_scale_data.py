@@ -232,14 +232,17 @@ def gen(sf: float, out: str, vocab_mode: str = "zipf",
     # variants still agree with the template on most minhash bands —
     # the corpus gets a few THOUSAND-member band buckets instead of
     # the organic tail, exactly the shape where all-pairs emission is
-    # C(m,2) and star edges are m-1.
+    # C(m,2) and star edges are m-1.  The band sits DISJOINT above the
+    # organic dup/mutate bands (r7 ADVICE: the old r < 0.10 check
+    # consumed the organic r < 0.002 verbatim-dup draws, silently
+    # dropping that population from bp fixtures).
     template = draw_words(60) if boilerplate else None
 
     docs: list[str] = []
     for i in range(n_doc):
         r = rng.random()
-        if boilerplate and i > 10 and r < 0.10:
-            if r < 0.05:
+        if boilerplate and i > 10 and 0.045 <= r < 0.145:
+            if r < 0.095:
                 docs.append(" ".join(template))
             else:
                 t = list(template)
