@@ -1483,3 +1483,46 @@ def test_pq_rerank_recovers_exact_topk(spark, sf_dir):
         hits += len(exact & approx)
         total += len(exact)
     assert hits / total >= 0.9, hits / total
+
+
+def test_ivf_pq_recall_vs_exact_l2(spark, sf_dir):
+    """IVF-PQ composed top-k (r8): probed-list pruning + ADC shortlist
+    + exact rerank must (a) find each query's own vector at rank 1
+    (the self vector lives in the query's own nearest list, always
+    probed first, and the exact rerank restores true distances) and
+    (b) beat PURE ADC's recall vs the exact L2 top-10 — the rerank is
+    the point of the composition.  Parity with DuckDB is the oracle
+    gate's job; this pins retrieval QUALITY."""
+    import numpy as np
+
+    from benthos_spark.llm.similarity import (ivf_pq_topk,
+                                              train_ivf_centroids,
+                                              train_pq_codebooks)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, sample=512, iters=5)
+    cb = train_pq_codebooks(emb, m=8, k=16, sample=512, iters=5)
+    queries = emb.filter(F.col("vec_id") < 8) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_pq_topk(emb, queries, cents, cb, k=10, n_probe=3,
+                      shortlist=50).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"]))
+    for qid_, pairs in by_q.items():
+        assert min(pairs)[1] == qid_, (qid_, sorted(pairs)[:3])
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    hits = total = 0
+    for qid_ in by_q:
+        qv = X[ids == qid_][0]
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d2))[:10]].tolist())
+        approx = {v for _, v in by_q[qid_]}
+        hits += len(exact & approx)
+        total += len(exact)
+    # shortlist+rerank lifts recall well above the ~0.33 pure-ADC
+    # floor; 3/8 lists probed caps it below 1.0 on boundary queries
+    assert hits / total >= 0.5, hits / total
