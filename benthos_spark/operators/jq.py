@@ -25,7 +25,7 @@ alternative `//`, `$metadata`, `as $var` bindings, `if/then/elif/else/
 end`, `try EXPR catch HANDLER`, `reduce`/`foreach`, user functions
 (`def f: ...;` and `def f(a; $b): ...;` with filter and value params,
 recursion allowed), the assignment family (`=`, `|=`, `+=`, `-=`, `*=`,
-`/=`, `%=`, `//=`) over path expressions, string interpolation
+`/=`, `%=`, `//=`) over path expressions, `del`, string interpolation
 `"\\(expr)"`, multi-argument calls `f(a; b)`, string functions
 (`split/join/test/capture/sub/gsub/startswith/endswith/ltrimstr/
 rtrimstr`, `ascii_downcase/upcase`, `tostring/tonumber/tojson/
@@ -1303,6 +1303,11 @@ def _call(name: str, args: list[N], v: Any,
         if not isinstance(ps, list):
             raise JQError("delpaths: paths must be an array")
         yield _delpaths(v, [list(p) for p in ps])
+    elif name == "del":
+        # builtin.jq: def del(f): delpaths([path(f)]);  (r8 jq-fuzzer
+        # find #6 — `del` was missing while delpaths existed)
+        paths_ = [p for p, _pv in _path_eval(args[0], v, env)]
+        yield _delpaths(v, paths_)
     elif name == "error":
         msg = one(0) if args else v
         raise JQError(msg if isinstance(msg, str) else _dumps(msg))
@@ -1431,6 +1436,10 @@ def _call(name: str, args: list[N], v: Any,
             raise JQError(f"{_jqtype(v)} has no keys")
         yield list(v.keys())
     elif name in ("paths", "leaf_paths") and not args:
+        # leaf_paths is builtin.jq `paths(scalars)`, and paths(f)
+        # SELECTs on the truthiness of f's output — the leaf VALUE
+        # itself — so null and false leaves are dropped (jq 1.6 and
+        # gojq share this builtin-source quirk; r8 jq-fuzzer find #5)
         def walk(x: Any, p: list) -> Iterator[list]:
             if isinstance(x, dict):
                 items: Any = x.items()
@@ -1440,8 +1449,9 @@ def _call(name: str, args: list[N], v: Any,
                 return
             for k, child in items:
                 cp = p + [k]
-                if name == "paths" or not isinstance(child,
-                                                     (dict, list)):
+                if name == "paths" or (
+                        not isinstance(child, (dict, list))
+                        and child is not None and child is not False):
                     yield cp
                 yield from walk(child, cp)
         yield from walk(v, [])

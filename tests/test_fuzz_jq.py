@@ -138,7 +138,29 @@ def any_expr(draw):
     kind = draw(st.sampled_from(
         ["num", "num", "bool", "path", "stream", "map", "selectarr",
          "obj", "arrlit", "strop", "sort", "entries", "trycatch",
-     "typefn", "slice", "strcat"]))
+         "typefn", "slice", "strcat", "assign", "paths", "interp",
+         "foreach", "del"]))
+    if kind == "assign":
+        tgt = draw(st.sampled_from([".a", ".o.x", ".arr[0]", ".b"]))
+        op = draw(st.sampled_from(["=", "|=", "+=", "-=", "*=", "//="]))
+        if op == "|=":
+            return f"({tgt} |= . + {draw(st.integers(-5, 5))})"
+        return f"({tgt} {op} {draw(st.integers(-9, 9))})"
+    if kind == "paths":
+        return draw(st.sampled_from(
+            ["[paths]", "[leaf_paths]", 'getpath(["o","x"])',
+             'getpath(["missing","x"])', "(.o | [paths])",
+             '[path(.o.y), path(.arr[1])]']))
+    if kind == "interp":
+        e = draw(st.sampled_from([".a", ".a + .b", ".s", ".o.y"]))
+        return f'"v=\\({e})|\\(.flag)"'
+    if kind == "foreach":
+        z = draw(st.integers(-3, 3))
+        return f"[foreach .arr[] as $x ({z}; . + $x; .)]"
+    if kind == "del":
+        return draw(st.sampled_from(
+            ["del(.o.x)", "del(.a, .b)", "del(.arr[0])",
+             "(.arr |= sort)", "del(.missing)"]))
     if kind == "num":
         return draw(num_expr(depth=draw(st.integers(1, 3))))
     if kind == "bool":
@@ -375,3 +397,30 @@ def test_jq_try_catch_unary_pin():
     assert list(_eval(parse_jq("try -1 catch -2"), {}, {})) == [-1]
     assert list(_eval(parse_jq('try ("x" | tonumber) catch -2'),
                       {}, {})) == [-2]
+
+
+def test_jq_leaf_paths_truthiness_quirk_pin():
+    """r8 jq-fuzzer find #5: builtin.jq's paths(f) SELECTs on the
+    truthiness of f's output — the leaf value itself — so leaf_paths
+    drops null and false leaves (true in jq 1.6 AND gojq, which share
+    the builtin source)."""
+    from benthos_spark.operators.jq import _eval, parse_jq
+
+    doc = {"n": None, "f": False, "t": True, "z": 0, "e": [],
+           "eo": {}}
+    assert list(_eval(parse_jq("[leaf_paths]"), doc, {})) == \
+        [[["t"], ["z"]]]
+    assert list(_eval(parse_jq("[paths]"), doc, {})) == \
+        [[["n"], ["f"], ["t"], ["z"], ["e"], ["eo"]]]
+
+
+def test_jq_del_pin():
+    """r8 jq-fuzzer find #6: `del(f)` (= delpaths([path(f)])) was
+    missing while delpaths existed."""
+    from benthos_spark.operators.jq import _eval, parse_jq
+
+    doc = {"o": {"x": 1, "y": 2}, "a": 1, "arr": [1, 2]}
+    assert list(_eval(parse_jq("del(.o.x)"), dict(doc), {})) == \
+        [{"o": {"y": 2}, "a": 1, "arr": [1, 2]}]
+    assert list(_eval(parse_jq("del(.arr[0])"), dict(doc), {})) == \
+        [{"o": {"x": 1, "y": 2}, "a": 1, "arr": [2]}]
