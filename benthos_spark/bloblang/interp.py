@@ -888,12 +888,32 @@ class Interp:
                         f"{_type_name(x)}")
                 acc += x
             return acc
+        if name in ("min", "max"):
+            # methods_numbers.go min/max: numeric elements only (no
+            # string coercion — IGetNumber), empty array is an error.
+            # r8 fuzzer find: the interp lacked these while the
+            # compiled path had array_min/array_max.
+            if not isinstance(target, list):
+                raise EvalError(
+                    f"expected array value, got {_type_name(target)}")
+            if not target:
+                raise EvalError("the array was empty")
+            for i, x in enumerate(target):
+                if isinstance(x, bool) or not isinstance(x,
+                                                         (int, float)):
+                    raise EvalError(f"index {i} of array: expected "
+                                    f"number, got {_type_name(x)}")
+            return min(target) if name == "min" else max(target)
         if name == "floor":
             return math.floor(_num(target))
         if name == "ceil":
             return math.ceil(_num(target))
         if name == "round":
-            return round(_num(target))
+            # Go math.Round (methods_numbers.go): half AWAY FROM ZERO
+            # (2.5 → 3, -2.5 → -3), matching JVM/DuckDB round —
+            # Python's round() is banker's (2.5 → 2).  r8 fuzzer find.
+            x = _num(target)
+            return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
         if name == "abs":
             return abs(_num(target))
         if name == "type":

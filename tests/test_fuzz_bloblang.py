@@ -59,7 +59,34 @@ def int_expr(draw, depth=2):
         return E(f"(this.maybe | {v})", f"coalesce(maybe, {v})")
     kind = draw(st.sampled_from(
         ["arith", "arith", "if", "match", "abs", "length", "sum",
-         "index", "catch", "mixedadd"]))
+         "index", "catch", "mixedadd", "roundfn", "arrmethod",
+         "matchmulti", "indexof"]))
+    if kind == "roundfn":
+        # numeric methods over a DIVISION (the only float source the
+        # int-typed generator has) — floor/ceil/round dtype dispatch
+        m = draw(st.sampled_from(["floor", "ceil", "round"]))
+        le = draw(int_expr(depth=0))
+        d = draw(st.integers(2, 9))
+        return E(f"({le.text} / {d}).{m}()",
+                 f"CAST({m}(({le.sql}) / {d}.0) AS BIGINT)"
+                 if le.sql else None)
+    if kind == "arrmethod":
+        m = draw(st.sampled_from(["min", "max", "sum", "length"]))
+        return E(f"this.arr.{m}()", None)
+    if kind == "matchmulti":
+        # multi-arm match: first true arm wins, `_` is the fallback
+        c1 = draw(bool_expr(depth=0))
+        c2 = draw(bool_expr(depth=0))
+        v1, v2, v3 = (draw(st.integers(-20, 20)) for _ in range(3))
+        sql = (f"(CASE WHEN {c1.sql} THEN {v1} WHEN {c2.sql} "
+               f"THEN {v2} ELSE {v3} END)"
+               if c1.sql and c2.sql else None)
+        return E(f"match {{ {c1.text} => {v1}, {c2.text} => {v2}, "
+                 f"_ => {v3} }}", sql)
+    if kind == "indexof":
+        s = draw(str_expr(depth=0))
+        needle = draw(st.sampled_from(["a", "Z", " ", "x"]))
+        return E(f'({s.text}).index_of("{needle}")', None)
     if kind == "mixedadd":
         # r7 ADVICE find: string/number `+` is a TypeMismatch ERROR in
         # the reference (arithmetic.go sumOp — IGetString/IGetNumber
@@ -388,3 +415,44 @@ def test_modulo_exact_beyond_double_pin(spark):
             parse_query("this.a % this.b"))
         go_trunc = (abs(a) % abs(b)) * (-1 if a < 0 else 1)
         assert r["m"] == interp == go_trunc, (a, b, r["m"], interp)
+
+
+def test_round_half_away_from_zero_pin():
+    """r8 fuzzer find: `.round()` is Go math.Round — half AWAY FROM
+    ZERO (2.5 → 3, -2.5 → -3), which the JVM and DuckDB share; the
+    interpreter used Python's banker's round (2.5 → 2)."""
+    from benthos_spark.bloblang import map_text
+    from benthos_spark.bloblang.interp import Interp
+    from benthos_spark.bloblang.parser import parse_query
+
+    cases = [(5, 2, 3), (7, 2, 4), (-5, 2, -3), (-7, 2, -4),
+             (3, 2, 2), (9, 4, 2)]
+    df = spark_df = None
+    for a, b, want in cases:
+        got = Interp({"a": a, "b": b}).eval(
+            parse_query("(this.a / this.b).round()"))
+        assert got == want, (a, b, got, want)
+
+
+def test_array_min_max_interp_pin(spark):
+    """r8 fuzzer find: the interpreter lacked `.min()`/`.max()` while
+    the compiled path had array_min/array_max — and the reference
+    (methods_numbers.go) errors on empty arrays and non-numeric
+    elements, never coercing strings."""
+    import pytest as _pt
+
+    from benthos_spark.bloblang import map_text
+    from benthos_spark.bloblang.interp import EvalError, Interp
+    from benthos_spark.bloblang.parser import parse_query
+
+    assert Interp({"arr": [3, -2, 7]}).eval(
+        parse_query("this.arr.min()")) == -2
+    assert Interp({"arr": [3, -2, 7]}).eval(
+        parse_query("this.arr.max()")) == 7
+    for bad in ("[].min()", '["a", 1].max()'):
+        with _pt.raises(EvalError):
+            Interp({}).eval(parse_query(bad))
+    df = spark.createDataFrame([([3, -2, 7],)], "arr array<long>")
+    rows = map_text(df, "root.mn = this.arr.min()\n"
+                        "root.mx = this.arr.max()").collect()
+    assert rows[0]["mn"] == -2 and rows[0]["mx"] == 7
