@@ -47,6 +47,16 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # DuckDB's default memory_limit assumes it owns ~80% of the box,
+    # but it shares this process with a 48g-heap Spark JVM — at sf1
+    # the big ANN oracles then die with bad_alloc instead of spilling.
+    # Bound it (overridable) so DuckDB spills to disk under pressure.
+    con.execute("SET memory_limit = '"
+                + os.environ.get("SPARK_GRAFT_ORACLE_MEM", "24GB")
+                + "'")
+    con.execute("SET threads = "
+                + os.environ.get("SPARK_GRAFT_ORACLE_THREADS", "16"))
+    con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
     for t in entry._TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):  # sharded table (gen_scale_data layout)
