@@ -332,7 +332,18 @@ class _Parser:
     def unary(self) -> N:
         if self.peek()[1] == "-":
             self.next()
-            return N("neg", self.postfix())
+            operand = self.postfix()
+            if self.peek() == ("ident", "as"):
+                # jq.y: the `as` token has no declared precedence, so
+                # yacc SHIFTS it under unary minus — `-1 as $v | body`
+                # negates the ENTIRE binding's output stream, it does
+                # not bind $v = -1 (r8 jq-fuzzer soak find #7:
+                # `-1 as $v | 5, 6` is [-5, -6] in jq 1.6).
+                self.next()
+                pat = self.as_pattern()
+                self.expect("|")
+                return N("neg", N("bind", operand, pat, self.pipe()))
+            return N("neg", operand)
         return self.postfix()
 
     def postfix(self) -> N:

@@ -30,11 +30,15 @@ and this interpreter — read 0).
 
 from __future__ import annotations
 
+import os
 import subprocess
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-EXAMPLES = 400
+EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "400"))
+# SOAK=1: fresh random seed each run (deep hunting); default is
+# derandomized so CI failures reproduce
+_SOAK = os.environ.get("SPARK_GRAFT_FUZZ_SOAK", "") == "1"
 
 _WORDS = ["abc", "zz", "Kick", "a1", "x", "B9z"]
 _FIELD_TOKEN = st.one_of(
@@ -180,6 +184,35 @@ def program(draw):
     return "\n".join(rules)
 
 
+def _outputs_match(got: str, want: str) -> bool:
+    """Exact match, with ONE documented allowance: mawk prints
+    integral doubles beyond C-long range through OFMT ("2.35795e+09")
+    where POSIX/gawk/goawk — and this interpreter — print them as
+    integers ("2357947691").  Accept when the interpreter token is an
+    integer ≥ 2^31 whose %.6g rendering equals mawk's token."""
+    if got == want:
+        return True
+    gl, wl = got.splitlines(), want.splitlines()
+    if len(gl) != len(wl):
+        return False
+    for g, w in zip(gl, wl):
+        if g == w:
+            continue
+        gt, wt = g.split(" "), w.split(" ")
+        if len(gt) != len(wt):
+            return False
+        for a, b in zip(gt, wt):
+            if a == b:
+                continue
+            try:
+                v = int(a)
+            except ValueError:
+                return False
+            if abs(v) < 1 << 31 or ("%.6g" % v) != b:
+                return False
+    return True
+
+
 def _run_mawk(prog: str, records: list[str]) -> tuple[str, int]:
     res = subprocess.run(["mawk", prog], capture_output=True,
                          input="".join(r + "\n" for r in records),
@@ -187,7 +220,7 @@ def _run_mawk(prog: str, records: list[str]) -> tuple[str, int]:
     return res.stdout, res.returncode
 
 
-@settings(max_examples=EXAMPLES, deadline=None, derandomize=True,
+@settings(max_examples=EXAMPLES, deadline=None, derandomize=not _SOAK,
           suppress_health_check=[HealthCheck.too_slow])
 @given(program(), st.lists(_RECORD, min_size=4, max_size=4))
 def test_awk_interp_matches_mawk(prog, records):
@@ -198,8 +231,9 @@ def test_awk_interp_matches_mawk(prog, records):
     interp = Interp(parse_program(prog))
     interp.run(records)
     got = interp.output()
-    assert got == want, (f"interp={got!r} mawk={want!r} prog={prog!r} "
-                         f"records={records!r}")
+    assert _outputs_match(got, want), (
+        f"interp={got!r} mawk={want!r} prog={prog!r} "
+        f"records={records!r}")
 
 
 def test_awk_strnum_comparison_pins():

@@ -35,12 +35,16 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import subprocess
 
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-EXAMPLES = 220
+EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "220"))
+# SOAK=1: fresh random seed each run (deep hunting); default is
+# derandomized so CI failures reproduce
+_SOAK = os.environ.get("SPARK_GRAFT_FUZZ_SOAK", "") == "1"
 DOCS_PER_EXAMPLE = 6
 
 _WORDS = ["alpha", "bz", "az kick", "Zed", "", "a9"]
@@ -253,7 +257,7 @@ def _run_system_jq(prog: str, docs: list[dict]) -> dict[int, list]:
     return out
 
 
-@settings(max_examples=EXAMPLES, deadline=None, derandomize=True,
+@settings(max_examples=EXAMPLES, deadline=None, derandomize=not _SOAK,
           suppress_health_check=[HealthCheck.too_slow])
 @given(any_expr(), st.lists(_DOC, min_size=DOCS_PER_EXAMPLE,
                             max_size=DOCS_PER_EXAMPLE))
@@ -303,7 +307,7 @@ def static_path(draw):
     return path
 
 
-@settings(max_examples=12, deadline=None, derandomize=True,
+@settings(max_examples=12, deadline=None, derandomize=not _SOAK,
           suppress_health_check=[
               HealthCheck.too_slow,
               HealthCheck.function_scoped_fixture])
@@ -424,3 +428,19 @@ def test_jq_del_pin():
         [{"o": {"y": 2}, "a": 1, "arr": [1, 2]}]
     assert list(_eval(parse_jq("del(.arr[0])"), dict(doc), {})) == \
         [{"o": {"x": 1, "y": 2}, "a": 1, "arr": [2]}]
+
+
+def test_jq_unary_minus_as_binding_pin():
+    """r8 jq-fuzzer soak find #7: the `as` token has no declared
+    precedence in jq.y, so yacc SHIFTS it under unary minus —
+    `-1 as $v | 5, 6` negates the whole binding's output stream
+    ([-5, -6]); it does not bind $v = -1.  Parenthesized `(-1) as $v`
+    binds the negative value."""
+    from benthos_spark.operators.jq import _eval, parse_jq
+
+    assert list(_eval(parse_jq("-1 as $v | 5"), 1, {})) == [-5]
+    assert list(_eval(parse_jq("[ -1 as $v | 5, 6]"), 1, {})) == \
+        [[-5, -6]]
+    assert list(_eval(parse_jq("(-1) as $v | $v"), 1, {})) == [-1]
+    assert list(_eval(parse_jq("-1 as $v | .a + .a + $v"),
+                      {"a": 1}, {})) == [-3]
