@@ -371,19 +371,24 @@ def _gabs_merge(dest, src):
 
 def _truthy_pair(op, left, right):
     if op == "+":
-        # arithmetic.go sumOp: `+` never coerces across classes —
-        # string + string concats (handled by the caller), and a
-        # string/number mix is a TypeMismatch error (IGetString /
-        # IGetNumber both refuse).  The numeric-string coercion below
-        # is kept only for the OTHER operators (documented lenience).
-        # r7 ADVICE: this used to fall through to _num() coercion, so
-        # interp '5' + 3 returned 8 while the compiler concat'd '53'
-        # and the reference errors.
-        if isinstance(left, str) != isinstance(right, str):
-            lt = "string" if isinstance(left, str) else "number"
-            rt = "string" if isinstance(right, str) else "number"
-            raise EvalError(f"cannot add types {lt} and {rt}")
-        return _num(left) + _num(right)
+        # arithmetic.go sumOp (:181-210): `+` dispatches on the LEFT
+        # operand's type class and never coerces across classes —
+        # number-left needs a number right (IGetNumber refuses
+        # bool/null/containers), string/bytes-left concats (handled
+        # by the caller before reaching here), anything else is a
+        # TypeMismatch naming BOTH actual types (errors.go:131).  The
+        # numeric-string coercion below is kept only for the OTHER
+        # operators (documented lenience).  r8 ADVICE: the mismatch
+        # message used to label every non-string operand "number"
+        # ('"a" + true' claimed string-and-number), and bool-left
+        # errored with the internal '_num' wording instead of the
+        # TypeMismatch shape.
+        lt, rt = _type_name(left), _type_name(right)
+        if lt == "number" and rt == "number":
+            return _num(left) + _num(right)
+        if lt in ("string", "bytes") and rt in ("string", "bytes"):
+            return _as_str(left, "add") + _as_str(right, "add")
+        raise EvalError(f"cannot add types {lt} and {rt}")
     ln, rn = _num(left), _num(right)
     if op == "-":
         return ln - rn
@@ -805,10 +810,15 @@ class Interp:
             # ASCII non-[0-9A-Za-z_]; non-ASCII only whitespace — so
             # digits glue words and Unicode letters title-case (r7
             # ADVICE fix, mirrors functions/strings.py capitalize).
+            # r8 ADVICE: first runes map through the shared
+            # casemap.TITLE_MAP (titlecase digraphs ǳ→ǲ, Georgian,
+            # Greek prosgegrammeni) before the upper() fallback —
+            # identical table to the compiled engine.
+            from benthos_spark.bloblang.casemap import TITLE_MAP
             s = _as_str(target, name)
             out, prev_sep = [], True
             for ch in s:
-                u = ch.upper()
+                u = TITLE_MAP.get(ch) or ch.upper()
                 out.append(u if prev_sep and len(u) == 1 else ch)
                 o = ord(ch)
                 if o <= 0x7F:
@@ -912,8 +922,23 @@ class Interp:
             # Go math.Round (methods_numbers.go): half AWAY FROM ZERO
             # (2.5 → 3, -2.5 → -3), matching JVM/DuckDB round —
             # Python's round() is banker's (2.5 → 2).  r8 fuzzer find.
+            # r8 ADVICE: floor(x+0.5) is WRONG for
+            # 0.49999999999999994 — x+0.5 rounds up to 1.0 in float64
+            # so it returned 1 where Go math.Round (and F.round in
+            # the compiled path) give 0.  Compare the fractional part
+            # against 0.5 exactly instead of adding.
+            # On |x|, a - floor(a) is EXACT (Sterbenz: fl <= a <
+            # fl+1 <= 2*fl for a>=1; fl=0 below 1) — computing the
+            # fraction on the signed value is NOT (x=-0.49999…994 has
+            # ulp 2^-54 but x-(-1) lands in the [0.5,1) binade whose
+            # ulp is 2^-53, so the true 0.5+2^-54 rounds to 0.5).
             x = _num(target)
-            return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+            if isinstance(x, int):
+                return x
+            a = abs(x)
+            fl = math.floor(a)
+            r = fl + 1 if a - fl >= 0.5 else fl
+            return r if x >= 0 else -r
         if name == "abs":
             return abs(_num(target))
         if name == "type":

@@ -35,10 +35,18 @@ def capitalize(c: Column) -> Column:
     "X9Y") and Unicode letters title-case ("über" → "Über") — both
     were wrong under the r7 ASCII-only regex (r7 ADVICE).  The
     single-char guard keeps full-case-expanding runes (ß → "SS")
-    untouched, matching Go's simple ToTitle mapping.  Deviation:
+    untouched, matching Go's simple ToTitle mapping.  r8 ADVICE:
+    upper() is not ToTitle for the titlecase digraphs (ǳ → ǲ, not
+    Ǳ), Georgian mkhedruli (titlecase is itself, not Mtavruli), or
+    the Greek prosgegrammeni composites (ᾀ → ᾈ) — those 85 runes
+    route through the shared casemap.TITLE_MAP first (same table the
+    interpreter uses, so the engines cannot diverge).  Deviation:
     astral-plane runes arrive as surrogate halves here (Java split
     semantics), so e.g. Deseret letters don't title-case."""
+    from benthos_spark.bloblang.casemap import TITLE_MAP
     cs = F.split(c, "")
+    tmap = F.create_map(*[F.lit(x) for kv in sorted(TITLE_MAP.items())
+                          for x in kv])
 
     def _sep(p: Column) -> Column:
         # NULL prev (string start) is a separator, like Go's prev=' '
@@ -49,7 +57,7 @@ def capitalize(c: Column) -> Column:
             F.lit(True))
 
     def _title(ch: Column, i: Column) -> Column:
-        u = F.upper(ch)
+        u = F.coalesce(F.element_at(tmap, ch), F.upper(ch))
         return F.when(_sep(F.get(cs, i - 1)) & (F.length(u) == 1),
                       u).otherwise(ch)
 

@@ -481,8 +481,13 @@ def _query_probes_flat(queries: DataFrame, centroids: list[list[float]],
                         rows_q.append(qv)
                         rows_v.append(vv)
                         rows_l.append(int(li))
-                yield pd.DataFrame({qid: rows_q, "__qv": rows_v,
-                                    "__list": rows_l})
+                # explicit dtypes: an all-dropped batch would infer
+                # float64 columns, which Arrow can't cast to
+                # list<float> (r8 ADVICE fallout)
+                yield pd.DataFrame(
+                    {qid: pd.Series(rows_q, dtype="object"),
+                     "__qv": pd.Series(rows_v, dtype="object"),
+                     "__list": pd.Series(rows_l, dtype="int64")})
 
         q = queries.select(F.col(qid), F.col(qvec).alias("__qv")) \
                    .mapInPandas(run, schema=schema)
@@ -563,6 +568,19 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame,
     pruned = corpus.filter(F.col("__list").isin(lists))
     return _score_rank(pruned, q, k=k, vec=vec, id_col=id_col,
                        qid=qid, join_key="__list")
+
+
+def _empty_topk(corpus: DataFrame, queries: DataFrame, *,
+                id_col: str, qid: str) -> DataFrame:
+    """Zero-row (qid, id, dist, rank) frame with the dtypes the
+    non-empty paths produce — the r8-ADVICE guard for an empty query
+    set / empty probe set, where the literal-expression builders
+    would otherwise hand F.explode a NULL column."""
+    return (queries.select(F.col(qid)).limit(0)
+            .crossJoin(corpus.select(F.col(id_col)).limit(0))
+            .withColumn("dist", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("int"))
+            .select(qid, id_col, "dist", "rank"))
 
 
 # --------------------------------------------------- product quantization
@@ -686,7 +704,12 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame,
     ~32× narrower scan than the raw vectors; no join, no corpus
     shuffle; the window merges per-partition survivors only (top-k
     pushdown via WindowGroupLimit)."""
-    q_rows = queries.select(F.col(qid), F.col(qvec)).collect()
+    d_full = len(codebooks) * len(codebooks[0][0])
+    q_rows = [r for r in
+              queries.select(F.col(qid), F.col(qvec)).collect()
+              if r[1] is not None and len(r[1]) >= d_full]
+    if not q_rows:  # r8 ADVICE: empty/NULL/short query set → empty
+        return _empty_topk(corpus, queries, id_col=id_col, qid=qid)
 
     def lut_for(qv) -> list[list[float]]:
         out = []
@@ -827,11 +850,20 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     probes = _query_probes_flat(queries, centroids, n_probe, qvec, qid,
                                 checkpoint=False) \
         .select(qid, "__qv", "__list").collect()
+    d = max((len(c) for c in centroids), default=0)
     qvecs: dict = {}
     by_list: dict[int, list] = {}
     for r in probes:
+        # NULL/short query vectors emit no probes (the kernel path's
+        # documented drop; the flat-SQL path leaks NULL-sim probe
+        # rows for them, which would crash lut_for — r8 ADVICE)
+        if r[1] is None or len(r[1]) < d or r[2] is None:
+            continue
         qvecs[r[0]] = r[1]
         by_list.setdefault(int(r[2]), []).append(r[0])
+    if not by_list:  # r8 ADVICE: no probes (empty/NULL/short query
+        # vectors) → empty result instead of F.explode(None)
+        return _empty_topk(corpus, queries, id_col=id_col, qid=qid)
 
     dsub = len(codebooks[0][0])
 

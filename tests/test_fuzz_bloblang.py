@@ -460,3 +460,67 @@ def test_array_min_max_interp_pin(spark):
     rows = map_text(df, "root.mn = this.arr.min()\n"
                         "root.mx = this.arr.max()").collect()
     assert rows[0]["mn"] == -2 and rows[0]["mx"] == 7
+
+
+def test_round_exact_half_comparison_pin():
+    """r8 ADVICE: floor(x+0.5) mis-rounds 0.49999999999999994 → 1
+    because x+0.5 rounds UP to 1.0 in float64; Go math.Round (and the
+    compiled F.round path) give 0.  The interp now compares the exact
+    fractional part instead of adding 0.5."""
+    from benthos_spark.bloblang.interp import Interp
+    from benthos_spark.bloblang.parser import parse_query
+
+    cases = [(0.49999999999999994, 0), (-0.49999999999999994, 0),
+             (0.5, 1), (-0.5, -1), (2.5, 3), (-2.5, -3),
+             (1.4999999999999998, 1), (4503599627370495.5,
+                                       4503599627370496)]
+    for x, want in cases:
+        got = Interp({"x": x}).eval(parse_query("this.x.round()"))
+        assert got == want, (x, got, want)
+
+
+def test_add_type_mismatch_names_actual_types_pin():
+    """r8 ADVICE: the `+` TypeMismatch message must name BOTH actual
+    operand types like the reference (errors.go TypeMismatch — 'ǃ'
+    '"a" + true' is string-and-bool, not string-and-number), and
+    bool/null operands error as TypeMismatch (arithmetic.go sumOp
+    dispatches on the left class; IGetNumber refuses bool)."""
+    import pytest as _pt
+
+    from benthos_spark.bloblang.interp import EvalError, Interp
+    from benthos_spark.bloblang.parser import parse_query
+
+    doc = {"s": "a", "b": True, "n": 3, "z": None, "arr": [1]}
+    for expr, lt, rt in [("this.s + this.b", "string", "bool"),
+                         ("this.b + this.n", "bool", "number"),
+                         ("this.n + this.z", "number", "null"),
+                         ("this.arr + this.n", "array", "number"),
+                         ("this.s + this.n", "string", "number")]:
+        with _pt.raises(EvalError) as ei:
+            Interp(dict(doc)).eval(parse_query(expr))
+        assert f"cannot add types {lt} and {rt}" in str(ei.value), expr
+    assert Interp(dict(doc)).eval(parse_query("this.n + this.n")) == 6
+    assert Interp(dict(doc)).eval(parse_query("this.s + this.s")) == "aa"
+
+
+def test_capitalize_titlecase_digraphs_pin(spark):
+    """r8 ADVICE: Go strings.Title uses unicode.ToTitle, which differs
+    from ToUpper for the six titlecase digraph runes ('ǳung' →
+    'ǲung', not 'Ǳung'), keeps Georgian mkhedruli lowercase (its
+    titlecase is itself, not Mtavruli), and maps Greek prosgegrammeni
+    composites (ᾀ → ᾈ) whose full uppercase is two chars.  Both
+    engines consult the shared casemap.TITLE_MAP."""
+    from benthos_spark.bloblang import map_text
+    from benthos_spark.bloblang.interp import Interp
+    from benthos_spark.bloblang.parser import parse_query
+
+    cases = [("ǳung ǆ", "ǲung ǅ"),
+             ("ǆ x", "ǅ X"),
+             ("Ǳy", "ǲy"), ("ქართული ენა", "ქართული ენა"),
+             ("ᾀγαθός", "ᾈγαθός"), ("ᾳ ῳ", "ᾼ ῼ"),
+             ("plain text", "Plain Text")]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    rows = map_text(df, "root.c = this.s.capitalize()").collect()
+    for (s, want), r in zip(cases, rows):
+        interp = Interp({"s": s}).eval(parse_query("this.s.capitalize()"))
+        assert r["c"] == interp == want, (s, r["c"], interp, want)

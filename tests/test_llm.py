@@ -1526,3 +1526,39 @@ def test_ivf_pq_recall_vs_exact_l2(spark, sf_dir):
     # shortlist+rerank lifts recall well above the ~0.33 pure-ADC
     # floor; 3/8 lists probed caps it below 1.0 on boundary queries
     assert hits / total >= 0.5, hits / total
+
+
+def test_pq_ivf_pq_empty_and_null_queries(spark, sf_dir):
+    """r8 ADVICE: an empty queries frame — or one whose vectors are
+    all NULL/short, which the probe builders drop — left `branch`
+    None and crashed F.explode(None) in ivf_pq_topk (and the
+    zero-struct F.array() in pq_adc_topk).  Both now early-return a
+    typed empty (qid, id, dist, rank) frame."""
+    from pyspark.sql import functions as F
+
+    from benthos_spark.llm.similarity import (
+        ivf_pq_topk, kmeans_l2, pq_adc_topk, train_pq_codebooks)
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_l2(
+        [r["embedding"] for r in
+         corpus.filter(F.col("vec_id") < 64).orderBy("vec_id")
+         .collect()], 4, 3)
+    books = train_pq_codebooks(corpus, sample=64)
+    empty = corpus.limit(0).withColumnRenamed("vec_id", "query_id")
+    nullq = (corpus.limit(2).withColumnRenamed("vec_id", "query_id")
+             .withColumn("embedding", F.lit(None).cast("array<float>")))
+    shortq = (corpus.limit(2).withColumnRenamed("vec_id", "query_id")
+              .withColumn("embedding",
+                          F.expr("slice(embedding, 1, 3)")))
+    for q in (empty, nullq, shortq):
+        for res in (ivf_pq_topk(corpus, q, cents, books, k=3),
+                    ivf_pq_topk(corpus, q, cents, books, k=3,
+                                shortlist=10),
+                    pq_adc_topk(corpus, q, books, k=3)):
+            assert res.count() == 0
+            assert res.columns == ["query_id", "vec_id", "dist",
+                                   "rank"]
+            assert [f.dataType.simpleString()
+                    for f in res.schema.fields] == \
+                ["bigint", "bigint", "double", "int"]
