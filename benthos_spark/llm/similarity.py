@@ -973,6 +973,33 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     pq_encode's first-minimum argmin, ADC sums in codebook order with
     the same left-to-right float64 fold as the SQL expansion."""
     topk = shortlist if shortlist is not None else k
+    qvecs, by_list = _collect_probes(queries, centroids, n_probe,
+                                     qvec, qid)
+    if not by_list:  # r8 ADVICE: no probes (empty/NULL/short query
+        # vectors) → empty result instead of F.explode(None)
+        return _empty_topk(corpus, queries, id_col=id_col, qid=qid)
+    lists = sorted(by_list)
+    c = _assign_corpus_flat(corpus.select(F.col(id_col), F.col(vec)),
+                            centroids, vec)
+    pruned = c.filter(F.col("__list").isin(lists))
+    coded = pq_encode(pruned, codebooks, vec) \
+        .filter(F.size("__code") > 0)
+    qid_t = queries.schema[qid].dataType.simpleString()
+    cand = _ivf_pq_rank(coded, codebooks, qvecs, by_list, topk=topk,
+                        id_col=id_col, qid=qid, qid_t=qid_t)
+    if shortlist is None:
+        return cand
+    return _exact_rerank(corpus, cand, queries, k=k, vec=vec,
+                         id_col=id_col, qvec=qvec, qid=qid)
+
+
+def _collect_probes(queries: DataFrame, centroids: list[list[float]],
+                    n_probe: int, qvec: str, qid: str):
+    """Driver-side probe sets for the LUT builders: (qid → query
+    vector, list → [qids probing it]).  NULL/short query vectors emit
+    no probes (the kernel path's documented drop; the flat-SQL path
+    leaks NULL-sim probe rows for them, which would crash the LUT
+    builder — r8 ADVICE)."""
     probes = _query_probes_flat(queries, centroids, n_probe, qvec, qid,
                                 checkpoint=False) \
         .select(qid, "__qv", "__list").collect()
@@ -980,17 +1007,25 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     qvecs: dict = {}
     by_list: dict[int, list] = {}
     for r in probes:
-        # NULL/short query vectors emit no probes (the kernel path's
-        # documented drop; the flat-SQL path leaks NULL-sim probe
-        # rows for them, which would crash lut_for — r8 ADVICE)
         if r[1] is None or len(r[1]) < d or r[2] is None:
             continue
         qvecs[r[0]] = r[1]
         by_list.setdefault(int(r[2]), []).append(r[0])
-    if not by_list:  # r8 ADVICE: no probes (empty/NULL/short query
-        # vectors) → empty result instead of F.explode(None)
-        return _empty_topk(corpus, queries, id_col=id_col, qid=qid)
+    return qvecs, by_list
 
+
+def _ivf_pq_rank(coded: DataFrame, codebooks: list[list[list[float]]],
+                 qvecs: dict, by_list: dict, *, topk: int,
+                 id_col: str, qid: str, qid_t: str) -> DataFrame:
+    """ADC-score + rank the probed codes — the shared tail of
+    ivf_pq_topk (in-query training) and ivf_pq_topk_indexed
+    (materialized layout).  `coded` carries (id, __code, __list) for
+    the PROBED lists only; each row scores just the queries that
+    probed its list.  The CASE carries every probed list's per-query
+    LUT literals in one projection, so the janino budget is the TOTAL
+    probe count (r8 verdict ask #1 — same cliff as pq_adc_topk's
+    flat path); past _ADC_LUT_MAX_TERMS the bit-exact Arrow survivors
+    kernel takes over."""
     luts = {q: _adc_lut(codebooks, v) for q, v in qvecs.items()}
 
     def adc_struct(q):
@@ -998,20 +1033,11 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                         F.round(_adc_sum_expr(luts[q]), 6)
                         .alias("dist"))
 
-    lists = sorted(by_list)
-    c = _assign_corpus_flat(corpus.select(F.col(id_col), F.col(vec)),
-                            centroids, vec)
-    pruned = c.filter(F.col("__list").isin(lists))
-    coded = pq_encode(pruned, codebooks, vec) \
-        .filter(F.size("__code") > 0)
-    # the CASE carries EVERY probed list's per-query LUT literals in
-    # one projection, so the janino budget is the TOTAL probe count
-    # (r8 verdict ask #1 — same cliff as pq_adc_topk's flat path)
     n_terms = sum(len(qs) for qs in by_list.values()) \
         * len(codebooks) * len(codebooks[0])
     if n_terms <= _ADC_LUT_MAX_TERMS:
         branch = None
-        for li in lists:
+        for li in sorted(by_list):
             arr = F.array(*[adc_struct(q) for q in by_list[li]])
             branch = (F.when(F.col("__list") == li, arr)
                       if branch is None
@@ -1021,18 +1047,26 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                   .select(F.col("__q")[qid].alias(qid), F.col(id_col),
                           F.col("__q.dist").alias("dist")))
     else:
-        qid_t = queries.schema[qid].dataType.simpleString()
         scored = _adc_survivors_kernel(
             coded, luts, topk=topk, id_col=id_col, qid=qid,
             qid_t=qid_t, by_list=by_list) \
             .withColumn("dist", F.round(F.col("dist"), 6))
     w = Window.partitionBy(qid).orderBy(F.col("dist").asc(),
                                         F.col(id_col))
-    cand = (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= topk)
                   .select(qid, id_col, "dist", "rank"))
-    if shortlist is None:
-        return cand
+
+
+def _exact_rerank(corpus: DataFrame, cand: DataFrame,
+                  queries: DataFrame, *, k: int, vec: str,
+                  id_col: str, qvec: str, qid: str) -> DataFrame:
+    """Exact-L2 rescore of an ADC shortlist: the q × shortlist
+    candidate rows broadcast onto the corpus twice (ids, then query
+    vectors), so full-precision vectors are read for a few hundred
+    rows per query, never the whole corpus."""
+    w = Window.partitionBy(qid).orderBy(F.col("dist").asc(),
+                                        F.col(id_col))
     qv = queries.select(F.col(qid), F.col(qvec).alias("__qv"))
     pairs = (corpus.select(F.col(id_col), F.col(vec))
              .join(F.broadcast(cand.select(qid, id_col)), id_col)
@@ -1042,3 +1076,76 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     return (pairs.withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= k)
                  .select(qid, id_col, "dist", "rank"))
+
+
+def write_ivf_pq_index(corpus: DataFrame, path: str,
+                       centroids: list[list[float]],
+                       codebooks: list[list[list[float]]],
+                       vec: str = "embedding",
+                       id_col: str = "vec_id") -> None:
+    """Materialize the IVF-PQ serving index (r8 verdict ask #2 — the
+    shape ivf_pq_topk's docstring promises): (id, __code) PARTITIONED
+    by `__list`, m bytes of code per row instead of the raw vectors —
+    at 100 TB the probed-partition scan reads ~n_probe/k of a ~32×
+    narrower table.  The trained centroids + codebooks ride along in
+    an underscore-prefixed parquet subdir (`_ivfpq_meta`, invisible
+    to directory-listing readers of the main table, float64-exact
+    round trip), so query time needs ZERO training jobs.  Pay the
+    assignment + encode scan once at build; every query set after
+    that is pruned-scan + codegen ADC only."""
+    c = _assign_corpus_flat(corpus.select(F.col(id_col), F.col(vec)),
+                            centroids, vec)
+    coded = pq_encode(c, codebooks, vec) \
+        .select(F.col(id_col), "__code", "__list")
+    coded.write.mode("overwrite").partitionBy("__list").parquet(path)
+    spark = corpus.sparkSession
+    meta = spark.createDataFrame(
+        [([[float(x) for x in c_] for c_ in centroids],
+          [[[float(x) for x in cw] for cw in book]
+           for book in codebooks])],
+        "centroids array<array<double>>, "
+        "codebooks array<array<array<double>>>")
+    meta.coalesce(1).write.mode("overwrite") \
+        .parquet(path + "/_ivfpq_meta")
+
+
+def ivf_pq_topk_indexed(spark, path: str, queries: DataFrame,
+                        corpus: DataFrame | None = None, k: int = 10,
+                        n_probe: int = 2,
+                        shortlist: int | None = None,
+                        vec: str = "embedding", id_col: str = "vec_id",
+                        qvec: str = "embedding",
+                        qid: str = "query_id") -> DataFrame:
+    """IVF-PQ top-k against a write_ivf_pq_index layout — the
+    DEPLOYMENT query (r8 verdict ask #2): centroids/codebooks load
+    from the index meta (no training jobs, no trainer sample scan),
+    the probed lists become a static IN filter on the partition
+    column (`.explain` shows the pruned PartitionFilters — only the
+    probed directories are listed), and scoring is the same guarded
+    codegen-ADC / Arrow-kernel branch as ivf_pq_topk, bit-identical
+    results.  `corpus` (raw vectors) is only needed when `shortlist`
+    asks for the exact rerank stage."""
+    meta = spark.read.parquet(path + "/_ivfpq_meta").collect()[0]
+    centroids = [list(c) for c in meta["centroids"]]
+    codebooks = [[list(cw) for cw in book] for book in meta["codebooks"]]
+    topk = shortlist if shortlist is not None else k
+    qvecs, by_list = _collect_probes(queries, centroids, n_probe,
+                                     qvec, qid)
+    if not by_list:
+        base = corpus if corpus is not None else \
+            queries.select(F.col(qid).alias(id_col)).limit(0)
+        return _empty_topk(base, queries, id_col=id_col, qid=qid)
+    lists = sorted(by_list)
+    coded = (spark.read.parquet(path)
+             .filter(F.col("__list").isin(lists))
+             .filter(F.size("__code") > 0))
+    qid_t = queries.schema[qid].dataType.simpleString()
+    cand = _ivf_pq_rank(coded, codebooks, qvecs, by_list, topk=topk,
+                        id_col=id_col, qid=qid, qid_t=qid_t)
+    if shortlist is None:
+        return cand
+    if corpus is None:
+        raise ValueError("shortlist rerank needs the raw-vector "
+                         "corpus DataFrame")
+    return _exact_rerank(corpus, cand, queries, k=k, vec=vec,
+                         id_col=id_col, qvec=qvec, qid=qid)

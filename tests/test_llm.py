@@ -1562,3 +1562,42 @@ def test_pq_ivf_pq_empty_and_null_queries(spark, sf_dir):
             assert [f.dataType.simpleString()
                     for f in res.schema.fields] == \
                 ["bigint", "bigint", "double", "int"]
+
+
+def test_ivf_pq_indexed_matches_in_query_training(spark, sf_dir,
+                                                  tmp_path):
+    """write_ivf_pq_index + ivf_pq_topk_indexed (r8 verdict ask #2)
+    must return BIT-IDENTICAL rows to ivf_pq_topk given the same
+    trained quantizers — the parquet round trip of centroids/
+    codebooks is float64-exact and the scoring tail is shared.  Also
+    pins: the meta subdir is invisible to readers of the main table,
+    and the shortlist rerank demands the raw-vector corpus."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from benthos_spark.llm.similarity import (ivf_pq_topk,
+                                              ivf_pq_topk_indexed,
+                                              train_ivf_centroids,
+                                              train_pq_codebooks,
+                                              write_ivf_pq_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=4, sample=128,
+                                iters=3)
+    books = train_pq_codebooks(emb, m=8, k=8, sample=128, iters=3)
+    qs = emb.filter(F.col("vec_id") < 4) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(emb, path, cents, books)
+    # main-table readers never see the meta rows
+    main = spark.read.parquet(path)
+    assert set(main.columns) == {"vec_id", "__code", "__list"}
+    for kw in ({}, {"shortlist": 20}):
+        a = sorted(tuple(r) for r in ivf_pq_topk(
+            emb, qs, cents, books, k=5, n_probe=2, **kw).collect())
+        b = sorted(tuple(r) for r in ivf_pq_topk_indexed(
+            spark, path, qs, corpus=emb, k=5, n_probe=2,
+            **kw).collect())
+        assert a == b and a, (len(a), len(b))
+    with _pt.raises(ValueError, match="corpus"):
+        ivf_pq_topk_indexed(spark, path, qs, k=5, n_probe=2,
+                            shortlist=20)

@@ -398,3 +398,21 @@ def test_ivf_pq_plan_pruned_scan_codegen_adc(spark, sf_dir):
     # scoring is not Python: the only Python stages are the two
     # Arrow kernels (pq_encode, rerank distance UDF)
     assert plan.count("EvalPython") <= 2
+
+
+def test_ivf_pq_index_plan_no_training_no_encode(spark, sf_dir):
+    """The materialized-index variant (r8 verdict ask #2) must show
+    the DEPLOYMENT plan: a parquet scan PARTITION-PRUNED to the
+    probed lists (PartitionFilters on __list), codegen ADC with no
+    corpus shuffle/join, and NO Python encode stage — the only
+    Python is the single Arrow rerank kernel; codes and quantizers
+    come from the index, never from per-query training."""
+    plan = plan_of(spark, sf_dir, "similarity_ivf_pq_index_topk")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "PartitionFilters" in plan and "__list" in plan
+    # pq_encode's MapInPandas must NOT appear — codes are read, not
+    # computed; the rerank _l2_pair_udf is the one Python stage
+    assert "MapInPandas" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
