@@ -661,16 +661,36 @@ def _add(a: Any, b: Any) -> Any:
 
 # jq comparisons are TOTAL across types (null < false < true < numbers
 # < strings < arrays < objects — jq manual "Comparison") and equality
-# is type-strict (1 != true where Python says True == 1), so every
-# operator routes through _sort_key, the same key sort/min/max use.
-# r8 jq-fuzzer find #2: `0 < .arr[0]` on an empty array compares a
-# number with null — jq says false, the raw-Python version raised.
-_CMP = {"==": lambda a, b: _sort_key(a) == _sort_key(b),
-        "!=": lambda a, b: _sort_key(a) != _sort_key(b),
-        "<": lambda a, b: _sort_key(a) < _sort_key(b),
-        "<=": lambda a, b: _sort_key(a) <= _sort_key(b),
-        ">": lambda a, b: _sort_key(a) > _sort_key(b),
-        ">=": lambda a, b: _sort_key(a) >= _sort_key(b)}
+# is type-strict (1 != true where Python says True == 1), so the
+# general route goes through _sort_key, the same key sort/min/max
+# use.  r8 jq-fuzzer find #2: `0 < .arr[0]` on an empty array
+# compares a number with null — jq says false, the raw-Python
+# version raised.  Fast path (r8 verdict ask #8 — the total-order
+# rework made jq_advanced pay two tuple constructions per compare):
+# same-class number/number and string/string pairs compare directly,
+# which is exactly what their _sort_key tuples would do positionally
+# (bools are EXCLUDED from the numeric lane — they are a distinct,
+# lower rank).
+
+
+def _cmp_fast(op):
+    def cmp(a, b):
+        if isinstance(a, bool) or isinstance(b, bool):
+            return op(_sort_key(a), _sort_key(b))
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return op(a, b)
+        if isinstance(a, str) and isinstance(b, str):
+            return op(a, b)
+        return op(_sort_key(a), _sort_key(b))
+    return cmp
+
+
+_CMP = {"==": _cmp_fast(lambda a, b: a == b),
+        "!=": _cmp_fast(lambda a, b: a != b),
+        "<": _cmp_fast(lambda a, b: a < b),
+        "<=": _cmp_fast(lambda a, b: a <= b),
+        ">": _cmp_fast(lambda a, b: a > b),
+        ">=": _cmp_fast(lambda a, b: a >= b)}
 
 
 def _eval(n: N, v: Any, env: dict[str, Any]) -> Iterator[Any]:

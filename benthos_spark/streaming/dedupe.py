@@ -188,13 +188,28 @@ def streaming_minhash_dup_marks(stream: DataFrame, text: str = "text",
 
 def replay_minhash_dedupe(spark, path: str, text: str = "text",
                           id_col: str = "doc_id", n: int = 3,
-                          bands: int = 4) -> DataFrame:
+                          bands: int = 4,
+                          rocksdb: bool | None = None) -> DataFrame:
     """Drain `path` (parquet) through the streaming dedupe and return
     the distinct duplicate ids — the stream==batch gate surface (equal
     to the batch star-edge `id_b` set for a fully drained stream).
     Uses the streaming_replay machinery (AvailableNow, memory sink,
-    pinned state partitioning)."""
+    pinned state partitioning).
+
+    rocksdb: True runs the drain under the RocksDB state-store
+    provider (`rocksdb_state_conf()`) — the documented production
+    switch (r8 verdict ask #5), one flag instead of hand-copying conf
+    keys; the provider conf latches at query start and is restored
+    after.  None (default) reads BENTHOS_SPARK_ROCKSDB_STATE from the
+    environment, so deployments flip it without touching call
+    sites."""
+    import os
+
     from benthos_spark.streaming.replay import replay_parquet
+
+    if rocksdb is None:
+        rocksdb = os.environ.get("BENTHOS_SPARK_ROCKSDB_STATE",
+                                 "").lower() in ("1", "true", "yes")
 
     # 16 state partitions: the sharded operator makes ≤`shards` group
     # calls per micro-batch with vectorized pandas inside, so a
@@ -205,6 +220,7 @@ def replay_minhash_dedupe(spark, path: str, text: str = "text",
         lambda s: streaming_minhash_dup_marks(s, text=text,
                                               id_col=id_col, n=n,
                                               bands=bands),
-        output_mode="append", shuffle_partitions=16)
+        output_mode="append", shuffle_partitions=16,
+        extra_conf=rocksdb_state_conf() if rocksdb else None)
     return (marks.select(F.col(id_col).alias("dup_doc_id"))
             .distinct())

@@ -87,7 +87,9 @@ def _start_replay(spark: SparkSession, path: str,
 def replay_parquet_many(spark: SparkSession,
                         specs: list[tuple],
                         await_secs: int = 600,
-                        shuffle_partitions: int = 4) -> list[DataFrame]:
+                        shuffle_partitions: int = 4,
+                        extra_conf: dict[str, str] | None = None,
+                        ) -> list[DataFrame]:
     """Drain several replays CONCURRENTLY: start every query, then
     await them all.  A bounded replay's wall time is dominated by
     fixed engine setup (checkpoint dirs, state-store providers,
@@ -95,8 +97,19 @@ def replay_parquet_many(spark: SparkSession,
     multi-mechanism gate cost ≈ the slowest member instead of the sum.
 
     specs: (path, transform, output_mode) triples; returns the sink
-    tables in the same order."""
+    tables in the same order.
+
+    extra_conf: session confs to set for the query STARTS and restore
+    after (same latching contract as the shuffle-partition pin) —
+    the rocksdb_state_conf() switch rides through here."""
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    prev_extra: dict[str, str | None] = {}
+    for ck, cv in (extra_conf or {}).items():
+        try:
+            prev_extra[ck] = spark.conf.get(ck)
+        except Exception:
+            prev_extra[ck] = None
+        spark.conf.set(ck, cv)
     # see replay_parquet: pin state partitioning low for ALL starts,
     # restore once after the last query has latched its conf.
     # `shuffle_partitions` overrides the pin for drains whose stateful
@@ -124,6 +137,11 @@ def replay_parquet_many(spark: SparkSession,
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for ck, cv in prev_extra.items():
+            if cv is None:
+                spark.conf.unset(ck)
+            else:
+                spark.conf.set(ck, cv)
     tables = []
     try:
         for q, name, _dirs in started:
@@ -146,7 +164,9 @@ def replay_parquet(spark: SparkSession, path: str,
                    transform: Callable[[DataFrame], DataFrame],
                    output_mode: str = "append",
                    await_secs: int = 600,
-                   shuffle_partitions: int = 4) -> DataFrame:
+                   shuffle_partitions: int = 4,
+                   extra_conf: dict[str, str] | None = None,
+                   ) -> DataFrame:
     """Read `path` (parquet) as a file-source stream with its batch
     schema, apply `transform`, drain through Trigger.AvailableNow into
     a memory sink, and return the sink's table.
@@ -166,4 +186,5 @@ def replay_parquet(spark: SparkSession, path: str,
     return replay_parquet_many(
         spark, [(path, transform, output_mode)],
         await_secs=await_secs,
-        shuffle_partitions=shuffle_partitions)[0]
+        shuffle_partitions=shuffle_partitions,
+        extra_conf=extra_conf)[0]
