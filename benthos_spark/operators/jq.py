@@ -641,6 +641,43 @@ def _jqtype(v: Any) -> str:
     return "object"
 
 
+def _jq_regex(pat: Any, name: str) -> str:
+    """jq regexes are Oniguruma: named groups spell `(?<name>...)`
+    where Python wants `(?P<name>...)` (lookbehinds `(?<=`/`(?<!` are
+    untouched).  Every builtin that compiles a user pattern routes
+    through here — `capture("(?<x>a)")` crashed Python's re before
+    this (r9 widening find)."""
+    if not isinstance(pat, str):
+        raise JQError(f"{name}: regex must be a string")
+    return re.sub(r"\(\?<(?![=!])", "(?P<", pat)
+
+
+def _re_flags(flags: Any, name: str) -> tuple[int, str]:
+    """jq regex flags → Python re flags.  Supported: g (global —
+    handled by the caller's match loop), i (case-insensitive), x
+    (extended), s (dot-matches-newline), m (multiline... jq's Oniguruma
+    'm' means DOTALL; 'p' means both).  n/l are matcher-behavior flags
+    this clean-room engine does not carry — clean error, same doctrine
+    as awk's terminal ops."""
+    if flags is None:
+        flags = ""
+    if not isinstance(flags, str):
+        raise JQError(f"{name}: flags must be a string")
+    py = 0
+    for ch in flags:
+        if ch == "i":
+            py |= re.IGNORECASE
+        elif ch == "x":
+            py |= re.VERBOSE
+        elif ch in ("s", "m", "p"):
+            py |= re.DOTALL
+            if ch == "p":
+                py |= re.MULTILINE
+        elif ch != "g":
+            raise JQError(f"{name}: unsupported regex flag {ch!r}")
+    return py, flags
+
+
 def _add(a: Any, b: Any) -> Any:
     if a is None:
         return b
@@ -1200,7 +1237,9 @@ def _call(name: str, args: list[N], v: Any,
         s = _as_str(v, name)
         yield s.split(one(0)) if s else []
     elif name == "test":
-        yield re.search(one(0), _as_str(v, name)) is not None
+        fl = _re_flags(one(1) if len(args) == 2 else "", name)
+        yield re.search(_jq_regex(one(0), name), _as_str(v, name),
+                        fl[0]) is not None
     elif name == "startswith":
         yield _as_str(v, name).startswith(one(0))
     elif name == "endswith":
@@ -1427,14 +1466,48 @@ def _call(name: str, args: list[N], v: Any,
         except json.JSONDecodeError as e:
             raise JQError(f"fromjson: {e}") from e
     elif name == "capture":
-        mo = re.search(one(0), _as_str(v, name))
-        if mo:
+        # builtin.jq defines capture over match, so "g" STREAMS one
+        # capture object per match (r9 fuzzer find — the first-match
+        # version emitted [{}] where jq says [{}, {}])
+        py, flags = _re_flags(one(1) if len(args) == 2 else "", name)
+        rx = re.compile(_jq_regex(one(0), name), py)
+        for mo in rx.finditer(_as_str(v, name)):
             yield {k: x for k, x in mo.groupdict().items()}
+            if "g" not in flags:
+                break
+    elif name == "match":
+        # jq manual "match(val)": emits MATCH OBJECTS — codepoint
+        # offset/length (Python str indexing is codepoints too), the
+        # matched string, and per-group captures with name/null and
+        # offset -1 for non-participating groups.  "g" streams every
+        # match; without it only the first emits.  builtin.jq defines
+        # test/capture/scan/splits on top of this shape.
+        py, flags = _re_flags(one(1) if len(args) == 2 else "", name)
+        s = _as_str(v, name)
+        rx = re.compile(_jq_regex(one(0), name), py)
+        names = {i: nm for nm, i in rx.groupindex.items()}
+        for mo in rx.finditer(s):
+            caps = []
+            for gi in range(1, rx.groups + 1):
+                if mo.start(gi) == -1:
+                    caps.append({"offset": -1, "length": 0,
+                                 "string": None,
+                                 "name": names.get(gi)})
+                else:
+                    caps.append({"offset": mo.start(gi),
+                                 "length": mo.end(gi) - mo.start(gi),
+                                 "string": mo.group(gi),
+                                 "name": names.get(gi)})
+            yield {"offset": mo.start(),
+                   "length": mo.end() - mo.start(),
+                   "string": mo.group(0), "captures": caps}
+            if "g" not in flags:
+                break
     elif name in ("sub", "gsub"):
         # replacement is a filter over the capture object — a plain
         # string literal is the common case, `"\(.name)"` references
         # named captures
-        pat = re.compile(one(0))
+        pat = re.compile(_jq_regex(one(0), name))
         src_s = _as_str(v, name)
 
         def _repl(mo: re.Match) -> str:
@@ -1487,11 +1560,21 @@ def _call(name: str, args: list[N], v: Any,
                 yield from walk(child, cp)
         yield from walk(v, [])
     elif name == "splits" and len(args) in (1, 2):
+        # NOT re.split: Python interleaves CAPTURE GROUP text into
+        # the result ('alpha' | splits("(?<g>[a-z]+)") gave
+        # ["","alpha",""] where jq says ["",""]) — r9 fuzzer find.
+        # jq splits on the match spans only.
         s = _as_str(v, "splits")
         for pat in _eval(args[0], v, env):
-            flags = re.I if (len(args) > 1 and "i" in (_single(
-                args[1], v, env) or "")) else 0
-            yield from re.split(re.compile(pat, flags), s)
+            py, _fl = _re_flags(
+                _single(args[1], v, env) if len(args) > 1 else "",
+                name)
+            rx = re.compile(_jq_regex(pat, name), py)
+            last = 0
+            for mo in rx.finditer(s):
+                yield s[last:mo.start()]
+                last = mo.end()
+            yield s[last:]
     elif name == "indices" and len(args) == 1:
         for needle in _eval(args[0], v, env):
             if isinstance(v, str) and isinstance(needle, str):

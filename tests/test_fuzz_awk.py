@@ -123,6 +123,31 @@ def str_expr(draw):
     if kind == "concat":
         a = f"${draw(st.integers(1, 3))}"
         return f'({a} "-" ${draw(st.integers(1, 3))})'
+    # r8 verdict ask #7: widened into printf's edge formats —
+    # %x/%o/%e/%E, flag/width/precision combos, and width/precision
+    # taken FROM ARGUMENTS (%*d, %.*f).  Negative values stay out of
+    # the %x/%o lane: mawk prints 0 where gawk/goawk print the
+    # unsigned 64-bit pattern (POSIX leaves it undefined).
+    kind2 = draw(st.sampled_from(["plain", "plain", "edge", "star"]))
+    if kind2 == "edge":
+        fmt = draw(st.sampled_from(
+            ["%x", "%X", "%o", "%e", "%E", "%5d", "%-6d", "%05d",
+             "%8.2f", "%+d", "% d", "%.3e", "%.0f", "%i"]))
+        n = draw(num_expr(depth=1))
+        # abs() keeps the %x/%o lane nonneg; harmless elsewhere
+        nn = f"(({n}) < 0 ? -({n}) : ({n}))" \
+            if fmt in ("%x", "%X", "%o") else n
+        return f'sprintf("{fmt}|%s", {nn}, $2)'
+    if kind2 == "star":
+        w = draw(st.integers(1, 8))
+        p = draw(st.integers(0, 3))
+        conv = draw(st.sampled_from(["%*d", "%-*d", "%.*f", "%*.*f"]))
+        n = draw(num_expr(depth=1))
+        if conv == "%.*f":
+            return f'sprintf("%.*f", {p}, {n})'
+        if conv == "%*.*f":
+            return f'sprintf("%*.*f", {w}, {p}, {n})'
+        return f'sprintf("{conv}|", {w}, {n})'
     fmt = draw(st.sampled_from(["%d|%s", "%.2f:%s", "[%g]%s"]))
     n = draw(num_expr(depth=1))
     return f'sprintf("{fmt}", {n}, $2)'

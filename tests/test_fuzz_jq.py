@@ -22,10 +22,14 @@ engines:
    traversal-error / missing-key / null-propagation contract.
 
 Generator exclusions (documented jq-1.6-vs-gojq divergence zones, not
-engine bugs): `limit`, unbounded generators (`repeat`, bare
-`recurse`), `now`/`env`, regex builtins beyond literal-ish patterns,
+engine bugs): `limit(0; …)` (jq-1.6 bug fixed in 1.7), unbounded
+generators (`repeat`, bare `recurse`), `now`/`env`, empty-matchable
+regex patterns under "g" (engines disagree on empty-match advance),
 string×number repetition, >2^53 integers (jq 1.6 is float64-backed),
-and NaN/Infinity literals.
+and NaN/Infinity literals.  r9 widened in (verdict ask #7):
+limit(n>=1)/first/last/until/while, literal-pattern
+test/match/capture/splits incl. named groups + flags, and the
+assignment family over real path expressions.
 
 Values normalize through json round-trips with int/float unification
 (jq 1.6 prints 2.0 as 2; the interpreter keeps Python ints exact).
@@ -143,7 +147,56 @@ def any_expr(draw):
         ["num", "num", "bool", "path", "stream", "map", "selectarr",
          "obj", "arrlit", "strop", "sort", "entries", "trycatch",
          "typefn", "slice", "strcat", "assign", "paths", "interp",
-         "foreach", "del"]))
+         "foreach", "del", "limituntil", "regex", "pathassign"]))
+    if kind == "limituntil":
+        # r8 verdict ask #7: the formerly-excluded generator zone
+        # where jq 1.6 and gojq agree — limit with n>=1 (limit(0) is
+        # a known jq-1.6 bug fixed in 1.7), first/last over streams,
+        # until/while with terminating numeric updates
+        n_ = draw(st.integers(1, 3))
+        return draw(st.sampled_from([
+            f"[limit({n_}; .arr[])]",
+            f"[limit({n_}; .objs[] | .v)]",
+            "first(.arr[], 99)",
+            "[first(range(1; 5))]",
+            "last(.arr[], -7)",
+            "(.a | until(. >= 21; . + 3))",
+            f"[({draw(st.integers(-4, 4))}) | while(. < 9; . + 2)]",
+        ]))
+    if kind == "regex":
+        # literal-ish Oniguruma patterns both engines parse alike —
+        # named groups spell (?<g1>…); no empty-matchable patterns
+        # (engines disagree on empty-match advance under "g")
+        pat = draw(st.sampled_from(
+            ["a", "a+", "[a-z]+", "z?k", "(?<g1>[a-z]+)", "(a)(z)?",
+             "[0-9]", "^a", "k$", "c[ak]"]))
+        fl = draw(st.sampled_from(["", "g", "i", "ig"]))
+        tgt = draw(st.sampled_from([".s", ".o.y"]))
+        form = draw(st.sampled_from(["match", "test", "capture",
+                                     "splits"]))
+        if form == "match":
+            return f'[{tgt} | match("{pat}"; "{fl}")]'
+        if form == "test":
+            return f'({tgt} | test("{pat}"; "{fl}"))'
+        if form == "capture":
+            return f'[{tgt} | capture("{pat}"; "{fl}")]'
+        return f'[{tgt} | splits("{pat}")]'
+    if kind == "pathassign":
+        # assignment family over PATH EXPRESSIONS (stream targets,
+        # select inside the path, setpath/delpaths) — the zone the r8
+        # fuzzer only covered for simple field targets
+        d_ = draw(st.integers(-5, 5))
+        return draw(st.sampled_from([
+            f"(.objs[].v += {d_})",
+            f"((.arr[] | select(. > 0)) |= . + {d_})",
+            f'(.o["x"] = {d_})',
+            f'(setpath(["o","z"]; {d_}))',
+            f'(setpath(["arr",0]; {d_}))',
+            f"((.a, .b) = {d_})",
+            f"(.arr |= map(. + {d_}))",
+            '(delpaths([["o","x"],["a"]]))',
+            "(.o.y |= ascii_upcase)",
+        ]))
     if kind == "assign":
         tgt = draw(st.sampled_from([".a", ".o.x", ".arr[0]", ".b"]))
         op = draw(st.sampled_from(["=", "|=", "+=", "-=", "*=", "//="]))

@@ -308,3 +308,49 @@ def test_jq_assignment_invalid_path_errors():
         run("(.a + 1) = 5", {"a": 1})
     with pytest.raises(JQCompileError):
         parse_jq(".a = .b = 1")  # nonassoc
+
+
+def test_jq_match_builtin():
+    """`match` (jq manual): match objects with codepoint offsets, "g"
+    streams every match, named captures via Oniguruma `(?<name>…)`
+    syntax (translated to Python's `(?P<name>…)` internally), and
+    non-participating groups carry offset -1 / string null — all
+    verified against system jq 1.6."""
+    assert run('[match("a"; "g") | .offset]', "azbza") == [0, 4]
+    m = run('match("(?<h>a)(x)?")', "za")
+    assert m == {"offset": 1, "length": 1, "string": "a",
+                 "captures": [
+                     {"offset": 1, "length": 1, "string": "a",
+                      "name": "h"},
+                     {"offset": -1, "length": 0, "string": None,
+                      "name": None}]}
+    # "i" flag + no match → empty stream (run returns None)
+    assert run('[match("AB"; "ig") | .string]', "abxAb") == ["ab", "Ab"]
+    assert run('[match("q")]', "abc") == []
+    # unicode offsets are codepoints, not bytes
+    assert run('match("b").offset', "ä½b") == 2
+    with pytest.raises(JQError):
+        run('match("a"; "q")', "a")
+
+
+def test_jq_named_group_translation_in_capture_sub():
+    """jq's `(?<x>…)` named groups must work in capture/sub/gsub/test
+    too — Python re only accepts `(?P<x>…)`, so the clean-room engine
+    translates (lookbehind `(?<=`/`(?<!` untouched)."""
+    assert run('capture("(?<w>[a-z]+)")', "ab cd") == {"w": "ab"}
+    # "g" streams one capture object per match (r9 fuzzer find)
+    assert run('[capture("(?<w>[a-z]+)"; "g") | .w]', "ab cd") \
+        == ["ab", "cd"]
+    assert run('[capture("a"; "g")]', "alpha") == [{}, {}]
+    assert run('sub("(?<f>a)"; "<\\(.f)>")', "ab") == "<a>b"
+    assert run('test("(?<=a)b")', "ab") is True
+    assert run('[splits("a"; "i")]', "zAk") == ["z", "k"]
+
+
+def test_jq_splits_ignores_capture_groups():
+    """r9 fuzzer find: Python re.split interleaves capture-group text
+    into the result; jq splits only on the match spans."""
+    assert run('[splits("(?<g1>[a-z]+)")]', "alpha") == ["", ""]
+    assert run('[splits("(x)|(,)")]', "a,bxc") == ["a", "b", "c"]
+    assert run('[splits("a+")]', "") == [""]
+    assert run('[splits("z")]', "abc") == ["abc"]

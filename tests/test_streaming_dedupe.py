@@ -265,3 +265,31 @@ def test_replay_rocksdb_flag_equivalence(spark):
     except Exception:
         after = None
     assert after == before
+
+
+_BP_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "testdata_sf0.1bp")
+
+
+@pytest.mark.skipif(not os.path.isdir(_BP_DIR),
+                    reason="bp fixture not generated "
+                           "(tools/gen_scale_data.py 0.1 bp)")
+def test_drain_equals_batch_on_megabucket_fixture(spark):
+    """r8 verdict ask #4: the adversarial boilerplate fixture plants
+    a multi-thousand-member near-dup bucket whose band keys all land
+    in ONE shard — the worst case for the sharded drain (one Python
+    call carries the hot bucket every micro-batch).  The incremental
+    drain must still equal the batch star-edge set, and the hot
+    bucket must actually be hot (the dup population is a large slice
+    of the corpus, unlike the uniform fixtures)."""
+    from benthos_spark.streaming.dedupe import replay_minhash_dedupe
+
+    src = f"{_BP_DIR}/documents.parquet"
+    total = spark.read.parquet(src).count()
+    drained = {r["dup_doc_id"] for r in
+               replay_minhash_dedupe(spark, src).collect()}
+    batch = _batch_dup_set(spark, spark.read.parquet(src))
+    assert drained == batch and batch
+    # the mega-bucket population: a substantial share of the corpus
+    # dedupes away (the uniform sf fixtures sit far below this)
+    assert len(batch) / total > 0.15, (len(batch), total)
