@@ -3025,7 +3025,12 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("langid_model_detect")
 def langid_model_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.text import lang_id_model
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    from benthos_spark.operators.scale import ensure_scan_parallelism
+    # fan the classifier out: the 1000-doc slice reads as ONE parquet
+    # split, so without the repartition the whole Arrow kernel ran on
+    # a single core (guide §2: parallelize the expensive per-row work)
+    docs = ensure_scan_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000))
     return docs.select(
         "doc_id", lang_id_model(F.col("text")).alias("lang_pred"))
 
@@ -4490,7 +4495,10 @@ def similarity_ivf_pq_index_topk(spark: SparkSession,
     queries = emb.filter(F.col("vec_id") < 5) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
     out = ivf_pq_topk_indexed(spark, path, queries, corpus=emb, k=10,
-                              n_probe=3, shortlist=50)
+                              n_probe=3, shortlist=50,
+                              # the quantizers just written into the
+                              # index — skips the _ivfpq_meta read
+                              centroids=cents, codebooks=cb)
     return out.select("query_id", "vec_id", "dist", "rank")
 
 

@@ -230,13 +230,30 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                   .select(qid, id_col, "cos", "rank"))
 
 
-def hyperplane_sketch(vec: Column, planes: list[list[float]]) -> Column:
+def hyperplane_sketch(vec: Column | str,
+                      planes: list[list[float]]) -> Column:
     """Sign sketch: bit i = 1 if vec · plane_i > 0 (random-hyperplane
     LSH; cosine-preserving).  Planes are plan-time literals —
-    broadcast-free, codegen'd."""
+    broadcast-free, codegen'd.
+
+    Pass the COLUMN NAME (str) where possible: the whole sketch then
+    renders as one SQL string → one F.expr py4j round-trip, where the
+    Column-API tree paid ~planes×dim socket round-trips of driver
+    latency per call (the _adc_sum_sql lesson).  Both forms build the
+    same expressions, so sketch values are identical."""
+    if isinstance(vec, str):
+        parts = ["CAST(0 AS BIGINT)"]
+        for i, plane in enumerate(planes):
+            arr = ",".join(_sql_double(x) for x in plane)
+            d = (f"aggregate(zip_with(transform(`{vec}`, "
+                 f"x -> CAST(x AS DOUBLE)), array({arr}), "
+                 f"(x, y) -> x * y), 0.0E0, (acc, v) -> acc + v)")
+            parts.append(f"(CASE WHEN {d} > 0 THEN {2 ** i} "
+                         "ELSE 0 END)")
+        return F.expr(" + ".join(parts))
     out = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = F.lit([float(x) for x in plane])  # one array literal node
         out = out + F.when(dot(F.transform(vec, lambda x: x.cast("double")),
                                p) > 0, F.lit(2 ** i)).otherwise(F.lit(0))
     return out
@@ -253,8 +270,8 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame,
     multi-probing (querying neighboring buckets).  The join is a plain
     equi-join on the bucket id — shuffle on a small int key, AQE
     coalesces the tiny partitions."""
-    c = corpus.withColumn("__bucket", hyperplane_sketch(F.col(vec), planes))
-    q = queries.withColumn("__bucket", hyperplane_sketch(F.col(qvec), planes)) \
+    c = corpus.withColumn("__bucket", hyperplane_sketch(vec, planes))
+    q = queries.withColumn("__bucket", hyperplane_sketch(qvec, planes)) \
                .select(qid, F.col(qvec).alias("__qv"), "__bucket")
     return _score_rank(c, q, k=k, vec=vec, id_col=id_col, qid=qid,
                        join_key="__bucket")
@@ -685,6 +702,112 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
     return corpus.mapInPandas(run, schema=schema).select(*cols, "__code")
 
 
+def _assign_encode_kernel(corpus: DataFrame,
+                          centroids: list[list[float]],
+                          codebooks: list[list[list[float]]],
+                          vec: str, id_col: str,
+                          lists: list[int] | None = None) -> DataFrame:
+    """Fused IVF assignment + PQ encode in ONE Arrow kernel:
+    (id_col, __list, __code) from a single pass over the raw vectors.
+    Chaining _assign_corpus_flat → pq_encode paid two mapInPandas
+    stages, each shipping the full vector column across the Python
+    boundary (guide §4.1: you control how many columns cross, and how
+    often); fused, the vectors cross once and the second Arrow
+    round-trip disappears — at 100 TB that is one corpus scan instead
+    of two Python-stage passes.
+
+    Math is the two kernels' code verbatim, so results are
+    bit-identical: assignment = per-centroid dot with left-to-right
+    float64 fold, `>=` update (larger idx wins ties), NULL/short → -1;
+    encode = per-subspace squared L2, same fold, strict `<` (FIRST
+    minimum wins).  With `lists` the kernel emits only rows assigned
+    to those lists (the ivf_pq_topk pruning, applied before encode —
+    non-probed rows are never encoded); rows whose vector is too
+    short to encode are dropped exactly like the callers'
+    `filter(size(__code) > 0)`.  Without `lists` every row emits,
+    with __list=-1 / __code=[] sentinels preserved (the
+    write_ivf_pq_index build contract)."""
+    from collections.abc import Iterator
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {id_t}, __list int, __code array<int>"
+    C = [[float(x) for x in c] for c in centroids]
+    CB = [[[float(x) for x in c] for c in book] for book in codebooks]
+    keep = sorted(int(li) for li in lists) if lists is not None else None
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        Cl = np.asarray(C, dtype=np.float64)
+        kk, dd = Cl.shape
+        books = [np.asarray(b, dtype=np.float64) for b in CB]
+        m = len(books)
+        dsub = books[0].shape[1]
+        d_full = m * dsub
+        keep_np = (np.asarray(keep, dtype=np.int32)
+                   if keep is not None else None)
+        for pdf in batches:
+            n = len(pdf)
+            need = max(dd, d_full)
+            X = np.zeros((n, need))
+            ok_a = np.zeros(n, dtype=bool)   # long enough to assign
+            ok_e = np.zeros(n, dtype=bool)   # long enough to encode
+            vals = pdf[vec]
+            for r, v in enumerate(vals):
+                if v is None:
+                    continue
+                lv = len(v)
+                if lv >= dd:
+                    ok_a[r] = True
+                if lv >= d_full:
+                    ok_e[r] = True
+                w = min(lv, need)
+                X[r, :w] = np.asarray(v[:w], dtype=np.float64)
+            # ---- assignment (== _assign_corpus_flat kernel) ----
+            best = np.full(n, -np.inf)
+            besti = np.full(n, -1, dtype=np.int32)
+            for i in range(kk):
+                acc = np.zeros(n)
+                for j in range(dd):  # left-to-right fold == SQL sum
+                    acc = acc + X[:, j] * Cl[i, j]
+                take = ok_a & (acc >= best)  # >= : larger idx wins ties
+                besti[take] = i
+                best[take] = acc[take]
+            if keep_np is not None:
+                sel = np.flatnonzero(np.isin(besti, keep_np) & ok_e)
+            else:
+                sel = np.arange(n)
+            # ---- encode (== pq_encode kernel), survivors only ----
+            ns = len(sel)
+            codes = np.zeros((ns, m), dtype=np.int32)
+            Xs = X[sel]
+            for j, B in enumerate(books):
+                sub = Xs[:, j * dsub:(j + 1) * dsub]
+                bb = B.shape[0]
+                bd = np.full(ns, np.inf)
+                bi = np.zeros(ns, dtype=np.int32)
+                for i in range(bb):
+                    acc = np.zeros(ns)
+                    for t in range(dsub):  # left-to-right == SQL sum
+                        diff = sub[:, t] - B[i, t]
+                        acc = acc + diff * diff
+                    take = acc < bd        # strict < : FIRST min wins
+                    bi[take] = i
+                    bd[take] = acc[take]
+                codes[:, j] = bi
+            ids = pdf[id_col].to_numpy()[sel]
+            ok_es = ok_e[sel]
+            yield pd.DataFrame({
+                id_col: pd.Series(list(ids), dtype="object"),
+                "__list": pd.Series(besti[sel], dtype="int32"),
+                "__code": pd.Series(
+                    [codes[r].tolist() if ok_es[r] else []
+                     for r in range(ns)], dtype="object")})
+
+    return corpus.select(F.col(id_col), F.col(vec)).mapInPandas(
+        run, schema=schema)
+
+
 # Past this many per-projection LUT literals (queries × m × k double
 # constants feeding m element_at lookups + an add chain each) the ADC
 # scoring projection crosses janino's 64 KB method limit and the
@@ -720,17 +843,57 @@ def _adc_lut(codebooks: list[list[list[float]]], qv) -> list[list[float]]:
     return out
 
 
-def _adc_sum_expr(lut: list[list[float]]) -> Column:
+def _sql_double(v: float) -> str:
+    """Render a float as a Spark SQL DOUBLE literal that parses back
+    to the SAME bits: repr() is the shortest round-trip form and
+    Spark's parser hands it to Java Double.parseDouble (exact);
+    exponent-form literals are DOUBLE already, plain decimals get an
+    E0 suffix so they don't parse as DECIMAL."""
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s) else s + "E0"
+
+
+def _sql_qid_lit(q) -> str | None:
+    """qid value → SQL literal matching F.lit(q)'s type exactly
+    (python int → bigint hence the L suffix); None when the type has
+    no safe rendering (callers then route through the Arrow
+    kernel)."""
+    if isinstance(q, bool):
+        return None  # F.lit(bool) → boolean; not worth a SQL branch
+    if isinstance(q, int):
+        return f"{q}L"
+    if isinstance(q, float):
+        return _sql_double(q)
+    if isinstance(q, str):
+        esc = q.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{esc}'"
+    return None
+
+
+def _adc_sum_sql(lut: list[list[float]]) -> str:
     """m element_at lookups over literal arrays + a left-to-right add
-    chain — the whole-stage-codegen ADC score for ONE query.  Callers
-    must keep the total literal count per projection under
+    chain — the whole-stage-codegen ADC score for ONE query, rendered
+    as a SQL fragment.  One F.expr() over the assembled string costs
+    ONE py4j round-trip where the equivalent Column-API tree cost
+    ~30 per query struct — with hundreds of LUT rows per projection
+    the py4j chatter (16k socket round-trips, ~7 s at the bench
+    shape) dominated warm query construction.  Values are
+    bit-identical: _sql_double round-trips exactly and `+` parses
+    left-associative, the same IEEE sequence as the Column chain.
+    Callers must keep the total literal count per projection under
     _ADC_LUT_MAX_TERMS."""
-    score = None
+    terms = []
     for j, row in enumerate(lut):
-        term = F.element_at(F.array(*[F.lit(v) for v in row]),
-                            F.col("__code")[j] + 1)
-        score = term if score is None else score + term
-    return score
+        arr = ",".join(_sql_double(v) for v in row)
+        terms.append(f"element_at(array({arr}), __code[{j}] + 1)")
+    return " + ".join(terms)
+
+
+def _adc_struct_sql(qid: str, qlit: str, lut: list[list[float]]) -> str:
+    """One query's (qid, round(ADC sum, 6)) struct as SQL — the
+    F.struct(F.lit(q), F.round(sum, 6)) shape."""
+    return (f"named_struct('{qid}', {qlit}, "
+            f"'dist', round({_adc_sum_sql(lut)}, 6))")
 
 
 def _adc_survivors_kernel(coded: DataFrame, luts: dict, *, topk: int,
@@ -848,14 +1011,14 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame,
     coded = pq_encode(corpus.select(F.col(id_col), F.col(vec)),
                       codebooks, vec).filter(F.size("__code") > 0)
     n_terms = len(luts) * len(codebooks) * len(codebooks[0])
-    if n_terms <= _ADC_LUT_MAX_TERMS:
-        per_query = [F.struct(F.lit(q).alias(qid),
-                              F.round(_adc_sum_expr(lut), 6)
-                              .alias("dist"))
-                     for q, lut in luts.items()]
+    qlits = {q: _sql_qid_lit(q) for q in luts}
+    if n_terms <= _ADC_LUT_MAX_TERMS and None not in qlits.values():
+        structs = ",".join(_adc_struct_sql(qid, qlits[q], lut)
+                           for q, lut in luts.items())
         scored = (coded
                   .select(F.col(id_col),
-                          F.explode(F.array(*per_query)).alias("__q"))
+                          F.explode(F.expr(f"array({structs})"))
+                          .alias("__q"))
                   .select(F.col("__q")[qid].alias(qid), F.col(id_col),
                           F.col("__q.dist").alias("dist")))
     else:
@@ -907,6 +1070,26 @@ def _l2_pair_udf():
     return d2
 
 
+def _l2_fold_sql(a: Column, b: Column) -> Column:
+    """SQUARED L2 as a JVM catalyst fold: cast each element to double,
+    then aggregate() the zip_with squares left-to-right — the SAME
+    IEEE float64 sequence as _l2_pair_udf's numpy loop (acc = acc +
+    diff*diff per dimension) and as the SQL oracle expansion, so the
+    two forms are bit-identical.  Used on the BOUNDED rerank pairs
+    (q × shortlist rows by contract): an interpreted HOF over a few
+    hundred rows costs microseconds, while the pandas_udf form paid a
+    whole ArrowEvalPython stage (Python worker round-trip) per query.
+    _l2_pair_udf remains the right tool for corpus-sized pair sets.
+
+    NULL semantics match the UDF: a NULL vector or length mismatch
+    (zip_with null-pads the overhang) yields a NULL distance."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(F.zip_with(da, db,
+                                  lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
 def pq_rerank_topk(corpus: DataFrame, queries: DataFrame,
                    codebooks: list[list[list[float]]], k: int = 10,
                    shortlist: int = 100, vec: str = "embedding",
@@ -929,7 +1112,7 @@ def pq_rerank_topk(corpus: DataFrame, queries: DataFrame,
              .join(F.broadcast(cand), id_col)
              .join(F.broadcast(qv), qid)
              .withColumn("dist", F.round(
-                 _l2_pair_udf()(F.col(vec), F.col("__qv")), 6)))
+                 _l2_fold_sql(F.col(vec), F.col("__qv")), 6)))
     w = Window.partitionBy(qid).orderBy(F.col("dist").asc(),
                                         F.col(id_col))
     return (pairs.withColumn("rank", F.row_number().over(w))
@@ -979,11 +1162,11 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
         # vectors) → empty result instead of F.explode(None)
         return _empty_topk(corpus, queries, id_col=id_col, qid=qid)
     lists = sorted(by_list)
-    c = _assign_corpus_flat(corpus.select(F.col(id_col), F.col(vec)),
-                            centroids, vec)
-    pruned = c.filter(F.col("__list").isin(lists))
-    coded = pq_encode(pruned, codebooks, vec) \
-        .filter(F.size("__code") > 0)
+    # fused single-pass assign + prune + encode (one Python stage
+    # instead of the _assign_corpus_flat → pq_encode chain; same
+    # math, bit-identical codes — see _assign_encode_kernel)
+    coded = _assign_encode_kernel(corpus, centroids, codebooks,
+                                  vec, id_col, lists=lists)
     qid_t = queries.schema[qid].dataType.simpleString()
     cand = _ivf_pq_rank(coded, codebooks, qvecs, by_list, topk=topk,
                         id_col=id_col, qid=qid, qid_t=qid_t)
@@ -999,18 +1182,40 @@ def _collect_probes(queries: DataFrame, centroids: list[list[float]],
     vector, list → [qids probing it]).  NULL/short query vectors emit
     no probes (the kernel path's documented drop; the flat-SQL path
     leaks NULL-sim probe rows for them, which would crash the LUT
-    builder — r8 ADVICE)."""
-    probes = _query_probes_flat(queries, centroids, n_probe, qvec, qid,
-                                checkpoint=False) \
-        .select(qid, "__qv", "__list").collect()
-    d = max((len(c) for c in centroids), default=0)
+    builder — r8 ADVICE).
+
+    The probe math runs ON THE DRIVER over the collected (qid, qvec)
+    rows — the query set is few-by-contract and was being collected
+    anyway, so routing it through _query_probes_flat's mapInPandas
+    paid a full Python-worker stage (plan + job + Arrow round-trip,
+    ~0.4 s warm / ~3 s cold at the bench scale) to ship a handful of
+    rows.  The numpy below is the kernel's code verbatim (same
+    left-to-right float64 fold, same lexsort tie-break toward the
+    larger centroid idx), so probe sets are bit-identical to both
+    _query_probes_flat paths."""
+    import numpy as np
+
+    if not centroids:
+        return {}, {}
+    rows = queries.select(F.col(qid), F.col(qvec)).collect()
+    Cl = np.asarray([[float(x) for x in c] for c in centroids],
+                    dtype=np.float64)
+    kk, dd = Cl.shape
     qvecs: dict = {}
     by_list: dict[int, list] = {}
-    for r in probes:
-        if r[1] is None or len(r[1]) < d or r[2] is None:
+    for r in rows:
+        vv = r[1]
+        if vv is None or len(vv) < dd:
             continue
-        qvecs[r[0]] = r[1]
-        by_list.setdefault(int(r[2]), []).append(r[0])
+        x = np.asarray(vv[:dd], dtype=np.float64)
+        sims = np.zeros(kk)
+        for j in range(dd):  # left-to-right fold == SQL
+            sims = sims + x[j] * Cl[:, j]
+        # sim desc, idx desc on ties == reverse(array_sort)
+        order = np.lexsort((-np.arange(kk), -sims))[:n_probe]
+        qvecs[r[0]] = vv
+        for li in order:
+            by_list.setdefault(int(li), []).append(r[0])
     return qvecs, by_list
 
 
@@ -1028,22 +1233,24 @@ def _ivf_pq_rank(coded: DataFrame, codebooks: list[list[list[float]]],
     kernel takes over."""
     luts = {q: _adc_lut(codebooks, v) for q, v in qvecs.items()}
 
-    def adc_struct(q):
-        return F.struct(F.lit(q).alias(qid),
-                        F.round(_adc_sum_expr(luts[q]), 6)
-                        .alias("dist"))
-
     n_terms = sum(len(qs) for qs in by_list.values()) \
         * len(codebooks) * len(codebooks[0])
-    if n_terms <= _ADC_LUT_MAX_TERMS:
-        branch = None
-        for li in sorted(by_list):
-            arr = F.array(*[adc_struct(q) for q in by_list[li]])
-            branch = (F.when(F.col("__list") == li, arr)
-                      if branch is None
-                      else branch.when(F.col("__list") == li, arr))
+    qlits = {q: _sql_qid_lit(q) for q in luts}
+    if n_terms <= _ADC_LUT_MAX_TERMS and None not in qlits.values():
+        # one CASE WHEN … END rendered as SQL: a single F.expr py4j
+        # call replaces thousands of Column-API round-trips (see
+        # _adc_sum_sql); WHEN arms in sorted-list order and no ELSE
+        # (→ NULL) exactly like the F.when chain it replaces
+        whens = " ".join(
+            "WHEN __list = {li} THEN array({arr})".format(
+                li=int(li),
+                arr=",".join(_adc_struct_sql(qid, qlits[q], luts[q])
+                             for q in by_list[li]))
+            for li in sorted(by_list))
         scored = (coded
-                  .select(F.col(id_col), F.explode(branch).alias("__q"))
+                  .select(F.col(id_col),
+                          F.explode(F.expr(f"CASE {whens} END"))
+                          .alias("__q"))
                   .select(F.col("__q")[qid].alias(qid), F.col(id_col),
                           F.col("__q.dist").alias("dist")))
     else:
@@ -1072,7 +1279,7 @@ def _exact_rerank(corpus: DataFrame, cand: DataFrame,
              .join(F.broadcast(cand.select(qid, id_col)), id_col)
              .join(F.broadcast(qv), qid)
              .withColumn("dist", F.round(
-                 _l2_pair_udf()(F.col(vec), F.col("__qv")), 6)))
+                 _l2_fold_sql(F.col(vec), F.col("__qv")), 6)))
     return (pairs.withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= k)
                  .select(qid, id_col, "dist", "rank"))
@@ -1093,9 +1300,8 @@ def write_ivf_pq_index(corpus: DataFrame, path: str,
     round trip), so query time needs ZERO training jobs.  Pay the
     assignment + encode scan once at build; every query set after
     that is pruned-scan + codegen ADC only."""
-    c = _assign_corpus_flat(corpus.select(F.col(id_col), F.col(vec)),
-                            centroids, vec)
-    coded = pq_encode(c, codebooks, vec) \
+    coded = _assign_encode_kernel(corpus, centroids, codebooks,
+                                  vec, id_col) \
         .select(F.col(id_col), "__code", "__list")
     coded.write.mode("overwrite").partitionBy("__list").parquet(path)
     spark = corpus.sparkSession
@@ -1115,7 +1321,10 @@ def ivf_pq_topk_indexed(spark, path: str, queries: DataFrame,
                         shortlist: int | None = None,
                         vec: str = "embedding", id_col: str = "vec_id",
                         qvec: str = "embedding",
-                        qid: str = "query_id") -> DataFrame:
+                        qid: str = "query_id",
+                        centroids: list[list[float]] | None = None,
+                        codebooks: list[list[list[float]]] | None = None,
+                        ) -> DataFrame:
     """IVF-PQ top-k against a write_ivf_pq_index layout — the
     DEPLOYMENT query (r8 verdict ask #2): centroids/codebooks load
     from the index meta (no training jobs, no trainer sample scan),
@@ -1124,10 +1333,17 @@ def ivf_pq_topk_indexed(spark, path: str, queries: DataFrame,
     probed directories are listed), and scoring is the same guarded
     codegen-ADC / Arrow-kernel branch as ivf_pq_topk, bit-identical
     results.  `corpus` (raw vectors) is only needed when `shortlist`
-    asks for the exact rerank stage."""
-    meta = spark.read.parquet(path + "/_ivfpq_meta").collect()[0]
-    centroids = [list(c) for c in meta["centroids"]]
-    codebooks = [[list(cw) for cw in book] for book in meta["codebooks"]]
+    asks for the exact rerank stage.  `centroids`/`codebooks` let a
+    caller that already holds the trained quantizers (e.g. the
+    process that just built the index) skip the `_ivfpq_meta` read —
+    two fewer driver jobs; passed values MUST match what
+    write_ivf_pq_index persisted or probe sets and LUTs will disagree
+    with the stored codes."""
+    if centroids is None or codebooks is None:
+        meta = spark.read.parquet(path + "/_ivfpq_meta").collect()[0]
+        centroids = [list(c) for c in meta["centroids"]]
+        codebooks = [[list(cw) for cw in book]
+                     for book in meta["codebooks"]]
     topk = shortlist if shortlist is not None else k
     qvecs, by_list = _collect_probes(queries, centroids, n_probe,
                                      qvec, qid)
