@@ -520,50 +520,102 @@ def embedding_near_dup_pairs(df: DataFrame, vec: str = "embedding",
     # Per-bucket vectorized kernel instead of a pair-explode self-join:
     # near-dup corpora put their dense clusters into SHARED buckets, so
     # candidate pairs grow quadratically in cluster density and each
-    # pair paid an interpreted 64-term zip_with cosine.  One groupBy
-    # shuffle on (band, bucket), then numpy computes the whole bucket's
-    # cosine matrix (9× faster at 10× the bench scale).  The dot and
+    # pair paid an interpreted 64-term zip_with cosine.  One hash
+    # exchange on (band, bucket) + a partition-local sort, then a
+    # mapInPandas kernel slices each batch at the group boundaries and
+    # computes the whole bucket's cosine matrix in numpy (9× faster at
+    # 10× the bench scale).  mapInPandas over sorted partitions
+    # replaces groupBy().applyInPandas because the latter pays a
+    # per-GROUP Arrow flush + Python invocation — ~3 ms × 500 buckets
+    # ≈ 1.5 s of pure overhead at the bench shape, where a boundary
+    # slice costs microseconds (guide §4.1: control how often data
+    # crosses the boundary).  A group can span Arrow batches, so the
+    # kernel buffers the last (possibly incomplete) group of each
+    # batch and prepends it to the next — bucket contents, and hence
+    # pair sets, are identical to the per-group form.  The dot and
     # norm accumulate dimension-by-dimension left-to-right in float64 —
     # the SQL fold order — and round half-away-from-zero, so results
     # stay bit-identical to the DuckDB oracle (semantic_dedup's proven
     # kernel shape).  Blocked over rows to bound the matrix to ~64 MB
     # for boilerplate-sized buckets.
-    def per_bucket(key, pdf):
+    def run(batches):
         import numpy as np
         import pandas as pd
-        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-        ids = pdf[id_col].to_numpy()[order]
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-        X = np.array([np.asarray(x, dtype=np.float64)
-                      for x in pdf[vec].to_numpy()[order]])
-        dims = X.shape[1]
-        s = np.zeros(n)
-        for j in range(dims):
-            s += X[:, j] * X[:, j]
-        nrm = np.sqrt(s)
-        out_a, out_b, out_c = [], [], []
-        block = max(1, (8 << 20) // max(n, 1))
-        for i0 in range(0, n, block):
-            xa = X[i0:i0 + block]
-            D = np.zeros((len(xa), n))
-            for j in range(dims):  # left-to-right fold per element
-                D += np.outer(xa[:, j], X[:, j])
-            cos = D / np.outer(nrm[i0:i0 + block], nrm)
-            cos = np.trunc(cos * 1e6 + np.sign(cos) * 0.5) / 1e6
-            rows, cols = np.nonzero(cos >= threshold)
-            keep = (rows + i0) < cols  # id_a < id_b, self excluded
-            out_a.append(ids[rows[keep] + i0])
-            out_b.append(ids[cols[keep]])
-            out_c.append(cos[rows[keep], cols[keep]])
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b),
-                             "cos": np.concatenate(out_c)})
+
+        def per_bucket(ids_raw, vecs):
+            order = np.argsort(ids_raw, kind="stable")
+            ids = ids_raw[order]
+            n = len(ids)
+            if n < 2:
+                return None
+            X = np.array([np.asarray(x, dtype=np.float64)
+                          for x in vecs[order]])
+            dims = X.shape[1]
+            s = np.zeros(n)
+            for j in range(dims):
+                s += X[:, j] * X[:, j]
+            nrm = np.sqrt(s)
+            out_a, out_b, out_c = [], [], []
+            block = max(1, (8 << 20) // max(n, 1))
+            for i0 in range(0, n, block):
+                xa = X[i0:i0 + block]
+                D = np.zeros((len(xa), n))
+                for j in range(dims):  # left-to-right fold per element
+                    D += np.outer(xa[:, j], X[:, j])
+                cos = D / np.outer(nrm[i0:i0 + block], nrm)
+                cos = np.trunc(cos * 1e6 + np.sign(cos) * 0.5) / 1e6
+                rows, cols = np.nonzero(cos >= threshold)
+                keep = (rows + i0) < cols  # id_a < id_b, self excluded
+                out_a.append(ids[rows[keep] + i0])
+                out_b.append(ids[cols[keep]])
+                out_c.append(cos[rows[keep], cols[keep]])
+            return (np.concatenate(out_a), np.concatenate(out_b),
+                    np.concatenate(out_c))
+
+        buf = None
+        acc: list = []
+
+        def flush(pdf, s, e):
+            r = per_bucket(pdf[id_col].to_numpy()[s:e],
+                           pdf[vec].to_numpy()[s:e])
+            if r is not None and len(r[0]):
+                acc.append(r)
+
+        def emit():
+            if not acc:
+                return pd.DataFrame({"id_a": [], "id_b": [],
+                                     "cos": []})
+            out = pd.DataFrame(
+                {"id_a": np.concatenate([a for a, _, _ in acc]),
+                 "id_b": np.concatenate([b for _, b, _ in acc]),
+                 "cos": np.concatenate([c for _, _, c in acc])})
+            acc.clear()
+            return out
+
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if not len(pdf):
+                continue
+            gb = pdf["band"].to_numpy()
+            gk = pdf["bucket"].to_numpy()
+            change = np.flatnonzero((gb[1:] != gb[:-1])
+                                    | (gk[1:] != gk[:-1])) + 1
+            starts = np.concatenate(([0], change)).astype(np.int64)
+            for s, e in zip(starts[:-1], starts[1:]):
+                flush(pdf, s, e)
+            buf = pdf.iloc[starts[-1]:]  # last group may continue
+            yield emit()
+        if buf is not None and len(buf):
+            flush(buf, 0, len(buf))
+            yield emit()
 
     id_t = df.schema[id_col].dataType.simpleString()
-    pairs = banded.groupBy("band", "bucket").applyInPandas(
-        per_bucket, schema=f"id_a {id_t}, id_b {id_t}, cos double")
+    pairs = (banded.repartition("band", "bucket")
+             .sortWithinPartitions("band", "bucket")
+             .mapInPandas(run,
+                          schema=f"id_a {id_t}, id_b {id_t}, cos double"))
     # a pair colliding in BOTH bands appears twice with the same cosine
     return pairs.distinct()
 
@@ -700,23 +752,44 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     converged = False
     compress_after = 3   # shallow clique graphs converge before this
     for i in range(max_iter):
-        # one join + one union-groupBy per round (r9): the previous
-        # join → groupBy → left-join-back shape paid a third exchange
-        # and an extra AQE stage per round for the SAME min —
-        # min(lab(u), min over neighbors lab(v)) — because unioning
-        # the node's own label row into the aggregate replaces the
-        # left join (nodes with no in-edges keep their label through
-        # the union row, exactly like the old coalesce).  Map-side
-        # partial aggregation combines the raw (u, nbr-lab) rows
-        # before the shuffle, so bytes shuffled do not grow.  Labels
-        # are bit-identical (min is min; measured 2.2 s → 1.0 s for
-        # the 3-round bench fixture, same label sums).
-        nbr = (sym.alias("e")
-               .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
-               .select(F.col("e.u").alias("u"),
-                       F.col("l.lab").alias("lab")))
-        prop = (nbr.union(labels.select("u", "lab"))
-                .groupBy("u").agg(F.min("lab").alias("lab")))
+        # Plain (uncompressed) rounds — the common case, dense-clique
+        # graphs never leave it — use one join + one union-groupBy
+        # (r9): the join → groupBy → left-join-back shape paid a
+        # third exchange and an extra AQE stage per round for the
+        # SAME min — min(lab(u), min over neighbors lab(v)) — because
+        # unioning the node's own label row into the aggregate
+        # replaces the left join (nodes with no in-edges keep their
+        # label through the union row, exactly like the old
+        # coalesce).  Map-side partial aggregation combines the raw
+        # (u, nbr-lab) rows before the shuffle, so bytes shuffled do
+        # not grow.  Labels are bit-identical (min is min; measured
+        # 2.2 s → 1.0 s for the 3-round bench fixture, same sums).
+        # COMPRESSED rounds keep the join form: Spark 4.1's
+        # DeduplicateRelations throws `key not found: u#N` when the
+        # compression self-join duplicates a union subtree UNDER a
+        # CollectMetrics observe (reproduced minimally; fine without
+        # the observe) — the join form sidesteps the analyzer bug and
+        # both forms produce identical labels.
+        if i < compress_after:
+            nbr = (sym.alias("e")
+                   .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+                   .select(F.col("e.u").alias("u"),
+                           F.col("l.lab").alias("lab")))
+            prop = (nbr.union(labels.select("u", "lab"))
+                    .groupBy("u").agg(F.min("lab").alias("lab")))
+        else:
+            nbr_min = (sym.alias("e")
+                       .join(labels.alias("l"),
+                             F.col("e.v") == F.col("l.u"))
+                       .groupBy(F.col("e.u").alias("u"))
+                       .agg(F.min("l.lab").alias("nbr_lab")))
+            prop = (labels.alias("l")
+                    .join(nbr_min.alias("n"), "u", "left")
+                    .select(F.col("u"),
+                            F.least(F.col("l.lab"),
+                                    F.coalesce(F.col("n.nbr_lab"),
+                                               F.col("l.lab")))
+                            .alias("lab")))
         if i >= compress_after:
             # path compression: lab ← lab(lab) — one extra self-join
             # per round makes deep components converge geometrically

@@ -57,9 +57,24 @@ def curate_corpus(corpus: DataFrame, eval_df: DataFrame,
     # surface, linear (not quadratic) in boilerplate-bucket size (r6)
     canon = canonical_selection(quality, minhash_lsh_star_edges(quality),
                                 id_col=id_col, quality_col=quality_col)
-    kept = quality.join(
-        F.broadcast(canon.filter(F.col("is_canonical") == 1)
-                    .select(id_col, "component")), id_col)
+    # The canonical-verdict frame is referenced by BOTH downstream
+    # junctions (the decontamination gram scan and the final
+    # anti-join each re-derive `kept`), and without a barrier each
+    # broadcast build re-executes the whole verdict subplan —
+    # minhash + window + CC-label join — once per use (measured 1.5 s
+    # of the bench exec).  A lazy localCheckpoint materializes it
+    # once.  Scale-safe BY CONSTRUCTION: this frame must fit a
+    # broadcast anyway (one (id, component) row per quality doc, the
+    # "broadcast verdicts" contract), so storing it per-executor
+    # costs no more than the broadcast it feeds.  `quality` (the
+    # corpus) is deliberately NOT checkpointed: at 100 TB that would
+    # spill a corpus-sized intermediate to executor storage, where
+    # re-scanning the columnar source is the cheaper side of the
+    # trade (guide §5).
+    canonf = (canon.filter(F.col("is_canonical") == 1)
+              .select(id_col, "component")
+              .localCheckpoint(eager=False))
+    kept = quality.join(F.broadcast(canonf), id_col)
 
     dirty = ngram_contamination(kept, eval_df, text=text,
                                 id_col=id_col, n=decontam_n)

