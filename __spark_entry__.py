@@ -2245,14 +2245,23 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 def batch_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
-    w_all = Window.partitionBy("user_id")
-    return ev.select(
-        "event_id",
-        (F.row_number().over(w) - 1).alias("batch_index"),
-        F.count("*").over(w_all).alias("batch_size"),
-        F.first("event_type").over(w).alias("from_first"),
-        F.array_join(F.sort_array(F.collect_list("event_type").over(w_all)),
-                     ",").alias("from_all_types"))
+    # The partition-constant aggregates (batch_size, from_all_types)
+    # are a groupBy + equi-join, NOT unbounded-window expressions (r9):
+    # the window form re-evaluated sort_array + array_join over the
+    # full partition list PER ROW — O(k log k) × k per user — where
+    # the groupBy computes each once per user.  Same rows (oracle
+    # unchanged); AQE broadcasts the per-user side while it fits and
+    # falls back to a shuffle join at scale.
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("batch_size"),
+        F.array_join(F.sort_array(F.collect_list("event_type")), ",")
+         .alias("from_all_types"))
+    return (ev.join(per_user, "user_id")
+            .select("event_id",
+                    (F.row_number().over(w) - 1).alias("batch_index"),
+                    "batch_size",
+                    F.first("event_type").over(w).alias("from_first"),
+                    "from_all_types"))
 
 
 # ================================================================

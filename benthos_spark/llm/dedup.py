@@ -746,12 +746,25 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=True)  # reused every round
-    labels = (sym.select("u").distinct()
-              .withColumn("lab", F.col("u")))
-    prev_sum = None
-    converged = False
+    # Round 1 directly from the edge list (r9): initial labels are
+    # lab(v) = v, so the first round's min over the closed
+    # neighborhood — min(u, min_{v∈N(u)} lab(v)) — is just
+    # min(u, min N(u)): the sym⋈labels join AND the labels-init
+    # distinct() exchange both drop out of the first (at 100 TB:
+    # largest) round.  Bit-identical labels by substitution; the
+    # duplicate (u, u) self rows collapse map-side in the partial min.
+    labels = (sym.select("u", F.col("v").alias("lab"))
+              .union(sym.select("u", F.col("u").alias("lab")))
+              .groupBy("u").agg(F.min("lab").alias("lab")))
+    obs0 = Observation()
+    labels = (labels.observe(obs0, F.sum(F.col("lab")
+                                         .cast("decimal(38,0)")).alias("s"))
+              .localCheckpoint(eager=True))
+    prev_sum = obs0.get["s"]
+    # NULL sum ⇔ zero label rows ⇔ no edges: already at the fixpoint
+    converged = prev_sum is None
     compress_after = 3   # shallow clique graphs converge before this
-    for i in range(max_iter):
+    for i in range(1, max_iter if not converged else 1):
         # Plain (uncompressed) rounds — the common case, dense-clique
         # graphs never leave it — use one join + one union-groupBy
         # (r9): the join → groupBy → left-join-back shape paid a

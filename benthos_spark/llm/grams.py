@@ -239,6 +239,48 @@ def bigram_partial_counts(df: DataFrame, text: str = "text") -> DataFrame:
             .groupBy("bg").agg(F.sum("n").alias("nbg")))
 
 
+def unigram_bigram_partial_counts(df: DataFrame,
+                                  text: str = "text") -> DataFrame:
+    """(g, is_bi, n): corpus unigram AND bigram counts from ONE kernel
+    pass over the text (r9) — bigram_lm_score previously paid two full
+    corpus scans for its two count tables (a JVM explode+groupBy for
+    unigrams plus this module's bigram kernel); fused, the text crosses
+    the Python boundary once and ONE shuffle (map-side-combined per
+    batch, like bigram_partial_counts) carries both tables, which every
+    downstream broadcast then shares through ReuseExchange.
+
+    Bit-exact contracts preserved: unigram rows count non-empty tokens
+    (== unigram_counts' `token != ''` filter over the parity
+    tokenizer), bigram rows are the verbatim bigram_partial_counts
+    semantics (adjacent UNfiltered tokens, so empty members still form
+    grams like ' a').  Unigrams never contain whitespace and bigrams
+    always do, but rows carry `is_bi` anyway so consumers never rely
+    on that."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from collections import Counter
+        for pdf in batches:
+            cu: Counter = Counter()
+            cb: Counter = Counter()
+            for t in pdf[text]:
+                tk = _toks(t)
+                if tk is None:
+                    continue
+                cu.update(x for x in tk if x != "")
+                if len(tk) >= 2:
+                    cb.update(tk[j] + " " + tk[j + 1]
+                              for j in range(len(tk) - 1))
+            yield pd.DataFrame(
+                {"g": list(cu.keys()) + list(cb.keys()),
+                 "is_bi": [False] * len(cu) + [True] * len(cb),
+                 "n": list(cu.values()) + list(cb.values())})
+
+    return (_prepared(df, [text])
+            .mapInPandas(run, schema="g string, is_bi boolean, n long")
+            .groupBy("g", "is_bi").agg(F.sum("n").alias("n")))
+
+
 # ------------------------------------------------------------ bloom
 
 def _bloom_doc_positions(tk: list[str], n: int, m: int, k: int, h):

@@ -787,15 +787,30 @@ def bigram_lm_score(df: DataFrame, text: str = "text",
     the full exploded stream, and no interpreted gram lambdas run."""
     toks_df = materialize_cols(df.select(F.col(id_col), F.col(text)),
                                __toks=tokens(F.col(text)))
-    c1 = unigram_counts(df, text)
-    tot = c1.agg(F.sum("n").alias("__T"))
     if arrow_kernel:
-        from benthos_spark.llm.grams import bigram_partial_counts
-        c2 = bigram_partial_counts(df, text)
+        # ONE kernel pass + ONE shuffle builds BOTH count tables (r9);
+        # the four consumers below (c1 ×2 broadcasts + tot + c2) all
+        # reuse that single aggregate through ReuseExchange instead of
+        # paying a second full corpus scan for the unigram table.
+        from benthos_spark.llm.grams import unigram_bigram_partial_counts
+        # lazy checkpoint: the vocab-sized table materializes ONCE —
+        # without it each of the four consumers below re-executes the
+        # kernel pass (Catalyst does not reuse Python-stage subtrees
+        # across broadcast subplans; measured 8 MapInPandas in the
+        # un-checkpointed plan).  Scale-safe: this table must fit the
+        # broadcasts it feeds.
+        counts = unigram_bigram_partial_counts(df, text) \
+            .localCheckpoint(eager=False)
+        c1 = (counts.filter(~F.col("is_bi"))
+              .select(F.col("g").alias("token"), F.col("n")))
+        c2 = (counts.filter(F.col("is_bi"))
+              .select(F.col("g").alias("bg"), F.col("n").alias("nbg")))
     else:
+        c1 = unigram_counts(df, text)
         c2 = (toks_df.select(
             F.explode(word_ngrams(F.col("__toks"), 2)).alias("bg"))
             .groupBy("bg").agg(F.count("*").alias("nbg")))
+    tot = c1.agg(F.sum("n").alias("__T"))
 
     # token stream with the previous token riding along (null at pos 1)
     tf_df = materialize_cols(toks_df, __tf=F.filter(F.col("__toks"),

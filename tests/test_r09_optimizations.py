@@ -315,6 +315,37 @@ def test_jq_env_lazy_still_resolves(monkeypatch):
         jq_eval_text(parse_jq("$definitely_not_defined"), "{}")
 
 
+# ---------------------------------------------------------------- fused
+# unigram+bigram count kernel == the two separate count tables
+
+
+def test_fused_gram_counts_match_separate_tables(spark):
+    from benthos_spark.llm.grams import (bigram_partial_counts,
+                                         unigram_bigram_partial_counts)
+    from benthos_spark.llm.text import unigram_counts
+
+    rows = [
+        (0, "the quick brown fox the quick"),
+        (1, "\tleading tab  double  space "),      # empty split fields
+        (2, ""), (3, None), (4, "   "),
+        (5, "ünïcode tökens ünïcode"),
+        (6, "single"),
+        (7, "a b a b a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = unigram_bigram_partial_counts(df, "text")
+    uni_f = {(r["g"], r["n"]) for r in
+             fused.filter(~F.col("is_bi")).collect()}
+    bi_f = {(r["g"], r["n"]) for r in
+            fused.filter(F.col("is_bi")).collect()}
+    uni_ref = {(r["token"], r["n"])
+               for r in unigram_counts(df, "text").collect()}
+    bi_ref = {(r["bg"], r["nbg"])
+              for r in bigram_partial_counts(df, "text").collect()}
+    assert uni_f == uni_ref
+    assert bi_f == bi_ref
+
+
 # ---------------------------------------------------------------- CC round
 # shapes: union-groupBy rounds and compressed join rounds agree
 
