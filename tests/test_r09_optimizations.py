@@ -315,6 +315,40 @@ def test_jq_env_lazy_still_resolves(monkeypatch):
         jq_eval_text(parse_jq("$definitely_not_defined"), "{}")
 
 
+# ---------------------------------------------------------------- window
+# pair generation == the old banded self-join
+
+
+def test_minhash_pairs_window_matches_self_join(spark):
+    from benthos_spark.llm.dedup import (MINHASH_PERMS,
+                                         _banded_signatures_arrow,
+                                         minhash_lsh_pairs,
+                                         shingle_hash_frame)
+
+    rows = [(i, f"the quick brown fox template {'x' if i % 4 else 'y'}")
+            for i in range(60)]          # dense shared buckets
+    rows += [(100 + i, f"unique document number {i} with its own words")
+             for i in range(20)]
+    rows += [(900, None), (901, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(docs, bands=4).collect()}
+
+    hashed = shingle_hash_frame(docs, "text", "doc_id", 3)
+    banded = _banded_signatures_arrow(hashed, "doc_id", 4,
+                                      len(MINHASH_PERMS) // 4)
+    left, right = banded.alias("l"), banded.alias("r")
+    ref = {(r["id_a"], r["id_b"]) for r in
+           left.join(right, (F.col("l.band") == F.col("r.band"))
+                     & (F.col("l.band_key") == F.col("r.band_key"))
+                     & (F.col("l.doc_id") < F.col("r.doc_id")))
+           .select(F.col("l.doc_id").alias("id_a"),
+                   F.col("r.doc_id").alias("id_b"))
+           .distinct().collect()}
+    assert got == ref and got
+
+
 # ---------------------------------------------------------------- fused
 # unigram+bigram count kernel == the two separate count tables
 
