@@ -62,15 +62,23 @@ def test_switch_routing_is_one_projection(spark, sf_dir):
     assert plan.count("FileScan") == 1
 
 
-def test_minhash_reuses_exchange_for_self_join(spark, sf_dir):
-    # ReuseExchange is applied by AQE at runtime — execute, then read
-    # the final plan: the banded self-join must reuse the signature
-    # exchange instead of recomputing scan+shingles+signatures twice
-    df = entry.queries()["dedup_minhash_lsh"](spark, sf_dir)
+def test_minhash_pairs_window_form_single_kernel(spark, sf_dir):
+    # r9 shape: pair generation is a window over each (band, band_key)
+    # bucket, not a banded self-join — the signature kernel must appear
+    # exactly once (Catalyst re-executes Python subtrees per join
+    # input, which is why the join form paid the kernel twice) and the
+    # corpus must be scanned exactly once, with no join at all
+    df = entry.base_queries()["dedup_minhash_lsh"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan
+    # AQE toString prints "== Final Plan ==" then "== Initial Plan ==";
+    # count nodes in the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1
+    assert final.count("FileScan") == 1
+    assert "Window" in final
+    assert "Join" not in final
 
 
 def test_bloblang_mapping_stays_scan_projection(spark, sf_dir):
