@@ -2256,7 +2256,13 @@ def batch_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("batch_size"),
         F.array_join(F.sort_array(F.collect_list("event_type")), ",")
          .alias("from_all_types"))
-    return (ev.join(per_user, "user_id")
+    # eqNullSafe, NOT join(..., "user_id"): window partitionBy keeps
+    # NULL-key rows as their own partition, and a null-unsafe inner
+    # join would silently drop them (r9 ADVICE).  <=> is still an
+    # equi-join key, so the broadcast-hash plan shape is unchanged.
+    return (ev.join(per_user,
+                    ev["user_id"].eqNullSafe(per_user["user_id"]))
+            .drop(per_user["user_id"])
             .select("event_id",
                     (F.row_number().over(w) - 1).alias("batch_index"),
                     "batch_size",

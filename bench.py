@@ -174,19 +174,25 @@ def main() -> None:
                 suite_hosts[name] = min(suite_hosts.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
+    # Summary fields FIRST, bulky per-query dicts LAST: the driver
+    # captures a bounded tail, and the r8 artifact lost its headline to
+    # truncation mid-`queries`.  With this ordering a line cut anywhere
+    # past the first ~300 bytes still yields the headline via a regex
+    # scan even though strict json.loads fails.  Field SET is unchanged
+    # except the additive "cpus" stamp (the driver re-runs at lower
+    # core counts; the artifact should say which run it was).
     print(json.dumps({
         "metric": "full_query_suite_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "headline_subset_wall": round(
-            sum(timings[n] for n in HEADLINE), 3),
-        "suite_hosts": suite_hosts,
-        "suite_hosts_wall": round(sum(suite_hosts.values()), 3),
         "n_queries": len(suite),
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
         "passes": passes,
         "agg": "min",
-        "sf": sf,
+        "headline_subset_wall": round(
+            sum(timings[n] for n in HEADLINE), 3),
+        "suite_hosts_wall": round(sum(suite_hosts.values()), 3),
         # own-Spark load is included in the end stamp; "quiet" means
         # the START was below the bar (nothing else was running) —
         # scale_report refuses to trust artifacts where it wasn't
@@ -194,6 +200,8 @@ def main() -> None:
         "loadavg_end": round(os.getloadavg()[0], 2),
         "quiet_window": load_start <= max_load,
         "quiet_wait_timed_out": quiet_wait_timed_out,
+        "queries": timings,
+        "suite_hosts": suite_hosts,
     }))
     spark.stop()
 

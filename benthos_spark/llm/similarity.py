@@ -848,8 +848,17 @@ def _sql_double(v: float) -> str:
     to the SAME bits: repr() is the shortest round-trip form and
     Spark's parser hands it to Java Double.parseDouble (exact);
     exponent-form literals are DOUBLE already, plain decimals get an
-    E0 suffix so they don't parse as DECIMAL."""
-    s = repr(float(v))
+    E0 suffix so they don't parse as DECIMAL.  Non-finite values have
+    no literal form ('infE0' is a parse error) — render them as the
+    CAST Spark itself uses, matching F.lit()'s behavior (r9 ADVICE)."""
+    f = float(v)
+    if f != f:
+        return "CAST('NaN' AS DOUBLE)"
+    if f == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if f == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    s = repr(f)
     return s if ("e" in s or "E" in s) else s + "E0"
 
 

@@ -160,9 +160,22 @@ def lang_id_model(text: Column, default: str = "unknown",
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from benthos_spark.llm.langid_model import (D, LANGS, NGRAMS,
-                                                load_weights)
+    from benthos_spark.llm.langid_model import load_weights
     W, b = load_weights()
+    classify_one = _make_langid_classifier(W, b, default, min_conf)
+
+    @pandas_udf("string")
+    def run(s):
+        return pd.Series([classify_one(t) for t in s])
+
+    return run(text)
+
+
+def _make_langid_classifier(W, b, default: str, min_conf: float):
+    """Builds the per-string classifier closure used by
+    `lang_id_model`'s pandas_udf; module-level so the edge-case tests
+    (lone surrogates, astral letters) can call it directly."""
+    from benthos_spark.llm.langid_model import D, LANGS, NGRAMS
 
     def classify_one(t: str) -> str:
         """Vectorized twin of the original per-char implementation —
@@ -182,7 +195,14 @@ def lang_id_model(text: Column, default: str = "unknown",
             return default
         # tier 1: script ranges over a bounded prefix
         sample = t[:400]
-        cps = np.frombuffer(sample.encode("utf-32-le"), dtype="<u4")
+        try:
+            cps = np.frombuffer(sample.encode("utf-32-le"), dtype="<u4")
+        except UnicodeEncodeError:
+            # lone surrogates can't encode; the per-codepoint path
+            # matches the original ord() loop (surrogates are
+            # non-alpha in the 65k table, same as chr().isalpha())
+            cps = np.fromiter((ord(c) for c in sample),
+                              dtype=np.uint32, count=len(sample))
         alpha = _alpha_table()
         bmp = cps < 0x10000
         letters = int(alpha[cps[bmp]].sum())
@@ -212,8 +232,11 @@ def lang_id_model(text: Column, default: str = "unknown",
         else:
             py = []
             for n in NGRAMS:
+                # errors="replace": lone surrogates have no UTF-8
+                # form; '?' keeps the gram deterministic (the pre-r9
+                # loop raised here too — any total behavior is new)
                 py.extend(
-                    _z.crc32(s[i:i + n].encode("utf-8")) % D
+                    _z.crc32(s[i:i + n].encode("utf-8", "replace")) % D
                     for i in range(ls - n + 1))
             idxs = np.asarray(py, dtype=np.int64)
         if len(idxs) == 0:
@@ -233,11 +256,7 @@ def lang_id_model(text: Column, default: str = "unknown",
             return default
         return LANGS[best]
 
-    @pandas_udf("string")
-    def run(s):
-        return pd.Series([classify_one(t) for t in s])
-
-    return run(text)
+    return classify_one
 
 
 # Lazy per-process str.isalpha() table for the BMP — built once per
