@@ -210,20 +210,25 @@ def _banded_signatures_column(hashed: DataFrame, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, text: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       bands: int = 4,
-                      arrow_kernel: bool = True) -> DataFrame:
+                      arrow_kernel: bool = True,
+                      hot_cap: int | None = 100_000) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     rows_per_band = len(perms)/bands; two docs collide if any band of
     their signatures is identical.  Pair generation touches only
     (doc, band) keys — at 100 TB this is the standard linear-ish
     alternative to the quadratic all-pairs compare.  Hot buckets
-    (boilerplate documents) put their quadratic PAIR OUTPUT in one
-    window task; that output is inherently O(bucket²) whichever way
-    it's generated (measured on the sf0.1bp mega-bucket fixture: the
-    window form still beats the old self-join, 1.4 s vs 2.4 s,
-    because the join ran the signature kernel twice), and corpora
-    where buckets are truly pathological should use
-    minhash_lsh_star_edges, whose output stays O(bucket).
+    (boilerplate documents) emit their inherently-quadratic PAIR
+    OUTPUT from one task; `hot_cap` bounds that: a bucket with more
+    than hot_cap members raises an actionable error at execution time
+    (use minhash_lsh_star_edges, whose output stays O(bucket), or
+    raise/disable the cap).  The default 100k caps any single
+    bucket's output at ~5·10⁹ pairs — already far past where the
+    downstream `.distinct()` shuffle, not pair generation, is the
+    real wall, so salting the generation (shuffling O(b²) list bytes
+    to spread the explode) would just move the problem; refusal with
+    the linear-output pointer is the design answer.  `hot_cap=None`
+    disables the guard.
 
     `arrow_kernel=True` (default) computes the 16 permutation minima in
     one numpy broadcast per document (map-only, Arrow-batched);
@@ -234,36 +239,46 @@ def minhash_lsh_pairs(df: DataFrame, text: str = "text",
     all 16 permutation expressions and every band key, recomputing it
     ~64× per row.  The shuffled payload is just (id, 16 longs) — tiny.
     """
-    from pyspark.sql.window import Window
-
     r = len(MINHASH_PERMS) // bands
     hashed = shingle_hash_frame(df, text, id_col, n)
     if arrow_kernel:
         banded = _banded_signatures_arrow(hashed, id_col, bands, r)
     else:
         banded = _banded_signatures_column(hashed, id_col, bands, r)
-    # Pair generation is ONE window over the bucket key, not a
+    # Pair generation off ONE aggregation of the bucket key, not a
     # self-join (r9) — the join form duplicated the entire banded
     # pipeline (scan + shingle HOFs + signature kernel ran TWICE, once
     # per join side; Catalyst does not reuse Python-stage subtrees
     # across join inputs) and paid a broadcast of the banded frame.
-    # Same trick as minhash_lsh_star_edges: the id-ordered bucket
-    # member list is an unbounded-frame window aggregate (computed
-    # ONCE per bucket and shared by its rows), and each row explodes
-    # the members ranked after it — exactly the join's
-    # l.id < r.id pair set, bit-identical after the same .distinct().
-    wf = (Window.partitionBy("band", "band_key").orderBy(id_col)
-          .rowsBetween(Window.unboundedPreceding,
-                       Window.unboundedFollowing))
-    wr = Window.partitionBy("band", "band_key").orderBy(id_col)
-    return (banded
-            .withColumn("__ids", F.collect_list(id_col).over(wf))
-            .withColumn("__rn", F.row_number().over(wr))
-            .select(F.col(id_col).alias("id_a"),
-                    F.explode(F.slice(
-                        F.col("__ids"), F.col("__rn") + 1,
-                        F.size("__ids") - F.col("__rn"))).alias("id_b"))
-            .distinct())
+    # r10: groupBy + posexplode + slice-explode (the ngram_jaccard
+    # pair idiom) replaces the r9 window form — the sorted member
+    # list is materialized ONCE per bucket instead of once per ROW
+    # (the window's per-row collect_list made a b-member bucket hold
+    # b copies of a b-array in one task: O(b²) memory before a single
+    # pair was emitted), same pair set bit-exactly after the same
+    # .distinct(), and measured ≥ the window form at the bench shape
+    # (1.00 vs 1.02 same-session min-of-4; 463-row oracle unchanged).
+    lists = (banded.groupBy("band", "band_key")
+             .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+             .filter(F.size("__ids") > 1))
+    sz: Column = F.size("__ids")
+    if hot_cap is not None:
+        sz = F.when(
+            F.size("__ids") > int(hot_cap),
+            F.raise_error(F.lit(
+                f"minhash_lsh_pairs: a bucket exceeds "
+                f"hot_cap={int(hot_cap)} members; its pair output is "
+                "quadratic in bucket size. Use "
+                "minhash_lsh_star_edges (linear output, identical "
+                "connectivity) for clustering, or pass a larger/None "
+                "hot_cap.")).cast("int")).otherwise(F.size("__ids"))
+    x = lists.select("__ids",
+                     F.posexplode("__ids").alias("__i", "id_a"))
+    return (x.select(
+        "id_a",
+        F.explode(F.slice(F.col("__ids"), F.col("__i") + 2, sz))
+        .alias("id_b"))
+        .distinct())
 
 
 def minhash_lsh_star_edges(df: DataFrame, text: str = "text",
@@ -378,11 +393,19 @@ def ngram_jaccard_pairs(df: DataFrame, text: str = "text",
                else F.lit(int(max_df)))
         kept = kept.filter(F.size("ds") <= cap)
         # per-doc count of dropped (hot) shingles — rows ∝ docs that
-        # contain boilerplate, not corpus size; broadcast-joined back
+        # contain boilerplate, not corpus size; broadcast-joined back.
+        # Lazy localCheckpoint: this frame is consumed by TWO
+        # broadcasts (ha, hb) and Catalyst does not reuse the posting
+        # subtree across broadcast subplans — without the checkpoint
+        # the full scan→shingle→Exchange(sh)→collect_list pipeline ran
+        # THREE times per query (r10 plan audit: 0 ReusedExchange).
+        # Bounded by the broadcast-size argument that already governs
+        # ha/hb (guide §5).
         hot_per_doc = (posting.filter(F.size("ds") > cap)
                        .select(F.explode("ds").alias("d"))
                        .groupBy(F.col(f"d.{id_col}").alias(id_col))
-                       .agg(F.count("*").alias("__nhot")))
+                       .agg(F.count("*").alias("__nhot"))
+                       .localCheckpoint(eager=False))
     # pair generation as two native explodes (posexplode → slice →
     # explode): all whole-stage codegen, measured faster than both the
     # interpreted nested-transform and the explode-self-join plans

@@ -753,7 +753,14 @@ def frequency_mass(df: DataFrame, counts: DataFrame | None = None,
     doc_id re-aggregates; `counts` accepts a precomputed/reference
     vocabulary so new data scores without rescanning the corpus —
     tokens absent from it count as rare with mass 0."""
-    c = counts if counts is not None else unigram_counts(df, text)
+    # Lazy checkpoint when we built the table ourselves: `c` feeds
+    # BOTH the broadcast join and the global-total aggregate, and
+    # Catalyst re-runs the scan→explode→groupBy pipeline once per
+    # consumer (r10 plan audit: tokenize ran 3× per query).  Vocab-
+    # sized — it must fit a broadcast anyway (guide §5).  Caller-
+    # provided `counts` (reference vocabularies) are left untouched.
+    c = (counts if counts is not None
+         else unigram_counts(df, text).localCheckpoint(eager=False))
     tot = c.agg(F.sum("n").alias("__total"))
     tok = (df.select(F.col(id_col),
                      F.explode(tokens(F.col(text))).alias("token"))

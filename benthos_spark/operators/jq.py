@@ -1953,7 +1953,13 @@ def jq_transform(df: DataFrame, query: str, content: str = "content",
 
     meta_col = F.col("meta") if has_meta else \
         F.create_map().cast("map<string,string>")
-    res = df.withColumn("__jq", run(F.col(content), meta_col))
+    # asNondeterministic: the filter on __jq.filtered below otherwise
+    # gets pushed beneath the projection and the optimizer DUPLICATES
+    # the UDF — every surviving row paid the interpreter twice (two
+    # ArrowEvalPython nodes in the r9 plan; guide §4.4).  The
+    # interpreter is pure; the marker only forbids reordering/copying.
+    res = df.withColumn(
+        "__jq", run.asNondeterministic()(F.col(content), meta_col))
     res = res.filter(~F.col("__jq.filtered"))
     res = res.withColumn(content, F.col("__jq.content"))
     if error_col in df.columns:

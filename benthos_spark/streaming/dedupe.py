@@ -211,6 +211,24 @@ def replay_minhash_dedupe(spark, path: str, text: str = "text",
         rocksdb = os.environ.get("BENTHOS_SPARK_ROCKSDB_STATE",
                                  "").lower() in ("1", "true", "yes")
 
+    # A bounded replay knows its corpus size from the parquet footer
+    # (metadata only, no job), so size `shards` by the module
+    # docstring's live-bucket rule instead of the unbounded-stream
+    # default: shards ≈ bands·n_docs / 10k keeps Python group calls
+    # per micro-batch proportional to corpus, with a floor of 16 so
+    # small drains still spread across the state partitions.  Output
+    # is shard-count independent (sharding only groups buckets);
+    # r10 measured the fixture drain at 2.6 s vs 3.4 s under the
+    # fixed 1024 (463 identical rows at every setting tried).
+    try:
+        import pyarrow.parquet as _pq
+        n_docs = _pq.ParquetFile(path).metadata.num_rows
+        shards = max(16, min(1 << 20, (bands * n_docs) // 10_000))
+    except Exception:
+        # directory corpus / unreadable footer: keep the unbounded-
+        # stream default rather than guessing small
+        shards = 1024
+
     # 16 state partitions: the sharded operator makes ≤`shards` group
     # calls per micro-batch with vectorized pandas inside, so a
     # handful of workers suffice — 16 keeps the shard calls spread
@@ -219,7 +237,8 @@ def replay_minhash_dedupe(spark, path: str, text: str = "text",
         spark, path,
         lambda s: streaming_minhash_dup_marks(s, text=text,
                                               id_col=id_col, n=n,
-                                              bands=bands),
+                                              bands=bands,
+                                              shards=shards),
         output_mode="append", shuffle_partitions=16,
         extra_conf=rocksdb_state_conf() if rocksdb else None)
     return (marks.select(F.col(id_col).alias("dup_doc_id"))

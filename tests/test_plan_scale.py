@@ -62,12 +62,13 @@ def test_switch_routing_is_one_projection(spark, sf_dir):
     assert plan.count("FileScan") == 1
 
 
-def test_minhash_pairs_window_form_single_kernel(spark, sf_dir):
-    # r9 shape: pair generation is a window over each (band, band_key)
-    # bucket, not a banded self-join — the signature kernel must appear
-    # exactly once (Catalyst re-executes Python subtrees per join
-    # input, which is why the join form paid the kernel twice) and the
-    # corpus must be scanned exactly once, with no join at all
+def test_minhash_pairs_bucket_list_form_single_kernel(spark, sf_dir):
+    # r10 shape: pair generation is ONE aggregation of the bucket key
+    # (groupBy collect_list + posexplode + slice-explode), not a banded
+    # self-join — the signature kernel must appear exactly once
+    # (Catalyst re-executes Python subtrees per join input, which is
+    # why the join form paid the kernel twice) and the corpus must be
+    # scanned exactly once, with no join and no per-row window list
     df = entry.base_queries()["dedup_minhash_lsh"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -77,7 +78,7 @@ def test_minhash_pairs_window_form_single_kernel(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("MapInPandas") == 1
     assert final.count("FileScan") == 1
-    assert "Window" in final
+    assert "Window" not in final
     assert "Join" not in final
 
 

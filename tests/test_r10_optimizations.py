@@ -94,3 +94,30 @@ def test_langid_classifier_lone_surrogate():
     assert clf(eng + " \ud800") == clf(eng)
     # unicode-script tier still wins with a surrogate present
     assert clf("すばやい茶色のキツネは怠け者の犬 \ud800") == "ja"
+
+
+# -------------------------------------------------- minhash hot cap
+# r10: pair generation is groupBy-list form with a documented cap on
+# bucket size; past it the task fails with the star-edges pointer
+# instead of silently serializing an O(b²) explode in one task.
+
+
+def test_minhash_hot_cap_raises_with_pointer(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import PythonException
+
+    from benthos_spark.llm.dedup import minhash_lsh_pairs
+
+    # one mega-bucket: identical text → identical signatures
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere")
+         for i in range(50)], "doc_id long, text string")
+    with pytest.raises(Exception) as ei:
+        minhash_lsh_pairs(docs, hot_cap=10).collect()
+    assert "star_edges" in str(ei.value)
+    # under the cap: same pair set as uncapped
+    a = {tuple(r) for r in
+         minhash_lsh_pairs(docs, hot_cap=64).collect()}
+    b = {tuple(r) for r in
+         minhash_lsh_pairs(docs, hot_cap=None).collect()}
+    assert a == b and len(a) == 50 * 49 // 2
