@@ -9,6 +9,10 @@ import sys
 
 from benthos_spark.testkit import run_case, run_test_file
 
+# Soak/parity tier: excluded from the default fast run the driver's
+# verify budget can finish (pytest.ini); run with -m slow.
+pytestmark = __import__('pytest').mark.slow
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
                       "mapping_cases.yaml")
 PARITY = os.path.join(os.path.dirname(__file__), "golden",

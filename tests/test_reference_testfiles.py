@@ -11,6 +11,10 @@ import os
 import pytest
 import yaml
 
+# Soak/parity tier: excluded from the default fast run the driver's
+# verify budget can finish (pytest.ini); run with -m slow.
+pytestmark = __import__('pytest').mark.slow
+
 TEST_DIR = "/root/reference/config/test"
 
 # "<file>::<case name>" → documented deviation
