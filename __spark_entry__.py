@@ -1911,18 +1911,13 @@ FROM documents WHERE doc_id < 2000
 """)
 def xml_to_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.operators.parsing import xml_to_json
-    from benthos_spark.operators.scale import ensure_scan_parallelism
-    # head-slice of a single-split parquet = the whole XML kernel on
-    # one core (r9 langid lesson; r10 single-split audit) — fan out
-    # AFTER the projection so the exchange carries only 2 columns
-    docs = ensure_scan_parallelism(
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 2000)
-        .select("doc_id", F.concat(
-            F.lit('<doc lang="'), F.col("lang"), F.lit('"><src>'),
-            F.col("source"), F.lit("</src><len>"),
-            F.col("n_chars").cast("string"),
-            F.lit("</len></doc>")).alias("content")))
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 2000)
+            .select("doc_id", F.concat(
+                F.lit('<doc lang="'), F.col("lang"), F.lit('"><src>'),
+                F.col("source"), F.lit("</src><len>"),
+                F.col("n_chars").cast("string"),
+                F.lit("</len></doc>")).alias("content")))
     return xml_to_json(docs).select("doc_id", "content")
 
 
@@ -1942,13 +1937,11 @@ FROM documents WHERE doc_id < 3000 AND n_chars >= 150
 """)
 def jq_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.operators.jq import jq_transform
-    from benthos_spark.operators.scale import ensure_scan_parallelism
-    docs = ensure_scan_parallelism(
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 3000)
-        .select("doc_id",
-                F.to_json(F.struct("lang", "source", "n_chars"))
-                .alias("content")))
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 3000)
+            .select("doc_id",
+                    F.to_json(F.struct("lang", "source", "n_chars"))
+                    .alias("content")))
     out = jq_transform(
         docs,
         'select(.n_chars >= 150) | '
@@ -1995,13 +1988,11 @@ FROM documents WHERE doc_id < 2500
 """)
 def jq_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.operators.jq import jq_transform
-    from benthos_spark.operators.scale import ensure_scan_parallelism
-    docs = ensure_scan_parallelism(
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 2500)
-        .select("doc_id",
-                F.to_json(F.struct("doc_id", "lang", "n_chars"))
-                .alias("content")))
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 2500)
+            .select("doc_id",
+                    F.to_json(F.struct("doc_id", "lang", "n_chars"))
+                    .alias("content")))
     prog = ('.n_chars as $n | '
             'def bucket: if $n < 200 then "small" '
             'elif $n < 500 then "mid" else "large" end; '
@@ -2130,10 +2121,7 @@ FROM events WHERE event_id < 2000
 """)
 def jmespath_transform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.operators.parsing import jmespath_transform
-    from benthos_spark.operators.scale import ensure_scan_parallelism
-    ev = ensure_scan_parallelism(
-        _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-        .select("event_id", "props"))
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     return jmespath_transform(ev, F.col("props"), "{kk: k}") \
         .select("event_id", "result")
 
@@ -2150,10 +2138,7 @@ FROM documents WHERE doc_id < 200
 """)
 def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.operators.codec import compress, decompress_str
-    from benthos_spark.operators.scale import ensure_scan_parallelism
-    docs = ensure_scan_parallelism(
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-        .select("doc_id", "text"))
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -4109,10 +4094,9 @@ LIMIT {_DSIR_K}
 @_register("bpe_token_count")
 def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from benthos_spark.llm.tokenizer import bpe_token_count, train_from_frame
-    from benthos_spark.operators.scale import ensure_scan_parallelism
     docs = _t(spark, sf_dir, "documents")
     merges = train_from_frame(docs, sample=500, n_merges=100)
-    return bpe_token_count(ensure_scan_parallelism(docs), merges)
+    return bpe_token_count(docs, merges)
 
 
 @_register("dedup_star_edges", oracle=_sql_minhash_star_edges())
